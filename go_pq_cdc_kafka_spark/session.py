@@ -1,0 +1,71 @@
+"""SparkSession construction tuned for the engine.
+
+Scale posture: these defaults are written for a real multi-executor cluster
+(AQE on, skew-join handling, partition coalescing); tests run them on
+``local[N]`` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic SQL confs every entry point should ensure, even on a session we did
+# not create (the correctness driver owns its own session).
+RUNTIME_CONFS: dict[str, str] = {
+    # the driver-generated events.parquet stores TIMESTAMP(NANOS) which the
+    # vectorized parquet reader rejects; read as long and convert explicitly
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics regardless of machine TZ
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the few pandas-UDF operators (similarity/multimodal)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set dynamic confs on an existing session (driver-owned sessions too)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-dynamic conf on this build — keep going, defaults are sane
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "go-pq-cdc-kafka-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[N]`` with N = ``SPARK_GRAFT_CPUS`` or all
+    cores — on a real cluster, leave it unset and submit with your cluster
+    manager; nothing here assumes local mode.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = {
+        **RUNTIME_CONFS,
+        # one shuffle partition per core locally; on a cluster AQE coalesces
+        # from this initial value, so a generous default is safe
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
