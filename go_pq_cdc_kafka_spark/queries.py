@@ -1,0 +1,813 @@
+"""Query registry — every operator claimed in SURVEY.md §2 as a runnable
+query with (where expressible) a DuckDB-equivalent ANSI-SQL oracle.
+
+Cross-engine determinism rules (so the driver's value-hash matches):
+
+- per-row arithmetic stays in DOUBLE (IEEE ops are bit-identical everywhere);
+- aggregation of doubles goes through CAST(expr AS DECIMAL(27,6)) → SUM
+  (exact, order-independent) → CAST(... AS DOUBLE); scale 6 is chosen so the
+  cast never actually rounds (see ``_dsum``);
+- averages are ``CAST(sum_decimal AS DOUBLE) / CAST(count AS DOUBLE)`` —
+  deterministic double division of identical inputs — never the engine's
+  own ``avg`` over doubles (partial-aggregation order varies);
+- every computed column is aliased identically in Spark and SQL;
+- integer sums are cast to BIGINT on both sides (DuckDB would widen to
+  HUGEINT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from go_pq_cdc_kafka_spark.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB-runnable ANSI SQL; None → rows-only check
+    category: str
+    description: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, category: str, description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle, category, description)
+        return fn
+
+    return deco
+
+
+def _dsum(col, scale: int = 6) -> F.Column:
+    """Order-independent double sum: decimal-exact accumulate, double out.
+
+    Scale 6 matters: fixture monetary values have ≤2 decimal digits and the
+    per-row expressions multiply at most three of them, so the double's
+    shortest decimal repr has ≤6 fractional digits — the decimal cast is then
+    exact in BOTH engines (Spark rounds the shortest repr, DuckDB rounds the
+    exact binary expansion; at a digit position where nothing is cut off they
+    agree bit-for-bit)."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+# ===========================================================================
+# Aggregation (SURVEY §2.B: hash/sort agg, partial+final via Catalyst)
+# ===========================================================================
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    category="aggregation",
+    description="TPC-H Q1-style pricing summary; flagship query.",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1)).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / cnt.cast("double")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / cnt.cast("double")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_minmax_count",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="aggregation",
+)
+def agg_minmax_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    category="grouping-sets",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    category="grouping-sets",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "distinct_segments",
+    oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+ORDER BY c_mktsegment, c_nationkey
+""",
+    category="distinct",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct().orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
+
+
+# ===========================================================================
+# Projection / filter (pushdown-verified in tests)
+# ===========================================================================
+
+@register(
+    "scan_filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="scan",
+    description="Filter + projection; predicate reaches the parquet scan.",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45.0) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ===========================================================================
+# Joins
+# ===========================================================================
+
+@register(
+    "join_equi_broadcast",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY region, nation
+""",
+    category="join",
+    description="Two broadcast hash joins (dims) + aggregation.",
+)
+def join_equi_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "join_multiway_fact",
+    oracle="""
+SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, order_year
+ORDER BY nation, order_year
+""",
+    category="join",
+    description="Fact-fact shuffle join + broadcast dims, TPC-H Q5 flavor.",
+)
+def join_multiway_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+    category="join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+ORDER BY c_custkey
+""",
+    category="join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+    category="join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+SELECT p.p_partkey, p.p_size, COUNT(*) AS n_matching
+FROM part p
+JOIN lineitem l
+  ON l.l_partkey = p.p_partkey
+ AND l.l_quantity BETWEEN p.p_size AND p.p_size + 10
+GROUP BY p.p_partkey, p.p_size
+ORDER BY p.p_partkey
+""",
+    category="join",
+    description="Equi key + range predicate (band) join.",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size)
+        & (li.l_quantity <= p.p_size + 10)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_partkey", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
+        .orderBy("p_partkey")
+    )
+
+
+# ===========================================================================
+# Window functions
+# ===========================================================================
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+""",
+    category="window",
+    description="Top-3 orders per customer — rank-based top-k.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@register(
+    "window_running_lag",
+    oracle="""
+SELECT user_id, event_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+ORDER BY user_id, event_id
+""",
+    category="window",
+    description="Running sum + lag/lead analytic frame.",
+)
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(27,6)")).over(frame).cast("double").alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "sort_global_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    category="sort",
+    description="Global top-k — Spark plans TakeOrderedAndProject (no full sort).",
+)
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Set operations
+# ===========================================================================
+
+@register(
+    "setop_union_intersect_except",
+    oracle="""
+WITH big_cust AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+), auto_cust AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+SELECT 'union' AS src, custkey FROM (SELECT custkey FROM big_cust UNION SELECT custkey FROM auto_cust)
+UNION ALL
+SELECT 'intersect' AS src, custkey FROM (SELECT custkey FROM big_cust INTERSECT SELECT custkey FROM auto_cust)
+UNION ALL
+SELECT 'except' AS src, custkey FROM (SELECT custkey FROM big_cust EXCEPT SELECT custkey FROM auto_cust)
+ORDER BY src, custkey
+""",
+    category="setop",
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 250000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    parts = [
+        big.union(auto).distinct().select(F.lit("union").alias("src"), "custkey"),
+        big.intersect(auto).select(F.lit("intersect").alias("src"), "custkey"),
+        big.distinct().exceptAll(auto.distinct()).select(
+            F.lit("except").alias("src"), "custkey"
+        ),
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("src", "custkey")
+
+
+# ===========================================================================
+# Scalar function families (string / datetime / math / array / json)
+# ===========================================================================
+
+@register(
+    "func_string",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       LENGTH(p_name) AS name_len,
+       REGEXP_REPLACE(p_type, '[aeiou]', '_') AS devoweled
+FROM part
+WHERE p_name LIKE '%el%'
+ORDER BY p_partkey
+""",
+    category="function-string",
+    description="ISBN-style LPAD from the reference fixtures (example/snapshot/init.sql:32).",
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%el%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.regexp_replace(F.col("p_type"), "[aeiou]", "_").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "func_datetime",
+    oracle="""
+SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(MIN(EXTRACT(DOW FROM o_orderdate)) AS INTEGER) AS min_dow
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+""",
+    category="function-datetime",
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            # DuckDB DOW: Sunday=0; Spark dayofweek: Sunday=1
+            F.min(F.dayofweek("o_orderdate") - 1).cast("int").alias("min_dow"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "func_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS disc_dev,
+       FLOOR(l_quantity) AS qty_floor,
+       CEIL(l_extendedprice / 1000.0) AS price_k,
+       MOD(l_orderkey, 7) AS key_mod,
+       SQRT(l_quantity) AS qty_sqrt
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey <= 1000
+ORDER BY l_orderkey
+""",
+    category="function-math",
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 1000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_quantity").cast("double").alias("qty_floor"),
+            F.ceil(F.col("l_extendedprice") / 1000.0).cast("double").alias("price_k"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "func_array",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT(p_type, ' ')) AS word FROM part) t
+GROUP BY word
+ORDER BY n DESC, word
+""",
+    category="function-array",
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_type"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+    )
+
+
+@register(
+    "func_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="function-json",
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(k.cast("long")).cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# CDC-tier queries (the reference's own pipeline semantics, batch-checkable)
+# ===========================================================================
+
+def _orders_changelog_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic changelog over orders: snapshot, then updates on
+    keys %10==0 (price bump), then deletes on keys %7==0. Mirrors the
+    reference E2E recipe (FIXTURES.md §2)."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.lit("SNAPSHOT").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("lsn"),
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            F.lit("UPDATE").alias("op"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit(1).cast("long").alias("lsn"),
+        )
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            F.lit("DELETE").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(2).cast("long").alias("lsn"),
+        )
+    )
+    return snap.unionByName(upd).unionByName(dele)
+
+
+_ORDERS_CHANGELOG_SQL = """
+  SELECT o_orderkey AS pk, 'SNAPSHOT' AS op, o_totalprice AS price, CAST(0 AS BIGINT) AS lsn
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'UPDATE', o_totalprice * 1.1, CAST(1 AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'DELETE', NULL, CAST(2 AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+@register(
+    "cdc_lww_materialize",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL}),
+ranked AS (
+  SELECT pk, op, price,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+  FROM changelog
+)
+SELECT pk, op AS last_op, price
+FROM ranked
+WHERE rn = 1 AND op <> 'DELETE'
+ORDER BY pk
+""",
+    category="cdc",
+    description="Last-write-wins table materialization from a change stream "
+    "(row_number over pk by LSN desc; SURVEY §2.B stateful ops).",
+)
+def cdc_lww_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("pk", F.col("op").alias("last_op"), "price")
+        .orderBy("pk")
+    )
+
+
+@register(
+    "cdc_event_counts",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
+SELECT op, COUNT(*) AS n, COUNT(DISTINCT pk) AS n_keys
+FROM changelog
+GROUP BY op
+ORDER BY op
+""",
+    category="cdc",
+    description="Operation-type dispatch counts over a change stream (S2).",
+)
+def cdc_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir)
+    return (
+        log.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("pk").cast("long").alias("n_keys"),
+        )
+        .orderBy("op")
+    )
+
+
+@register(
+    "cdc_sink_records",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
+SELECT 'orders.cdc' AS topic,
+       CAST(pk AS VARCHAR) AS key,
+       CONCAT('{{"pk":', CAST(pk AS VARCHAR), ',"operation":"', op, '"}}') AS value,
+       op AS header_operation,
+       CASE WHEN op = 'SNAPSHOT' THEN 'initial-snapshot' ELSE 'cdc' END AS header_source
+FROM changelog
+ORDER BY key, header_operation
+""",
+    category="cdc",
+    description="Kafka record shaping: topic routing, key/value/header "
+    "conventions (reference T2-T4, R1).",
+)
+def cdc_sink_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir)
+    return (
+        log.select(
+            F.lit("orders.cdc").alias("topic"),
+            F.col("pk").cast("string").alias("key"),
+            F.concat(
+                F.lit('{"pk":'),
+                F.col("pk").cast("string"),
+                F.lit(',"operation":"'),
+                F.col("op"),
+                F.lit('"}'),
+            ).alias("value"),
+            F.col("op").alias("header_operation"),
+            F.when(F.col("op") == "SNAPSHOT", F.lit("initial-snapshot"))
+            .otherwise(F.lit("cdc"))
+            .alias("header_source"),
+        )
+        .orderBy("key", "header_operation")
+    )

@@ -62,6 +62,7 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }
     if extra_conf:
