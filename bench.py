@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Execution is forced with the noop sink (full computation, no driver
+collect/serialization overhead in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "scan_filter_project",
+    "join_equi_broadcast",
+    "join_multiway_fact",
+    "window_topk_per_group",
+    "func_json",
+    "cdc_lww_materialize",
+    "cdc_sink_records",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from go_pq_cdc_kafka_spark.queries import REGISTRY
+    from go_pq_cdc_kafka_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once on the smallest query so q1 isn't charged
+    # with session startup noise
+    REGISTRY["sort_global_topk"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
