@@ -39,6 +39,33 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Spark's Python workers regardless of
+    the driver's cwd (Python DataSources and UDFs referencing package code
+    are unpickled worker-side by module path). Zips the package once per
+    session and ships it with ``addPyFile`` — the same mechanism used to ship
+    deps to a real cluster's executors."""
+    if getattr(spark, "_gpck_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"go_pq_cdc_kafka_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._gpck_shipped = True
+
+
 def get_spark(
     app_name: str = "go-pq-cdc-kafka-spark",
     master: str | None = None,
@@ -52,6 +79,15 @@ def get_spark(
     manager; nothing here assumes local mode.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Python workers (UDFs, Python DataSource planner) are spawned by the JVM
+    # and import this package by module path — make it importable for them
+    # regardless of cwd. Must happen before the JVM starts.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = {

@@ -1,0 +1,137 @@
+"""Kafka sink configuration — the reference's producer config surface
+(config/config.go:1-98, kafka/client.go:36-125) mapped onto the Spark Kafka
+sink's ``kafka.*`` producer options.
+
+Reference batching (B2, producer_batch.go:73-104) is a triple trigger:
+flush at ≥ producerBatchSize messages OR ≥ producerBatchBytes OR on a ticker.
+Spark's equivalents:
+
+- ticker               → ``trigger(processingTime=...)`` per micro-batch
+- byte cap             → producer ``kafka.batch.size`` / ``kafka.max.request.size``
+- count cap            → micro-batch size (``maxOffsetsPerTrigger`` /
+                         ``maxFilesPerTrigger`` on the source side) + producer
+                         batching; the broker write itself is already batched
+- ack coalescing (B4)  → the checkpoint commit: offsets are committed only
+                         after the sink succeeds, one commit per micro-batch —
+                         the same at-least-once contract as the reference's
+                         single ``Ack()`` per flush (producer_batch.go:141-151)
+
+Delivery-level options (B8) pass through as ``kafka.*`` producer settings.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum, IntEnum
+
+
+class Compression(IntEnum):
+    """0..4 wire order matches the reference enum (config/config.go:59-64)."""
+
+    NONE = 0
+    GZIP = 1
+    SNAPPY = 2
+    LZ4 = 3
+    ZSTD = 4
+
+    @property
+    def kafka_name(self) -> str:
+        return ["none", "gzip", "snappy", "lz4", "zstd"][int(self)]
+
+
+class Balancer(str, Enum):
+    """Partitioner selection (config/config.go:40-57). With a key column set,
+    Kafka's default partitioner (murmur2 on key) reproduces the reference's
+    per-key→partition ordering guarantee; alternatives map to
+    ``kafka.partitioner.class`` where the client provides them."""
+
+    HASH = "Hash"
+    LEAST_BYTES = "LeastBytes"
+    ROUND_ROBIN = "RoundRobin"
+    REFERENCE_HASH = "ReferenceHash"
+    CRC32 = "CRC32"
+    MURMUR2 = "Murmur2"
+
+
+_SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(b|kb|mb|gb|tb)?\s*$", re.IGNORECASE)
+_MULT = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40}
+
+
+def parse_size(s: str | int) -> int:
+    """'1mb'-style size strings (capability of internal/bytes/bytes.go:57-82)."""
+    if isinstance(s, int):
+        return s
+    m = _SIZE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparseable size: {s!r}")
+    num, unit = m.groups()
+    return int(float(num) * _MULT[(unit or "b").lower()])
+
+
+@dataclass
+class KafkaProducerConfig:
+    """Field-for-field parity with the reference Kafka config
+    (config/config.go; defaults applied in SetDefault, config/config.go:66-98)."""
+
+    brokers: list[str] = field(default_factory=list)
+    table_topic_mapping: dict[str, str] = field(default_factory=dict)
+    producer_batch_size: int = 2000            # default, config/config.go:70-72
+    producer_batch_bytes: str | int = "1mb"    # default, config/config.go:76-78
+    producer_batch_ticker_duration_s: float = 10.0  # default, config/config.go:73-75
+    required_acks: int = 1                     # default, config/config.go:87-89
+    max_attempts: int = 3
+    read_timeout_s: float = 30.0
+    write_timeout_s: float = 30.0
+    compression: Compression = Compression.NONE
+    balancer: Balancer = Balancer.HASH
+    metadata_ttl_s: float = 60.0
+    metadata_topics: list[str] = field(default_factory=list)
+    allow_auto_topic_creation: bool = False
+    client_id: str = "go-pq-cdc-kafka-spark"
+    # TLS / SASL-SCRAM (kafka/client.go:53-75)
+    sasl_enabled: bool = False
+    sasl_username: str = ""
+    sasl_password: str = ""
+    sasl_mechanism: str = "SCRAM-SHA-512"
+    tls_enabled: bool = False
+    root_ca_path: str | None = None
+
+    def sink_options(self, checkpoint_location: str) -> dict[str, str]:
+        """Options for ``writeStream.format('kafka')`` (or batch write)."""
+        opts = {
+            "kafka.bootstrap.servers": ",".join(self.brokers),
+            "kafka.acks": str(self.required_acks if self.required_acks != -1 else "all"),
+            "kafka.retries": str(self.max_attempts),
+            "kafka.request.timeout.ms": str(int(self.write_timeout_s * 1000)),
+            "kafka.compression.type": self.compression.kafka_name,
+            "kafka.batch.size": str(min(parse_size(self.producer_batch_bytes), 1 << 20)),
+            "kafka.max.request.size": str(parse_size(self.producer_batch_bytes)),
+            "kafka.metadata.max.age.ms": str(int(self.metadata_ttl_s * 1000)),
+            "kafka.allow.auto.create.topics": str(self.allow_auto_topic_creation).lower(),
+            "kafka.client.id": self.client_id,
+            "includeHeaders": "true",
+            "checkpointLocation": checkpoint_location,
+        }
+        if self.sasl_enabled:
+            proto = "SASL_SSL" if self.tls_enabled else "SASL_PLAINTEXT"
+            opts.update(
+                {
+                    "kafka.security.protocol": proto,
+                    "kafka.sasl.mechanism": self.sasl_mechanism,
+                    "kafka.sasl.jaas.config": (
+                        "org.apache.kafka.common.security.scram.ScramLoginModule "
+                        f'required username="{self.sasl_username}" '
+                        f'password="{self.sasl_password}";'
+                    ),
+                }
+            )
+        elif self.tls_enabled:
+            opts["kafka.security.protocol"] = "SSL"
+            if self.root_ca_path:
+                opts["kafka.ssl.truststore.location"] = self.root_ca_path
+        return opts
+
+    def trigger_kwargs(self) -> dict[str, str]:
+        """The ticker (B2) as a processing-time trigger."""
+        return {"processingTime": f"{self.producer_batch_ticker_duration_s} seconds"}

@@ -1,0 +1,189 @@
+"""Streaming-tier tests mirroring the reference's E2E suite (SURVEY §5):
+replay a deterministic change log, assert sink payloads; restart-recovery
+mirrors TestConnector_AckMechanism (connector_test.go:416-648)."""
+
+import json
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_pq_cdc_kafka_spark.envelope import snapshot_events, to_dynamic
+from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+from go_pq_cdc_kafka_spark.sources import changelog as cl
+from go_pq_cdc_kafka_spark.sources.snapshot import (
+    SnapshotConfig,
+    plan_partitions,
+    snapshot_from_parquet,
+)
+from go_pq_cdc_kafka_spark.streaming.kafka import (
+    Compression,
+    KafkaProducerConfig,
+    parse_size,
+)
+from go_pq_cdc_kafka_spark.streaming.metrics import EngineMetrics
+from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
+
+
+def users(spark, start=1, n=5):
+    return spark.range(start, start + n).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("User-"), F.col("id")).alias("name"),
+    )
+
+
+ROUTING = RoutingTable({"public.users": "users.test"})
+
+
+def test_snapshot_only_batch_pipeline(spark, sf_dir):
+    """snapshot_only mode (connector.go:80-94): bounded scan → records."""
+    src = snapshot_from_parquet(spark, f"{sf_dir}/customer.parquet", "customer")
+    pipe = CdcPipeline(
+        source=src,
+        routing=RoutingTable({"public.customer": "customer.snap"}),
+        pk_field="c_custkey",
+    )
+    recs = pipe.run_batch().collect()
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(recs) == n
+    assert all(r.topic == "customer.snap" for r in recs)
+    payload = json.loads(bytes(recs[0].value))
+    assert payload["operation"] == "SNAPSHOT"
+
+
+def test_changelog_replay_to_memory(spark, tmp_path):
+    """insert/update/delete/snapshot replay ⇒ correct per-op payload counts
+    (mirrors TestConnector_{Insert,Update,Delete}Operation +
+    TestConnector_SnapshotMode)."""
+    base = users(spark, 1, 10)  # pk 1..10
+    log = cl.generate_table_changelog(base, "id", "users")
+    path = str(tmp_path / "log")
+    cl.write_changelog(log, path, num_files=3)
+
+    pipe = CdcPipeline(
+        source=cl.read_changelog_stream(spark, path),
+        routing=ROUTING,
+        pk_field="id",
+    )
+    q = pipe.to_memory("replay_sink")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from replay_sink").collect()
+    ops = {}
+    for r in rows:
+        op = json.loads(bytes(r.value))["operation"]
+        ops[op] = ops.get(op, 0) + 1
+    # 10 snapshots, 10 inserts (re-keyed), updates for id%10==0 → 1,
+    # deletes for id%7==0 → 1
+    assert ops == {"SNAPSHOT": 10, "INSERT": 10, "UPDATE": 1, "DELETE": 1}
+    headers = {h.key: bytes(h.value).decode() for h in rows[0].headers}
+    assert set(headers) == {"operation", "table", "source"}
+
+
+def test_restart_recovery_exactly_once(spark, tmp_path):
+    """The ack-mechanism test (connector_test.go:416-648) re-expressed:
+    batch 1 processed and committed → pipeline down → batch 2 arrives →
+    restart from the same checkpoint → exactly 10 keys, no dupes, no loss."""
+    path = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = to_dynamic(snapshot_events(users(spark, 1, 5), "users", lsn=F.col("id")))
+    cl.write_changelog(batch1, path, num_files=2)
+
+    def run_until_drained():
+        pipe = CdcPipeline(
+            source=cl.read_changelog_stream(spark, path),
+            routing=ROUTING,
+            pk_field="id",
+        )
+        q = pipe.to_parquet(out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+    assert spark.read.parquet(out).count() == 5
+
+    # connector down; 5 more rows arrive
+    batch2 = to_dynamic(snapshot_events(users(spark, 6, 5), "users", lsn=F.col("id")))
+    cl.append_batch(batch2, path)
+
+    run_until_drained()  # restart from same checkpoint
+    result = spark.read.parquet(out)
+    keys = [bytes(r.key).decode() for r in result.collect()]
+    assert len(keys) == 10 and len(set(keys)) == 10  # no loss, no dupes
+
+
+def test_metrics_listener(spark, tmp_path):
+    m = EngineMetrics()
+    spark.streams.addListener(m)
+    try:
+        base = users(spark, 1, 4)
+        log = cl.generate_table_changelog(base, "id", "users")
+        path = str(tmp_path / "log")
+        cl.write_changelog(log, path, num_files=2)
+        pipe = CdcPipeline(
+            source=cl.read_changelog_stream(spark, path),
+            routing=ROUTING,
+            pk_field="id",
+        )
+        q = pipe.to_memory("metrics_sink")
+        q.processAllAvailable()
+        q.stop()
+        deadline = time.time() + 10
+        while time.time() < deadline and not m.counters:
+            time.sleep(0.2)
+        text = m.prometheus_text()
+        assert "go_pq_cdc_kafka_spark_query_started_total" in text
+        assert m.status()["counters"]
+    finally:
+        spark.streams.removeListener(m)
+
+
+def test_kafka_config_parity():
+    """config/config.go defaults + option mapping."""
+    cfg = KafkaProducerConfig(brokers=["b1:9092", "b2:9092"])
+    assert cfg.producer_batch_size == 2000  # config/config.go:70-72
+    assert parse_size(cfg.producer_batch_bytes) == 1 << 20  # "1mb"
+    assert cfg.producer_batch_ticker_duration_s == 10.0
+    assert cfg.required_acks == 1
+    opts = cfg.sink_options("/tmp/ckpt")
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["kafka.acks"] == "1"
+    assert opts["kafka.compression.type"] == "none"
+    assert opts["checkpointLocation"] == "/tmp/ckpt"
+    assert cfg.trigger_kwargs() == {"processingTime": "10.0 seconds"}
+
+    scram = KafkaProducerConfig(
+        brokers=["b:9092"],
+        sasl_enabled=True,
+        tls_enabled=True,
+        sasl_username="u",
+        sasl_password="p",
+        compression=Compression.ZSTD,
+        required_acks=-1,
+    )
+    o = scram.sink_options("/tmp/c")
+    assert o["kafka.security.protocol"] == "SASL_SSL"
+    assert "SCRAM-SHA-512" == o["kafka.sasl.mechanism"]
+    assert o["kafka.compression.type"] == "zstd"
+    assert o["kafka.acks"] == "all"
+
+
+def test_size_parsing_reference_styles():
+    """internal/bytes/bytes.go:57-82 capability."""
+    assert parse_size("1mb") == 1048576
+    assert parse_size("512KB") == 524288
+    assert parse_size("2gb") == 2147483648
+    assert parse_size("100") == 100
+    assert parse_size(42) == 42
+    with pytest.raises(ValueError):
+        parse_size("1parsec")
+
+
+def test_snapshot_chunk_planning():
+    """README.md:242-248: chunkSize 8000 default → partition count."""
+    assert plan_partitions(50, SnapshotConfig().chunk_size) == 1
+    assert plan_partitions(16001, 8000) == 3
+    assert plan_partitions(10**9, 8000, max_partitions=2000) == 2000
