@@ -1,0 +1,177 @@
+"""Text-analysis functions for training-data pipelines (engine extension
+tier, BASELINE.json north star): tokenization, token counting, quality
+scoring, language ID, document fingerprinting.
+
+Every function here is a JVM-side Column expression (no Python in the hot
+path) and has a DuckDB-SQL twin defined alongside so the correctness oracle
+evaluates the *same* formula. Cross-engine invariants used:
+
+- ``md5`` hashes UTF-8 bytes identically in Spark and DuckDB;
+- 15 hex chars = 60 bits fits a signed BIGINT in both engines;
+- RE2 (DuckDB) and java.util.regex agree on the simple patterns used here
+  (``\\s+``, ``\\b`` word boundaries, character classes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+TOKEN_RE = r"\s+"
+PUNCT_RE = "[.,;:!?]"
+STOPWORD_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+# language-ID marker regexes: tiny per-language common-word sets; the score
+# is the marker hit count, argmax wins, ties break alphabetically.
+LANG_MARKERS: dict[str, str] = {
+    "de": r"\b(der|die|und|das|ist|nicht|ein|zu)\b",
+    "en": r"\b(the|and|of|to|is|that|for|with)\b",
+    "es": r"\b(el|la|de|que|y|los|del|se)\b",
+    "fr": r"\b(le|la|de|et|est|les|des|une)\b",
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(col)), TOKEN_RE)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap length baseline every corpus
+    pipeline starts from)."""
+    return F.size(tokens(col)).cast("long")
+
+
+# BPE-ish subword proxy: words + digits runs + single non-space symbols —
+# the common pre-tokenizer regex shape (letters run | digit run | symbol).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_RE)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_RE)).cast("long")
+
+
+def stopword_count(col: Column) -> Column:
+    return F.regexp_count(F.lower(col), F.lit(STOPWORD_RE)).cast("long")
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length/punct/stopword-ratio quality signals. The composite score is
+    pure double arithmetic over exact integer counts (deterministic)."""
+    n_chars = F.length(col).cast("long")
+    n_words = token_count(col)
+    n_punct = punct_count(col)
+    n_stop = stopword_count(col)
+    nw = n_words.cast("double")
+    score = (
+        F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (n_stop.cast("double") / F.greatest(nw, F.lit(1).cast("double"))) * 0.4
+        + F.least(n_punct.cast("double") / F.greatest(nw, F.lit(1).cast("double")), F.lit(1.0)) * 0.2
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stop": n_stop,
+        "quality_score": score,
+    }
+
+
+QUALITY_SQL = """
+  CAST(LENGTH({c}) AS BIGINT) AS n_chars,
+  CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS BIGINT) AS n_words,
+  CAST(length(regexp_extract_all({c}, '[.,;:!?]')) AS BIGINT) AS n_punct,
+  CAST(length(regexp_extract_all(lower({c}), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS n_stop,
+  LEAST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+    + (CAST(length(regexp_extract_all(lower({c}), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+       / GREATEST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE), 1.0)) * 0.4
+    + LEAST(CAST(length(regexp_extract_all({c}, '[.,;:!?]')) AS DOUBLE)
+       / GREATEST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE), 1.0), 1.0) * 0.2
+    AS quality_score
+"""
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    low = F.lower(col)
+    return {
+        lang: F.regexp_count(low, F.lit(pat)).cast("long")
+        for lang, pat in sorted(LANG_MARKERS.items())
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram-heuristic language ID: argmax of marker-hit counts, 'und'
+    (undetermined) when every score is 0; alphabetical tie-break."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # iterate reversed-alphabetically so the earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _lang_score_sql(c: str, pat: str) -> str:
+    return f"length(regexp_extract_all(lower({c}), '{pat}'))"
+
+
+def lang_id_sql(c: str) -> str:
+    scores = {la: _lang_score_sql(c, pat) for la, pat in sorted(LANG_MARKERS.items())}
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    expr = "'und'"
+    for lang in sorted(scores, reverse=True):
+        expr = (
+            f"CASE WHEN {scores[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """OpenRefine-style bag fingerprint: md5 of the sorted distinct token
+    bag — catches re-ordered / re-whitespaced duplicates that byte-hashing
+    misses."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+BAG_FINGERPRINT_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "regexp_split_to_array(trim(lower({c})), '\\s+'))), ' '))"
+)
+
+
+def content_hash(col: Column) -> Column:
+    """Exact-duplicate content hash (raw bytes)."""
+    return F.md5(col)
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with DuckDB:
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(c: str) -> str:
+    return f"CAST(concat('0x', substr(md5({c}), 1, 15)) AS BIGINT)"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; shorter docs yield their full token
+    join as a single shingle."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )
+
+
+def shingles_sql(c: str, n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
+        .replace("toks", f"regexp_split_to_array(trim(lower({c})), '\\s+')")
+    )

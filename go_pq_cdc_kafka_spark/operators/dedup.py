@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the 100 TB posture):
+
+- exact/bag dedup is one hash-groupBy — a single shuffle on a short hash key
+  with map-side partial aggregation; skew-free because md5 keys are uniform.
+- n-gram Jaccard never compares all pairs: candidates come from an inverted
+  shingle index (explode → self-equi-join on the shingle hash), so cost
+  scales with shared-shingle mass, not |docs|².
+- MinHash signatures are computed with P min-aggregates in ONE groupBy pass
+  (not P passes); LSH banding turns near-dup search into B small equi-joins
+  on band keys. Band keys are md5-uniform → no join skew.
+- SimHash is two aggregations (token-bit contributions → 32-bit sign vector).
+
+Every operator is pure Column expressions — no Python UDFs — and each has a
+generated DuckDB-SQL twin (the formulas share the md5-based hash helpers in
+functions.text, so oracles match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from go_pq_cdc_kafka_spark.functions import text as T
+
+# ---------------------------------------------------------------------------
+# exact / bag dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per bag-fingerprint. Returns the survivors."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", T.bag_fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-fingerprint group stats: keeper id + copy count (hash-groupBy)."""
+    return (
+        df.select(T.bag_fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).cast("long").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle inverted index + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc, shingle) inverted index — distinct word n-grams exploded."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, candidates via the inverted
+    index (only pairs sharing ≥1 shingle are ever scored)."""
+    sh = shingle_index(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5, n: int = 3) -> str:
+    sh = T.shingles_sql("text", n)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared, sa.n_sh AS na, sb.n_sh AS nb,
+       CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _mh(p: int):
+    """Permutation-p min-hash of a shingle: 15-hex-char md5 prefix keyed by
+    the permutation id; fixed-length lowercase hex ⇒ lexicographic MIN is
+    numeric MIN, so no integer parsing is needed anywhere."""
+    return F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 15))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """P-column MinHash signature in a single groupBy pass (P min-aggregates,
+    one shuffle — not P passes over the corpus)."""
+    sh = shingle_index(df, text_col, id_col, n)
+    return sh.groupBy("doc_id").agg(
+        *[_mh(p).alias(f"mh{p}") for p in range(num_perms)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    Signature → B band keys (concat of r=P/B hashes); docs sharing any band
+    key become candidates (B equi-joins on uniform keys); candidates are
+    verified with exact shingle Jaccard so the output is deterministic and
+    threshold-exact (LSH only prunes, never admits)."""
+    r = num_perms // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perms, n)
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+
+    pairs = None
+    for b in range(bands):
+        a_, b_ = banded.alias("a"), banded.alias("b")
+        p = a_.join(
+            b_,
+            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+
+    verified = ngram_jaccard_pairs(df, text_col, id_col, n, threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_pairs_sql(
+    num_perms: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+) -> str:
+    r = num_perms // bands
+    sh = T.shingles_sql("text", n)
+    mh_cols = ",\n    ".join(
+        f"MIN(substr(md5(concat('{p}:', shingle)), 1, 15)) AS mh{p}"
+        for p in range(num_perms)
+    )
+    band_cols = ",\n    ".join(
+        "concat_ws('|', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+    {band_cols}
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({band_joins})
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) AS jaccard
+FROM cand c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= {threshold}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: distinct tokens hashed to 60 bits, each
+    of the low ``bits`` positions votes ±1, sign vector packs to a BIGINT."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("w"),
+    ).withColumn("hv", T.hash64(F.col("w")))
+    # shiftright/shiftleft take a literal shift amount in the Python API, so
+    # the per-bit-position shift (a column) goes through expr().
+    votes = (
+        toks.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.expr("(shiftright(hv, b) & 1) * 2 - 1")).alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def simhash_sql(bits: int = 32) -> str:
+    hv = T.hash64_sql("w")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS w
+  FROM documents
+),
+h AS (SELECT doc_id, {hv} AS hv FROM toks),
+votes AS (
+  SELECT doc_id, b, SUM(((hv >> b) & 1) * 2 - 1) AS s
+  FROM h, unnest(generate_series(0, {bits - 1})) t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""

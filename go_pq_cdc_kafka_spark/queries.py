@@ -811,3 +811,195 @@ def cdc_sink_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "header_operation")
     )
+
+
+# ===========================================================================
+# Training-data operators (north-star tier): text analysis, dedup,
+# similarity search, multimodal plumbing — all on documents/embeddings
+# ===========================================================================
+
+from go_pq_cdc_kafka_spark.functions import multimodal as MM  # noqa: E402
+from go_pq_cdc_kafka_spark.functions import text as T  # noqa: E402
+from go_pq_cdc_kafka_spark.operators import dedup as DD  # noqa: E402
+from go_pq_cdc_kafka_spark.operators import similarity as SIM  # noqa: E402
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(length(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM documents
+ORDER BY doc_id
+""",
+    category="text-analysis",
+    description="Whitespace + BPE-ish regex token counting.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+{T.QUALITY_SQL.format(c="text")}
+FROM documents
+ORDER BY doc_id
+""",
+    category="text-analysis",
+    description="Length/punct/stopword-ratio quality scoring.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT {T.lang_id_sql("text")} AS lang_pred, COUNT(*) AS n
+FROM documents
+GROUP BY lang_pred
+ORDER BY lang_pred
+""",
+    category="text-analysis",
+    description="Marker-word-heuristic language ID (argmax of n-gram hits).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint_groups",
+    oracle=f"""
+SELECT {T.BAG_FINGERPRINT_SQL.format(c="text")} AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fp
+ORDER BY fp
+""",
+    category="dedup",
+    description="Bag-fingerprint document hashing (exact-dedup groups).",
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.dup_groups(d).orderBy("fp")
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle=f"""
+WITH fps AS (
+  SELECT doc_id, {T.BAG_FINGERPRINT_SQL.format(c="text")} AS fp FROM documents
+),
+ranked AS (
+  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps
+)
+SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id
+""",
+    category="dedup",
+    description="Exact dedup: lowest-id survivor per fingerprint.",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d).select("doc_id", "fp").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=DD.ngram_jaccard_pairs_sql(threshold=0.5),
+    category="dedup",
+    description="Near-dup pairs by exact word-3-gram Jaccard via inverted "
+    "shingle index (no all-pairs scan).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=DD.minhash_lsh_pairs_sql(num_perms=16, bands=4, threshold=0.5),
+    category="dedup",
+    description="MinHash(16)+LSH(4 bands) candidate generation with exact "
+    "Jaccard verification.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, num_perms=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=DD.simhash_sql(bits=32),
+    category="dedup",
+    description="32-bit SimHash fingerprints from token-bit majority votes.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash(d, bits=32).orderBy("doc_id")
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=SIM.cosine_topk_sql(k=5, query_pred="vec_id < 5"),
+    category="similarity",
+    description="Brute-force exact cosine top-5 (broadcast queries, "
+    "decimal-exact dot products).",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=SIM.lsh_cosine_topk_sql(dim=64, k=5, planes=4, query_pred="vec_id < 5"),
+    category="similarity",
+    description="Sign-LSH bucketed ANN top-5 (deterministic md5-derived "
+    "hyperplanes; bucket equi-join replaces the cross product).",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_cosine_topk(
+        e.filter(F.col("vec_id") < 5), e, dim=64, k=5, planes=4
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+SELECT doc_id, md5(text) AS payload_md5, CAST(strlen(text) AS BIGINT) AS payload_bytes
+FROM documents
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="Binary-payload feature extraction through Arrow-batched "
+    "mapInPandas (md5+size as the deterministic stand-in for a real decoder).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return MM.extract_features(payloads).orderBy("doc_id")

@@ -1,0 +1,200 @@
+"""Training-data operator tier: text analysis, dedup, similarity search,
+multimodal plumbing (north-star extensions beyond the reference; see
+SURVEY.md §2.B last row)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.functions import multimodal as MM
+from go_pq_cdc_kafka_spark.functions import text as T
+from go_pq_cdc_kafka_spark.operators import dedup as DD
+from go_pq_cdc_kafka_spark.operators import similarity as SIM
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "dog lazy the over jumps fox brown quick the"),  # bag dup of 1
+        (4, "a completely different document about spark engines"),
+        (5, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+        (6, "der hund ist nicht ein katze und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# text functions
+# ---------------------------------------------------------------------------
+
+def test_token_counts(spark):
+    d = docs_df(spark)
+    out = {
+        r.doc_id: (r.n, r.b)
+        for r in d.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n"),
+            T.bpe_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert out[1] == (9, 9)
+    assert out[4] == (7, 7)
+
+
+def test_quality_features_ratios(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat, the hat!")], "doc_id long, text string"
+    )
+    feats = T.quality_features(F.col("text"))
+    row = d.select(*[c.alias(k) for k, c in feats.items()]).collect()[0]
+    assert row.n_words == 4
+    assert row.n_punct == 2
+    assert row.n_stop == 2  # two "the"
+    expected = (4 / 100) * 0.4 + (2 / 4) * 0.4 + min(2 / 4, 1.0) * 0.2
+    assert abs(row.quality_score - expected) < 1e-12
+
+
+def test_lang_id_heuristic(spark):
+    d = docs_df(spark)
+    langs = {r.doc_id: r.lang for r in d.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[1] == "en"
+    assert langs[6] == "de"
+    und = spark.createDataFrame([(9, "zzz qqq xxx")], "doc_id long, text string")
+    assert und.select(T.lang_id(F.col("text")).alias("l")).collect()[0].l == "und"
+
+
+def test_bag_fingerprint_order_invariant(spark):
+    d = docs_df(spark)
+    fps = {r.doc_id: r.fp for r in d.select(
+        "doc_id", T.bag_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # exact + reordered collapse
+    assert fps[1] != fps[4]
+
+
+def test_hash64_matches_duckdb_formula(spark):
+    import duckdb
+
+    d = spark.createDataFrame([("hello",), ("world",)], "w string")
+    got = {r.w: r.h for r in d.select("w", T.hash64(F.col("w")).alias("h")).collect()}
+    for w in ("hello", "world"):
+        (exp,) = duckdb.sql(
+            f"SELECT CAST(concat('0x', substr(md5('{w}'), 1, 15)) AS BIGINT)"
+        ).fetchone()
+        assert got[w] == exp
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = docs_df(spark)
+    survivors = sorted(r.doc_id for r in DD.exact_dedup(d).collect())
+    assert survivors == [1, 4, 5, 6]  # 2,3 collapse into 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    d = docs_df(spark)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.ngram_jaccard_pairs(d, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and 0.3 <= pairs[(1, 5)] < 1.0
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh_recovers_exact_dups(spark):
+    d = docs_df(spark)
+    pairs = {(r.doc_a, r.doc_b) for r in
+             DD.minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # identical docs always share every band
+    jacc = {(r.doc_a, r.doc_b) for r in
+            DD.ngram_jaccard_pairs(d, threshold=0.5).collect()}
+    assert pairs <= jacc  # LSH prunes, never admits
+
+
+def test_simhash_properties(spark):
+    d = docs_df(spark)
+    sh = {r.doc_id: r.simhash for r in DD.simhash(d, bits=32).collect()}
+    assert sh[1] == sh[2] == sh[3]  # same token set -> same fingerprint
+    assert 0 <= sh[1] < (1 << 32)
+    # near-dup should be closer in hamming distance than unrelated doc
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[5]) < ham(sh[1], sh[4])
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def vecs_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    e = vecs_df(spark)
+    out = SIM.cosine_topk(e.filter(F.col("vec_id") == 0), e, k=3).collect()
+    ranked = [(r.rk, r.neighbor_id) for r in sorted(out, key=lambda r: r.rk)]
+    assert ranked == [(1, 0), (2, 1), (3, 2)]
+    top = sorted(out, key=lambda r: r.rk)[0]
+    assert abs(top.cos_sim - 1.0) < 1e-12
+
+
+def test_lsh_topk_self_always_found(spark):
+    e = vecs_df(spark)
+    out = SIM.lsh_cosine_topk(e, e, dim=4, k=1, planes=2).collect()
+    # rank-1 neighbor of every query must be itself (same bucket, cos=1)
+    assert all(r.neighbor_id == r.query_id for r in out if r.rk == 1)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def media_df(spark):
+    rows = [(1, b"\x89PNG" + b"x" * 200), (2, b"RIFF" + b"y" * 100)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_media_struct_schema(spark):
+    m = media_df(spark).select(
+        MM.media_struct(F.col("payload"), "image", "png").alias("media")
+    )
+    # literal-built structs mark fields non-nullable; compare shape only
+    assert m.schema["media"].dataType.simpleString() == MM.MEDIA_SCHEMA.simpleString()
+    row = m.collect()[0]
+    assert row.media.meta.media_type == "image"
+    assert row.media.meta.width is None
+
+
+def test_extract_features_deterministic(spark):
+    out = {r.doc_id: r for r in MM.extract_features(media_df(spark)).collect()}
+    assert out[1].payload_bytes == 204
+    assert out[1].payload_md5 == hashlib.md5(b"\x89PNG" + b"x" * 200).hexdigest()
+
+
+def test_resize_and_frames(spark):
+    d = media_df(spark)
+    rs = MM.resize_images(d, 4, 2).collect()
+    assert all(len(r.pixels) == 8 and r.width == 4 and r.height == 2 for r in rs)
+    fr = MM.sample_frames(d, every_n_bytes=64, max_frames=4).collect()
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    assert sorted(per_doc[1]) == [0, 1, 2]  # 204 bytes // 64 = 3 frames
+    assert sorted(per_doc[2]) == [0]
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"")
