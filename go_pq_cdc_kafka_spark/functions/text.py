@@ -159,6 +159,33 @@ def hash64_sql(c: str) -> str:
     return f"CAST(concat('0x', substr(md5({c}), 1, 15)) AS BIGINT)"
 
 
+# Rabin-Karp-style rolling polynomial hash over the token sequence.
+# Order-SENSITIVE (unlike the bag fingerprint): reordered tokens change the
+# hash. Modulus 2^31-1 keeps acc*B + h < 2^36 — no BIGINT overflow in either
+# engine, so Spark and DuckDB fold to identical values.
+ROLL_B = 31
+ROLL_M = 2147483647
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    hashes = F.transform(tokens(col), lambda t: hash64(t) % ROLL_M)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_B + h) % ROLL_M,
+    )
+
+
+def rolling_fingerprint_sql(c: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({c})), '\\s+')"
+    hashes = f"list_transform({toks}, t -> {hash64_sql('t')} % {ROLL_M})"
+    # DuckDB's list_reduce has no init accumulator; prepend the zero seed.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}), "
+        f"(acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M})"
+    )
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; shorter docs yield their full token
     join as a single shingle."""

@@ -45,21 +45,34 @@ def exact_dot_sql(a: str, b: str) -> str:
     )
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(exact_dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({exact_dot_sql(a, a)})"
+
+
 def cosine(a: Column, b: Column) -> Column:
     # Dots are decimal-exact, but sqrt/divide reintroduce ~1-ulp engine
     # divergence; round to 12 decimals BEFORE ranking so top-k order is
     # engine-identical.
-    return F.round(
-        exact_dot(a, b) / (F.sqrt(exact_dot(a, a)) * F.sqrt(exact_dot(b, b))),
-        12,
-    )
+    return F.round(exact_dot(a, b) / (norm(a) * norm(b)), 12)
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return (
-        f"ROUND({exact_dot_sql(a, b)} / "
-        f"(sqrt({exact_dot_sql(a, a)}) * sqrt({exact_dot_sql(b, b)})), 12)"
-    )
+    return f"ROUND({exact_dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}), 12)"
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms: the pair-scoring hot path does ONE
+    decimal dot instead of three (norms are computed once per vector, not
+    once per pair). IEEE op order matches :func:`cosine` exactly."""
+    return F.round(exact_dot(a, b) / (na * nb), 12)
+
+
+def cosine_from_norms_sql(a: str, b: str, na: str, nb: str) -> str:
+    return f"ROUND({exact_dot_sql(a, b)} / ({na} * {nb}), 12)"
 
 
 # ---------------------------------------------------------------------------
@@ -79,12 +92,22 @@ def cosine_topk(
     broadcast (queries ≪ corpus in every retrieval workload), scoring is a
     map-only pass over corpus partitions; the only shuffle is the final
     per-query top-k window on |Q|×|C| scored rows filtered to k."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("_qv"),
+        norm(F.col(q_vec)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("_cv"),
+        norm(F.col(c_vec)).alias("_cn"),
+    )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        cosine_from_norms(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -99,10 +122,12 @@ def cosine_topk(
 def cosine_topk_sql(
     k: int = 5, query_pred: str = "vec_id < 5", table: str = "embeddings"
 ) -> str:
-    cos = cosine_sql("q.embedding", "c.embedding")
+    cos = cosine_from_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    nrm = norm_sql("embedding")
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding FROM {table} WHERE {query_pred}),
-c AS (SELECT vec_id AS neighbor_id, embedding FROM {table}),
+WITH q AS (SELECT vec_id AS query_id, embedding, {nrm} AS nrm
+           FROM {table} WHERE {query_pred}),
+c AS (SELECT vec_id AS neighbor_id, embedding, {nrm} AS nrm FROM {table}),
 scored AS (
   SELECT q.query_id, c.neighbor_id, {cos} AS cos_sim
   FROM c, q
@@ -165,15 +190,21 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec).alias("_qv"),
+        norm(F.col(vec)).alias("_qn"),
         rademacher_lsh_buckets(queries, vec, dim, planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(q_id).alias("neighbor_id"),
         F.col(vec).alias("_cv"),
+        norm(F.col(vec)).alias("_cn"),
         rademacher_lsh_buckets(corpus, vec, dim, planes).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -183,6 +214,204 @@ def lsh_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos_sim")
     )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    planes: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup flavor): self-join
+    restricted to LSH buckets instead of all |N|² pairs; each candidate pair
+    is scored exactly and kept when cosine ≥ threshold. Few planes ⇒ high
+    recall (a near-dup pair lands in the same bucket with prob ≥
+    (1 - θ/π)^planes); at 100 TB the bucket key is the shuffle key."""
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec).alias("_v"),
+        norm(F.col(vec)).alias("_n"),
+        rademacher_lsh_buckets(df, vec, dim, planes).alias("bucket"),
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    return (
+        a_.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("vec_a"),
+            F.col("b._id").alias("vec_b"),
+            cosine_from_norms(
+                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_dedup_pairs_sql(
+    dim: int, threshold: float = 0.4, planes: int = 2, table: str = "embeddings"
+) -> str:
+    def bucket_sql(v: str) -> str:
+        terms = []
+        for p in range(planes):
+            signs = _plane_signs(p, dim)
+            plane_lit = "[" + ", ".join(f"{float(s)}" for s in signs) + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN {exact_dot_sql(v, plane_lit)} > 0 THEN {1 << p} ELSE 0 END)")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    cos = cosine_from_norms_sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm,
+         {bucket_sql("embedding")} AS bucket FROM {table}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs
+WHERE cos_sim >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantize, probe one cluster
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec: str,
+    out_id: str,
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    score every (vector, centroid) pair, keep the argmax-cosine centroid.
+    One map-side broadcast join + one shuffle on the vector id."""
+    cents = centroids.select(
+        F.col("centroid_id"),
+        F.col("centroid_vec"),
+        norm(F.col("centroid_vec")).alias("_centn"),
+    )
+    w = Window.partitionBy("_aid").orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("_aid"),
+            F.col(vec).alias("_av"),
+            norm(F.col(vec)).alias("_an"),
+        )
+        .join(F.broadcast(cents))
+        .select(
+            "_aid",
+            "_av",
+            "_an",
+            "centroid_id",
+            cosine_from_norms(
+                F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_centn")
+            ).alias("_ccos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_aid").alias(out_id),
+            F.col("_av").alias(vec),
+            F.col("_an").alias("_vnorm"),
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    q_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k with nprobe=1: centroids are the first ``n_centroids``
+    corpus vectors by id (deterministic k-means-free seeding); every vector
+    is inverted-file-indexed under its nearest centroid; a query scores only
+    its own cluster's list. Cluster id is the join/shuffle key — at scale
+    the corpus is hash-partitioned by cluster and each probe touches one
+    partition's worth of vectors."""
+    centroids = corpus.orderBy(q_id).limit(n_centroids).select(
+        F.col(q_id).alias("centroid_id"), F.col(vec).alias("centroid_vec")
+    )
+    c_assigned = ivf_assign(corpus, centroids, q_id, vec, "neighbor_id")
+    q_assigned = ivf_assign(queries, centroids, q_id, vec, "query_id").select(
+        "query_id", F.col(vec).alias("_qv"), F.col("_vnorm").alias("_qn"), "cluster"
+    )
+    scored = c_assigned.join(F.broadcast(q_assigned), "cluster").select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("_qv"), F.col(vec), F.col("_qn"), F.col("_vnorm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos_sim")
+    )
+
+
+def ivf_topk_sql(
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+) -> str:
+    assign_cos = cosine_from_norms_sql(
+        "v.embedding", "c.centroid_vec", "v.nrm", "c.centn"
+    )
+    score_cos = cosine_from_norms_sql("q.embedding", "n.embedding", "q.nrm", "n.nrm")
+    nrm = norm_sql("embedding")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec, {nrm} AS centn
+  FROM {table} ORDER BY vec_id LIMIT {n_centroids}
+),
+c_assign AS (
+  SELECT _aid AS neighbor_id, embedding, nrm, cluster FROM (
+    SELECT v.vec_id AS _aid, v.embedding, v.nrm, c.centroid_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+    FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM {table}) v, centroids c
+  ) WHERE rn = 1
+),
+q_assign AS (
+  SELECT _aid AS query_id, embedding, nrm, cluster FROM (
+    SELECT v.vec_id AS _aid, v.embedding, v.nrm, c.centroid_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+    FROM (SELECT vec_id, embedding, {nrm} AS nrm
+          FROM {table} WHERE {query_pred}) v, centroids c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT q.query_id, n.neighbor_id, {score_cos} AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY {score_cos} DESC, n.neighbor_id) AS BIGINT) AS rk
+  FROM q_assign q JOIN c_assign n ON q.cluster = n.cluster
+)
+SELECT query_id, rk, neighbor_id, cos_sim
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
 
 
 def lsh_cosine_topk_sql(
@@ -198,14 +427,17 @@ def lsh_cosine_topk_sql(
             terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
         return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    cos = cosine_sql("q.embedding", "c.embedding")
+    cos = cosine_from_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    nrm = norm_sql("embedding")
     return f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding, {bucket_sql("embedding")} AS bucket
+  SELECT vec_id AS query_id, embedding, {nrm} AS nrm,
+         {bucket_sql("embedding")} AS bucket
   FROM {table} WHERE {query_pred}
 ),
 c AS (
-  SELECT vec_id AS neighbor_id, embedding, {bucket_sql("embedding")} AS bucket
+  SELECT vec_id AS neighbor_id, embedding, {nrm} AS nrm,
+         {bucket_sql("embedding")} AS bucket
   FROM {table}
 ),
 scored AS (

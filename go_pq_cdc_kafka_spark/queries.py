@@ -1003,3 +1003,165 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return MM.extract_features(payloads).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round-1 widening: as-of join, grouping sets, approx distinct, rolling
+# fingerprint, embedding near-dup, IVF ANN
+# ===========================================================================
+
+@register(
+    "join_asof",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, 1 AS marker
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS marker
+  FROM events WHERE event_type = 'error'
+),
+filled AS (
+  SELECT user_id, us, event_id, marker,
+         LAST_VALUE(CASE WHEN marker = 0 THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, marker, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
+  FROM tagged
+)
+SELECT event_id, user_id, us AS click_us, last_error_us,
+       us - last_error_us AS gap_us
+FROM filled WHERE marker = 1
+ORDER BY event_id
+""",
+    category="join-asof",
+    description="Backward as-of join (each click -> latest prior error of "
+    "the same user) via the union-marker + last(ignorenulls) window — one "
+    "shuffle on the key, no per-key loops (SURVEY §2.B range/as-of row).",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # catalog.load_table already normalized ts to TIMESTAMP_NTZ (µs); with
+    # the session tz pinned to UTC this equals DuckDB's epoch_us(ts)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us"), "event_id", F.lit(1).alias("marker")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", us.alias("us"), "event_id", F.lit(0).alias("marker")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "marker", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = clicks.unionByName(errors).withColumn(
+        "last_error_us",
+        F.last(
+            F.when(F.col("marker") == 0, F.col("us")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("marker") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("click_us"),
+            "last_error_us",
+            (F.col("us") - F.col("last_error_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+    category="aggregation",
+    description="GROUPING SETS partial aggregates (SURVEY §2.B grouping "
+    "sets row) — Catalyst expands to a single Expand+hash-agg, one shuffle.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+    )
+
+
+@register(
+    "distinct_approx",
+    oracle=None,  # HLL sketches differ across engines; driver does rows-only
+    category="aggregation",
+    description="approx_count_distinct (HLL++) per event type — the "
+    "sketch path for 100 TB cardinality estimation; exactness checked "
+    "separately by distinct_segments.",
+)
+def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id, {T.rolling_fingerprint_sql("text")} AS roll_fp
+FROM documents
+ORDER BY doc_id
+""",
+    category="text-analysis",
+    description="Order-sensitive Rabin-Karp rolling hash over the token "
+    "sequence (document fingerprinting; complements the order-invariant "
+    "bag fingerprint).",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("roll_fp")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=SIM.cosine_dedup_pairs_sql(dim=64, threshold=0.4, planes=2),
+    category="dedup",
+    description="Embedding-cosine near-dup pairs, LSH-bucketed self-join "
+    "(never all-|N|^2 pairs).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_dedup_pairs(e, dim=64, threshold=0.4, planes=2).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=SIM.ivf_topk_sql(dim=64, k=5, n_centroids=8, query_pred="vec_id < 5"),
+    category="similarity",
+    description="IVF ANN top-5 (nprobe=1): deterministic seeded centroids, "
+    "inverted-file cluster assignment, probe-one-cluster search.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e.filter(F.col("vec_id") < 5), e, dim=64, k=5, n_centroids=8
+    ).orderBy("query_id", "rk")
