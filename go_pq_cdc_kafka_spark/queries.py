@@ -1165,3 +1165,68 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(
         e.filter(F.col("vec_id") < 5), e, dim=64, k=5, n_centroids=8
     ).orderBy("query_id", "rk")
+
+
+from go_pq_cdc_kafka_spark.streaming import windows as W  # noqa: E402
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    category="window-eventtime",
+    description="Tumbling 1-hour event-time window aggregation (F.window; "
+    "same operator the streaming tier uses with a watermark — SURVEY §2.B "
+    "tumbling-windows row). One shuffle on (window, key).",
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_agg(
+        ev, ts_col="ts", duration="1 hour", keys=("event_type",), value_col="value"
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "window_session_gap",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    category="window-eventtime",
+    description="Session windows with a 30-minute gap (F.session_window; "
+    "gaps-and-islands SQL as the oracle twin — SURVEY §2.B session-windows "
+    "row).",
+)
+def window_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_agg(
+        ev, ts_col="ts", gap="30 minutes", keys=("user_id",), value_col="value"
+    ).orderBy("user_id", "session_start")

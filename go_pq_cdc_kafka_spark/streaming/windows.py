@@ -1,0 +1,140 @@
+"""Event-time windowing and stateful operators (SURVEY §2.B streaming rows:
+watermarks/late data, tumbling/session windows, stateful dedup, custom state).
+
+The reference is stateless — its only state is the slot LSN (SURVEY §0) and
+its only "window" is the wall-clock flush ticker (producer_batch.go:53-60).
+These operators are the engine-extension tier: event-time analytics over the
+CDC envelope stream that Structured Streaming gives us natively.
+
+Every helper works on BOTH batch and streaming DataFrames (F.window /
+F.session_window are batch-legal), so each has a DuckDB-checkable batch twin
+in the query registry while the streaming tests exercise watermarks and
+incremental state.
+
+Scale notes: windowed aggregation shuffles once on (window, keys); state
+store size is bounded by the watermark (late rows beyond it are dropped and
+their state evicted); ``applyInPandasWithState`` keeps per-key state in the
+state store, Arrow-batched per group — no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: Iterable[str] = ("event_type",),
+    value_col: str | None = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window: count + decimal-exact value sum per
+    (window, keys). With ``watermark`` set (streaming), late rows beyond it
+    are dropped and window state is evicted once the watermark passes."""
+    d = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("sum_value")
+        )
+    return (
+        d.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Iterable[str] = ("user_id",),
+    value_col: str | None = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: rows of the same keys within ``gap`` of each other
+    merge into one session (gaps-and-islands, engine-native)."""
+    d = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("sum_value")
+        )
+    return (
+        d.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("session_start"),
+            *keys,
+            "n",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Iterable[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on key columns; the watermark bounds the
+    dedup-state retention (keys older than it are evicted — at 100 TB the
+    state store would otherwise grow without bound)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_COUNT_SCHEMA = "table_name string, op string, events long, batches long"
+_STATE_SCHEMA = "events long, batches long"
+
+
+def _running_count_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    events, batches = state.get if state.exists else (0, 0)
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    events += n
+    batches += 1
+    state.update((events, batches))
+    yield pd.DataFrame(
+        {
+            "table_name": [key[0]],
+            "op": [key[1]],
+            "events": [events],
+            "batches": [batches],
+        }
+    )
+
+
+def running_counts_stateful(df: DataFrame) -> DataFrame:
+    """Per-(table, op) running event totals across micro-batches — the
+    minimal custom stateful operator: state lives in the state store
+    (checkpointed, partitioned by key), each group processes Arrow batches.
+    The reference's closest analog is its per-topic Prometheus counters
+    (kafka/producer/metric.go:75-111) — here the counts are exact, replayable
+    state, not process-lifetime gauges."""
+    return df.groupBy("table_name", "op").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,175 @@
+"""Event-time windowing + stateful streaming operators (SURVEY §2.B rows:
+watermarks/late data, tumbling/session windows, stateful dedup, custom
+applyInPandasWithState state)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.streaming import windows as W
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def events_batch(spark):
+    rows = [
+        (1, ts(0), 10, "click", 1.0),
+        (2, ts(10), 10, "click", 2.0),
+        (3, ts(65), 10, "click", 4.0),     # new hour, and >30min gap
+        (4, ts(5), 20, "view", 8.0),
+        (5, ts(50), 20, "view", 16.0),     # >30min gap -> new session
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_agg_batch(spark):
+    out = {(r.window_start, r.event_type): (r.n, r.sum_value)
+           for r in W.tumbling_agg(events_batch(spark)).collect()}
+    assert out[(ts(0), "click")] == (2, 3.0)
+    assert out[(ts(60), "click")] == (1, 4.0)
+    assert out[(ts(0), "view")] == (2, 24.0)
+
+
+def test_session_agg_batch(spark):
+    out = [(r.user_id, r.session_start, r.n, r.sum_value)
+           for r in W.session_agg(events_batch(spark))
+           .orderBy("user_id", "session_start").collect()]
+    # user 10: events at 0,10 merge (gap 10m < 30m); 65 splits
+    # user 20: events at 5 and 50 split (gap 45m)
+    assert out == [
+        (10, ts(0), 2, 3.0),
+        (10, ts(65), 1, 4.0),
+        (20, ts(5), 1, 8.0),
+        (20, ts(50), 1, 16.0),
+    ]
+
+
+def _write_files(spark, tmp_path, name, batches):
+    """One parquet file per batch; the file source orders by modification
+    time, so stamp each batch's files with strictly increasing mtimes to
+    pin arrival order (appends within the same clock tick would otherwise
+    interleave)."""
+    import glob
+    import os
+
+    path = str(tmp_path / name)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            if os.path.getmtime(f) > base + i * 60:
+                os.utime(f, (base + i * 60, base + i * 60))
+    return path
+
+
+def test_streaming_tumbling_watermark_drops_late(spark, tmp_path):
+    """Append-mode tumbling agg: a row arriving after the watermark passed
+    its window end is dropped (late-data semantics, SURVEY §2.B)."""
+    # Watermark advancement lags one micro-batch (it is computed from data
+    # seen through batch N-1), so two advancing batches guarantee hour-0's
+    # state was emitted + evicted before the late row arrives; only then is
+    # the drop guaranteed rather than best-effort.
+    batches = [
+        [(1, ts(0), 10, "click", 1.0), (2, ts(30), 10, "click", 2.0)],
+        [(3, ts(180), 10, "click", 4.0)],
+        [(4, ts(360), 10, "click", 4.0)],
+        # very-late arrival into hour 0 — window already closed, must drop
+        [(5, ts(40), 10, "click", 8.0)],
+        [(6, ts(500), 10, "click", 16.0)],
+    ]
+    path = _write_files(spark, tmp_path, "late", batches)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+    agg = W.tumbling_agg(stream, duration="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    collected = spark.sql("select * from late_sink").collect()
+    # hour 0 closed with only the two on-time rows; late event_id=5 dropped,
+    # and append mode emitted the window exactly once
+    hour0 = [r for r in collected if r.window_start == ts(0)]
+    assert len(hour0) == 1
+    assert (hour0[0].n, hour0[0].sum_value) == (2, 3.0)
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    batches = [
+        [(1, ts(0), 10, "click", 1.0), (1, ts(0), 10, "click", 1.0)],  # dup in-batch
+        [(1, ts(1), 10, "click", 1.0), (2, ts(2), 20, "view", 2.0)],   # dup cross-batch
+    ]
+    path = _write_files(spark, tmp_path, "dedup", batches)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = W.dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.sql("select * from dedup_sink").collect())
+    assert ids == [1, 2]
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches and
+    survive in the state store."""
+    schema = "table_name string, op string"
+    b1 = [("users", "INSERT"), ("users", "INSERT"), ("users", "UPDATE")]
+    b2 = [("users", "INSERT"), ("books", "DELETE")]
+    path = str(tmp_path / "ops")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    counts = W.running_counts_stateful(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from state_sink").collect()
+    # last emission per key carries the running total
+    final = {}
+    for r in rows:
+        key = (r.table_name, r.op)
+        if key not in final or r.batches >= final[key].batches:
+            final[key] = r
+    assert final[("users", "INSERT")].events == 3
+    assert final[("users", "UPDATE")].events == 1
+    assert final[("books", "DELETE")].events == 1
