@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — the 100 TB posture, enforced.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the one
+that survives a 1000-executor scale-up: filters reach the parquet scan,
+projections prune the read schema, small dimensions broadcast (no shuffle),
+aggregates run partial+final, and nothing degenerates into a cartesian
+product. A regression here is a performance bug even when results stay
+correct."""
+
+import pytest
+
+from go_pq_cdc_kafka_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # the predicates must reach the scan, not stay engine-side only
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+    # projection prunes: lineitem has 16 columns; read schema must not
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(",") < 8
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("join_equi_broadcast", "join_multiway_fact"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_agg_partial_final(spark):
+    plan = plan_of(spark, "agg_pricing_summary")
+    # Catalyst splits groupBy().agg() into partial + final hash aggregates
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: only the 7 referenced lineitem columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_similarity_broadcasts_queries(spark):
+    plan = plan_of(spark, "sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must NOT shuffle for scoring (only the final top-k
+    # window repartitions by query_id)
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_ops_no_cartesian(spark):
+    for name in ("sim_lsh_topk", "dedup_embedding_cosine", "dedup_minhash_lsh"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_asof_single_shuffle_before_window(spark):
+    plan = plan_of(spark, "join_asof")
+    # union-marker formulation: no join at all, one hashpartitioning on
+    # user_id for the window, then the output sort
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_exact_dedup_is_single_shuffle_agg(spark):
+    plan = plan_of(spark, "text_fingerprint_groups")
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+    assert "Join" not in plan
