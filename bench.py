@@ -49,6 +49,27 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # CDC end-to-end throughput at the same SF — directly comparable to the
+    # reference's one published number (66.7k rows/s on 1 core, BASELINE.md):
+    # full snapshot pipeline lineitem → envelope → handler transform →
+    # routing → Kafka-shaped records, sunk to noop.
+    from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+    from go_pq_cdc_kafka_spark.sources.snapshot import snapshot_from_parquet
+    from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
+
+    src = snapshot_from_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"), "lineitem")
+    pipe = CdcPipeline(
+        source=src,
+        routing=RoutingTable({"public.lineitem": "lineitem.cdc"}),
+        pk_field="l_orderkey",
+    )
+    n_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    t0 = time.time()
+    pipe.run_batch().write.format("noop").mode("overwrite").save()
+    cdc_wall = time.time() - t0
+    cdc_rows_per_sec = round(n_rows / cdc_wall, 1)
+    timings["cdc_pipeline_snapshot"] = round(cdc_wall, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -58,6 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_rows_per_sec": cdc_rows_per_sec,
+                "cdc_rows": n_rows,
             }
         )
     )
