@@ -1,0 +1,86 @@
+"""Skew mitigation: salted two-phase aggregation and salted replicated joins.
+
+AQE's skew-join splitting (on by default in session.RUNTIME_CONFS) handles
+skew that materializes in shuffle files; these operators handle the cases AQE
+cannot: a single hot GROUP BY key whose partial aggregate still funnels into
+one reducer, and a hot join key against a dimension too big to broadcast.
+
+Both are pure DataFrame compositions — results are exactly equal to the
+unsalted form (asserted in tests/test_skew.py); only the shuffle layout
+changes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_SALT = "_salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    buckets: int = 32,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 aggregates on (keys, salt) — the hot key fans out over
+    ``buckets`` reducers; phase 2 merges the per-salt partials on keys alone,
+    touching at most ``buckets`` rows per key. Only algebraic merges are
+    expressible: ``aggs`` maps output name → (merge_fn, partial_expr) where
+    merge_fn ∈ {"sum", "min", "max"} re-aggregates the partial. count =
+    ("sum", F.count(...)).
+
+    The salt is deterministic (hash of ``salt_on`` or the whole row modulo
+    buckets) — no RNG, so retried tasks salt identically (a nondeterministic
+    salt breaks exactly-once under task retry).
+    """
+    salt_src = F.col(salt_on) if salt_on else F.struct(*df.columns)
+    salted = df.withColumn(_SALT, F.pmod(F.hash(salt_src), F.lit(buckets)))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[expr.alias(f"_p_{name}") for name, (_m, expr) in aggs.items()]
+    )
+    merge = {"sum": F.sum, "min": F.min, "max": F.max}
+    return partial.groupBy(*keys).agg(
+        *[
+            merge[m](F.col(f"_p_{name}")).alias(name)
+            for name, (m, _e) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    buckets: int = 8,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot values of ``on`` and ``other`` is
+    too large to broadcast: salt the skewed side (hot key spreads over
+    ``buckets`` partitions), replicate each ``other`` row into all buckets
+    (explode — bounded ``buckets``× inflation of the smaller side), join on
+    (key, salt). Result rows are exactly the unsalted join's."""
+    salt_src = F.col(salt_on) if salt_on else F.struct(*skewed.columns)
+    left = skewed.withColumn(_SALT, F.pmod(F.hash(salt_src), F.lit(buckets)))
+    right = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return left.join(right, [on, _SALT], how).drop(_SALT)
+
+
+def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Skew diagnosis: per-key row counts, heaviest first — run this before
+    choosing buckets (a 10^6:1 hot key wants more buckets than a 10:1)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )

@@ -1230,3 +1230,46 @@ def window_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_agg(
         ev, ts_col="ts", gap="30 minutes", keys=("user_id",), value_col="value"
     ).orderBy("user_id", "session_start")
+
+
+from go_pq_cdc_kafka_spark.operators import skew as SK  # noqa: E402
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    category="aggregation",
+    description="Salted two-phase aggregation on a low-cardinality (hence "
+    "skew-prone) key — identical results to the plain GROUP BY oracle; the "
+    "hot key fans out over 32 salt buckets before the final merge.",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        SK.salted_agg(
+            li.select("l_returnflag", "l_quantity"),
+            keys=["l_returnflag"],
+            aggs={
+                "n": ("sum", F.count(F.lit(1)).cast("long")),
+                "sum_qty": ("sum", F.sum(F.col("l_quantity").cast("decimal(27,6)"))),
+                "max_qty": ("max", F.max("l_quantity")),
+            },
+            buckets=32,
+            salt_on="l_quantity",
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("max_qty").cast("double").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,80 @@
+"""Salted skew-mitigation operators: results must EXACTLY equal the unsalted
+forms — only the shuffle layout may differ."""
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.operators import skew
+
+
+def skewed_df(spark):
+    # key "hot" carries 90% of rows
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    cold = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 10)).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_equals_plain(spark):
+    df = skewed_df(spark)
+    plain = {
+        r.k: (r.n, r.s, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.s, r.mx)
+        for r in skew.salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "n": ("sum", F.count(F.lit(1))),
+                "s": ("sum", F.sum("v")),
+                "mx": ("max", F.max("v")),
+            },
+            buckets=16,
+            salt_on="v",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    fact = skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", 1), ("c1", 2), ("c2", 3), ("missing", 9)], "k string, attr int"
+    )
+    plain = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.attr)
+        for r in skew.salted_join(fact, dim, on="k", buckets=4, salt_on="v").collect()
+    )
+    assert salted == plain
+    assert len(plain) == 900 + 100 * 2 // 10 * 1  # hot + c1 + c2 rows
+
+
+def test_salted_agg_two_shuffles(spark):
+    df = skewed_df(spark)
+    out = skew.salted_agg(
+        df, keys=["k"], aggs={"n": ("sum", F.count(F.lit(1)))}, buckets=8
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # phase 1 shuffles on (k, salt), phase 2 on k
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_key_histogram_orders_heaviest_first(spark):
+    h = skew.key_histogram(skewed_df(spark), "k", top=3).collect()
+    assert h[0].k == "hot" and h[0].n == 900
