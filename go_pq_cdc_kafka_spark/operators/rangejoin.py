@@ -1,0 +1,56 @@
+"""Binned range join: point-in-interval joins WITHOUT an equi key.
+
+Spark plans a bare range predicate (``p BETWEEN lo AND hi``) as
+BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons, a
+non-starter at 100 TB. Binning recovers an equi key: explode each interval
+to the buckets it overlaps (``⌈span/width⌉`` rows), tag each point with its
+bucket, hash-join on the bucket, then re-check the exact predicate. Cost
+becomes O(matching-bucket mass); the bucket key is the shuffle key, so the
+plan is an ordinary (broadcastable / AQE-skew-splittable) equi-join.
+
+``bucket_width`` tunes replication vs selectivity: width ≈ median interval
+span ⇒ ~2 buckets per interval.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_BUCKET = "_range_bucket"
+
+
+def _point_bucket(point: Column, width: float) -> Column:
+    return F.floor(point / F.lit(width)).cast("long")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """All (point, interval) pairs with ``lo <= point <= hi``, as a bucketed
+    equi-join. Each qualifying pair emerges exactly once: the interval is
+    replicated across its buckets, but the point lives in exactly one."""
+    pts = points.withColumn(_BUCKET, _point_bucket(F.col(point_col), bucket_width))
+    ivs = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, _BUCKET, how)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop(_BUCKET)
+    )

@@ -1273,3 +1273,45 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+from go_pq_cdc_kafka_spark.operators import rangejoin as RJ  # noqa: E402
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+WITH sizes AS (SELECT DISTINCT p_size FROM part)
+SELECT s.p_size,
+       COUNT(*) AS n_points,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+FROM sizes s
+JOIN lineitem l
+  ON l.l_quantity >= s.p_size AND l.l_quantity <= s.p_size + 10
+GROUP BY s.p_size
+ORDER BY s.p_size
+""",
+    category="join",
+    description="Pure point-in-interval join (no equi key) via bucketed "
+    "binning: interval explodes to overlapped buckets, point hashes to one, "
+    "equi-join on the bucket replaces the nested-loop range scan.",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (
+        p.select("p_size").distinct()
+        .withColumn("lo", F.col("p_size").cast("double"))
+        .withColumn("hi", (F.col("p_size") + 10).cast("double"))
+    )
+    joined = RJ.point_in_interval_join(
+        li.select("l_quantity"), sizes, "l_quantity", "lo", "hi", bucket_width=10.0
+    )
+    return (
+        joined.groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("p_size")
+    )

@@ -75,3 +75,11 @@ def test_exact_dedup_is_single_shuffle_agg(spark):
     plan = plan_of(spark, "text_fingerprint_groups")
     assert plan.count("HashAggregate") >= 2  # map-side partial agg
     assert "Join" not in plan
+
+
+def test_binned_range_join_is_equi(spark):
+    plan = plan_of(spark, "join_range_binned")
+    # the whole point: bucket equi-join, not a nested-loop range scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
