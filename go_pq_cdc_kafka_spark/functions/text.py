@@ -8,8 +8,10 @@ evaluates the *same* formula. Cross-engine invariants used:
 
 - ``md5`` hashes UTF-8 bytes identically in Spark and DuckDB;
 - 15 hex chars = 60 bits fits a signed BIGINT in both engines;
-- RE2 (DuckDB) and java.util.regex agree on the simple patterns used here
-  (``\\s+``, ``\\b`` word boundaries, character classes).
+- RE2 (DuckDB) and java.util.regex diverge on ``\\s`` (Java includes \\x0B,
+  RE2 does not) — whitespace is therefore always the explicit ``WS_CLASS``
+  character class, which parses identically in both engines;
+- ``\\b`` word boundaries and ASCII character classes agree.
 """
 
 from __future__ import annotations
@@ -17,7 +19,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-TOKEN_RE = r"\s+"
+# Explicit whitespace class instead of \s: Java's \s includes \x0B (vertical
+# tab), RE2's does not — the literal class below parses identically in both
+# engines (property-tested on random unicode in tests/test_properties.py).
+WS_CLASS = r" \t\n\r\f\x0B"
+TOKEN_RE = rf"[{WS_CLASS}]+"
 PUNCT_RE = "[.,;:!?]"
 STOPWORD_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 
@@ -31,9 +37,38 @@ LANG_MARKERS: dict[str, str] = {
 }
 
 
+# ASCII-only case folding: full Unicode lower() is engine-divergent (Java
+# maps U+0130 'İ' to "i"+combining-dot, DuckDB differs) and locale-dependent
+# by nature. translate() over the explicit A-Z alphabet is deterministic and
+# identical everywhere; plug ICU on both sides if full casefold is needed.
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    return F.translate(col, _AZ_UPPER, _AZ_LOWER)
+
+
+def ascii_lower_sql(c: str) -> str:
+    return f"translate({c}, '{_AZ_UPPER}', '{_AZ_LOWER}')"
+
+
+# DuckDB twin of tokens(); keep the two in lockstep (property-tested in
+# tests/test_properties.py on random unicode).
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(" + ascii_lower_sql("{c}") + ", "
+    "'[ \t\n\r\f\x0B]+'), t -> t != '')"
+)
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of lowercased, trimmed text."""
-    return F.split(F.trim(F.lower(col)), TOKEN_RE)
+    """Whitespace tokenization of ASCII-lowercased text. No trim(): Spark
+    trims ASCII space only while DuckDB trims unicode whitespace (U+00A0),
+    so trimming is engine-divergent — boundary whitespace instead yields ''
+    tokens, which the filter drops in both engines identically."""
+    return F.filter(
+        F.split(ascii_lower(col), TOKEN_RE), lambda t: t != F.lit("")
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -44,7 +79,7 @@ def token_count(col: Column) -> Column:
 
 # BPE-ish subword proxy: words + digits runs + single non-space symbols —
 # the common pre-tokenizer regex shape (letters run | digit run | symbol).
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -56,7 +91,7 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_count(col: Column) -> Column:
-    return F.regexp_count(F.lower(col), F.lit(STOPWORD_RE)).cast("long")
+    return F.regexp_count(ascii_lower(col), F.lit(STOPWORD_RE)).cast("long")
 
 
 def quality_features(col: Column) -> dict[str, Column]:
@@ -83,20 +118,20 @@ def quality_features(col: Column) -> dict[str, Column]:
 
 QUALITY_SQL = """
   CAST(LENGTH({c}) AS BIGINT) AS n_chars,
-  CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS BIGINT) AS n_words,
+  CAST(length(list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')) AS BIGINT) AS n_words,
   CAST(length(regexp_extract_all({c}, '[.,;:!?]')) AS BIGINT) AS n_punct,
-  CAST(length(regexp_extract_all(lower({c}), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS n_stop,
-  LEAST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
-    + (CAST(length(regexp_extract_all(lower({c}), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
-       / GREATEST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE), 1.0)) * 0.4
+  CAST(length(regexp_extract_all(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS n_stop,
+  LEAST(CAST(length(list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')) AS DOUBLE) / 100.0, 1.0) * 0.4
+    + (CAST(length(regexp_extract_all(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+       / GREATEST(CAST(length(list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')) AS DOUBLE), 1.0)) * 0.4
     + LEAST(CAST(length(regexp_extract_all({c}, '[.,;:!?]')) AS DOUBLE)
-       / GREATEST(CAST(length(regexp_split_to_array(trim(lower({c})), '\\s+')) AS DOUBLE), 1.0), 1.0) * 0.2
+       / GREATEST(CAST(length(list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')) AS DOUBLE), 1.0), 1.0) * 0.2
     AS quality_score
 """
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    low = F.lower(col)
+    low = ascii_lower(col)
     return {
         lang: F.regexp_count(low, F.lit(pat)).cast("long")
         for lang, pat in sorted(LANG_MARKERS.items())
@@ -116,7 +151,7 @@ def lang_id(col: Column) -> Column:
 
 
 def _lang_score_sql(c: str, pat: str) -> str:
-    return f"length(regexp_extract_all(lower({c}), '{pat}'))"
+    return f"length(regexp_extract_all(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{pat}'))"
 
 
 def lang_id_sql(c: str) -> str:
@@ -138,9 +173,11 @@ def bag_fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+# COALESCE matters: DuckDB's array_to_string([]) is NULL where Spark's
+# array_join([]) is '' — empty docs must fingerprint identically.
 BAG_FINGERPRINT_SQL = (
-    "md5(array_to_string(list_sort(list_distinct("
-    "regexp_split_to_array(trim(lower({c})), '\\s+'))), ' '))"
+    "md5(COALESCE(array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != ''))), ' '), ''))"
 )
 
 
@@ -177,7 +214,7 @@ def rolling_fingerprint(col: Column) -> Column:
 
 
 def rolling_fingerprint_sql(c: str) -> str:
-    toks = f"regexp_split_to_array(trim(lower({c})), '\\s+')"
+    toks = f"list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')"
     hashes = f"list_transform({toks}, t -> {hash64_sql('t')} % {ROLL_M})"
     # DuckDB's list_reduce has no init accumulator; prepend the zero seed.
     return (
@@ -197,8 +234,9 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def shingles_sql(c: str, n: int = 3) -> str:
+    # COALESCE for the same empty-array NULL quirk as BAG_FINGERPRINT_SQL
     return (
-        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"list_distinct([COALESCE(array_to_string(toks[i:i+{n - 1}], ' '), '') "
         f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
-        .replace("toks", f"regexp_split_to_array(trim(lower({c})), '\\s+')")
+        .replace("toks", f"list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')")
     )

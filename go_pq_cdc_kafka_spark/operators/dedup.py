@@ -271,7 +271,7 @@ def simhash_sql(bits: int = 32) -> str:
     hv = T.hash64_sql("w")
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS w
+  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != ''))) AS w
   FROM documents
 ),
 h AS (SELECT doc_id, {hv} AS hv FROM toks),

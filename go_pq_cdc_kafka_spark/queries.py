@@ -828,7 +828,7 @@ from go_pq_cdc_kafka_spark.operators import similarity as SIM  # noqa: E402
     "text_token_count",
     oracle="""
 SELECT doc_id,
-       CAST(length(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')) AS BIGINT) AS n_tokens,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
 FROM documents
 ORDER BY doc_id
