@@ -163,26 +163,51 @@ def minhash_lsh_pairs(
     r = num_perms // bands
     sig = minhash_signatures(df, text_col, id_col, num_perms, n)
     band_cols = [
-        F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-
-    pairs = None
-    for b in range(bands):
-        a_, b_ = banded.alias("a"), banded.alias("b")
-        p = a_.join(
-            b_,
-            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
-
-    verified = ngram_jaccard_pairs(df, text_col, id_col, n, threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    # ONE self-equi-join on (band_id, band_key) instead of B separate
+    # self-joins: posexplode rewrites B join branches (each of which would
+    # recompute the signature subtree) into a single shuffle on a uniform
+    # md5-derived key.
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
     )
-    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Verify ONLY the LSH candidates (this is the point of LSH: exact
+    # Jaccard cost scales with |candidates|, not with shared-shingle mass
+    # over the whole corpus). Intersection size = equi-join of the two
+    # docs' shingle sets restricted to candidate pairs.
+    sh = shingle_index(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_lsh_pairs_sql(

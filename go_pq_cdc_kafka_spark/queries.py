@@ -360,20 +360,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_anti",
     oracle="""
-SELECT c_custkey, c_name
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-ORDER BY c_custkey
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+ORDER BY o_orderkey
 """,
     category="join",
+    description="Orders with no lineitems (non-empty in the fixtures).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
     )
 
 
@@ -549,7 +550,7 @@ SELECT p_partkey,
        LENGTH(p_name) AS name_len,
        REGEXP_REPLACE(p_type, '[aeiou]', '_') AS devoweled
 FROM part
-WHERE p_name LIKE '%el%'
+WHERE p_name LIKE '%ol%'
 ORDER BY p_partkey
 """,
     category="function-string",
@@ -558,7 +559,7 @@ ORDER BY p_partkey
 def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_name").like("%el%"))
+        p.filter(F.col("p_name").like("%ol%"))
         .select(
             "p_partkey",
             F.upper("p_brand").alias("brand_upper"),
