@@ -1316,3 +1316,311 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+# ===========================================================================
+# Coverage widening: map funcs, stats, percentiles, frames, pivot/unpivot,
+# correlated subquery, csv/json scan roundtrip (SURVEY §2.B rows)
+# ===========================================================================
+
+@register(
+    "func_map",
+    oracle="""
+SELECT p_partkey,
+       (MAP {'brand': p_brand, 'type': p_type})['brand'][1] AS brand,
+       array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS key_list,
+       CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INTEGER) AS n_keys
+FROM part
+WHERE p_partkey < 100
+ORDER BY p_partkey
+""",
+    category="function-map",
+    description="MapType construction, element_at, map_keys, size.",
+)
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        p.filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.element_at(m, "brand").alias("brand"),
+            F.array_join(F.map_keys(m), ",").alias("key_list"),
+            F.size(m).alias("n_keys"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# Statistical aggregates are NOT computed with the engines' stddev/corr —
+# their partial-aggregation order varies, so the last double bits differ.
+# Instead: decimal-exact power sums (order-independent) + one deterministic
+# double formula evaluated identically in both engines.
+_STATS_FORMULA = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (s2q - s1q * s1q / n) / (n - 1.0) AS var_qty,
+       SQRT((s2q - s1q * s1q / n) / (n - 1.0)) AS std_qty,
+       (spq - s1q * s1p / n)
+         / (SQRT(s2q - s1q * s1q / n) * SQRT(s2p - s1p * s1p / n)) AS corr_qty_price
+FROM (
+  -- decimal -> double via FLOOR split: DuckDB's direct decimal->double cast
+  -- is not correctly rounded above ~2^47 (1-ulp drift vs Spark). The integer
+  -- part is < 2^53 (exact in both) and the fractional part is a small
+  -- decimal whose conversion is correctly rounded in both; one double add
+  -- recombines them identically.
+  SELECT l_returnflag,
+         CAST(n AS DOUBLE) AS n,
+         CAST(FLOOR(d1q) AS DOUBLE) + CAST(d1q - FLOOR(d1q) AS DOUBLE) AS s1q,
+         CAST(FLOOR(d2q) AS DOUBLE) + CAST(d2q - FLOOR(d2q) AS DOUBLE) AS s2q,
+         CAST(FLOOR(d1p) AS DOUBLE) + CAST(d1p - FLOOR(d1p) AS DOUBLE) AS s1p,
+         CAST(FLOOR(d2p) AS DOUBLE) + CAST(d2p - FLOOR(d2p) AS DOUBLE) AS s2p,
+         CAST(FLOOR(dpq) AS DOUBLE) + CAST(dpq - FLOOR(dpq) AS DOUBLE) AS spq
+  FROM (
+    -- cast each FACTOR to decimal before multiplying (a double product's
+    -- shortest repr exceeds the cast scale, so CAST(product AS DECIMAL)
+    -- rounds differently per engine; decimal*decimal is exact in both).
+    -- DECIMAL(19,6), not (18,6): DuckDB stores width<=18 in int64, which
+    -- overflows on the multiply.
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(19,6))) AS d1q,
+           SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS d2q,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS d1p,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS d2p,
+           SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS dpq
+    FROM lineitem GROUP BY l_returnflag
+  ) raw
+) t
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_stats",
+    oracle=_STATS_FORMULA,
+    category="aggregation",
+    description="Variance/stddev/correlation via order-independent decimal "
+    "power sums (map-side combinable; one shuffle).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_STATS_FORMULA)
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT c_mktsegment,
+       quantile_disc(c_acctbal, 0.5) AS med_bal,
+       quantile_disc(c_acctbal, 0.9) AS p90_bal,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    category="aggregation",
+    description="Exact discrete percentiles (no interpolation — an actual "
+    "order statistic, so cross-engine bit-identical).",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("med_bal"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").alias("p90_bal"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "window_frame_positional",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+       MIN(value) OVER w AS min_v,
+       MAX(value) OVER w AS max_v,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER w AS last_v
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    category="window",
+    description="ROWS frame with positional/extremal functions only (frame "
+    "sums over doubles are association-order-dependent; min/max/first/last "
+    "are exact).",
+)
+def window_frame_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+            F.min("value").over(w).alias("min_v"),
+            F.max("value").over(w).alias("max_v"),
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    category="pivot",
+    description="groupBy().pivot() with an explicit value list (explicit "
+    "values skip the extra distinct-scan Spark otherwise runs).",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, name AS metric, value AS val
+FROM (
+  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice FROM part)
+  ON size, retailprice INTO NAME name VALUE value
+)
+WHERE p_partkey < 500
+ORDER BY p_partkey, metric
+""",
+    category="pivot",
+    description="Wide-to-long melt (DataFrame.unpivot) — narrow relation "
+    "out, no shuffle (map-side transform).",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot(["p_partkey"], ["size", "retailprice"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+ORDER BY c.c_custkey
+""",
+    category="subquery",
+    description="Correlated scalar subquery, decorrelated to a broadcast "
+    "join against the per-nation aggregate (what Catalyst/any optimizer "
+    "does; 25 nations → broadcast, no row-at-a-time re-execution).",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "scan_csv_json_roundtrip",
+    oracle="""
+SELECT fmt, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM (
+  SELECT 'csv' AS fmt, o_orderstatus, o_orderkey FROM orders
+  UNION ALL
+  SELECT 'json' AS fmt, o_orderstatus, o_orderkey FROM orders
+)
+GROUP BY fmt, o_orderstatus
+ORDER BY fmt, o_orderstatus
+""",
+    category="scan",
+    description="CSV and JSON scans (SURVEY §2.B file-format row): parquet "
+    "rewritten as csv+json, read back with explicit schemas, aggregated; "
+    "columns restricted to losslessly-serializable types.",
+)
+def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = tempfile.mkdtemp(prefix="scan_rt_")
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "json")
+    o.write.mode("overwrite").option("header", True).csv(csv_dir)
+    o.write.mode("overwrite").json(json_dir)
+    schema = "o_orderkey BIGINT, o_orderstatus STRING"
+    frm_csv = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    frm_json = spark.read.schema(schema).json(json_dir)
+    both = frm_csv.withColumn("fmt", F.lit("csv")).unionByName(
+        frm_json.withColumn("fmt", F.lit("json"))
+    )
+    return (
+        both.groupBy("fmt", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("fmt", "o_orderstatus")
+    )

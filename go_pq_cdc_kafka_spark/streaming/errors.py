@@ -1,0 +1,215 @@
+"""Error fan-out, fatal classification, and dead-letter routing (B5).
+
+Reference (kafka/reponse_handler.go:13-48, producer_batch.go:121-135,
+156-197): per-message OnSuccess/OnError callbacks, ``WriteErrors`` unpacked
+per message, ``MessageTooLargeError`` isolated from the batch, fatal broker
+errors (e.g. UnknownTopicOrPartition) panic the process, transient network
+errors (conn reset/refused/EPIPE/temporary) are logged and retried by replay.
+
+Spark re-expression — three pieces, each distribution-friendly:
+
+- **Oversize isolation** is a *plan-side predicate*, not a sink callback:
+  the reference can only discover "message too large" after a broker
+  round-trip, but the wire size formula (producer_batch.go:199-206:
+  ``14 + (4+len(key)) + (4+len(value)) + sum(2+len(hkey)+len(hval))``) is
+  pure, so we evaluate it as a Column BEFORE the sink and split the stream
+  into deliverable records and dead letters. No broker round-trip is wasted
+  on a message that cannot be accepted, and the split is a narrow map — no
+  shuffle.
+- **Fatal vs transient classification** mirrors the reference's string
+  matching so restart policies can decide: transient ⇒ let the checkpoint
+  replay the micro-batch (the reference's "no ack ⇒ replay"); fatal ⇒
+  re-raise and stop the query (the reference's panic).
+- **Per-batch response fan-out** wraps foreachBatch: on sink success the
+  success callback sees the batch size once (ack coalescing, B4); on error
+  every record of the failed batch is surfaced to the error callback —
+  exactly the reference's WriteErrors unpacking, but at micro-batch
+  granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# wire size + oversize isolation (MessageTooLargeError, pre-flight)
+# ---------------------------------------------------------------------------
+
+#: Kafka record framing overhead used by the reference's size estimate
+#: (producer_batch.go:199-206).
+RECORD_OVERHEAD = 14
+FIELD_OVERHEAD = 4
+HEADER_OVERHEAD = 2
+
+#: Kafka broker default max.message.bytes.
+DEFAULT_MAX_MESSAGE_BYTES = 1_048_588
+
+
+def wire_size(
+    key: str = "key", value: str = "value", headers: str | None = "headers"
+) -> Column:
+    """Estimated on-wire record size, the reference's formula as a Column.
+
+    ``octet_length`` (bytes, not chars) on binary/string columns; NULL key or
+    value contributes its 4-byte length frame only.
+    """
+    size = (
+        F.lit(RECORD_OVERHEAD)
+        + F.lit(FIELD_OVERHEAD)
+        + F.coalesce(F.octet_length(F.col(key)), F.lit(0))
+        + F.lit(FIELD_OVERHEAD)
+        + F.coalesce(F.octet_length(F.col(value)), F.lit(0))
+    )
+    if headers is not None:
+        size = size + F.coalesce(
+            F.aggregate(
+                F.col(headers),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.lit(HEADER_OVERHEAD)
+                + F.coalesce(F.octet_length(h["key"]), F.lit(0))
+                + F.coalesce(F.octet_length(h["value"]), F.lit(0)),
+            ),
+            F.lit(0),
+        )
+    return size.cast("long")
+
+
+def split_oversize(
+    records: DataFrame,
+    max_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
+    headers_col: str | None = "headers",
+) -> tuple[DataFrame, DataFrame]:
+    """(deliverable, dead_letters): records over ``max_bytes`` are routed out
+    of the produce path before any broker round-trip, annotated with the
+    reason and measured size. Both sides are narrow filters over one pass —
+    Catalyst dedupes the scan; no shuffle."""
+    sized = records.withColumn(
+        "wire_size", wire_size(headers=headers_col if headers_col else None)
+    )
+    ok = sized.filter(F.col("wire_size") <= max_bytes).drop("wire_size")
+    dead = (
+        sized.filter(F.col("wire_size") > max_bytes)
+        .withColumn("error", F.lit("MessageTooLargeError"))
+        .withColumn("max_bytes", F.lit(max_bytes).cast("long"))
+    )
+    return ok, dead
+
+
+def to_dead_letter_topic(dead: DataFrame, dlq_topic: str) -> DataFrame:
+    """Re-shape dead letters for a DLQ topic: original topic moves into a
+    header, payload is preserved verbatim for replay tooling."""
+    err_headers = F.array(
+        F.struct(
+            F.lit("error").alias("key"),
+            F.encode(F.col("error"), "UTF-8").alias("value"),
+        ),
+        F.struct(
+            F.lit("original_topic").alias("key"),
+            F.encode(F.coalesce(F.col("topic"), F.lit("")), "UTF-8").alias("value"),
+        ),
+    )
+    cols = [
+        F.lit(dlq_topic).alias("topic"),
+        F.col("key"),
+        F.col("value"),
+        (
+            F.concat(F.col("headers"), err_headers)
+            if "headers" in dead.columns
+            else err_headers
+        ).alias("headers"),
+    ]
+    return dead.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# fatal vs transient classification (kafka/reponse_handler.go:27-48)
+# ---------------------------------------------------------------------------
+
+#: Substrings the reference treats as retriable-by-replay network failures.
+TRANSIENT_MARKERS = (
+    "connection reset by peer",
+    "connection refused",
+    "broken pipe",
+    "i/o timeout",
+    "timed out",
+    "temporary",
+    "leader not available",
+    "rebalance in progress",
+    "request timed out",
+)
+
+#: Broker states the reference escalates to a panic (config mismatch — replay
+#: cannot fix them).
+FATAL_MARKERS = (
+    "unknown topic or partition",
+    "topic authorization failed",
+    "invalid topic",
+    "message too large",
+    "record list too large",
+    "invalid required acks",
+)
+
+
+def classify_error(exc: BaseException) -> str:
+    """'fatal' | 'transient' | 'unknown' — unknown defaults to transient
+    handling (replay) but is labeled for observability, matching the
+    reference's log-and-continue default branch."""
+    msg = str(exc).lower()
+    if any(m in msg for m in FATAL_MARKERS):
+        return "fatal"
+    if any(m in msg for m in TRANSIENT_MARKERS):
+        return "transient"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# per-batch response fan-out (OnSuccess/OnError, ack coalescing)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ResponseHandler:
+    """User callbacks mirroring the reference's response handler surface
+    (WithResponseHandler, option.go:19-35). ``on_success(n)`` fires once per
+    committed micro-batch with its record count (one ack per flush, B4);
+    ``on_error(exc, kind, batch_df)`` receives the classification and the
+    full failed batch (per-message unpacking = ``batch_df.collect()`` at the
+    caller's discretion — not forced, because the batch may be huge)."""
+
+    on_success: Callable[[int], None] | None = None
+    on_error: Callable[[BaseException, str, DataFrame], None] | None = None
+    reraise_fatal: bool = True
+    reraise_transient: bool = True  # replay-by-checkpoint needs the raise
+
+
+def with_response_handler(
+    sink: Callable[[DataFrame, int], None], handler: ResponseHandler
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink with success/error fan-out + classification.
+
+    Transient errors re-raise so Structured Streaming replays the micro-batch
+    from the checkpoint (the reference's failed-flush ⇒ no-ack ⇒ replay);
+    fatal errors re-raise to stop the query (the reference's panic)."""
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            n = batch_df.count()
+            sink(batch_df, batch_id)
+        except BaseException as exc:  # noqa: BLE001 - classification layer
+            kind = classify_error(exc)
+            if handler.on_error is not None:
+                handler.on_error(exc, kind, batch_df)
+            if kind == "fatal":
+                if handler.reraise_fatal:
+                    raise
+            elif handler.reraise_transient:
+                raise
+            return
+        if handler.on_success is not None:
+            handler.on_success(n)
+
+    return wrapped
