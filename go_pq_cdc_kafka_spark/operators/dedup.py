@@ -275,21 +275,22 @@ def simhash(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("w"),
     ).withColumn("hv", T.hash64(F.col("w")))
-    # shiftright/shiftleft take a literal shift amount in the Python API, so
-    # the per-bit-position shift (a column) goes through expr().
-    votes = (
-        toks.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.expr("(shiftright(hv, b) & 1) * 2 - 1")).alias("s"))
+    # One groupBy with `bits` sum-aggregates — NOT a per-bit explode: the
+    # explode version shuffles bits× the token count; this shuffles the
+    # token rows once and folds all bit votes map-side (partial agg).
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-            ).cast("long").alias("simhash")
-        )
-    )
+    packed = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("long").alias("simhash"))
 
 
 def simhash_sql(bits: int = 32) -> str:

@@ -83,3 +83,33 @@ def test_binned_range_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_correlated_subquery_decorrelates_to_broadcast(spark):
+    plan = plan_of(spark, "subquery_correlated")
+    # 25-nation aggregate must broadcast; no re-execution per outer row
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_skips_distinct_scan(spark):
+    plan = plan_of(spark, "pivot_status_priority")
+    # explicit pivot values ⇒ exactly one scan of orders (no extra pass to
+    # discover the value list); formatted explain prints each node twice
+    # (tree + details)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_simhash_single_aggregation_shuffle(spark):
+    plan = plan_of(spark, "dedup_simhash")
+    # bit votes fold into ONE groupBy(doc_id): the only exchanges allowed are
+    # the aggregation's hashpartitioning and the final output sort
+    # ("Exchange (" matches tree lines only — details repeat each node)
+    assert plan.count("Exchange (") <= 2
+    assert plan.count("hashpartitioning(doc_id") >= 1
+
+
+def test_unpivot_no_shuffle_before_sort(spark):
+    plan = plan_of(spark, "unpivot_part_metrics")
+    # melt is a narrow map (Expand/Generate); only the output sort exchanges
+    assert plan.count("Exchange (") <= 1
