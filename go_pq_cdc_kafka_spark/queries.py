@@ -1624,3 +1624,26 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "o_orderstatus")
     )
+
+
+from go_pq_cdc_kafka_spark.functions import udfs as U  # noqa: E402
+
+
+@register(
+    "text_chunk_udtf",
+    oracle=U.chunk_words_sql(),
+    category="udf-surface",
+    description="Spark 4 Python UDTF via LATERAL join: document → "
+    "20-token chunks (the training-data chunking step); streams through "
+    "the task with no intermediate array explode.",
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("chunk_words", U.ChunkWordsUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_words(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
