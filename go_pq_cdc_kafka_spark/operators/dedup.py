@@ -70,10 +70,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidates via the inverted
-    index (only pairs sharing ≥1 shingle are ever scored)."""
+    index (only pairs sharing ≥1 shingle are ever scored).
+
+    ``max_df`` is the 100-TB safety valve: a shingle appearing in k docs
+    contributes k² candidate rows to the self-join, so one boilerplate
+    phrase shared by 10^6 docs alone generates 10^12 rows. Capping document
+    frequency removes those stop-shingles from the VOCABULARY (index and
+    sizes both): Jaccard is then exact over the capped shingle space —
+    the discriminative shingles — and pairs overlapping only in
+    boilerplate never surface, which is the point."""
     sh = shingle_index(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")  # shuffle on shingle, reused by the self-join
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

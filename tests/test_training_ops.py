@@ -198,3 +198,31 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"")
+
+
+def test_ngram_jaccard_max_df_prunes_stop_shingles(spark):
+    from go_pq_cdc_kafka_spark.operators import dedup as D
+
+    # "common words here now" appears in every doc (stop-shingle); only docs
+    # 1/2 share a rare overlap
+    docs = spark.createDataFrame(
+        [
+            (1, "common words here now alpha beta gamma delta"),
+            (2, "common words here now alpha beta gamma epsilon"),
+            (3, "common words here now zeta eta theta iota"),
+            (4, "common words here now kappa lam mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect()
+    }
+    # every doc pairs with every other through the shared boilerplate prefix
+    assert len(uncapped) == 6
+    # with df-capped vocabulary only the genuinely-similar pair survives
+    assert capped == {(1, 2)}
