@@ -138,3 +138,42 @@ def running_counts_stateful(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join
+# ---------------------------------------------------------------------------
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two event-time streams on ``key`` where the right event lands in
+    ``[left_ts, left_ts + max_delay]`` (impression→click attribution shape).
+
+    The time bound is what makes an unbounded stream-stream join finite:
+    with both sides watermarked AND the range condition, Spark derives the
+    state eviction horizon — a buffered left row is dropped once the right
+    watermark passes ``left_ts + max_delay`` (and vice versa), so state is
+    O(window × rate), not O(stream). Works identically on batch DataFrames
+    (watermarks become no-ops), which is how the test pins semantics.
+
+    Scale: both sides shuffle on ``key`` once; the range predicate is
+    evaluated inside the per-key state store, not as a post-join filter.
+    ``left``/``right`` column names must be disjoint apart from ``key``.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + interval {max_delay}"))
+    )
+    return l.join(r, cond, how).drop(r[key])

@@ -173,3 +173,67 @@ def test_stateful_running_counts(spark, tmp_path):
     assert final[("users", "INSERT")].events == 3
     assert final[("users", "UPDATE")].events == 1
     assert final[("books", "DELETE")].events == 1
+
+
+def test_interval_join_batch_semantics(spark):
+    imps = spark.createDataFrame(
+        [(1, ts(0), 10), (2, ts(100), 10), (3, ts(0), 20)],
+        "imp_id long, its timestamp, user_id long",
+    )
+    clks = spark.createDataFrame(
+        [(91, ts(10), 10),   # within 30m of imp 1
+         (92, ts(125), 10),  # within 30m of imp 2
+         (93, ts(70), 10),   # matches no impression window
+         (94, ts(40), 20)],  # 40m after imp 3 -> outside
+        "clk_id long, cts timestamp, user_id long",
+    )
+    got = {
+        (r.imp_id, r.clk_id)
+        for r in W.interval_join(imps, clks, "user_id", "its", "cts").collect()
+    }
+    assert got == {(1, 91), (2, 92)}
+
+
+def test_interval_join_streaming(spark, tmp_path):
+    import glob
+    import os
+
+    def write_stream_dir(name, schema, batches):
+        path = str(tmp_path / name)
+        base = 1_700_000_000
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                if os.path.getmtime(f) > base + i * 60:
+                    os.utime(f, (base + i * 60, base + i * 60))
+        return path
+
+    ipath = write_stream_dir(
+        "imps", "imp_id long, its timestamp, user_id long",
+        [[(1, ts(0), 10), (2, ts(100), 10)]],
+    )
+    cpath = write_stream_dir(
+        "clks", "clk_id long, cts timestamp, user_id long",
+        [[(91, ts(10), 10), (92, ts(125), 10), (93, ts(70), 10)]],
+    )
+    imps = spark.readStream.schema(
+        spark.read.parquet(ipath).schema
+    ).parquet(ipath)
+    clks = spark.readStream.schema(
+        spark.read.parquet(cpath).schema
+    ).parquet(cpath)
+    q = (
+        W.interval_join(imps, clks, "user_id", "its", "cts")
+        .select("imp_id", "clk_id")
+        .writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.imp_id, r.clk_id) for r in spark.sql("select * from ij_sink").collect()}
+    assert got == {(1, 91), (2, 92)}
