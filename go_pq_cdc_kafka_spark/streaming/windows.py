@@ -34,10 +34,14 @@ def tumbling_agg(
     keys: Iterable[str] = ("event_type",),
     value_col: str | None = "value",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window: count + decimal-exact value sum per
-    (window, keys). With ``watermark`` set (streaming), late rows beyond it
-    are dropped and window state is evicted once the watermark passes."""
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window:
+    count + decimal-exact value sum per (window, keys). With ``watermark``
+    set (streaming), late rows beyond it are dropped and window state is
+    evicted once the watermark passes. A sliding window assigns each row to
+    duration/slide overlapping windows (that multiplier is the state-size
+    cost to budget at scale)."""
     d = df.withWatermark(ts_col, watermark) if watermark else df
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     if value_col is not None:
@@ -45,7 +49,7 @@ def tumbling_agg(
             F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("sum_value")
         )
     return (
-        d.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        d.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
         .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),

@@ -237,3 +237,16 @@ def test_interval_join_streaming(spark, tmp_path):
     q.stop()
     got = {(r.imp_id, r.clk_id) for r in spark.sql("select * from ij_sink").collect()}
     assert got == {(1, 91), (2, 92)}
+
+
+def test_sliding_window_batch(spark):
+    out = {
+        (r.window_start, r.n)
+        for r in W.tumbling_agg(
+            events_batch(spark).filter(F.col("user_id") == 10),
+            duration="1 hour", slide="30 minutes", value_col=None, keys=(),
+        ).collect()
+    }
+    # events at minutes 0, 10, 65: hops [-30,30)=2, [0,60)=2, [30,90)=1,
+    # [60,120)=1 — each row lands in duration/slide = 2 windows
+    assert out == {(ts(-30), 2), (ts(0), 2), (ts(30), 1), (ts(60), 1)}
