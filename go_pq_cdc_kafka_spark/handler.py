@@ -93,6 +93,7 @@ def to_kafka_records(
     pk_field: str,
     include_headers: bool = True,
     topic_col: str = "topic",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Envelope → Kafka record columns ``(topic, key, value, headers)``.
 
@@ -100,6 +101,10 @@ def to_kafka_records(
     field (README.md:183-212); DELETE values render the pre-image. The
     ``topic`` column must already exist (see plans.routing). All JVM-side
     expressions — no Python in the hot path.
+
+    ``carry_cols`` threads extra envelope columns (e.g. ``lsn`` for the
+    strict-order sink) through the projection; callers drop them before the
+    actual produce.
     """
     imaged = choose_image(df)
     image_t = dict(imaged.dtypes)["image"]
@@ -113,6 +118,7 @@ def to_kafka_records(
             if include_headers
             else []
         ),
+        *[F.col(c) for c in carry_cols],
     )
     return out
 

@@ -73,13 +73,25 @@ def generate_table_changelog(
 def write_changelog(log: DataFrame, path: str, num_files: int = 4) -> None:
     """Write the change log as ordered parquet files: file i holds the i-th
     LSN range, so a ``maxFilesPerTrigger=1`` replay sees WAL order across
-    micro-batches. Range-partition by lsn → one sorted file per bucket."""
+    micro-batches. Range-partition by lsn → one sorted file per bucket.
+
+    The file stream source replays in modification-time order, and a single
+    parallel write gives every part file the same mtime — so the part files
+    are re-stamped with strictly increasing mtimes in name (= LSN-range)
+    order to make cross-batch replay order deterministic."""
     (
         log.repartitionByRange(num_files, "lsn")
         .sortWithinPartitions("lsn")
         .write.mode("overwrite")
         .parquet(path)
     )
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = os.path.getmtime(os.path.join(path, parts[0])) if parts else 0
+    for i, f in enumerate(parts):
+        t = base + i + 1
+        os.utime(os.path.join(path, f), times=(t, t))
 
 
 def read_changelog(spark: SparkSession, path: str) -> DataFrame:

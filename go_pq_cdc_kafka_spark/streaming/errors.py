@@ -193,23 +193,35 @@ def with_response_handler(
 
     Transient errors re-raise so Structured Streaming replays the micro-batch
     from the checkpoint (the reference's failed-flush ⇒ no-ack ⇒ replay);
-    fatal errors re-raise to stop the query (the reference's panic)."""
+    fatal errors re-raise to stop the query (the reference's panic).
+
+    The batch lineage is evaluated ONCE: when ``on_success`` needs the record
+    count, the batch is persisted so the sink's pass populates the cache and
+    the count reads it back — not a second full computation (at scale the old
+    count-then-sink pattern doubled every batch's cost)."""
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        want_count = handler.on_success is not None
+        if want_count:
+            batch_df.persist()
         try:
-            n = batch_df.count()
-            sink(batch_df, batch_id)
-        except BaseException as exc:  # noqa: BLE001 - classification layer
-            kind = classify_error(exc)
-            if handler.on_error is not None:
-                handler.on_error(exc, kind, batch_df)
-            if kind == "fatal":
-                if handler.reraise_fatal:
+            try:
+                sink(batch_df, batch_id)
+                n = batch_df.count() if want_count else 0
+            except BaseException as exc:  # noqa: BLE001 - classification layer
+                kind = classify_error(exc)
+                if handler.on_error is not None:
+                    handler.on_error(exc, kind, batch_df)
+                if kind == "fatal":
+                    if handler.reraise_fatal:
+                        raise
+                elif handler.reraise_transient:
                     raise
-            elif handler.reraise_transient:
-                raise
-            return
-        if handler.on_success is not None:
-            handler.on_success(n)
+                return
+            if handler.on_success is not None:
+                handler.on_success(n)
+        finally:
+            if want_count:
+                batch_df.unpersist()
 
     return wrapped

@@ -30,6 +30,20 @@ from go_pq_cdc_kafka_spark.plans.routing import RoutingTable, resolve_topics
 from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
 
 
+def ordered_records(batch_df: DataFrame, order_col: str = "lsn") -> DataFrame:
+    """Strict-order produce shape: one partition, rows sorted by the WAL
+    position (``lsn``), the ordering column dropped before the write.
+
+    This is the Spark analogue of the reference's single-threaded listener
+    ordering contract (connector.go:129-184 dispatches events in WAL order;
+    producer_batch.go:150 appends in arrival order): the produced sequence
+    within a micro-batch IS changelog order. ``coalesce(1)`` first and
+    ``sortWithinPartitions`` second so the sort is the last exchange-free
+    node before the write — nothing downstream can re-shuffle it away.
+    """
+    return batch_df.coalesce(1).sortWithinPartitions(order_col).drop(order_col)
+
+
 @dataclass
 class CdcPipeline:
     """Composable pipeline over an envelope DataFrame (stream or batch).
@@ -45,7 +59,7 @@ class CdcPipeline:
     pk_field: str = "id"
     include_headers: bool = True
 
-    def records(self) -> DataFrame:
+    def records(self, carry_cols: tuple[str, ...] = ()) -> DataFrame:
         df = filter_known_ops(self.source)
         has_override = False
         for h in self.handlers:
@@ -59,7 +73,10 @@ class CdcPipeline:
         if has_override:
             df = df.drop("handler_topic")
         return H.to_kafka_records(
-            df, pk_field=self.pk_field, include_headers=self.include_headers
+            df,
+            pk_field=self.pk_field,
+            include_headers=self.include_headers,
+            carry_cols=carry_cols,
         )
 
     # ------------------------------------------------------------------
@@ -74,7 +91,7 @@ class CdcPipeline:
         default_topic: str | None = None,
     ) -> StreamingQuery:
         """Streaming Kafka sink with checkpoint-commit ack semantics."""
-        rec = self.records()
+        rec = self.records(carry_cols=("lsn",) if strict_order else ())
         if default_topic is not None:
             rec = rec.withColumn(
                 "topic", F.coalesce(F.col("topic"), F.lit(default_topic))
@@ -88,7 +105,7 @@ class CdcPipeline:
                 .start()
             )
 
-        # strict per-table WAL order: sort + single-task produce per batch
+        # strict WAL order: carry lsn, sort + single-task produce per batch
         kafka_opts = {
             k: v
             for k, v in writer_opts.items()
@@ -97,8 +114,7 @@ class CdcPipeline:
 
         def produce_sorted(batch_df: DataFrame, _batch_id: int) -> None:
             (
-                batch_df.orderBy("key")
-                .coalesce(1)
+                ordered_records(batch_df)
                 .write.format("kafka")
                 .options(**kafka_opts)
                 .save()

@@ -84,3 +84,29 @@ def test_response_handler_fanout(spark, records):
 
     with pytest.raises(RuntimeError):
         E.with_response_handler(fatal, handler)(records, 9)
+
+
+def test_response_handler_evaluates_batch_once(spark, tmp_path):
+    """The success-count must not recompute the batch lineage: the sink's own
+    pass populates the persisted batch, the count reads the cache. An
+    accumulator inside a filter (count can't prune a filter) tallies actual
+    evaluations — 10 means once, 20 would mean the old count-then-sink
+    double-compute."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return True
+
+    bump_udf = F.udf(bump, "boolean")
+    df = spark.range(10).filter(bump_udf(F.col("id")))
+
+    seen = []
+    handler = E.ResponseHandler(on_success=seen.append)
+
+    def sink(d, _bid):
+        d.write.mode("overwrite").parquet(str(tmp_path / "once_out"))
+
+    E.with_response_handler(sink, handler)(df, 1)
+    assert seen == [10]
+    assert acc.value == 10
