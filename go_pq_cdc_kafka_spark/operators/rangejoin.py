@@ -35,7 +35,19 @@ def point_in_interval_join(
 ) -> DataFrame:
     """All (point, interval) pairs with ``lo <= point <= hi``, as a bucketed
     equi-join. Each qualifying pair emerges exactly once: the interval is
-    replicated across its buckets, but the point lives in exactly one."""
+    replicated across its buckets, but the point lives in exactly one.
+
+    The exact range predicate is part of the JOIN CONDITION (not a post-join
+    filter), so ``how='left'`` keeps unmatched points as null-padded rows.
+    ``'right'``/``'full'`` are rejected: an unmatched interval exists once
+    per bucket replica, so outer-preserving the interval side would emit
+    duplicates."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "point_in_interval_join supports how='inner' or 'left' only; "
+            f"got {how!r} (the interval side is bucket-replicated, so "
+            "right/full outer would duplicate unmatched intervals)"
+        )
     pts = points.withColumn(_BUCKET, _point_bucket(F.col(point_col), bucket_width))
     ivs = intervals.withColumn(
         _BUCKET,
@@ -46,11 +58,9 @@ def point_in_interval_join(
             )
         ),
     )
-    return (
-        pts.join(ivs, _BUCKET, how)
-        .filter(
-            (F.col(point_col) >= F.col(lo_col))
-            & (F.col(point_col) <= F.col(hi_col))
-        )
-        .drop(_BUCKET)
+    cond = (
+        (pts[_BUCKET] == ivs[_BUCKET])
+        & (pts[point_col] >= ivs[lo_col])
+        & (pts[point_col] <= ivs[hi_col])
     )
+    return pts.join(ivs, cond, how).drop(pts[_BUCKET]).drop(ivs[_BUCKET])

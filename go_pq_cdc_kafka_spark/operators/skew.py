@@ -66,7 +66,17 @@ def salted_join(
     too large to broadcast: salt the skewed side (hot key spreads over
     ``buckets`` partitions), replicate each ``other`` row into all buckets
     (explode — bounded ``buckets``× inflation of the smaller side), join on
-    (key, salt). Result rows are exactly the unsalted join's."""
+    (key, salt). Result rows are exactly the unsalted join's for ``inner``
+    and ``left``; ``right``/``full`` are rejected because an unmatched
+    ``other`` row exists once per replica and would be emitted ``buckets``
+    times."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            "salted_join supports inner/left/semi/anti joins only; "
+            f"got {how!r} (the other side is replicated per salt bucket, so "
+            "right/full outer would duplicate its unmatched rows)"
+        )
     salt_src = F.col(salt_on) if salt_on else F.struct(*skewed.columns)
     left = skewed.withColumn(_SALT, F.pmod(F.hash(salt_src), F.lit(buckets)))
     right = other.withColumn(

@@ -63,6 +63,24 @@ def test_salted_join_equals_plain(spark):
     assert len(plain) == 900 + 100 * 2 // 10 * 1  # hot + c1 + c2 rows
 
 
+def test_salted_join_left_and_rejected_hows(spark):
+    import pytest
+
+    fact = skewed_df(spark)
+    dim = spark.createDataFrame([("hot", 1), ("c1", 2)], "k string, attr int")
+    plain = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim, "k", "left").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.attr)
+        for r in skew.salted_join(fact, dim, on="k", buckets=4, how="left").collect()
+    )
+    assert salted == plain  # unmatched left rows appear exactly once
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(fact, dim, on="k", how=bad)
+
+
 def test_salted_agg_two_shuffles(spark):
     df = skewed_df(spark)
     out = skew.salted_agg(
