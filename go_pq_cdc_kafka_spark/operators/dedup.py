@@ -22,8 +22,20 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 
 from go_pq_cdc_kafka_spark.functions import text as T
+
+
+def _pin(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist a subtree that is referenced from multiple join branches.
+
+    Without this, whether the branch is computed once is up to ReusedExchange
+    matching — plan-shape luck, not a contract. MEMORY_AND_DISK spills rather
+    than OOMs at scale; Spark's LRU evicts under pressure, and a caller
+    processing many corpora can drop everything with
+    ``spark.catalog.clearCache()``."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 # ---------------------------------------------------------------------------
 # exact / bag dedup
@@ -71,9 +83,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidates via the inverted
-    index (only pairs sharing ≥1 shingle are ever scored).
+    index (only pairs sharing ≥1 shingle are ever scored). The index feeds
+    the size aggregate and BOTH self-join sides, so it is pinned
+    (see ``_pin``) — tokenization runs once, not three times.
 
     ``max_df`` is the 100-TB safety valve: a shingle appearing in k docs
     contributes k² candidate rows to the self-join, so one boilerplate
@@ -91,6 +106,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")  # shuffle on shingle, reused by the self-join
+    sh = _pin(sh, persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -147,6 +163,12 @@ def _mh(p: int):
     return F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 15))
 
 
+def _signatures_from_index(sh: DataFrame, num_perms: int) -> DataFrame:
+    return sh.groupBy("doc_id").agg(
+        *[_mh(p).alias(f"mh{p}") for p in range(num_perms)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -156,10 +178,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """P-column MinHash signature in a single groupBy pass (P min-aggregates,
     one shuffle — not P passes over the corpus)."""
-    sh = shingle_index(df, text_col, id_col, n)
-    return sh.groupBy("doc_id").agg(
-        *[_mh(p).alias(f"mh{p}") for p in range(num_perms)]
-    )
+    return _signatures_from_index(shingle_index(df, text_col, id_col, n), num_perms)
 
 
 def minhash_lsh_pairs(
@@ -170,15 +189,21 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
     Signature → B band keys (concat of r=P/B hashes); docs sharing any band
     key become candidates (B equi-joins on uniform keys); candidates are
     verified with exact shingle Jaccard so the output is deterministic and
-    threshold-exact (LSH only prunes, never admits)."""
+    threshold-exact (LSH only prunes, never admits).
+
+    The shingle index feeds the signatures AND the verification joins, and
+    the banded signatures feed both self-join sides — both are pinned (see
+    ``_pin``) so tokenization/signature cost is paid once."""
     r = num_perms // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perms, n)
+    sh = _pin(shingle_index(df, text_col, id_col, n), persist)
+    sig = _signatures_from_index(sh, num_perms)
     band_cols = [
         F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
         for b in range(bands)
@@ -187,8 +212,11 @@ def minhash_lsh_pairs(
     # self-joins: posexplode rewrites B join branches (each of which would
     # recompute the signature subtree) into a single shuffle on a uniform
     # md5-derived key.
-    banded = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+    banded = _pin(
+        sig.select(
+            "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+        ),
+        persist,
     )
     cand = (
         banded.alias("a")
@@ -205,8 +233,8 @@ def minhash_lsh_pairs(
     # Verify ONLY the LSH candidates (this is the point of LSH: exact
     # Jaccard cost scales with |candidates|, not with shared-shingle mass
     # over the whole corpus). Intersection size = equi-join of the two
-    # docs' shingle sets restricted to candidate pairs.
-    sh = shingle_index(df, text_col, id_col, n)
+    # docs' shingle sets restricted to candidate pairs — reusing the pinned
+    # index, not a second tokenization pass.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     shared = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")

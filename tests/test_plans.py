@@ -63,6 +63,16 @@ def test_lsh_ops_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_minhash_lsh_pins_shared_subtrees(spark):
+    # the shingle index and banded signatures are persisted, so every branch
+    # reads the cache (InMemoryTableScan) — single tokenization by contract,
+    # not by ReusedExchange luck
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "InMemoryTableScan" in plan
+    plan_j = plan_of(spark, "dedup_ngram_jaccard")
+    assert "InMemoryTableScan" in plan_j
+
+
 def test_asof_single_shuffle_before_window(spark):
     plan = plan_of(spark, "join_asof")
     # union-marker formulation: no join at all, one hashpartitioning on
