@@ -41,17 +41,44 @@ class Compression(IntEnum):
 
 
 class Balancer(str, Enum):
-    """Partitioner selection (config/config.go:40-57). With a key column set,
-    Kafka's default partitioner (murmur2 on key) reproduces the reference's
-    per-key→partition ordering guarantee; alternatives map to
-    ``kafka.partitioner.class`` where the client provides them."""
+    """Partitioner selection (config/config.go:40-57 GetBalancer). The Spark
+    sink produces through the Java client, so each member either maps to a
+    Java-client partitioner or is rejected loudly (matching the reference's
+    panic on an invalid balancer):
+
+    - HASH (the reference default, kafka-go FNV-1a on key) → Java default
+      partitioner. The hash FUNCTION differs (murmur2), so a key may land on
+      a different partition NUMBER than kafka-go would pick, but the contract
+      the reference documents — stable key→partition, per-key ordering —
+      holds identically.
+    - MURMUR2 (kafka-go's Java-compat balancer) → Java default partitioner,
+      byte-for-byte the same placement.
+    - ROUND_ROBIN → org.apache.kafka.clients.producer.RoundRobinPartitioner.
+    - LEAST_BYTES / REFERENCE_HASH / CRC32 have no Java-client equivalent
+      (kafka-go-only / librdkafka-compat): ValueError at config time, not a
+      silent fallback to a different placement policy."""
 
     HASH = "Hash"
     LEAST_BYTES = "LeastBytes"
     ROUND_ROBIN = "RoundRobin"
     REFERENCE_HASH = "ReferenceHash"
-    CRC32 = "CRC32"
-    MURMUR2 = "Murmur2"
+    CRC32 = "CRC32Balancer"
+    MURMUR2 = "Murmur2Balancer"
+
+    @property
+    def partitioner_class(self) -> str | None:
+        """Value for ``kafka.partitioner.class`` (None = client default);
+        raises for members the Java client cannot express."""
+        if self in (Balancer.HASH, Balancer.MURMUR2):
+            return None  # Java default partitioner: murmur2 on key
+        if self is Balancer.ROUND_ROBIN:
+            return "org.apache.kafka.clients.producer.RoundRobinPartitioner"
+        raise ValueError(
+            f"balancer {self.value!r} has no Java-client partitioner; "
+            "use Hash/Murmur2Balancer/RoundRobin, or implement a custom "
+            "org.apache.kafka.clients.producer.Partitioner and set "
+            "kafka.partitioner.class yourself"
+        )
 
 
 _SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(b|kb|mb|gb|tb)?\s*$", re.IGNORECASE)
@@ -113,6 +140,9 @@ class KafkaProducerConfig:
             "includeHeaders": "true",
             "checkpointLocation": checkpoint_location,
         }
+        partitioner = self.balancer.partitioner_class  # raises on unmappable
+        if partitioner is not None:
+            opts["kafka.partitioner.class"] = partitioner
         if self.sasl_enabled:
             proto = "SASL_SSL" if self.tls_enabled else "SASL_PLAINTEXT"
             opts.update(

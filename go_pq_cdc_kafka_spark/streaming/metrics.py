@@ -17,7 +17,8 @@ from __future__ import annotations
 import json
 import threading
 from collections import defaultdict
-from typing import Any
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
 
 from pyspark.sql.streaming import StreamingQueryListener
 
@@ -87,3 +88,82 @@ class EngineMetrics(StreamingQueryListener):
                 "queries": list(self.last_progress),
                 "counters": dict(self.counters),
             }
+
+
+class MetricsServer:
+    """Serve ``GET /metrics`` (Prometheus text) and ``GET /status`` from an
+    :class:`EngineMetrics` on a daemon thread — the reference's HTTP API
+    (README.md:272-276: /status returns 200 when the source connection is
+    healthy; /metrics is the Prometheus endpoint).
+
+    ``readiness`` is the health probe: the reference pings Postgres; the
+    Spark analogue is typically ``lambda: query.isActive``. When it returns
+    False (or raises), /status answers 503 — the shape a k8s readiness probe
+    or the reference's load-balancer check expects. ``port=0`` binds an
+    ephemeral port (read it back from ``.port``)."""
+
+    def __init__(
+        self,
+        metrics: EngineMetrics,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        readiness: Callable[[], bool] | None = None,
+    ) -> None:
+        self.metrics = metrics
+        self.host = host
+        self.port = port
+        self.readiness = readiness
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "MetricsServer":
+        metrics, readiness = self.metrics, self.readiness
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, code: int, content_type: str, body: bytes) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 - http.server API
+                if self.path == "/metrics":
+                    self._reply(
+                        200,
+                        "text/plain; version=0.0.4; charset=utf-8",
+                        metrics.prometheus_text().encode(),
+                    )
+                elif self.path == "/status":
+                    try:
+                        ok = True if readiness is None else bool(readiness())
+                    except Exception:  # noqa: BLE001 - probe failure == not ready
+                        ok = False
+                    payload = dict(metrics.status(), ready=ok)
+                    self._reply(
+                        200 if ok else 503,
+                        "application/json",
+                        json.dumps(payload).encode(),
+                    )
+                else:
+                    self._reply(404, "text/plain", b"not found\n")
+
+            def log_message(self, *args) -> None:  # silence per-request stderr
+                pass
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="metrics-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

@@ -17,6 +17,8 @@ parallelism, exactly like the reference's single-threaded listener).
 
 from __future__ import annotations
 
+import os
+import threading
 from dataclasses import dataclass, field as dc_field
 from typing import Callable
 
@@ -28,6 +30,78 @@ from go_pq_cdc_kafka_spark import handler as H
 from go_pq_cdc_kafka_spark.envelope import filter_known_ops
 from go_pq_cdc_kafka_spark.plans.routing import RoutingTable, resolve_topics
 from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+
+
+# ---------------------------------------------------------------------------
+# single-writer checkpoint guard (M2 failover parity)
+# ---------------------------------------------------------------------------
+
+#: checkpoint dir → the query currently writing through it (this process).
+_ACTIVE_WRITERS: dict[str, StreamingQuery] = {}
+_WRITERS_LOCK = threading.Lock()
+_LOCK_FILE = "_writer.lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
+def _acquire_checkpoint(checkpoint_location: str) -> str:
+    """Refuse a second concurrent writer on one checkpoint dir.
+
+    The reference's replication slot admits exactly one streamer — a second
+    instance blocks until it can take the slot over (README.md:36-42). Spark
+    has no broker-side arbiter, and two queries sharing a checkpoint corrupt
+    offsets silently, so this guard enforces the slot semantics at start
+    time: in-process via the active-writer registry, cross-process via a pid
+    lock file inside the checkpoint dir (a lock held by a dead pid counts as
+    released — that IS the takeover path)."""
+    path = os.path.abspath(checkpoint_location)
+    with _WRITERS_LOCK:
+        q = _ACTIVE_WRITERS.get(path)
+        if q is not None and q.isActive:
+            raise RuntimeError(
+                f"checkpoint {path!r} already has an active writer "
+                f"(query id {q.id}); stop it before starting another — "
+                "one checkpoint dir admits one writer, like the reference's "
+                "replication slot (README.md:36-42)"
+            )
+        lock_path = os.path.join(path, _LOCK_FILE)
+        if os.path.exists(lock_path):
+            try:
+                with open(lock_path) as f:
+                    holder = int(f.read().split()[0])
+            except (ValueError, OSError, IndexError):
+                holder = None
+            if holder is not None and holder != os.getpid() and _pid_alive(holder):
+                raise RuntimeError(
+                    f"checkpoint {path!r} is locked by live process {holder}; "
+                    "refusing a second writer (dead holders are taken over "
+                    "automatically)"
+                )
+        os.makedirs(path, exist_ok=True)
+        with open(lock_path, "w") as f:
+            f.write(f"{os.getpid()}\n")
+    return path
+
+
+def _guarded_start(
+    checkpoint_location: str, start: Callable[[], StreamingQuery]
+) -> StreamingQuery:
+    path = _acquire_checkpoint(checkpoint_location)
+    try:
+        query = start()
+    except BaseException:
+        with _WRITERS_LOCK:
+            _ACTIVE_WRITERS.pop(path, None)
+        raise
+    with _WRITERS_LOCK:
+        _ACTIVE_WRITERS[path] = query
+    return query
 
 
 def ordered_records(batch_df: DataFrame, order_col: str = "lsn") -> DataFrame:
@@ -98,11 +172,14 @@ class CdcPipeline:
             )
         writer_opts = cfg.sink_options(checkpoint_location)
         if not strict_order:
-            return (
-                rec.writeStream.format("kafka")
-                .options(**writer_opts)
-                .trigger(**cfg.trigger_kwargs())
-                .start()
+            return _guarded_start(
+                checkpoint_location,
+                lambda: (
+                    rec.writeStream.format("kafka")
+                    .options(**writer_opts)
+                    .trigger(**cfg.trigger_kwargs())
+                    .start()
+                ),
             )
 
         # strict WAL order: carry lsn, sort + single-task produce per batch
@@ -120,11 +197,14 @@ class CdcPipeline:
                 .save()
             )
 
-        return (
-            rec.writeStream.foreachBatch(produce_sorted)
-            .option("checkpointLocation", checkpoint_location)
-            .trigger(**cfg.trigger_kwargs())
-            .start()
+        return _guarded_start(
+            checkpoint_location,
+            lambda: (
+                rec.writeStream.foreachBatch(produce_sorted)
+                .option("checkpointLocation", checkpoint_location)
+                .trigger(**cfg.trigger_kwargs())
+                .start()
+            ),
         )
 
     def to_parquet(
@@ -140,7 +220,7 @@ class CdcPipeline:
         )
         if trigger:
             w = w.trigger(**trigger)
-        return w.start()
+        return _guarded_start(checkpoint_location, w.start)
 
     def to_memory(self, name: str, trigger: dict | None = None) -> StreamingQuery:
         w = self.records().writeStream.format("memory").queryName(name)

@@ -17,11 +17,12 @@ from go_pq_cdc_kafka_spark.sources.snapshot import (
     snapshot_from_parquet,
 )
 from go_pq_cdc_kafka_spark.streaming.kafka import (
+    Balancer,
     Compression,
     KafkaProducerConfig,
     parse_size,
 )
-from go_pq_cdc_kafka_spark.streaming.metrics import EngineMetrics
+from go_pq_cdc_kafka_spark.streaming.metrics import EngineMetrics, MetricsServer
 from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
 
 
@@ -169,6 +170,105 @@ def test_kafka_config_parity():
     assert "SCRAM-SHA-512" == o["kafka.sasl.mechanism"]
     assert o["kafka.compression.type"] == "zstd"
     assert o["kafka.acks"] == "all"
+
+
+def test_metrics_http_endpoints(spark, tmp_path):
+    """The reference HTTP API (README.md:272-276): /metrics serves Prometheus
+    text; /status answers 200 while the source is healthy, 503 after."""
+    import urllib.error
+    import urllib.request
+
+    m = EngineMetrics()
+    spark.streams.addListener(m)
+    srv = None
+    try:
+        base = users(spark, 1, 4)
+        log = cl.generate_table_changelog(base, "id", "users")
+        path = str(tmp_path / "log")
+        cl.write_changelog(log, path, num_files=2)
+        pipe = CdcPipeline(
+            source=cl.read_changelog_stream(spark, path),
+            routing=ROUTING,
+            pk_field="id",
+        )
+        q = pipe.to_memory("http_metrics_sink")
+        srv = MetricsServer(m, readiness=lambda: q.isActive).start()
+        q.processAllAvailable()
+        deadline = time.time() + 10
+        while time.time() < deadline and not m.counters:
+            time.sleep(0.2)
+
+        url = f"http://127.0.0.1:{srv.port}"
+        text = urllib.request.urlopen(f"{url}/metrics").read().decode()
+        assert "go_pq_cdc_kafka_spark_query_started_total" in text
+        assert "# TYPE" in text  # Prometheus exposition format
+
+        st = json.loads(urllib.request.urlopen(f"{url}/status").read())
+        assert st["ready"] is True and st["counters"]
+
+        q.stop()
+        with pytest.raises(urllib.error.HTTPError) as not_ready:
+            urllib.request.urlopen(f"{url}/status")
+        assert not_ready.value.code == 503
+        with pytest.raises(urllib.error.HTTPError) as missing:
+            urllib.request.urlopen(f"{url}/nope")
+        assert missing.value.code == 404
+    finally:
+        if srv is not None:
+            srv.stop()
+        spark.streams.removeListener(m)
+
+
+def test_balancer_partitioner_parity():
+    """config/config.go:40-57 GetBalancer, over every enum member: mappable
+    balancers set kafka.partitioner.class (or use the client default);
+    unmappable ones raise at config time like the reference's panic."""
+    default_opts = KafkaProducerConfig(brokers=["b"]).sink_options("/c")
+    assert "kafka.partitioner.class" not in default_opts  # HASH → client default
+
+    m2 = KafkaProducerConfig(brokers=["b"], balancer=Balancer.MURMUR2)
+    assert "kafka.partitioner.class" not in m2.sink_options("/c")
+
+    rr = KafkaProducerConfig(brokers=["b"], balancer=Balancer.ROUND_ROBIN)
+    assert (
+        rr.sink_options("/c")["kafka.partitioner.class"]
+        == "org.apache.kafka.clients.producer.RoundRobinPartitioner"
+    )
+
+    for unmappable in (Balancer.LEAST_BYTES, Balancer.REFERENCE_HASH, Balancer.CRC32):
+        cfg = KafkaProducerConfig(brokers=["b"], balancer=unmappable)
+        with pytest.raises(ValueError):
+            cfg.sink_options("/c")
+
+
+def test_checkpoint_guard_refuses_second_writer(spark, tmp_path):
+    """One checkpoint dir admits one writer (the reference's slot-takeover
+    rule, README.md:36-42): a concurrent second pipeline raises; after the
+    first stops, the checkpoint is free again."""
+    path = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    base = users(spark, 1, 6)
+    cl.write_changelog(cl.generate_table_changelog(base, "id", "users"), path)
+
+    def pipe():
+        return CdcPipeline(
+            source=cl.read_changelog_stream(spark, path),
+            routing=ROUTING,
+            pk_field="id",
+        )
+
+    q1 = pipe().to_parquet(str(tmp_path / "out1"), ckpt)
+    try:
+        with pytest.raises(RuntimeError, match="active writer"):
+            pipe().to_parquet(str(tmp_path / "out2"), ckpt)
+    finally:
+        q1.processAllAvailable()
+        q1.stop()
+
+    # takeover after the holder stops
+    q2 = pipe().to_parquet(str(tmp_path / "out1"), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
 
 
 def test_size_parsing_reference_styles():
