@@ -290,9 +290,11 @@ def ivf_assign(
     id_col: str,
     vec: str,
     out_id: str,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
-    score every (vector, centroid) pair, keep the argmax-cosine centroid.
+    score every (vector, centroid) pair, keep the ``nprobe`` best-cosine
+    centroids (1 for indexing; >1 on the query side widens the probe).
     One map-side broadcast join + one shuffle on the vector id."""
     cents = centroids.select(
         F.col("centroid_id"),
@@ -319,7 +321,7 @@ def ivf_assign(
             ).alias("_ccos"),
         )
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(
             F.col("_aid").alias(out_id),
             F.col("_av").alias(vec),
@@ -327,6 +329,52 @@ def ivf_assign(
             F.col("centroid_id").alias("cluster"),
         )
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer.
+
+    Seeded from the first ``n_centroids`` vectors by id (reproducible, no
+    RNG), then ``iters`` rounds of: broadcast the centroid table, assign
+    every vector to its argmax-cosine centroid, recompute each centroid as
+    the elementwise mean of its members. Per round the corpus is touched
+    once (broadcast join + one posexplode aggregation keyed by
+    (cluster, position) — ``K·dim`` groups); only the K×dim centroid table
+    is collected to the driver, never corpus rows. Trained centroids fix the
+    hot-cluster skew of raw first-N seeding: cluster populations track the
+    data distribution, so inverted lists stay balanced at scale."""
+    cents = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).cast("long").alias("centroid_id"),
+        F.col(vec).alias("centroid_vec"),
+    )
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec, "_m_id")
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid_vec")
+            )
+            .select(F.col("cluster").cast("long").alias("centroid_id"), "centroid_vec")
+        )
+        rows = means.collect()  # K×dim only — the centroid table, not data
+        cents = spark.createDataFrame(
+            [(r.centroid_id, [float(x) for x in r.centroid_vec]) for r in rows],
+            "centroid_id long, centroid_vec array<double>",
+        )
+    return cents
 
 
 def ivf_topk(
@@ -337,18 +385,31 @@ def ivf_topk(
     n_centroids: int = 8,
     q_id: str = "vec_id",
     vec: str = "embedding",
+    nprobe: int = 1,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """IVF ANN top-k with nprobe=1: centroids are the first ``n_centroids``
-    corpus vectors by id (deterministic k-means-free seeding); every vector
-    is inverted-file-indexed under its nearest centroid; a query scores only
-    its own cluster's list. Cluster id is the join/shuffle key — at scale
-    the corpus is hash-partitioned by cluster and each probe touches one
-    partition's worth of vectors."""
-    centroids = corpus.orderBy(q_id).limit(n_centroids).select(
-        F.col(q_id).alias("centroid_id"), F.col(vec).alias("centroid_vec")
-    )
+    """IVF ANN top-k: every corpus vector is inverted-file-indexed under its
+    nearest centroid; a query scores only its ``nprobe`` nearest clusters'
+    lists. Cluster id is the join/shuffle key — at scale the corpus is
+    hash-partitioned by cluster and each probe touches one partition's worth
+    of vectors.
+
+    ``train_iters=0`` uses the first ``n_centroids`` corpus vectors by id as
+    centroids (deterministic, SQL-expressible — the oracle-parity
+    configuration). ``train_iters>0`` runs that seed through Lloyd rounds
+    (:func:`train_centroids`), which balances inverted lists and lifts
+    recall; raise ``nprobe`` to trade probe cost for recall (each extra
+    probe scores one more cluster's list)."""
+    if train_iters > 0:
+        centroids = train_centroids(corpus, n_centroids, train_iters, q_id, vec)
+    else:
+        centroids = corpus.orderBy(q_id).limit(n_centroids).select(
+            F.col(q_id).alias("centroid_id"), F.col(vec).alias("centroid_vec")
+        )
     c_assigned = ivf_assign(corpus, centroids, q_id, vec, "neighbor_id")
-    q_assigned = ivf_assign(queries, centroids, q_id, vec, "query_id").select(
+    q_assigned = ivf_assign(
+        queries, centroids, q_id, vec, "query_id", nprobe=nprobe
+    ).select(
         "query_id", F.col(vec).alias("_qv"), F.col("_vnorm").alias("_qn"), "cluster"
     )
     scored = c_assigned.join(F.broadcast(q_assigned), "cluster").select(

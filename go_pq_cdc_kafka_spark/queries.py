@@ -1168,6 +1168,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+@register(
+    "sim_ivf_trained_topk",
+    oracle=None,  # iterative Lloyd training isn't single-statement SQL;
+    # recall@5 >= 0.9 vs exact ground truth is asserted in
+    # tests/test_training_ops.py::test_ivf_trained_centroids_recall
+    category="similarity",
+    description="IVF ANN top-5 with k-means-trained centroids (3 Lloyd "
+    "rounds, nprobe=2): the production-shape coarse quantizer — balanced "
+    "inverted lists, probe-cost/recall dial.",
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        dim=64,
+        k=5,
+        n_centroids=8,
+        nprobe=2,
+        train_iters=3,
+    ).orderBy("query_id", "rk")
+
+
 from go_pq_cdc_kafka_spark.streaming import windows as W  # noqa: E402
 
 
