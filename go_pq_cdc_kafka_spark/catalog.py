@@ -46,6 +46,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that planned fewer partitions than the
+    session's parallelism — the small-file/single-row-group case, where one
+    task would otherwise run the whole CPU-heavy downstream map (tokenizing
+    every document serially on one core while 31 idle).
+
+    At production scale the input's own splits exceed the core count and
+    this is a no-op, so the full-payload shuffle is only ever paid when the
+    data is small enough for it to be cheap."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

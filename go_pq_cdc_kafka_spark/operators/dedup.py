@@ -156,17 +156,36 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _mh(p: int):
-    """Permutation-p min-hash of a shingle: 15-hex-char md5 prefix keyed by
-    the permutation id; fixed-length lowercase hex ⇒ lexicographic MIN is
-    numeric MIN, so no integer parsing is needed anywhere."""
-    return F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 15))
+#: Universal-hash permutation family over a 30-bit base hash:
+#: ``mh_p = (A_p * h30 + B_p) mod M`` with M = 2^31-1 (prime) and constants
+#: derived from md5 of the permutation id — ONE md5 per shingle row instead
+#: of one per (shingle, permutation), which made signatures the hot stage
+#: (P=16 ⇒ 16× the md5 work). A_p ≤ 2^28 and h30 < 2^30 keep the product
+#: < 2^58: exact BIGINT arithmetic in both Spark and DuckDB.
+_MH_MOD = 2_147_483_647
+_H30 = 1 << 30
+
+
+def _mh_consts(p: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"a{p}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"b{p}".encode()).hexdigest()[:7], 16)
+    return a, b
 
 
 def _signatures_from_index(sh: DataFrame, num_perms: int) -> DataFrame:
-    return sh.groupBy("doc_id").agg(
-        *[_mh(p).alias(f"mh{p}") for p in range(num_perms)]
-    )
+    h30 = (T.hash64(F.col("shingle")) % F.lit(_H30)).alias("h30")
+    hashed = sh.select("doc_id", h30)
+    aggs = []
+    for p in range(num_perms):
+        a, b = _mh_consts(p)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h30") + F.lit(b)) % F.lit(_MH_MOD)).alias(
+                f"mh{p}"
+            )
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -260,8 +279,11 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     r = num_perms // bands
     sh = T.shingles_sql("text", n)
+    h30 = f"({T.hash64_sql('shingle')} % {_H30})"
     mh_cols = ",\n    ".join(
-        f"MIN(substr(md5(concat('{p}:', shingle)), 1, 15)) AS mh{p}"
+        "MIN(({a} * {h} + {b}) % {m}) AS mh{p}".format(
+            a=_mh_consts(p)[0], b=_mh_consts(p)[1], h=h30, m=_MH_MOD, p=p
+        )
         for p in range(num_perms)
     )
     band_cols = ",\n    ".join(

@@ -23,7 +23,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from go_pq_cdc_kafka_spark.catalog import load_table
+from go_pq_cdc_kafka_spark.catalog import load_table, spread_small_scan
 
 
 @dataclass(frozen=True)
@@ -900,7 +900,7 @@ ORDER BY fp
     description="Bag-fingerprint document hashing (exact-dedup groups).",
 )
 def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.dup_groups(d).orderBy("fp")
 
 
@@ -920,7 +920,7 @@ SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id
     description="Exact dedup: lowest-id survivor per fingerprint.",
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.exact_dedup(d).select("doc_id", "fp").orderBy("doc_id")
 
 
@@ -932,7 +932,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle index (no all-pairs scan).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
@@ -944,7 +944,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard verification.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.minhash_lsh_pairs(
         d, num_perms=16, bands=4, threshold=0.5
     ).orderBy("doc_a", "doc_b")
@@ -957,7 +957,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="32-bit SimHash fingerprints from token-bit majority votes.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.simhash(d, bits=32).orderBy("doc_id")
 
 

@@ -112,11 +112,12 @@ def test_pivot_skips_distinct_scan(spark):
 
 def test_simhash_single_aggregation_shuffle(spark):
     plan = plan_of(spark, "dedup_simhash")
-    # bit votes fold into ONE groupBy(doc_id): the only exchanges allowed are
-    # the aggregation's hashpartitioning and the final output sort
-    # ("Exchange (" matches tree lines only — details repeat each node)
-    assert plan.count("Exchange (") <= 2
-    assert plan.count("hashpartitioning(doc_id") >= 1
+    # bit votes fold into ONE groupBy(doc_id): exactly one hashpartitioning
+    # for the aggregation, plus the output sort and (small-input-only) the
+    # scan-spreading round-robin — the per-bit-explode regression this test
+    # guards against would show a second hashpartitioning
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange (") <= 3
 
 
 def test_unpivot_no_shuffle_before_sort(spark):
