@@ -133,21 +133,40 @@ def register(spark) -> None:
 class PostgresReplicationClient:
     """Production interface for a real logical-replication tail.
 
-    A deployment provides a replication-capable driver and implements
-    ``events(start_lsn)`` yielding envelope dicts decoded from pgoutput
-    (the role go-pq-cdc plays for the reference, go.mod:6). The Spark-side
+    The pgoutput DECODING layer is fully implemented
+    (:mod:`~go_pq_cdc_kafka_spark.sources.pgoutput` — the role go-pq-cdc
+    plays for the reference, go.mod:6); what a deployment must provide is
+    only the TRANSPORT: a ``frame_source`` callable yielding raw CopyData
+    frames from ``START_REPLICATION SLOT ... LOGICAL`` (any libpq binding
+    with replication-connection support works). No such driver/server ships
+    in this environment, so without one ``events()`` raises. The Spark-side
     plumbing (offsets, checkpointing, schema) is identical to
     :class:`WalFileStreamReader` — only the byte source differs.
     """
 
-    def __init__(self, dsn: str, slot: str, publication: str) -> None:
+    def __init__(
+        self,
+        dsn: str,
+        slot: str,
+        publication: str,
+        frame_source=None,  # Callable[[int], Iterator[bytes]] | None
+    ) -> None:
         self.dsn, self.slot, self.publication = dsn, slot, publication
+        self.frame_source = frame_source
 
     def events(self, start_lsn: int) -> Iterator[dict]:
-        raise NotImplementedError(
-            "no replication-capable Postgres driver in this environment; "
-            "see WalFileDataSource for the offset/checkpoint contract"
-        )
+        if self.frame_source is None:
+            raise NotImplementedError(
+                "no replication-capable Postgres driver in this environment; "
+                "pass frame_source=... (raw CopyData frames) — decoding is "
+                "handled by sources.pgoutput; see WalFileDataSource for the "
+                "offset/checkpoint contract"
+            )
+        from go_pq_cdc_kafka_spark.sources import pgoutput as PO
+
+        for ev in PO.decode_replication_stream(self.frame_source(start_lsn)):
+            if ev["lsn"] > start_lsn:
+                yield ev
 
 
 def write_wal_jsonl(events: list[dict], path: str, append: bool = True) -> None:

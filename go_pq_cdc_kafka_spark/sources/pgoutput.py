@@ -1,0 +1,318 @@
+"""pgoutput logical-replication wire decoder (the production byte source).
+
+Pure-Python decoder for PostgreSQL's ``pgoutput`` output plugin format —
+the public wire format documented in the PostgreSQL protocol chapter
+("Logical Replication Message Formats", protocol version 1) plus the
+COPY-BOTH streaming frames (``XLogData`` / ``Primary keepalive``) that carry
+it. This is the byte-level role the go-pq-cdc dependency plays for the
+reference (go.mod:6; connector.go:9-17 receives already-decoded events): the
+reference never parses these bytes itself, so this module is built from the
+PostgreSQL docs, not from reference code.
+
+Decoding runs driver-side inside the streaming source reader (a replication
+slot is a single ordered stream — no intra-source parallelism exists to
+exploit; Spark distributes everything downstream of the envelope), which is
+the same place the reference pays its per-message decode cost.
+
+Output is the dynamic envelope contract (envelope.dynamic_envelope_schema):
+``op/event_time/lsn/table_namespace/table_name/before/after`` with map
+images, so everything downstream (handler → routing → records) is byte-
+identical to the file-replay source path.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+#: PostgreSQL timestamps count microseconds from 2000-01-01T00:00:00Z.
+PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+#: TupleData column marker for an unchanged TOAST value: the broker did not
+#: send the bytes. With REPLICA IDENTITY FULL the old image carries the
+#: value; otherwise it is genuinely unavailable (rendered as None).
+UNCHANGED_TOAST = object()
+
+
+def pg_timestamp(micros: int) -> datetime:
+    return PG_EPOCH + timedelta(microseconds=micros)
+
+
+@dataclass
+class RelationColumn:
+    name: str
+    type_oid: int
+    atttypmod: int
+    is_key: bool
+
+
+@dataclass
+class Relation:
+    relid: int
+    namespace: str
+    name: str
+    replica_identity: str  # 'd' default | 'n' nothing | 'f' full | 'i' index
+    columns: list[RelationColumn] = field(default_factory=list)
+
+    @property
+    def key_columns(self) -> list[str]:
+        return [c.name for c in self.columns if c.is_key]
+
+
+class _Reader:
+    """Cursor over one message buffer (big-endian, per the PG protocol)."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def u8(self) -> int:
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def byte(self) -> str:
+        return chr(self.u8())
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.pos)
+        self.pos += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def cstring(self) -> str:
+        end = self.buf.index(b"\x00", self.pos)
+        s = self.buf[self.pos : end].decode("utf-8")
+        self.pos = end + 1
+        return s
+
+    def take(self, n: int) -> bytes:
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+
+def _tuple_data(r: _Reader, rel: Relation) -> dict[str, object]:
+    """TupleData → {column: str | None | UNCHANGED_TOAST}. Text-mode values
+    ('t') decode as UTF-8 strings; binary-mode ('b') values are kept as raw
+    bytes (pgoutput only sends 'b' when the subscriber asked for binary)."""
+    ncols = r.i16()
+    out: dict[str, object] = {}
+    for i in range(ncols):
+        kind = r.byte()
+        name = rel.columns[i].name if i < len(rel.columns) else f"_col{i}"
+        if kind == "n":
+            out[name] = None
+        elif kind == "u":
+            out[name] = UNCHANGED_TOAST
+        elif kind == "t":
+            out[name] = r.take(r.i32()).decode("utf-8")
+        elif kind == "b":
+            out[name] = bytes(r.take(r.i32()))
+        else:
+            raise ValueError(f"unknown TupleData column kind {kind!r}")
+    return out
+
+
+def _resolve_toast(
+    new: dict[str, object], old: dict[str, object] | None
+) -> dict[str, object]:
+    """Fill unchanged-TOAST markers from the old image when present (REPLICA
+    IDENTITY FULL), else None — the same materialization rule CDC consumers
+    (e.g. Debezium) apply."""
+    out = {}
+    for k, v in new.items():
+        if v is UNCHANGED_TOAST:
+            ov = (old or {}).get(k)
+            out[k] = None if ov is UNCHANGED_TOAST else ov
+        else:
+            out[k] = v
+    return out
+
+
+@dataclass
+class TxState:
+    commit_ts: datetime | None = None
+    xid: int | None = None
+
+
+class PgOutputDecoder:
+    """Stateful decoder: Relation messages build the relid→schema registry
+    (pgoutput sends each relation once per connection before first use);
+    Begin/Commit bracket transactions and stamp event_time with the commit
+    timestamp; Insert/Update/Delete/Truncate yield envelope dicts."""
+
+    def __init__(self) -> None:
+        self.relations: dict[int, Relation] = {}
+        self.tx = TxState()
+
+    # -- message decode -----------------------------------------------------
+
+    def decode(self, lsn: int, buf: bytes) -> list[dict]:
+        """Decode ONE pgoutput message; returns 0..n envelope events (n>1
+        only for Truncate over several relations)."""
+        r = _Reader(buf)
+        tag = r.byte()
+        if tag == "B":  # Begin: final_lsn, commit_ts, xid
+            r.i64()
+            self.tx = TxState(commit_ts=pg_timestamp(r.i64()), xid=r.i32())
+            return []
+        if tag == "C":  # Commit: flags, commit_lsn, end_lsn, commit_ts
+            self.tx = TxState()
+            return []
+        if tag == "R":
+            relid = r.i32()
+            rel = Relation(
+                relid=relid,
+                namespace=r.cstring() or "pg_catalog",
+                name=r.cstring(),
+                replica_identity=r.byte(),
+            )
+            for _ in range(r.i16()):
+                flags = r.u8()
+                rel.columns.append(
+                    RelationColumn(
+                        name=r.cstring(),
+                        type_oid=r.i32(),
+                        atttypmod=r.i32(),
+                        is_key=bool(flags & 1),
+                    )
+                )
+            self.relations[relid] = rel
+            return []
+        if tag in ("Y", "O", "M"):  # Type / Origin / logical Message: no rows
+            return []
+        if tag == "I":
+            rel = self._rel(r.i32())
+            marker = r.byte()
+            if marker != "N":
+                raise ValueError(f"INSERT expected 'N' tuple, got {marker!r}")
+            after = _resolve_toast(_tuple_data(r, rel), None)
+            return [self._event("INSERT", lsn, rel, None, after)]
+        if tag == "U":
+            rel = self._rel(r.i32())
+            marker = r.byte()
+            old = None
+            if marker in ("K", "O"):
+                old = _tuple_data(r, rel)
+                marker = r.byte()
+            if marker != "N":
+                raise ValueError(f"UPDATE expected 'N' tuple, got {marker!r}")
+            new = _resolve_toast(_tuple_data(r, rel), old)
+            before = _resolve_toast(old, None) if old is not None else None
+            return [self._event("UPDATE", lsn, rel, before, new)]
+        if tag == "D":
+            rel = self._rel(r.i32())
+            marker = r.byte()
+            if marker not in ("K", "O"):
+                raise ValueError(f"DELETE expected 'K'/'O' tuple, got {marker!r}")
+            before = _resolve_toast(_tuple_data(r, rel), None)
+            return [self._event("DELETE", lsn, rel, before, None)]
+        if tag == "T":
+            nrels = r.i32()
+            r.u8()  # option bits (CASCADE / RESTART IDENTITY)
+            events = []
+            for _ in range(nrels):
+                rel = self._rel(r.i32())
+                events.append(self._event("TRUNCATE", lsn, rel, None, None))
+            return events
+        raise ValueError(f"unknown pgoutput message tag {tag!r}")
+
+    def _rel(self, relid: int) -> Relation:
+        rel = self.relations.get(relid)
+        if rel is None:
+            raise ValueError(
+                f"data message for unknown relation {relid} — pgoutput sends "
+                "Relation before first use; stream is corrupt or resumed "
+                "mid-connection"
+            )
+        return rel
+
+    def _event(
+        self,
+        op: str,
+        lsn: int,
+        rel: Relation,
+        before: dict | None,
+        after: dict | None,
+    ) -> dict:
+        ts = self.tx.commit_ts
+        return {
+            "op": op,
+            "event_time": ts.isoformat() if ts else None,
+            "lsn": lsn,
+            "table_namespace": rel.namespace,
+            "table_name": rel.name,
+            "before": _stringify(before),
+            "after": _stringify(after),
+        }
+
+
+def _stringify(img: dict | None) -> dict[str, str | None] | None:
+    if img is None:
+        return None
+    return {
+        k: (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)
+        for k, v in img.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# COPY-BOTH streaming frames (the replication-connection envelope)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Keepalive:
+    wal_end: int
+    server_ts: datetime
+    reply_requested: bool
+
+
+def decode_copy_frame(frame: bytes) -> tuple[int, bytes] | Keepalive:
+    """One CopyData payload from a START_REPLICATION connection:
+
+    - ``'w'`` XLogData: wal_start i64, wal_end i64, server_ts i64, message —
+      returns ``(wal_start, pgoutput_message_bytes)``
+    - ``'k'`` Primary keepalive: wal_end i64, server_ts i64, reply u8 —
+      returns :class:`Keepalive` (callers answer with a standby status
+      update carrying the flushed LSN: that ack is what advances the slot,
+      the contract Spark's checkpoint commit mirrors)."""
+    r = _Reader(frame)
+    tag = r.byte()
+    if tag == "w":
+        wal_start = r.i64()
+        r.i64()
+        r.i64()
+        return wal_start, frame[r.pos :]
+    if tag == "k":
+        return Keepalive(
+            wal_end=r.i64(),
+            server_ts=pg_timestamp(r.i64()),
+            reply_requested=bool(r.u8()),
+        )
+    raise ValueError(f"unknown replication frame tag {tag!r}")
+
+
+def decode_replication_stream(
+    frames: Iterator[bytes], decoder: PgOutputDecoder | None = None
+) -> Iterator[dict]:
+    """Raw CopyData frames → envelope events (keepalives are skipped; the
+    transport layer owns status-update replies)."""
+    decoder = decoder or PgOutputDecoder()
+    for frame in frames:
+        decoded = decode_copy_frame(frame)
+        if isinstance(decoded, Keepalive):
+            continue
+        lsn, msg = decoded
+        yield from decoder.decode(lsn, msg)
