@@ -156,16 +156,23 @@ def sample_frames(
     """Frame sampling plumbing (1→N rows per video payload): deterministic
     byte-window 'frames' stand in for real keyframe extraction."""
 
+    # iterate zipped column arrays, never pdf.iterrows(): iterrows builds a
+    # Series per row (~100× slower) and the pattern would be copied verbatim
+    # when a real keyframe decoder replaces the md5 stand-in
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_md5": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
+            ids: list[int] = []
+            frame_nos: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
+                payload = bytes(payload)
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     window = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    out["doc_id"].append(int(row[id_col]))
-                    out["frame_no"].append(i)
-                    out["frame_md5"].append(hashlib.md5(window).hexdigest())
-            yield pd.DataFrame(out)
+                    ids.append(int(doc_id))
+                    frame_nos.append(i)
+                    md5s.append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_nos, "frame_md5": md5s}
+            )
 
     return df.mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -40,6 +40,20 @@ def test_dim_joins_broadcast(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_composites_broadcast_dims_single_fact_shuffle(spark):
+    for name in (
+        "composite_shipping_priority",
+        "composite_local_supplier_volume",
+        "composite_returned_items",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the only sort-merge-eligible join is orders⋈lineitem; everything
+        # dimension-shaped must broadcast, never shuffle
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
 def test_agg_partial_final(spark):
     plan = plan_of(spark, "agg_pricing_summary")
     # Catalyst splits groupBy().agg() into partial + final hash aggregates
