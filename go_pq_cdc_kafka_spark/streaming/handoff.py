@@ -1,0 +1,108 @@
+"""Snapshot → CDC handoff: the reference's ``initial`` mode, orchestrated.
+
+Reference contract (README.md:44-54; snapshot.go flow): record the slot's
+WAL position BEFORE the snapshot, run the chunked snapshot, then stream
+changes from the recorded position. Events committed while the snapshot ran
+are replayed (their LSN is past the recorded position), so nothing is
+missed; the overlap window is absorbed by at-least-once consumers (or the
+LWW materialization, operators.relational) exactly as in the reference.
+
+Spark shape: the snapshot is a bounded run of the SAME record lineage
+(CdcPipeline.run_batch), the stream is the pgwal source started at the
+recorded LSN, and both write through one sink path so downstream consumers
+see one continuous feed."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
+
+
+def wal_position(wal_path: str) -> int:
+    """Current end-of-WAL position of a JSONL WAL file (the file-tail
+    analogue of ``pg_current_wal_lsn()``); -1 for a missing/empty log so a
+    subsequent stream starts from the very first event."""
+    pos = -1
+    if not os.path.exists(wal_path):
+        return pos
+    with open(wal_path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                pos = max(pos, json.loads(line)["lsn"])
+    return pos
+
+
+@dataclass
+class InitialLoad:
+    """Result of :func:`snapshot_then_stream`: the recorded handoff LSN, the
+    number of snapshot records landed, and the live CDC query (caller owns
+    stopping it)."""
+
+    handoff_lsn: int
+    snapshot_records: int
+    query: StreamingQuery
+
+
+def snapshot_then_stream(
+    spark: SparkSession,
+    snapshot_source: DataFrame,
+    wal_path: str,
+    routing: RoutingTable,
+    pk_field: str,
+    out_path: str,
+    checkpoint_location: str,
+    max_events_per_batch: int = 1000,
+) -> InitialLoad:
+    """Run ``initial`` mode into a parquet sink.
+
+    1. Record the WAL position (BEFORE the snapshot — the no-gap rule).
+    2. Land the bounded snapshot through the full record lineage.
+    3. Start the stream from the recorded LSN into the same sink path.
+
+    The stream replays any event with lsn > handoff_lsn, including ones
+    committed while step 2 ran."""
+    handoff_lsn = wal_position(wal_path)
+
+    snap_pipe = CdcPipeline(
+        source=snapshot_source, routing=routing, pk_field=pk_field
+    )
+    snap_records = snap_pipe.run_batch()
+    snap_records.write.mode("append").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+
+    from go_pq_cdc_kafka_spark.sources import cdc
+
+    cdc.register(spark)
+    stream = (
+        spark.readStream.format(cdc.FORMAT_NAME)
+        .option("path", wal_path)
+        .option("startLsn", handoff_lsn)
+        .option("maxEventsPerBatch", max_events_per_batch)
+        .load()
+    )
+    cdc_pipe = CdcPipeline(source=stream, routing=routing, pk_field=pk_field)
+
+    # foreachBatch plain-append instead of the parquet streaming sink: the
+    # streaming sink's _spark_metadata transaction log makes readers ignore
+    # any file it didn't write — which would hide the batch-written snapshot
+    # files sharing this directory. Plain appends keep ONE directory readable
+    # across both phases; delivery is at-least-once on failure replay, the
+    # reference's own contract (ack-after-flush, producer_batch.go:141-151).
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    query = (
+        cdc_pipe.records()
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+    return InitialLoad(handoff_lsn=handoff_lsn, snapshot_records=n, query=query)
