@@ -1816,3 +1816,178 @@ def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+       CAST(o_orderkey << 2 AS BIGINT) AS shifted_l,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shifted_r,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+    category="functions",
+    description="Bitwise function family: and/or/xor/shifts/popcount — "
+    "partition-id packing and bitmap tricks a pipeline engine needs.",
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.filter(k < 200)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+            k.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+            F.shiftleft(k, 2).cast("long").alias("shifted_l"),
+            F.shiftright(k, 3).cast("long").alias("shifted_r"),
+            F.bit_count(k).cast("int").alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "func_conditional",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_folded,
+       LEAST(c_acctbal, 5000.0) AS capped_bal,
+       GREATEST(c_acctbal, 0.0) AS floored_bal,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       IF(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+    category="functions",
+    description="Conditional/null family: coalesce, nullif, least/greatest, "
+    "CASE, if — the null-taming layer of every ETL projection.",
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        c.filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+            ).alias("segment_folded"),
+            F.least(bal, F.lit(5000.0)).alias("capped_bal"),
+            F.greatest(bal, F.lit(0.0)).alias("floored_bal"),
+            F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias(
+                "bal_band"
+            ),
+            F.when(F.col("c_nationkey") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("nation_parity"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "func_regexp",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '#(\\d+)', 1) AS cust_num,
+       regexp_replace(c_name, '\\d', '', 'g') AS letters_only,
+       regexp_matches(c_name, '^Customer#0*1?\\d$') AS tiny_id,
+       CAST(length(regexp_replace(c_name, '[^0]', '', 'g')) AS INTEGER) AS zero_count
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+    category="functions",
+    description="Regexp family: extract/replace/match over an "
+    "engine-portable pattern subset (no lookaround, explicit classes).",
+)
+def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return (
+        c.filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.regexp_extract(name, r"#(\d+)", 1).alias("cust_num"),
+            F.regexp_replace(name, r"\d", "").alias("letters_only"),
+            name.rlike(r"^Customer#0*1?\d$").alias("tiny_id"),
+            F.length(F.regexp_replace(name, r"[^0]", "")).cast("int").alias(
+                "zero_count"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "composite_corpus_curation",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text,
+{T.QUALITY_SQL.format(c="text")}
+  FROM documents
+),
+enriched AS (
+  SELECT doc_id,
+         ROUND(quality_score, 9) AS q,
+         {T.lang_id_sql("text")} AS lang_pred,
+         {T.BAG_FINGERPRINT_SQL.format(c="text")} AS fp
+  FROM scored
+),
+kept AS (SELECT * FROM enriched WHERE q >= 0.25),
+survivors AS (
+  SELECT lang_pred, q,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(q, 6) AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+FROM survivors
+WHERE rn = 1
+GROUP BY lang_pred
+ORDER BY lang_pred
+""",
+    category="composite",
+    description="Corpus-curation pipeline: quality-score filter → language "
+    "ID → exact dedup (lowest-id survivor) → per-language stats. The "
+    "training-data tier's flagship composition — all Column expressions, "
+    "one fingerprint shuffle + one language aggregation.",
+)
+def composite_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    feats = T.quality_features(F.col("text"))
+    enriched = d.select(
+        "doc_id",
+        F.round(feats["quality_score"], 9).alias("q"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.bag_fingerprint(F.col("text")).alias("fp"),
+    ).filter(F.col("q") >= 0.25)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        enriched.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    cnt = F.count(F.lit(1)).cast("long")
+    return (
+        survivors.groupBy("lang_pred")
+        .agg(
+            cnt.alias("n_docs"),
+            (
+                F.sum(F.round(F.col("q"), 6).cast("decimal(27,6)")).cast("double")
+                / cnt.cast("double")
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
