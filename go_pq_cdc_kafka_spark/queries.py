@@ -1991,3 +1991,42 @@ def composite_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    category="scan",
+    description="ORC scan (SURVEY §2.B file-format row): parquet rewritten "
+    "as ORC (native Spark support, pushdown + pruning apply), read back and "
+    "aggregated. Avro needs the external spark-avro jar - absent here, the "
+    "format raises at read, never silently degrades.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orc_dir = os.path.join(tempfile.mkdtemp(prefix="scan_orc_"), "orc")
+    o.write.mode("overwrite").orc(orc_dir)
+    return (
+        spark.read.orc(orc_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

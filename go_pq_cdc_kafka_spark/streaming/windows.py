@@ -144,6 +144,71 @@ def running_counts_stateful(df: DataFrame) -> DataFrame:
     )
 
 
+LWW_SCHEMA = (
+    "table_name string, pk string, last_op string, last_lsn long, image string"
+)
+_LWW_STATE_SCHEMA = "last_op string, last_lsn long, image string"
+
+
+def _lww_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json as _json
+
+    last_op, last_lsn, image_json = (
+        state.get if state.exists else (None, -1, None)
+    )
+    for pdf in pdfs:
+        for op, lsn, after in zip(pdf["op"], pdf["lsn"], pdf["after"]):
+            lsn = int(lsn)
+            if lsn <= last_lsn:
+                continue  # replayed or out-of-order older event: idempotent
+            last_lsn, last_op = lsn, op
+            image_json = (
+                None
+                if op == "DELETE" or after is None
+                else _json.dumps(dict(after), sort_keys=True)
+            )
+    state.update((last_op, last_lsn, image_json))
+    yield pd.DataFrame(
+        {
+            "table_name": [key[0]],
+            "pk": [key[1]],
+            "last_op": [last_op],
+            "last_lsn": [last_lsn],
+            "image": [image_json],
+        }
+    )
+
+
+def lww_stateful(df: DataFrame, pk_field: str = "id") -> DataFrame:
+    """Streaming last-write-wins materialization: the incremental form of
+    ``operators.relational.lww_materialize`` (and of what every consumer of
+    the reference's topic builds downstream — README.md:183-212 payloads
+    keyed by pk). Per (table, pk) the state store keeps (last_op, last_lsn,
+    image); each micro-batch emits the refreshed row in update mode; DELETE
+    tombstones null the image. The ``lsn <= last_lsn`` guard makes the
+    operator idempotent under at-least-once replay — re-delivered events
+    can't regress the materialized row, which is exactly why the reference's
+    ack-after-flush replay is safe for its consumers too.
+
+    Scale: state is one small row per live key, hash-partitioned by
+    (table, pk); Arrow-batched per group; no driver-side state."""
+    keyed = df.withColumn(
+        "pk",
+        F.coalesce(
+            F.col("after").getItem(pk_field), F.col("before").getItem(pk_field)
+        ),
+    )
+    return keyed.groupBy("table_name", "pk").applyInPandasWithState(
+        _lww_fn,
+        outputStructType=LWW_SCHEMA,
+        stateStructType=_LWW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # stream-stream interval join
 # ---------------------------------------------------------------------------

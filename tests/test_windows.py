@@ -6,6 +6,7 @@ import datetime as dt
 
 import pyspark.sql.functions as F
 
+from go_pq_cdc_kafka_spark.sources import changelog as cl
 from go_pq_cdc_kafka_spark.streaming import windows as W
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -250,3 +251,44 @@ def test_sliding_window_batch(spark):
     # events at minutes 0, 10, 65: hops [-30,30)=2, [0,60)=2, [30,90)=1,
     # [60,120)=1 — each row lands in duration/slide = 2 windows
     assert out == {(ts(-30), 2), (ts(0), 2), (ts(30), 1), (ts(60), 1)}
+
+
+def test_stateful_lww_materialization(spark, tmp_path):
+    """Streaming LWW: per-pk state converges to the latest-LSN image across
+    micro-batches; DELETE tombstones null the image; replayed older LSNs
+    cannot regress the row (idempotence under at-least-once)."""
+    import json
+
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "id int, name string"
+    )
+    log = cl.generate_table_changelog(base, "id", "users", update_mod=2, delete_mod=3)
+    path = str(tmp_path / "log")
+    cl.write_changelog(log, path, num_files=3)
+
+    stream = cl.read_changelog_stream(spark, path)
+    q = (
+        W.lww_stateful(stream, pk_field="id")
+        .writeStream.format("memory")
+        .queryName("lww_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from lww_sink").collect()
+    final = {}
+    for r in rows:  # last emission per pk wins (highest lsn)
+        if r.pk not in final or r.last_lsn >= final[r.pk].last_lsn:
+            final[r.pk] = r
+
+    # changelog: snapshots 1-3, inserts 1000001-1000003, update id=2, delete id=3
+    assert final["2"].last_op == "UPDATE"
+    assert json.loads(final["2"].image)["name"] == "B"
+    assert final["3"].last_op == "DELETE" and final["3"].image is None
+    assert final["1"].last_op == "SNAPSHOT"
+    assert json.loads(final["1000001"].image)["name"] == "A"
+    live = {pk for pk, r in final.items() if r.last_op != "DELETE"}
+    assert live == {"1", "2", "1000001", "1000002", "1000003"}
