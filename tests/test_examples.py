@@ -1,0 +1,22 @@
+"""The examples/ scripts are runnable documentation — keep them green."""
+
+import shutil
+import sys
+
+
+sys.path.insert(0, "/root/repo/examples")
+
+
+def test_example_simple(spark, tmp_path):
+    import simple
+
+    rows = simple.main(spark, workdir=str(tmp_path / "simple"))
+    assert rows and all(r.topic in ("users.0", "books.0") for r in rows)
+
+
+def test_example_snapshot(spark, tmp_path):
+    import snapshot
+
+    counts = snapshot.main(spark, workdir=str(tmp_path / "snap"))
+    assert counts == {"SNAPSHOT": 5, "UPDATE": 1}
+    shutil.rmtree(str(tmp_path / "snap"), ignore_errors=True)
