@@ -2030,3 +2030,303 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite batch 2 — the remaining TPC-H shapes expressible on the reduced
+# schema (no partsupp / shipmode / commitdate columns in the fixtures, so
+# Q2/Q9/Q11/Q16/Q20 have no home; predicates are adapted where a column is
+# missing but the *plan shape* each query exists to exercise is preserved).
+# ---------------------------------------------------------------------------
+
+@register(
+    "composite_nation_volume_pairs",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    category="composite",
+    description="TPC-H Q7 shape (volume shipping): nation self-joined twice "
+    "(supplier side, customer side) with a cross-side OR pair predicate. "
+    "Both dim chains are pre-filtered to the two nations of interest and "
+    "broadcast, so only orders⋈lineitem shuffles; the OR itself can only "
+    "apply post-join (it spans both sides) — same as Catalyst plans the SQL.",
+)
+def composite_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .filter(F.col("supp_nation").isin(*nations))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .filter(F.col("cust_nation").isin(*nations))
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
+    ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(F.col("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "composite_priority_line_audit",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    category="composite",
+    description="TPC-H Q12 shape (conditional counts over a fact-fact join; "
+    "l_shipmode is absent from the fixture so l_linestatus carries the "
+    "grouping role). The CASE folds into the partial aggregate - one "
+    "shuffle of pre-combined counts, not of rows.",
+)
+def composite_priority_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "composite_promo_revenue",
+    oracle="""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+    category="composite",
+    description="TPC-H Q14 shape (promo revenue ratio): broadcast part into "
+    "a month of lineitem, conditional-sum ratio in one aggregate pass. Both "
+    "sums accumulate in decimal so the final double division is the same "
+    "bits in either engine.",
+)
+def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    zero = F.lit(0).cast("decimal(27,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(((F.lit(100.0) * promo) / total).cast("double").alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "composite_large_orders",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    category="composite",
+    description="TPC-H Q18 shape (large-volume customers): IN over a "
+    "grouped-HAVING subquery becomes a semi-join against the aggregated "
+    "lineitem; the re-aggregation reuses the same l_orderkey hash "
+    "partitioning, and customer decodes via broadcast.",
+)
+def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "leftsemi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "composite_brand_disjunction",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    category="composite",
+    description="TPC-H Q19 shape (disjunction of conjunctions spanning both "
+    "join sides). Catalyst extracts the single-side residues of the OR — "
+    "part gets brand∈{…}, lineitem gets l_quantity∈[1,50] — and pushes them "
+    "below the broadcast join; the full disjunction applies post-join.",
+)
+def composite_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#19") & sz.between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_wealthy_inactive",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    category="composite",
+    description="TPC-H Q22 shape (global-sales opportunity): scalar subquery "
+    "(mean positive balance) + NOT EXISTS anti-join. The scalar aggregate is "
+    "a 1-row broadcast-nested-loop (exactly how Catalyst plans the SQL, no "
+    "driver collect); the anti side is pre-filtered to urgent orders before "
+    "the shuffle. Every fixture customer has orders, so the original "
+    "no-orders-at-all predicate is sharpened to no-urgent-orders.",
+)
+def composite_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
