@@ -223,6 +223,48 @@ def rolling_fingerprint_sql(c: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — scrubbing emails / phone numbers is table stakes for a
+# training-data pipeline. Patterns live in the RE2 ∩ java.util.regex common
+# dialect (no lookaround, no backrefs, explicit classes) so the Spark
+# expression and the DuckDB oracle transform text identically.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def email_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(EMAIL_RE)).cast("long")
+
+
+def phone_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PHONE_RE)).cast("long")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / international-phone match with a typed tag.
+    Emails first: a phone match can never overlap an email match (disjoint
+    leading characters), so the two passes commute — but fixing the order
+    keeps the composition well-defined if patterns are later widened."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def redact_pii_sql(c: str) -> str:
+    # 'g' flag: DuckDB's regexp_replace is first-match-only by default,
+    # Spark's replaces all — 'g' aligns them.
+    return (
+        f"regexp_replace(regexp_replace({c}, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
+def pii_count_sql(c: str, pattern: str) -> str:
+    return f"CAST(length(regexp_extract_all({c}, '{pattern}')) AS BIGINT)"
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; shorter docs yield their full token
     join as a single shingle."""

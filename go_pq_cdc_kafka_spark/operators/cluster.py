@@ -1,0 +1,104 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair-level dedup (``operators.dedup``) emits edges — (doc_a, doc_b) with
+similarity ≥ threshold — but corpus curation needs *clusters*: if A~B and
+B~C, all three are one duplicate group even when A~C was never scored
+(LSH pruned it, or the chain is genuinely transitive-only). The reference
+engine has nothing like this; it is part of the training-data tier this
+engine adds on top.
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+its own id; each round a node adopts the minimum label among itself and its
+neighbors; at fixpoint every node carries the minimum id of its connected
+component. Rounds needed = graph diameter, and near-dup clusters are
+shallow (stars and short chains around a popular document), so a handful of
+rounds converges. Each round is one broadcast-or-shuffle hash join
+(edges ⋈ labels) plus one groupBy — all data-side, nothing driver-side
+except the loop counter and a 0/1 convergence probe.
+
+Scale notes (100-TB posture):
+
+- ``edges`` is referenced every round → persisted once up front.
+- labels are ``localCheckpoint``-ed each round: without it the plan doubles
+  per iteration and Catalyst re-derives the whole lineage at round k. A
+  local checkpoint trades fault-tolerance of the cached blocks for zero
+  HDFS round-trips; a production job on a real cluster with flaky executors
+  should ``spark.sparkContext.setCheckpointDir`` and use ``.checkpoint()``
+  instead (same call site, noted below).
+- the convergence probe is ``limit(1).count()`` over changed labels —
+  it short-circuits at the first changed row rather than counting all.
+- for adversarial graphs (long paths) the known fix is the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) which converges in O(log² n) rounds;
+  ``max_iters`` guards against such inputs rather than hanging.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns ``(doc_id, cluster_id)`` — one row per node that appears in any
+    pair, ``cluster_id`` = the minimum doc_id of its component. Nodes with
+    no edges (singletons) are the caller's concern: they are not cluster
+    members and are simply absent here.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        proposed = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["dst"], "left"
+        ).select(
+            "id",
+            "comp",
+            F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                "new_comp"
+            ),
+        )
+        # Materialize once (eager localCheckpoint), then both the probe and
+        # the next round read the cached blocks — no lineage growth.
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.filter(F.col("new_comp") < F.col("comp")).limit(1).count()
+        labels = proposed.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
+
+
+def cluster_survivors(members: DataFrame) -> DataFrame:
+    """Collapse a (doc_id, cluster_id) membership table to one keeper per
+    cluster (the minimum id — which is the cluster_id itself by
+    construction) plus the cluster size, ready to anti-join against the
+    corpus to drop the other copies."""
+    return members.groupBy("cluster_id").agg(
+        F.min("doc_id").cast("long").alias("keeper"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

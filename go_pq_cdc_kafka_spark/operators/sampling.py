@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for corpus curation.
+
+``DataFrame.sample`` is unusable for training-data pipelines at scale: it
+is seeded per-partition, so the selected set changes whenever the input
+repartitions, a task retries, or the corpus grows by one file. Both
+operators here derive the sampling decision from a *hash of the row's own
+key*, which makes the sample a pure function of the data:
+
+- reproducible across runs, cluster sizes, and task retries;
+- stable under appends (old rows keep their verdict when new data arrives —
+  the property that makes incremental corpus refreshes diffable);
+- expressible in ANSI SQL, so the DuckDB oracle checks the exact rows.
+
+Both are single-pass Column expressions. The stratified variant costs one
+shuffle on the strata key (the row_number window); the Bernoulli variant is
+map-only and pushes nothing but a filter into the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from go_pq_cdc_kafka_spark.functions import text as T
+
+
+def _hash_key(id_col: Column) -> Column:
+    # md5 of the decimal string rendering — engine-portable (see
+    # functions.text.hash64) and uniform regardless of key distribution.
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], k: int, id_col: str
+) -> DataFrame:
+    """Per-stratum quota sample: the k rows with the smallest key-hash in
+    each stratum, rank exposed as ``sample_rank``. Equal-size strata out of
+    arbitrarily skewed ones — the balanced-mixture draw (per language, per
+    source, per quality bucket) every pretraining data recipe needs.
+
+    The id tie-break after the hash makes the order total even under md5
+    collisions, so the selected set is unique, not merely uniform."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(F.col(id_col)), F.col(id_col)
+    )
+    return df.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("sample_rank") <= k)
+
+
+def hash_fraction_sample(
+    df: DataFrame, id_col: str, fraction: float, mod: int = 1_000_000
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose 60-bit key hash lands
+    in the low ``fraction`` slice of residues mod ``mod``. Map-only — the
+    predicate sits directly on the scan, no shuffle, no state."""
+    threshold = int(fraction * mod)
+    return df.filter(T.hash64(F.col(id_col).cast("string")) % mod < threshold)
+
+
+def hash_fraction_sample_sql(id_expr: str, fraction: float, mod: int = 1_000_000) -> str:
+    """DuckDB twin of the Bernoulli predicate (for oracle WHERE clauses)."""
+    threshold = int(fraction * mod)
+    return f"{T.hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % {mod} < {threshold}"

@@ -2330,3 +2330,186 @@ def composite_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier batch 2: cluster resolution, deterministic sampling,
+# sequence packing, PII redaction.
+# ---------------------------------------------------------------------------
+from go_pq_cdc_kafka_spark.operators import cluster as CL  # noqa: E402
+from go_pq_cdc_kafka_spark.operators import packing as PK  # noqa: E402
+from go_pq_cdc_kafka_spark.operators import sampling as SA  # noqa: E402
+
+
+@register(
+    "dedup_cluster_resolve",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{DD.ngram_jaccard_pairs_sql(threshold=0.5)}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+""",
+    category="dedup",
+    description="Duplicate-cluster resolution: near-dup pairs (word-3-gram "
+    "Jaccard ≥ 0.5) resolved to connected components by iterative min-label "
+    "propagation — A~B, B~C collapse into one group even when A~C was never "
+    "scored. Oracle is the transitive closure as a recursive CTE.",
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5)
+    return CL.connected_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified_docs",
+    oracle="""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+) r
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+""",
+    category="sampling",
+    description="Stratified quota sample: 20 docs per language, selected by "
+    "key-hash rank — deterministic under retries, repartitioning, and "
+    "corpus appends (unlike DataFrame.sample's per-partition seeding).",
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.stratified_sample(d, ["lang"], 20, "doc_id")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "sample_hash_fraction",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE {SA.hash_fraction_sample_sql("event_id", 0.1)}
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="sampling",
+    description="Deterministic 10% Bernoulli sample by key-hash residue — "
+    "map-only, the predicate rides the scan; summarised per event type.",
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        SA.hash_fraction_sample(ev, "event_id", 0.1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(length({T.TOKENS_SQL.format(c="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev
+  FROM t
+)
+SELECT lang, CAST(prev // 2048 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+""",
+    category="packing",
+    description="Sequence packing: contiguous greedy fill of 2048-token "
+    "bins per language (pack_id = prior running total div budget — one "
+    "window pass, exact BIGINT arithmetic, no iteration).",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        PK.pack_greedy(t, "n_tokens", 2048, ["lang"], "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 7919 AS VARCHAR), 4, '0') AS body
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id,
+       {T.pii_count_sql("body", T.EMAIL_RE)} AS n_emails,
+       {T.pii_count_sql("body", T.PHONE_RE)} AS n_phones,
+       {T.redact_pii_sql("body")} AS redacted
+FROM b ORDER BY doc_id
+""",
+    category="text",
+    description="PII redaction: emails and international phone numbers "
+    "replaced with typed tags (patterns in the RE2 ∩ Java-regex common "
+    "dialect). The fixture corpus carries no PII, so a deterministic "
+    "email+phone is injected per doc and then scrubbed — the oracle checks "
+    "the exact redacted strings.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 7919).cast("string"), 4, "0"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            T.email_count(body).alias("n_emails"),
+            T.phone_count(body).alias("n_phones"),
+            T.redact_pii(body).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )

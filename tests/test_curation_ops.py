@@ -1,0 +1,96 @@
+"""Unit tests for the curation batch: cluster resolution, deterministic
+sampling, sequence packing, PII redaction."""
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.functions import text as T
+from go_pq_cdc_kafka_spark.operators import cluster as CL
+from go_pq_cdc_kafka_spark.operators import packing as PK
+from go_pq_cdc_kafka_spark.operators import sampling as SA
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_connected_components_chain_merges_transitively(spark):
+    # 1-2, 2-3 chain plus an isolated 7-8 edge: transitivity without a
+    # scored 1-3 pair is exactly what pair-level dedup cannot express.
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in CL.connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_connected_components_long_path_converges(spark):
+    # A 12-node path is an adversarially deep graph for min-propagation
+    # (diameter 11); the loop must still reach the fixpoint.
+    edges = [(i, i + 1) for i in range(1, 12)]
+    rows = CL.connected_components(_pairs(spark, edges)).collect()
+    assert {r.cluster_id for r in rows} == {1}
+    assert len(rows) == 12
+
+
+def test_cluster_survivors_counts(spark):
+    members = CL.connected_components(_pairs(spark, [(5, 9), (9, 11), (20, 21)]))
+    got = {
+        (r.cluster_id, r.keeper, r.n_members)
+        for r in CL.cluster_survivors(members).collect()
+    }
+    assert got == {(5, 5, 3), (20, 20, 2)}
+
+
+def test_stratified_sample_is_partitioning_invariant(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    a = SA.stratified_sample(df, ["lang"], 5, "doc_id")
+    b = SA.stratified_sample(df.repartition(13), ["lang"], 5, "doc_id")
+    rows_a = sorted((r.lang, r.sample_rank, r.doc_id) for r in a.collect())
+    rows_b = sorted((r.lang, r.sample_rank, r.doc_id) for r in b.collect())
+    assert rows_a == rows_b  # same sample regardless of physical layout
+    per = {}
+    for lang, _, _ in rows_a:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {"0": 5, "1": 5, "2": 5}
+
+
+def test_hash_fraction_sample_stable_under_append(spark):
+    base = spark.range(0, 1000).withColumnRenamed("id", "event_id")
+    grown = spark.range(0, 2000).withColumnRenamed("id", "event_id")
+    picked_base = {r.event_id for r in SA.hash_fraction_sample(base, "event_id", 0.2).collect()}
+    picked_grown = {r.event_id for r in SA.hash_fraction_sample(grown, "event_id", 0.2).collect()}
+    # old rows keep their verdict when the corpus grows
+    assert picked_base == {e for e in picked_grown if e < 1000}
+    # rate is in the right ballpark for a uniform hash
+    assert 0.15 < len(picked_grown) / 2000 < 0.25
+
+
+def test_pack_greedy_bin_assignment(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 600), ("en", 2, 600), ("en", 3, 600), ("en", 4, 600), ("de", 5, 50)],
+        "lang string, doc_id long, cost long",
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in PK.pack_greedy(df, "cost", 1000, ["lang"], "doc_id").collect()
+    }
+    # running totals before each doc: 0, 600, 1200, 1800 → bins 0,0,1,1
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_redact_pii_tags_and_counts(spark):
+    df = spark.createDataFrame(
+        [("write a@b.io or +90-555-1234 today",), ("no pii here",)], "t string"
+    )
+    rows = df.select(
+        T.redact_pii(F.col("t")).alias("red"),
+        T.email_count(F.col("t")).alias("ne"),
+        T.phone_count(F.col("t")).alias("np"),
+    ).collect()
+    assert rows[0].red == "write <EMAIL> or <PHONE> today"
+    assert (rows[0].ne, rows[0].np) == (1, 1)
+    assert rows[1].red == "no pii here" and rows[1].ne == 0 and rows[1].np == 0
