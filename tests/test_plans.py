@@ -138,3 +138,56 @@ def test_unpivot_no_shuffle_before_sort(spark):
     plan = plan_of(spark, "unpivot_part_metrics")
     # melt is a narrow map (Expand/Generate); only the output sort exchanges
     assert plan.count("Exchange (") <= 1
+
+
+def test_composite_batch2_broadcast_dims(spark):
+    for name in (
+        "composite_nation_volume_pairs",
+        "composite_promo_revenue",
+        "composite_brand_disjunction",
+        "composite_wealthy_inactive",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # dims (nation-chains, part, the 1-row scalar aggregate) broadcast;
+        # at most the one fact-fact join may sort-merge
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_brand_disjunction_pushes_single_side_residues(spark):
+    # Catalyst must extract per-side residues of the OR-of-ANDs and push
+    # them into the scans: part gets the brand/size residue, lineitem gets
+    # the quantity envelope [1,50]
+    plan = plan_of(spark, "composite_brand_disjunction")
+    pushed = plan.split("PushedFilters")  # one segment per scan
+    assert any("p_brand" in seg.split("]")[0] for seg in pushed[1:])
+    assert any("l_quantity" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_large_orders_semi_join_reuses_partitioning(spark):
+    plan = plan_of(spark, "composite_large_orders")
+    # the HAVING subquery becomes a semi join (hash or sort-merge), and the
+    # re-aggregation on l_orderkey must NOT introduce an extra exchange over
+    # the one the semi-join side already established
+    assert "LeftSemi" in plan
+    assert plan.count("hashpartitioning(l_orderkey") <= 2
+
+
+def test_pack_and_sample_single_window_shuffle(spark):
+    # both ops are one hashpartitioning on their grouping key (window),
+    # plus the output sort — no join, no second aggregation exchange
+    plan = plan_of(spark, "pack_token_budget")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(lang") >= 1
+    plan_s = plan_of(spark, "sample_stratified_docs")
+    assert "Join" not in plan_s
+    assert plan_s.count("hashpartitioning(lang") == 1
+
+
+def test_hash_fraction_sample_is_map_side(spark):
+    # the Bernoulli predicate rides the scan: the only exchanges are the
+    # aggregation's partial/final pair and the output sort
+    plan = plan_of(spark, "sample_hash_fraction")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
