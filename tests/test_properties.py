@@ -47,8 +47,10 @@ def both_engines(spark, rows, spark_col, duck_expr):
     con = duckdb.connect()
     con.execute("CREATE TABLE x (i BIGINT, t VARCHAR)")
     con.executemany("INSERT INTO x VALUES (?, ?)", list(enumerate(rows)))
+    # literal replace, not str.format: regex quantifiers like {2,} in the
+    # expression would be misread as format fields
     want = [r[0] for r in con.execute(
-        f"SELECT {duck_expr.format(c='t')} FROM x ORDER BY i"
+        f"SELECT {duck_expr.replace('{c}', 't')} FROM x ORDER BY i"
     ).fetchall()]
     return got, want
 
@@ -100,6 +102,90 @@ def test_shingles_parity(spark, rows):
         T.shingles_sql("{c}", 3),
     )
     assert [sorted(g) for g in got] == [sorted(w) for w in want]
+
+
+# PII-bearing text: random unicode mixed with generated emails/phones so the
+# redaction regexes exercise both matching and non-matching paths.
+pii_texts = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_characters="'\\\x00",
+                exclude_categories=("Cs",),
+            ),
+            max_size=60,
+        ),
+        st.from_regex(r"[a-z]{1,8}@[a-z]{1,6}\.(com|io|org)", fullmatch=True).map(
+            lambda e: f"mail {e} end"
+        ),
+        st.from_regex(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", fullmatch=True).map(
+            lambda p: f"call {p} now"
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(pii_texts)
+@SETTINGS
+def test_redact_pii_parity(spark, rows):
+    got, want = both_engines(spark, rows, T.redact_pii, T.redact_pii_sql("{c}"))
+    assert got == want
+
+
+@given(pii_texts)
+@SETTINGS
+def test_pii_counts_parity(spark, rows):
+    got, want = both_engines(
+        spark, rows, T.email_count, T.pii_count_sql("{c}", T.EMAIL_RE)
+    )
+    assert got == want
+    got_p, want_p = both_engines(
+        spark, rows, T.phone_count, T.pii_count_sql("{c}", T.PHONE_RE)
+    )
+    assert got_p == want_p
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_pack_greedy_parity(spark, rows):
+    """Bin assignment matches the SQL window formulation on random costs."""
+    import duckdb
+
+    from go_pq_cdc_kafka_spark.operators import packing as PK
+
+    data = [(g, i, c) for i, (g, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, id int, cost long")
+    got = sorted(
+        (r.g, r.id, r.pack_id)
+        for r in PK.pack_greedy(df, "cost", 1000, ["g"], "id").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE x (g INTEGER, id INTEGER, cost BIGINT)")
+    con.executemany("INSERT INTO x VALUES (?, ?, ?)", data)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH c AS (
+              SELECT g, id, COALESCE(SUM(cost) OVER (
+                PARTITION BY g ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM x
+            )
+            SELECT g, id, CAST(prev // 1000 AS BIGINT) FROM c ORDER BY g, id
+            """
+        ).fetchall()
+    ]
+    assert got == want
 
 
 @given(texts)
