@@ -1,0 +1,150 @@
+"""Time-series operators: time bucketing, gap-fill (LOCF), hierarchical
+rollup.
+
+The reference routes TimescaleDB hypertable chunks back to their parent
+table (connector.go:204-209 via timescaledb.HyperTables) — i.e. its users
+are Timescale users. These operators supply the analytics half of that
+world (``time_bucket``, ``time_bucket_gapfill`` + ``locf``, continuous
+aggregates) as Spark-native plans.
+
+Scale posture:
+
+- ``bucket()`` is a pure Column expression (floor-divide on the epoch),
+  JVM-side, codegen-friendly — no UDF.
+- ``gapfill_locf`` builds the dense grid with ``sequence()``+``explode``
+  from per-key (min, max) bounds: the bounds aggregate is map-side
+  combinable and tiny (one row per key); the explode is narrow (no
+  shuffle). The left join then shuffles on (keys, bucket) and the LOCF
+  window re-shuffles on keys — two exchanges total, both on the series
+  key, so skew follows series cardinality, not row count. Callers are
+  expected to gap-fill *bucketed* (already aggregated) series, so the
+  grid size is bounded by span/step × n_keys, not by raw event count.
+- ``rollup_fine``/``rollup_coarse`` implement the continuous-aggregate
+  split: a fine-grained partial rollup that is cheap to maintain
+  incrementally (count/sum/min/max are all algebraic — re-aggregable
+  without touching raw data), and a coarse re-aggregation over it. At
+  100 TB the fine rollup is the thing you materialize (it is
+  append-only per closed bucket); every coarser resolution derives from
+  it with a shuffle that is orders of magnitude smaller than the raw
+  scan. Sums are kept in DECIMAL(27,6) in the fine tier so the coarse
+  re-aggregation is exact and order-independent (see queries._dsum).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def bucket(ts: Column, step_seconds: int) -> Column:
+    """Truncate a timestamp to its ``step_seconds`` bucket start.
+
+    Equivalent to DuckDB/Timescale ``time_bucket(INTERVAL, ts)`` for
+    steps that divide a day (epoch-aligned, like time_bucket's default
+    origin 2000-01-03 for sub-week intervals — both are midnight-aligned
+    so the grids coincide for such steps).
+    """
+    epoch = F.unix_timestamp(ts)
+    return F.timestamp_seconds((epoch - (epoch % step_seconds)).cast("long"))
+
+
+def gapfill_locf(
+    bucketed: DataFrame,
+    bucket_col: str,
+    step_seconds: int,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Densify a bucketed series per key and forward-fill missing values.
+
+    ``bucketed`` must have one row per (keys, bucket). The grid spans
+    each key's own [min(bucket), max(bucket)] — mirroring Timescale's
+    ``time_bucket_gapfill`` + ``locf()``. The first grid point per key
+    is by construction observed, so no leading NULLs survive.
+    """
+    keys = list(keys)
+    bounds = bucketed.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("_lo"),
+                F.col("_hi"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias(bucket_col),
+    )
+    joined = grid.join(bucketed, on=[*keys, bucket_col], how="left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        bucket_col,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+
+
+def rollup_fine(
+    df: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Fine-grained partial rollup (the materialized continuous aggregate).
+
+    Emits algebraic partials only — n / decimal sum / min / max — so any
+    coarser resolution can be derived exactly by re-aggregation.
+    """
+    return df.groupBy(
+        bucket(F.col(ts_col), step_seconds).alias(bucket_name), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(27,6)")).alias("_dec_sum"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def rollup_coarse(
+    fine: DataFrame,
+    step_seconds: int,
+    keys: Sequence[str],
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Re-aggregate a ``rollup_fine`` output to a coarser resolution.
+
+    ``step_seconds`` must be a multiple of the fine step for buckets to
+    nest. Exact: decimal sums re-accumulate without rounding; count and
+    min/max are trivially re-aggregable.
+    """
+    return (
+        fine.groupBy(
+            bucket(F.col(bucket_name), step_seconds).alias(bucket_name), *keys
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("_dec_sum").alias("_dec_sum"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            bucket_name,
+            *keys,
+            "n",
+            F.col("_dec_sum").cast("double").alias("sum_value"),
+            (F.col("_dec_sum").cast("double") / F.col("n").cast("double")).alias(
+                "avg_value"
+            ),
+            "min_value",
+            "max_value",
+        )
+    )

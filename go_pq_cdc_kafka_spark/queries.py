@@ -2513,3 +2513,85 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Time-series (reference: TimescaleDB hypertable users — connector.go:204-209
+# routes chunk events to the parent hypertable; these queries supply the
+# analytics half of that world: time_bucket, gapfill+locf, continuous-agg
+# style hierarchical rollup). operators/timeseries.py
+# ===========================================================================
+
+from go_pq_cdc_kafka_spark.operators import timeseries as TS  # noqa: E402
+
+
+@register(
+    "ts_rollup_hierarchical",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+""",
+    category="timeseries",
+    description="Continuous-aggregate-style hierarchical rollup: 15-min "
+    "fine partials (algebraic only: n/decimal-sum/min/max) re-aggregated "
+    "exactly to 1-hour resolution. The oracle computes the hourly answer "
+    "directly from raw events — equality proves the partial tier is "
+    "lossless, which is what makes it safe to materialize at 100 TB and "
+    "derive every coarser resolution without re-scanning raw data.",
+)
+def ts_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fine = TS.rollup_fine(ev, "ts", 900, keys=("event_type",), value_col="value")
+    return TS.rollup_coarse(fine, 3600, keys=("event_type",)).orderBy(
+        "bucket", "event_type"
+    )
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+         COUNT(*) AS n
+  FROM events WHERE value > 300 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+)
+SELECT g.event_type, g.bucket,
+       LAST_VALUE(b.sum_value IGNORE NULLS) OVER w AS sum_value,
+       LAST_VALUE(b.n IGNORE NULLS) OVER w AS n
+FROM grid g LEFT JOIN b USING (event_type, bucket)
+WINDOW w AS (PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_type, bucket
+""",
+    category="timeseries",
+    description="time_bucket_gapfill + locf: hourly buckets of a sparse "
+    "series (value > 300 keeps ~2 obs/100 h per key) densified with "
+    "sequence()+explode over per-key bounds, missing buckets forward-"
+    "filled by an ignorenulls last() window. Grid size is span x keys, "
+    "independent of raw row count.",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 300)
+    bucketed = ev.groupBy(
+        "event_type", TS.bucket(F.col("ts"), 3600).alias("bucket")
+    ).agg(_dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    return TS.gapfill_locf(
+        bucketed, "bucket", 3600, keys=("event_type",), value_cols=("sum_value", "n")
+    ).orderBy("event_type", "bucket")

@@ -1,0 +1,112 @@
+"""Time-series operator tests: bucket alignment, gap-fill density + LOCF
+semantics, and losslessness of the hierarchical rollup (fine partials
+re-aggregated == direct coarse aggregation).
+
+Reference context: the reference's TimescaleDB support is routing-side
+(connector.go:204-209 maps hypertable chunks to the parent topic); the
+analytics operators here (time_bucket / gapfill+locf / continuous-agg
+rollup) are what those hypertable users run on the other end.
+"""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_pq_cdc_kafka_spark.catalog import load_table
+from go_pq_cdc_kafka_spark.operators import timeseries as TS
+
+UTC = dt.timezone.utc
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        ("a", _ts("2024-03-01 00:07:13"), 1.0),
+        ("a", _ts("2024-03-01 00:41:00"), 3.0),
+        # gap: 01:00 bucket empty for key a
+        ("a", _ts("2024-03-01 02:05:59"), 5.0),
+        ("b", _ts("2024-03-01 01:59:59"), 7.0),
+        ("b", _ts("2024-03-01 04:00:00"), 9.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_bucket_alignment(spark, series):
+    out = series.select(TS.bucket(F.col("ts"), 3600).alias("b")).distinct()
+    got = sorted(r.b for r in out.collect())
+    assert got == [
+        _ts("2024-03-01 00:00:00"),
+        _ts("2024-03-01 01:00:00"),
+        _ts("2024-03-01 02:00:00"),
+        _ts("2024-03-01 04:00:00"),
+    ]
+
+
+def test_gapfill_locf_densifies_and_fills(spark, series):
+    bucketed = series.groupBy(
+        "k", TS.bucket(F.col("ts"), 3600).alias("bucket")
+    ).agg(F.sum("v").alias("v"))
+    out = TS.gapfill_locf(
+        bucketed, "bucket", 3600, keys=("k",), value_cols=("v",)
+    )
+    rows = {(r.k, r.bucket): r.v for r in out.collect()}
+    # key a spans 00:00..02:00 -> 3 grid points; key b 01:00..04:00 -> 4
+    assert len(rows) == 7
+    # observed buckets keep their aggregate
+    assert rows[("a", _ts("2024-03-01 00:00:00"))] == 4.0  # 1+3
+    # the empty 01:00 bucket is filled from 00:00 (LOCF), not NULL
+    assert rows[("a", _ts("2024-03-01 01:00:00"))] == 4.0
+    assert rows[("a", _ts("2024-03-01 02:00:00"))] == 5.0
+    # key b: 02:00 and 03:00 forward-fill from 01:00
+    assert rows[("b", _ts("2024-03-01 02:00:00"))] == 7.0
+    assert rows[("b", _ts("2024-03-01 03:00:00"))] == 7.0
+    assert rows[("b", _ts("2024-03-01 04:00:00"))] == 9.0
+    # no leading NULLs: first grid point per key is observed by construction
+    assert all(v is not None for v in rows.values())
+
+
+def test_rollup_fine_to_coarse_is_lossless(spark, tmp_path):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    fine = TS.rollup_fine(ev, "ts", 900, keys=("event_type",), value_col="value")
+    coarse = TS.rollup_coarse(fine, 3600, keys=("event_type",))
+    direct = (
+        ev.groupBy(
+            TS.bucket(F.col("ts"), 3600).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    j = coarse.alias("c").join(
+        direct.alias("d"), on=["bucket", "event_type"], how="full"
+    )
+    bad = j.filter(
+        (F.col("c.n") != F.col("d.n"))
+        | (F.col("c.sum_value") != F.col("d.sum_value"))
+        | (F.col("c.min_value") != F.col("d.min_value"))
+        | (F.col("c.max_value") != F.col("d.max_value"))
+        | F.col("c.n").isNull()
+        | F.col("d.n").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_rollup_coarse_step_must_nest(spark):
+    # a coarse step that is a multiple of the fine step nests exactly:
+    # every fine bucket maps into exactly one coarse bucket
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    fine = TS.rollup_fine(ev, "ts", 600, keys=(), value_col="value")
+    coarse = TS.rollup_coarse(fine, 1800, keys=())
+    n_fine = fine.agg(F.sum("n")).collect()[0][0]
+    n_coarse = coarse.agg(F.sum("n")).collect()[0][0]
+    assert n_fine == n_coarse == 500
