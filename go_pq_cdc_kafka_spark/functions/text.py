@@ -282,3 +282,32 @@ def shingles_sql(c: str, n: int = 3) -> str:
         f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
         .replace("toks", f"list_filter(regexp_split_to_array(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f\x0B]+'), t -> t != '')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules): non-distinct n-grams
+# ---------------------------------------------------------------------------
+
+def ngrams_all(col: Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (duplicates kept — unlike ``shingles``,
+    which is distinct). Repetition scoring needs the multiset: a doc that
+    repeats one phrase 50x has 50 identical n-grams and exactly that is
+    the signal (Gopher repetition rules / RefinedWeb §3)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def ngrams_all_sql(c: str, n: int = 2) -> str:
+    """DuckDB twin of ``ngrams_all`` (same COALESCE quirk as shingles_sql:
+    slicing an empty list yields NULL which concat must fold to '')."""
+    toks = (
+        "list_filter(regexp_split_to_array(translate("
+        + c
+        + ", 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+        "'[ \t\n\r\f\x0B]+'), t -> t != '')"
+    )
+    return (
+        f"[COALESCE(array_to_string(toks[i:i+{n - 1}], ' '), '') "
+        f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))]"
+    ).replace("toks", toks)

@@ -377,3 +377,62 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with an
+    evaluation/benchmark document — the standard train/test
+    decontamination pass an LLM data pipeline runs before training
+    (GPT-3 appendix C / PaLM style: 8-13-gram collision ⇒ contaminated;
+    the fixture corpus is short-doc so tests use n=5).
+
+    Returns one row per contaminated training doc:
+    ``(doc_id, n_eval_docs, n_shared_ngrams)``.
+
+    Scale posture: the eval side is a benchmark suite — thousands of
+    docs, not billions — so its shingle index is broadcast; the corpus
+    side is a map-only explode until the single groupBy on
+    ``doc_id``. Corpus cost is O(corpus shingles), never corpus x eval.
+    """
+    tr = shingle_index(corpus, text_col, id_col, n)
+    ev = (
+        shingle_index(eval_docs, text_col, id_col, n)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+        )
+    )
+
+
+def ngram_contamination_sql(n: int = 5, eval_mod: int = 17) -> str:
+    """DuckDB twin of ``ngram_contamination`` with the eval set carved
+    out of ``documents`` by ``doc_id % eval_mod = 0``."""
+    sh = T.shingles_sql("text", n)
+    return f"""
+WITH idx AS (
+  SELECT doc_id, UNNEST({sh}) AS shingle FROM documents
+),
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM idx WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT * FROM idx WHERE doc_id % {eval_mod} != 0)
+SELECT tr.doc_id,
+       COUNT(DISTINCT ev.eval_doc_id) AS n_eval_docs,
+       COUNT(DISTINCT tr.shingle) AS n_shared_ngrams
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""

@@ -2595,3 +2595,89 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.gapfill_locf(
         bucketed, "bucket", 3600, keys=("event_type",), value_cols=("sum_value", "n")
     ).orderBy("event_type", "bucket")
+
+
+# ===========================================================================
+# Corpus search + decontamination + repetition (training-data tier)
+# ===========================================================================
+
+from go_pq_cdc_kafka_spark.operators import dedup as DD  # noqa: E402
+from go_pq_cdc_kafka_spark.operators import search as SEARCH  # noqa: E402
+
+
+@register(
+    "text_decontaminate",
+    oracle=DD.ngram_contamination_sql(n=5, eval_mod=17),
+    category="dedup",
+    description="Benchmark decontamination: training docs sharing any "
+    "word 5-gram with the held-out eval slice (doc_id % 17 == 0) are "
+    "flagged with overlap counts (GPT-3/PaLM-style n-gram collision "
+    "pass). Eval shingle index broadcasts; corpus side is map-only "
+    "explode + one groupBy(doc_id) — O(corpus shingles), never "
+    "corpus x eval.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    eval_docs = d.filter(F.col("doc_id") % 17 == 0)
+    return DD.ngram_contamination(corpus, eval_docs, n=5).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, UNNEST({T.ngrams_all_sql('text', 2)}) AS g FROM documents
+),
+counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS total_bigrams,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         AS dup_bigram_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+FROM counts GROUP BY doc_id ORDER BY doc_id
+""",
+    category="text",
+    description="Gopher-style repetition quality rules: per-doc duplicate-"
+    "bigram fraction and top-bigram mass over ALL (non-distinct) word "
+    "bigrams. Integer-ratio doubles only (exact in both engines). One "
+    "explode + two groupBys keyed by doc_id — scales with token count.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.ngrams_all(F.col("text"), 2)).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            tot.cast("bigint").alias("total_bigrams"),
+            (
+                (tot - F.count(F.lit(1))).cast("double")
+                / tot.cast("double")
+            ).alias("dup_bigram_frac"),
+            (F.max("c").cast("double") / tot.cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BM25_TERMS = ("vector", "spark", "merge", "customer")
+
+
+@register(
+    "search_bm25_topk",
+    oracle=SEARCH.bm25_topk_sql(_BM25_TERMS, k=15),
+    category="search",
+    description="Okapi BM25 top-15 lexical search (k1=1.2, b=0.75; "
+    "rational idf, fixed-point int64 scores — see operators/search.py "
+    "for the exactness argument). One corpus-sized shuffle for tf; df "
+    "and corpus totals broadcast back; ties broken by doc_id.",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return SEARCH.bm25_topk(d, _BM25_TERMS, k=15).orderBy("rk")

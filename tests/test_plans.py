@@ -191,3 +191,28 @@ def test_hash_fraction_sample_is_map_side(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_bm25_topk_is_distributed_topk(spark):
+    plan = plan_of(spark, "search_bm25_topk")
+    # global ranking must be partial-top-k (TakeOrderedAndProject), never a
+    # single-partition global-window over the whole scored corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # df + (N, T) scalars attach via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontamination_broadcasts_eval_index(spark):
+    plan = plan_of(spark, "text_decontaminate")
+    # the eval shingle index is the small side by contract
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_no_cartesian_and_rollup_partial(spark):
+    plan = plan_of(spark, "ts_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    plan_r = plan_of(spark, "ts_rollup_hierarchical")
+    # fine + coarse tiers each split partial/final
+    assert plan_r.count("HashAggregate") >= 4

@@ -1,0 +1,86 @@
+"""BM25 search, n-gram decontamination, and repetition scoring semantics.
+
+The reference has no search/curation tier (handler callbacks are its only
+text processing, SURVEY §2.A T1); these operators are the training-data
+extensions BASELINE.json asks for.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_pq_cdc_kafka_spark.functions import text as T
+from go_pq_cdc_kafka_spark.operators import dedup as DD
+from go_pq_cdc_kafka_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark joins data"),          # tf(spark)=3, short
+        (2, "spark data and other data here today"),  # tf(spark)=1
+        (3, "nothing relevant in this document row"),  # no hit
+        (4, "rare unicorn word appears here once"),    # rare-term doc
+        (5, "common filler common filler common text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_and_idf_ordering(spark, corpus):
+    out = S.bm25_topk(corpus, ["spark", "unicorn"], k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 3 and 5 match nothing -> absent
+    assert set(by_id) == {1, 2, 4}
+    # idf: 'unicorn' (df=1) outweighs 'spark' (df=2) -> doc 4 ranks first
+    assert out[0].doc_id == 4 and out[0].rk == 1
+    # tf: doc 1 (3x spark) beats doc 2 (1x spark)
+    assert by_id[1].score_fp > by_id[2].score_fp
+    assert by_id[1].n_matched == 1 and by_id[4].n_matched == 1
+
+
+def test_bm25_rank_is_total_and_deterministic(spark, corpus):
+    a = S.bm25_topk(corpus, ["data"], k=10).collect()
+    b = S.bm25_topk(corpus, ["data"], k=10).collect()
+    assert [(r.doc_id, r.rk) for r in a] == [(r.doc_id, r.rk) for r in b]
+    assert [r.rk for r in a] == list(range(1, len(a) + 1))
+
+
+def test_ngram_contamination_flags_copied_span(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # copies a 5-token span from the eval doc -> contaminated
+            (1, "intro text the quick brown fox jumps and more"),
+            # shares words but no 5-gram -> clean
+            (2, "fox dog quick brown lazy the over jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_contamination(corpus, eval_docs, n=5).collect()
+    assert [(r.doc_id, r.n_eval_docs) for r in out] == [(1, 1)]
+
+
+def test_repetition_metrics_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    grams = df.select(
+        "doc_id", F.explode(T.ngrams_all(F.col("text"), 2)).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    rows = {
+        r.doc_id: r
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top"),
+        )
+        .collect()
+    }
+    # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> 5 total, 2 distinct
+    assert rows[1].total == 5 and rows[1].n_distinct == 2 and rows[1].top == 3
+    # "w x y z": all 3 bigrams unique
+    assert rows[2].total == 3 and rows[2].n_distinct == 3 and rows[2].top == 1
