@@ -2681,3 +2681,61 @@ _BM25_TERMS = ("vector", "spark", "merge", "customer")
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return SEARCH.bm25_topk(d, _BM25_TERMS, k=15).orderBy("rk")
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{DD.ngram_jaccard_pairs_sql(threshold=0.5)}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+seeds AS (SELECT DISTINCT src AS doc_id FROM edges WHERE src % 10 = 0),
+bfs(doc_id, hops) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.hops < 3
+)
+SELECT doc_id, CAST(MIN(hops) AS INT) AS min_hops
+FROM bfs GROUP BY doc_id ORDER BY doc_id
+""",
+    category="graph",
+    description="Depth-bounded BFS (<=3 hops) over the near-dup pair graph "
+    "from seed docs (doc_id % 10 == 0), via Spark 4's native WITH "
+    "RECURSIVE (UNION ALL + monotone depth guard => terminates under "
+    "cycles; min-hop dedup happens in the final aggregate). Each "
+    "recursion step is one equi-join shuffle on the frontier — frontier-"
+    "sized, not corpus-sized.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # persist: the recursive plan references `edges` once per BFS level, and
+    # without a pin each level would re-run the whole candidate+verify
+    # pipeline that produces the pairs
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5).persist()
+    pairs.createOrReplaceTempView("_graph_bfs_pairs")
+    return spark.sql(
+        """
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM _graph_bfs_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM _graph_bfs_pairs
+),
+seeds AS (SELECT DISTINCT src AS doc_id FROM edges WHERE src % 10 = 0),
+bfs(doc_id, hops) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.hops < 3
+)
+SELECT doc_id, CAST(MIN(hops) AS INT) AS min_hops
+FROM bfs GROUP BY doc_id ORDER BY doc_id
+"""
+    )

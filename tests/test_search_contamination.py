@@ -84,3 +84,31 @@ def test_repetition_metrics_exact(spark):
     assert rows[1].total == 5 and rows[1].n_distinct == 2 and rows[1].top == 3
     # "w x y z": all 3 bigrams unique
     assert rows[2].total == 3 and rows[2].n_distinct == 3 and rows[2].top == 1
+
+
+def test_recursive_bfs_min_hops_on_cycle(spark):
+    """WITH RECURSIVE + UNION ALL + depth guard: terminates on a cycle and
+    the final aggregate yields true min-hop distances."""
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "doc_a long, doc_b long"
+    ).createOrReplaceTempView("_graph_bfs_pairs")
+    out = spark.sql(
+        """
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM _graph_bfs_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM _graph_bfs_pairs
+),
+bfs(doc_id, hops) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.hops < 3
+)
+SELECT doc_id, MIN(hops) AS min_hops FROM bfs GROUP BY doc_id
+"""
+    ).collect()
+    got = {r.doc_id: r.min_hops for r in out}
+    # 0 -(1)- 1, 0 -(1)- 2 (via the 2->0 edge reversed), 3 is 2 hops away
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
