@@ -228,3 +228,39 @@ def test_pgoutput_to_pipeline_end_to_end(spark, tmp_path):
     upd = next(p for p in payloads if p["operation"] == "UPDATE")
     assert upd["name"] == "C"
     assert all(r.topic == "users.cdc" for r in rows)
+
+
+def test_schema_evolution_relation_redefinition():
+    """ALTER TABLE ADD COLUMN mid-stream: Postgres re-sends the Relation
+    message before the first change under the new schema; the stateful
+    registry must overwrite and subsequent tuples decode with the added
+    column (reference relies on go-pq-cdc for the same contract)."""
+    d = PO.PgOutputDecoder()
+    d.decode(1, begin())
+    d.decode(2, rel_msg())
+    (ev1,) = d.decode(3, insert(tup("1", "alice")))
+    assert ev1["after"] == {"id": "1", "name": "alice"}
+    # new Relation for the same relid: added nullable column "email"
+    d.decode(
+        4,
+        rel_msg(
+            cols=[(1, "id", 23, -1), (0, "name", 25, -1), (0, "email", 25, -1)]
+        ),
+    )
+    (ev2,) = d.decode(5, insert(tup("2", "bob", "b@x.io")))
+    assert ev2["after"] == {"id": "2", "name": "bob", "email": "b@x.io"}
+    # pre-evolution rows already emitted keep the 2-column image
+    assert set(ev1["after"]) == {"id", "name"}
+
+
+def test_rename_via_relation_redefinition_routes_new_name():
+    """A redefined Relation can also rename the table; events after it must
+    carry the new table identity (the reference resolves topics per event
+    from the message's table name, connector.go:144-156)."""
+    d = PO.PgOutputDecoder()
+    d.decode(1, begin())
+    d.decode(2, rel_msg(name="users"))
+    (a,) = d.decode(3, insert(tup("1", "x")))
+    d.decode(4, rel_msg(name="users_v2"))
+    (b,) = d.decode(5, insert(tup("2", "y")))
+    assert a["table_name"] == "users" and b["table_name"] == "users_v2"
