@@ -62,3 +62,40 @@ def hash_fraction_sample_sql(id_expr: str, fraction: float, mod: int = 1_000_000
     """DuckDB twin of the Bernoulli predicate (for oracle WHERE clauses)."""
     threshold = int(fraction * mod)
     return f"{T.hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % {mod} < {threshold}"
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Per-domain-rate Bernoulli sample: each domain is kept at its own
+    fraction — the mixture-reweighting draw (up/down-sample sources or
+    languages toward a target recipe) applied in one map-only pass.
+
+    Domains absent from ``weights`` are dropped (weight 0). The keep
+    decision hashes the row key, not the domain, so it stays stable under
+    appends and independent across domains; the per-domain threshold is a
+    broadcast-free literal CASE over the domain column."""
+    thr = F.lit(0)
+    for dom, frac in sorted(weights.items()):
+        thr = F.when(F.col(domain_col) == dom, int(frac * mod)).otherwise(thr)
+    return df.filter(T.hash64(F.col(id_col).cast("string")) % mod < thr)
+
+
+def domain_mixture_sample_sql(
+    domain_expr: str,
+    weights: dict[str, float],
+    id_expr: str,
+    mod: int = 1_000_000,
+) -> str:
+    """DuckDB twin of the per-domain keep predicate."""
+    cases = " ".join(
+        f"WHEN '{d}' THEN {int(f * mod)}" for d, f in sorted(weights.items())
+    )
+    return (
+        f"{T.hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % {mod} < "
+        f"(CASE {domain_expr} {cases} ELSE 0 END)"
+    )

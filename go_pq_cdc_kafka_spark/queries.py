@@ -2739,3 +2739,30 @@ SELECT doc_id, CAST(MIN(hops) AS INT) AS min_hops
 FROM bfs GROUP BY doc_id ORDER BY doc_id
 """
     )
+
+
+_MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {SA.domain_mixture_sample_sql('lang', _MIX_WEIGHTS, 'doc_id')}
+ORDER BY doc_id
+""",
+    category="sampling",
+    description="Mixture reweighting: per-language keep rates (en 1.0, "
+    "de/fr 0.5, es/zh 0.25) applied as one deterministic hash-Bernoulli "
+    "pass — the up/down-sampling step that turns a raw crawl into a "
+    "target pretraining recipe. Map-only: the CASE threshold and hash "
+    "predicate sit on the scan; stable under appends and retries.",
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.domain_mixture_sample(d, "lang", _MIX_WEIGHTS, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

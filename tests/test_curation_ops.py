@@ -94,3 +94,27 @@ def test_redact_pii_tags_and_counts(spark):
     assert rows[0].red == "write <EMAIL> or <PHONE> today"
     assert (rows[0].ne, rows[0].np) == (1, 1)
     assert rows[1].red == "no pii here" and rows[1].ne == 0 and rows[1].np == 0
+
+
+def test_domain_mixture_rates_and_stability(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out = SA.domain_mixture_sample(df, "lang", {"en": 0.8, "zh": 0.2}, "doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 2000 candidates per lang; hash-Bernoulli keeps ~rate +- a few %
+    assert abs(got["en"] / 2000 - 0.8) < 0.05
+    assert abs(got["zh"] / 2000 - 0.2) < 0.05
+    # weight-0 (absent) domains are dropped entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert SA.domain_mixture_sample(df2, "lang", {"en": 0.8}, "doc_id").count() == 0
+    # determinism: same rows selected on a repartitioned input
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in SA.domain_mixture_sample(
+            df.repartition(13), "lang", {"en": 0.8, "zh": 0.2}, "doc_id"
+        ).collect()
+    }
+    assert a == b
