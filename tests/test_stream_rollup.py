@@ -1,0 +1,92 @@
+"""Stream-maintained continuous aggregate: the fine-partial store merged
+back equals the batch rollup over the full history, and the coarse tier
+derived from the streamed store equals the direct coarse aggregation."""
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.catalog import load_table
+from go_pq_cdc_kafka_spark.operators import timeseries as TS
+from go_pq_cdc_kafka_spark.streaming import rollup as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frames_equal(a, b, key_cols):
+    j = a.alias("a").join(b.alias("b"), on=key_cols, how="full")
+    non_keys = [c for c in a.columns if c not in key_cols]
+    cond = F.lit(False)
+    for c in non_keys:
+        cond = (
+            cond
+            | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+            | (F.col(f"a.{c}").isNull() != F.col(f"b.{c}").isNull())
+        )
+    return j.filter(cond).count() == 0
+
+
+def test_streamed_partials_merge_to_batch_rollup(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    # land the events as 3 files -> 3 micro-batches
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "fine"), str(tmp_path / "ckpt")
+    q = R.stream_fine_rollup(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    parts = spark.read.parquet(out)
+    assert parts.select("_batch_id").distinct().count() >= 2, (
+        "expected multiple micro-batches to exercise the merge"
+    )
+
+    merged = R.read_fine_rollup(spark, out)
+    batch = TS.rollup_fine(ev, "ts", 900, keys=("event_type",), value_col="value")
+    # nullability differs (count is non-null, a re-merged sum is nullable);
+    # names and types must match exactly
+    assert [(f.name, f.dataType) for f in merged.schema] == [
+        (f.name, f.dataType) for f in batch.schema
+    ]
+    assert _frames_equal(merged, batch, ["bucket", "event_type"])
+
+    # the coarse tier from the streamed store == direct coarse from batch fine
+    coarse_streamed = TS.rollup_coarse(merged, 3600, keys=("event_type",))
+    coarse_direct = TS.rollup_coarse(batch, 3600, keys=("event_type",))
+    assert _frames_equal(coarse_streamed, coarse_direct, ["bucket", "event_type"])
+
+
+def test_streamed_rollup_resumes_from_checkpoint(spark, tmp_path):
+    """New files after a restart extend the partial store instead of
+    recomputing it (checkpointed source offsets)."""
+    ev = load_table(spark, SF, "events")
+    first, second = ev.filter(F.col("event_id") % 2 == 0), ev.filter(
+        F.col("event_id") % 2 == 1
+    )
+    src = str(tmp_path / "src")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "fine"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = R.stream_fine_rollup(stream, out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n_parts_first = spark.read.parquet(out).count()
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    parts = spark.read.parquet(out)
+    # restart appended new partials (no rewrite of the old ones)
+    assert parts.count() > n_parts_first
+    merged = R.read_fine_rollup(spark, out)
+    batch = TS.rollup_fine(ev, "ts", 900, keys=("event_type",), value_col="value")
+    assert _frames_equal(merged, batch, ["bucket", "event_type"])
