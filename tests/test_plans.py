@@ -216,3 +216,11 @@ def test_gapfill_no_cartesian_and_rollup_partial(spark):
     plan_r = plan_of(spark, "ts_rollup_hierarchical")
     # fine + coarse tiers each split partial/final
     assert plan_r.count("HashAggregate") >= 4
+
+
+def test_domain_mixture_is_map_only(spark):
+    plan = plan_of(spark, "sample_domain_mixture")
+    # keep-decision is a filter on the scan: no shuffle anywhere (the final
+    # orderBy in the query is presentation-only and AQE may plan it as a
+    # single Sort; what must NOT appear is an aggregate/join exchange)
+    assert "Join" not in plan and "HashAggregate" not in plan
