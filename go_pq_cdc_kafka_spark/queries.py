@@ -2617,7 +2617,7 @@ from go_pq_cdc_kafka_spark.operators import search as SEARCH  # noqa: E402
     "corpus x eval.",
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("doc_id") % 17 != 0)
     eval_docs = d.filter(F.col("doc_id") % 17 == 0)
     return DD.ngram_contamination(corpus, eval_docs, n=5).orderBy("doc_id")
@@ -2644,7 +2644,7 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
     "explode + two groupBys keyed by doc_id — scales with token count.",
 )
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id", F.explode(T.ngrams_all(F.col("text"), 2)).alias("g")
     )
