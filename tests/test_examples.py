@@ -20,3 +20,21 @@ def test_example_snapshot(spark, tmp_path):
     counts = snapshot.main(spark, workdir=str(tmp_path / "snap"))
     assert counts == {"SNAPSHOT": 5, "UPDATE": 1}
     shutil.rmtree(str(tmp_path / "snap"), ignore_errors=True)
+
+
+def test_example_curation(spark):
+    import curation
+
+    stages = curation.main(spark)
+    # every stage is monotone non-increasing until packing
+    order = [
+        "input",
+        "after_quality",
+        "after_repetition",
+        "after_dedup",
+        "after_decontamination",
+        "after_mixture",
+    ]
+    vals = [stages[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert stages["after_mixture"] > 0 and stages["packs"] > 0
