@@ -201,3 +201,31 @@ def test_bag_fingerprint_token_order_invariant(spark, rows):
         ).alias("b"),
     ).collect()
     assert all(r.a == r.b for r in out)
+
+
+@given(texts)
+@SETTINGS
+def test_ngrams_all_parity(spark, rows):
+    """Non-distinct bigram extraction (repetition metrics) agrees on
+    arbitrary unicode — order and multiplicity both matter here."""
+    got, want = both_engines(
+        spark,
+        rows,
+        lambda c: T.ngrams_all(c, 2),
+        T.ngrams_all_sql("{c}", 2),
+    )
+    assert [list(g) for g in got] == [list(w) for w in want]
+
+
+@given(texts)
+@SETTINGS
+def test_shingles_parity(spark, rows):
+    """Distinct 5-gram shingles (decontamination keys) agree — set
+    equality per row (engines may order list_distinct differently)."""
+    got, want = both_engines(
+        spark,
+        rows,
+        lambda c: T.shingles(c, 5),
+        T.shingles_sql("{c}", 5),
+    )
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
