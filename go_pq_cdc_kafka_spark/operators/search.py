@@ -151,3 +151,59 @@ FROM per_doc
 QUALIFY rk <= {k}
 ORDER BY rk
 """
+
+
+def rarity_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc word-rarity signals for corpus filtering: mean document
+    frequency of the doc's tokens (low = exotic vocabulary) and the count
+    of corpus-hapax tokens (df == 1, the classic OCR-garbage/boilerplate
+    tell). All integer ratios — exact in both engines.
+
+    Two corpus-keyed shuffles (tf, then df) and one doc-keyed aggregate;
+    the df side joins back on ``term``, whose skew is capped by
+    vocabulary, not row count."""
+    tf = term_frequencies(docs, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).cast("bigint").alias("_df_mass"),
+            F.sum(F.when(F.col("df") == 1, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_df_mass").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_token_df"
+        ),
+        "n_hapax_tokens",
+    )
+
+
+def rarity_scores_sql() -> str:
+    """DuckDB twin of ``rarity_scores`` on the ``documents`` view."""
+    toks = T.TOKENS_SQL.format(c="text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * dfreq.df) AS DOUBLE)
+         / CAST(SUM(tf.tf) AS DOUBLE) AS mean_token_df,
+       CAST(SUM(CASE WHEN dfreq.df = 1 THEN tf.tf ELSE 0 END) AS BIGINT)
+         AS n_hapax_tokens
+FROM tf JOIN dfreq USING (term)
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""

@@ -2766,3 +2766,17 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_rarity_score",
+    oracle=SEARCH.rarity_scores_sql(),
+    category="text",
+    description="Word-rarity curation signals: mean corpus document-"
+    "frequency of each doc's tokens and hapax-token count (the OCR-"
+    "garbage tell). Integer-ratio doubles only; df joins back on term, "
+    "skew bounded by vocabulary size.",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return SEARCH.rarity_scores(d).orderBy("doc_id")
