@@ -2780,3 +2780,33 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return SEARCH.rarity_scores(d).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    # the oracle windows CHARACTERS while the engine windows BYTES; they
+    # coincide because the fixture corpus is pure ASCII (asserted in
+    # tests/test_training_ops.py) — md5(varchar) hashes its utf-8 bytes
+    oracle="""
+WITH p AS (
+  SELECT doc_id, text AS payload, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(substring(payload, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5
+FROM p, UNNEST(generate_series(0, least(3, greatest(1, n // 64) - 1))) t(i)
+ORDER BY doc_id, frame_no
+""",
+    category="multimodal",
+    description="Video frame-sampling plumbing (1->N rows per binary "
+    "payload) through Arrow-batched mapInPandas: deterministic 64-byte "
+    "windows stand in for keyframes (real decoder is a documented stub; "
+    "batch shape, schema, and fan-out are the real contract). No shuffle "
+    "— the explode happens inside the Arrow batch.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return MM.sample_frames(payloads, every_n_bytes=64, max_frames=4).orderBy(
+        "doc_id", "frame_no"
+    )

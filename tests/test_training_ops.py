@@ -293,3 +293,15 @@ def test_ngram_jaccard_max_df_prunes_stop_shingles(spark):
     assert len(uncapped) == 6
     # with df-capped vocabulary only the genuinely-similar pair survives
     assert capped == {(1, 2)}
+
+
+def test_fixture_corpus_is_ascii(spark):
+    """The multimodal_frame_sample oracle windows characters while the
+    engine windows bytes; this pins the precondition that makes them
+    coincide (1 byte per char)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        n_wide = d.filter(
+            F.octet_length(F.col("text")) != F.length(F.col("text"))
+        ).count()
+        assert n_wide == 0, f"non-ASCII docs in {sf}"
