@@ -125,3 +125,78 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value(cols: list, bits: int = 8):
+    """Interleave ``bits``-bit ranks of each column into one Morton (Z)
+    key — a pure Column expression (shifts and masks, whole-stage
+    codegen), no UDF.
+
+    Sorting by the Z key gives every output file a small hyper-rectangle
+    of the key space instead of a thin slab: footer min/max stats on ALL
+    interleaved columns stay tight simultaneously, so independent range
+    predicates on any single column (or a box on several) skip files.
+    Plain lexicographic clustering only achieves that for the leading
+    column — the documented gap of :func:`clustered_write`.
+
+    ``cols`` must already be integer ranks in [0, 2**bits). For skewed
+    data derive ranks from quantiles, not min-max scaling (see
+    :func:`minmax_rank`'s caveat).
+    """
+    import pyspark.sql.functions as F
+
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def minmax_rank(df: DataFrame, col: str, bits: int = 8):
+    """(df_with_scalars, rank_col): linear min-max scaling of ``col`` to a
+    ``bits``-bit integer rank, the scalars attached by broadcast (no
+    collect in the plan's hot path — one tiny agg).
+
+    Caveat: min-max scaling puts heavy skew into few rank values; for
+    production Z-ordering of skewed columns substitute approxQuantile
+    cutpoints. The interleave (:func:`zorder_value`) is unchanged."""
+    import pyspark.sql.functions as F
+
+    lo_name, hi_name = f"_zlo_{col}", f"_zhi_{col}"
+    scalars = df.agg(
+        F.min(col).cast("double").alias(lo_name),
+        F.max(col).cast("double").alias(hi_name),
+    )
+    out = df.crossJoin(F.broadcast(scalars))
+    span = F.col(hi_name) - F.col(lo_name)
+    frac = F.when(span > 0, (F.col(col).cast("double") - F.col(lo_name)) / span).otherwise(
+        F.lit(0.0)
+    )
+    rank = F.least(
+        F.floor(frac * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+    )
+    return out, rank
+
+
+def zorder_write(
+    df: DataFrame, path: str, zcols: list[str], num_files: int, bits: int = 8
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files clustered on the Morton
+    interleave of ``zcols``: range-partition + sort on the Z key, then drop
+    the helper columns. Multi-dimensional file skipping for the price of
+    one extra sort column."""
+    work = df
+    ranks = []
+    for c in zcols:
+        work, r = minmax_rank(work, c, bits)
+        ranks.append(r)
+    work = work.withColumn("_zval", zorder_value(ranks, bits))
+    (
+        work.repartitionByRange(num_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval", *[f"_zlo_{c}" for c in zcols], *[f"_zhi_{c}" for c in zcols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

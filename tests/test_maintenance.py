@@ -76,3 +76,64 @@ def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
         assert hi_a < lo_b  # footer stats: file ranges never overlap
     # whole domain covered
     assert ranges[0][0] == 0 and ranges[-1][1] == 49_999
+
+
+def _files_touching(path, col, lo, hi):
+    """Count parquet files whose footer [min,max] of col intersects [lo,hi]
+    — exactly the pruning decision a scanner makes."""
+    import glob
+    import pyarrow.parquet as pq
+
+    touching, total = 0, 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        total += 1
+        if not (fmax < lo or fmin > hi):
+            touching += 1
+    return touching, total
+
+
+def test_zorder_write_skips_on_non_leading_dim(spark, tmp_path):
+    """A box predicate on the NON-leading dimension prunes z-ordered files
+    but touches every lexicographically clustered file — the documented
+    reason zorder_write exists."""
+    from go_pq_cdc_kafka_spark.catalog import load_table
+    from go_pq_cdc_kafka_spark.operators import maintenance as MT
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    MT.clustered_write(ev, lex, ["user_id", "value"], num_files=16)
+    MT.zorder_write(ev, zed, ["user_id", "value"], num_files=16)
+
+    # value is the second (non-leading) dimension; narrow slice of its range
+    touch_lex, total_lex = _files_touching(lex, "value", 10.0, 30.0)
+    touch_z, total_z = _files_touching(zed, "value", 10.0, 30.0)
+    assert total_lex == total_z == 16
+    # lexicographic: every file spans ~the full value range
+    assert touch_lex == 16
+    # z-order: the slice lives in a strict subset of files
+    assert touch_z < 16
+
+    # and the rewrite is lossless
+    assert spark.read.parquet(zed).count() == ev.count()
+    assert sorted(spark.read.parquet(zed).columns) == sorted(ev.columns)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.operators import maintenance as MT
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(MT.zorder_value([F.col("a"), F.col("b")], bits=3).alias("z"))
+    # interleave LSB-first (a=bit0, b=bit1 per level):
+    # a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 0b011011
+    assert z.collect()[0].z == 0b011011
