@@ -90,6 +90,7 @@ class CdcSourceConfig:
     password: str = ""
     database: str = ""
     debug_mode: bool = False
+    log_level: str = "info"  # cdc.logger.logLevel (README.md:231)
     publication: PublicationConfig = field(default_factory=PublicationConfig)
     slot: SlotConfig = field(default_factory=SlotConfig)
     snapshot: SnapshotConfig = field(default_factory=SnapshotConfig)
@@ -151,6 +152,9 @@ class ConnectorConfig:
             password=c.get("password", ""),
             database=c.get("database", ""),
             debug_mode=bool(c.get("debugMode", False)),
+            log_level=str(
+                (c.get("logger", {}) or {}).get("logLevel", "info")
+            ).lower(),
             publication=PublicationConfig(
                 name=pub.get("name", ""),
                 create_if_not_exists=bool(pub.get("createIfNotExists", False)),
@@ -175,6 +179,7 @@ class ConnectorConfig:
                     parse_go_duration(snap.get("heartbeatInterval"), 5.0)
                 ),
                 claim_timeout_s=int(parse_go_duration(snap.get("claimTimeout"), 30.0)),
+                instance_id=snap.get("instanceId"),
             ),
             metric_port=(c.get("metric", {}) or {}).get("port"),
         )
@@ -201,6 +206,8 @@ class ConnectorConfig:
             sasl_username=k.get("scramUsername", ""),
             sasl_password=k.get("scramPassword", ""),
             tls_enabled=bool(k.get("secureConnection", False)),
+            root_ca_pem=k.get("rootCA"),
+            inter_ca_pem=k.get("interCA"),
         )
         return cls(cdc=cdc_cfg, kafka=kafka_cfg)
 

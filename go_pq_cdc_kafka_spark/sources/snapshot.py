@@ -42,6 +42,10 @@ class SnapshotConfig:
     # for config parity but unused:
     heartbeat_interval_s: int = 5
     claim_timeout_s: int = 30
+    # reference cdc.snapshot.instanceId (auto hostname-pid): identifies the
+    # worker in its hand-rolled chunk claiming; Spark task IDs serve that
+    # role here, so the value is carried for config/metrics parity only
+    instance_id: str | None = None
 
 
 def plan_partitions(row_count: int, chunk_size: int, max_partitions: int = 2000) -> int:

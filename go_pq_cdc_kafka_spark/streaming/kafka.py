@@ -123,6 +123,11 @@ class KafkaProducerConfig:
     sasl_mechanism: str = "SCRAM-SHA-512"
     tls_enabled: bool = False
     root_ca_path: str | None = None
+    # reference accepts raw PEM bytes (kafka.rootCA / kafka.interCA,
+    # kafka/client.go:77-125); the Java client takes inline PEM via
+    # ssl.truststore.type=PEM + ssl.truststore.certificates (Kafka >= 2.7)
+    root_ca_pem: str | None = None
+    inter_ca_pem: str | None = None
 
     def sink_options(self, checkpoint_location: str) -> dict[str, str]:
         """Options for ``writeStream.format('kafka')`` (or batch write)."""
@@ -158,7 +163,14 @@ class KafkaProducerConfig:
             )
         elif self.tls_enabled:
             opts["kafka.security.protocol"] = "SSL"
-            if self.root_ca_path:
+        if self.tls_enabled:
+            if self.root_ca_pem:
+                pem = self.root_ca_pem + (
+                    "\n" + self.inter_ca_pem if self.inter_ca_pem else ""
+                )
+                opts["kafka.ssl.truststore.type"] = "PEM"
+                opts["kafka.ssl.truststore.certificates"] = pem
+            elif self.root_ca_path:
                 opts["kafka.ssl.truststore.location"] = self.root_ca_path
         return opts
 

@@ -116,3 +116,44 @@ def test_publication_filter_ops_and_tables(spark, tmp_path):
     )
     kept = cfg.publication_filter(log).collect()
     assert [(r.table_name, r.op) for r in kept] == [("users", "INSERT")]
+
+
+def test_full_reference_config_key_parity():
+    """Every key in the reference's README configuration table round-trips
+    (README.md:220-268); the four rarely-used ones added last: logger
+    level, snapshot instanceId, inline rootCA/interCA PEM."""
+    from go_pq_cdc_kafka_spark.config import ConnectorConfig
+
+    cfg = ConnectorConfig.from_dict(
+        {
+            "cdc": {
+                "host": "h",
+                "username": "u",
+                "password": "p",
+                "database": "db",
+                "logger": {"logLevel": "DEBUG"},
+                "publication": {"name": "pub", "operations": ["INSERT"]},
+                "slot": {"name": "s"},
+                "snapshot": {
+                    "enabled": True,
+                    "mode": "initial",
+                    "instanceId": "worker-7",
+                },
+            },
+            "kafka": {
+                "brokers": ["b:9092"],
+                "tableTopicMapping": {"public.t": "t.cdc"},
+                "secureConnection": True,
+                "rootCA": "-----BEGIN CERTIFICATE-----\nAAA\n-----END CERTIFICATE-----",
+                "interCA": "-----BEGIN CERTIFICATE-----\nBBB\n-----END CERTIFICATE-----",
+            },
+        }
+    )
+    assert cfg.cdc.log_level == "debug"
+    assert cfg.cdc.snapshot.instance_id == "worker-7"
+    opts = cfg.kafka.sink_options("/tmp/ckpt")
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.truststore.type"] == "PEM"
+    # both CAs land in one inline PEM bundle
+    assert "AAA" in opts["kafka.ssl.truststore.certificates"]
+    assert "BBB" in opts["kafka.ssl.truststore.certificates"]
