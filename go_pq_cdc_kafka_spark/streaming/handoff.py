@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,7 @@ def snapshot_then_stream(
     out_path: str,
     checkpoint_location: str,
     max_events_per_batch: int = 1000,
+    snapshot_metrics=None,
 ) -> InitialLoad:
     """Run ``initial`` mode into a parquet sink.
 
@@ -74,9 +76,18 @@ def snapshot_then_stream(
     snap_pipe = CdcPipeline(
         source=snapshot_source, routing=routing, pk_field=pk_field
     )
+    t0 = time.monotonic()
+    if snapshot_metrics is not None:
+        snapshot_metrics.started(
+            total_tables=1,
+            total_chunks=snapshot_source.rdd.getNumPartitions(),
+        )
     snap_records = snap_pipe.run_batch()
     snap_records.write.mode("append").parquet(out_path)
     n = spark.read.parquet(out_path).count()
+    if snapshot_metrics is not None:
+        snapshot_metrics.chunk_done(rows=n)
+        snapshot_metrics.finished(duration_s=time.monotonic() - t0)
 
     from go_pq_cdc_kafka_spark.sources import cdc
 

@@ -167,3 +167,38 @@ class MetricsServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+
+
+class SnapshotMetrics:
+    """The reference's snapshot metric family, name-for-name
+    (README.md:290-299: in_progress / total_tables / total_chunks /
+    completed_chunks / total_rows / duration_seconds). The engine derives
+    chunk progress from Spark task counts instead of hand-rolled claim
+    rows, but the exposed surface is identical so existing dashboards
+    transfer unchanged."""
+
+    PREFIX = "go_pq_cdc_snapshot"
+
+    def __init__(self, engine: "EngineMetrics") -> None:
+        self._m = engine
+
+    def started(self, total_tables: int, total_chunks: int) -> None:
+        g = self._m.gauges
+        with self._m._lock:
+            g[f"{self.PREFIX}_in_progress"] = 1
+            g[f"{self.PREFIX}_total_tables"] = total_tables
+            g[f"{self.PREFIX}_total_chunks"] = total_chunks
+            g[f"{self.PREFIX}_completed_chunks"] = 0
+
+    def chunk_done(self, rows: int) -> None:
+        with self._m._lock:
+            self._m.gauges[f"{self.PREFIX}_completed_chunks"] = (
+                self._m.gauges.get(f"{self.PREFIX}_completed_chunks", 0) + 1
+            )
+            self._m.counters[f"{self.PREFIX}_total_rows"] += rows
+
+    def finished(self, duration_s: float) -> None:
+        g = self._m.gauges
+        with self._m._lock:
+            g[f"{self.PREFIX}_in_progress"] = 0
+            g[f"{self.PREFIX}_duration_seconds"] = duration_s

@@ -74,3 +74,30 @@ def test_snapshot_then_stream_no_gap_no_dupes(spark, tmp_path):
     assert ops == ["INSERT", "INSERT"] + ["SNAPSHOT"] * 5
     inserted = sorted(p["id"] for p in payloads if p["operation"] == "INSERT")
     assert inserted == ["6", "7"]
+
+
+def test_snapshot_metrics_parity_names(spark, tmp_path):
+    """The reference's snapshot metric family is exposed name-for-name
+    (README.md:290-299) and transitions in_progress 1 -> 0."""
+    from go_pq_cdc_kafka_spark.streaming.metrics import (
+        EngineMetrics,
+        SnapshotMetrics,
+    )
+
+    m = EngineMetrics()
+    sm = SnapshotMetrics(m)
+    sm.started(total_tables=1, total_chunks=4)
+    assert m.gauges["go_pq_cdc_snapshot_in_progress"] == 1
+    sm.chunk_done(rows=100)
+    sm.chunk_done(rows=50)
+    sm.finished(duration_s=1.5)
+    text = m.prometheus_text()
+    for name in (
+        "go_pq_cdc_snapshot_in_progress 0",
+        "go_pq_cdc_snapshot_total_tables 1",
+        "go_pq_cdc_snapshot_total_chunks 4",
+        "go_pq_cdc_snapshot_completed_chunks 2",
+        "go_pq_cdc_snapshot_total_rows 150",
+        "go_pq_cdc_snapshot_duration_seconds 1.5",
+    ):
+        assert name in text, name
