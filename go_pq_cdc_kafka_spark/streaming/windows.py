@@ -246,3 +246,73 @@ def interval_join(
         & (r[right_ts] <= F.expr(f"{left_ts} + interval {max_delay}"))
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator, Spark 4 API: transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+
+def running_counts_tws(df: DataFrame) -> DataFrame:
+    """``running_counts_stateful`` on the Spark 4 ``transformWithState``
+    API: typed per-key ValueState in the RocksDB state store instead of a
+    single pickled tuple. Same semantics as the applyInPandasWithState
+    version (kept for Spark 3.x-style deployments); new pipelines should
+    prefer this one — it adds typed composite state, timers, and TTL.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (transformWithState is RocksDB-only) and the
+    ``protobuf`` Python package (the TWS state-server wire protocol;
+    ``tws_available()`` reports whether this runtime has it).
+    """
+    return df.groupBy("table_name", "op").transformWithStateInPandas(
+        _RunningCountsProcessor(),
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+def tws_available() -> bool:
+    """True when the runtime can execute transformWithStateInPandas: its
+    state server speaks protobuf, so the ``protobuf`` package must be
+    importable in the Python workers."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _RunningCountsProcessor(StatefulProcessor):
+    """Module-level (picklable) processor for :func:`running_counts_tws`."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("counts", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._state.get() if self._state.exists() else (0, 0)
+        events, batches = int(prior[0]), int(prior[1])
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        events, batches = events + n, batches + 1
+        self._state.update((events, batches))
+        yield pd.DataFrame(
+            {
+                "table_name": [key[0]],
+                "op": [key[1]],
+                "events": [events],
+                "batches": [batches],
+            }
+        )
+
+    def close(self) -> None:
+        pass

@@ -5,6 +5,7 @@ applyInPandasWithState state)."""
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from go_pq_cdc_kafka_spark.sources import changelog as cl
 from go_pq_cdc_kafka_spark.streaming import windows as W
@@ -292,3 +293,53 @@ def test_stateful_lww_materialization(spark, tmp_path):
     assert json.loads(final["1000001"].image)["name"] == "A"
     live = {pk for pk, r in final.items() if r.last_op != "DELETE"}
     assert live == {"1", "2", "1000001", "1000002", "1000003"}
+
+
+def test_stateful_running_counts_tws(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): same totals as
+    the applyInPandasWithState operator, state in RocksDB. Skips where the
+    protobuf package (TWS wire protocol) is absent — this container."""
+    if not W.tws_available():
+        pytest.skip("google.protobuf not installed; TWS state server needs it")
+    schema = "table_name string, op string"
+    b1 = [("users", "INSERT"), ("users", "INSERT"), ("users", "UPDATE")]
+    b2 = [("users", "INSERT"), ("books", "DELETE")]
+    path = str(tmp_path / "ops")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        counts = W.running_counts_tws(stream)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("select * from tws_sink").collect()
+    final = {}
+    for r in rows:
+        key = (r.table_name, r.op)
+        if key not in final or r.batches >= final[key].batches:
+            final[key] = r
+    assert final[("users", "INSERT")].events == 3
+    assert final[("users", "UPDATE")].events == 1
+    assert final[("books", "DELETE")].events == 1
