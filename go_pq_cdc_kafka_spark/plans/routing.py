@@ -110,3 +110,49 @@ def resolve_topics(
     return out.withColumn(out_col, F.coalesce(override, F.col("_routed"))).drop(
         "_routed"
     )
+
+
+def resolve_topics_from_dimension(
+    df: DataFrame,
+    dim_path: str,
+    handler_topic_col: str | None = None,
+    out_col: str = "topic",
+) -> DataFrame:
+    """``resolve_topics`` against a LIVE routing dimension instead of a
+    plan-baked literal map.
+
+    The reference's routing state is not static: go-pq-cdc refreshes the
+    TimescaleDB hypertable map behind the connector's back (sync.Map,
+    connector.go:204-209), so a chunk created after startup still routes.
+    A literal ``create_map`` can't do that — it is frozen at plan time.
+
+    Streaming contract: call this INSIDE ``foreachBatch`` (each call does a
+    fresh ``spark.read.parquet``, so the dimension is re-listed and re-read
+    every micro-batch). Do NOT embed it in the streaming plan itself — a
+    stream-static join pins the static side's file listing at query start,
+    so neither appends nor overwrites of the dimension would ever be seen
+    (verified behavior, see tests/test_routing.py).
+
+    Scale: the dimension is table-count sized (thousands of rows), always
+    broadcast — no shuffle on the stream side, same as the literal map.
+    """
+    spark = df.sparkSession
+    dim = F.broadcast(
+        spark.read.parquet(dim_path).select(
+            F.col("full_table").alias("_dim_full"),
+            F.col("topic").alias("_dim_topic"),
+        )
+    )
+    full = F.concat_ws(".", F.col("table_namespace"), F.col("table_name"))
+    override = (
+        F.nullif(F.col(handler_topic_col), F.lit(""))
+        if handler_topic_col
+        else F.lit(None).cast("string")
+    )
+    return (
+        df.withColumn("_full", full)
+        .join(dim, F.col("_full") == F.col("_dim_full"), "left")
+        .filter(F.col("_dim_topic").isNotNull())  # skip-and-ack on miss
+        .withColumn(out_col, F.coalesce(override, F.col("_dim_topic")))
+        .drop("_full", "_dim_full", "_dim_topic")
+    )

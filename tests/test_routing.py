@@ -77,3 +77,55 @@ def test_empty_mapping_pass_through(spark):
     )
     out = resolve_topics(df, rt, handler_topic_col="handler_topic").collect()
     assert len(out) == 1 and out[0].topic == "handler.topic"
+
+
+
+def test_dimension_routing_picks_up_updates_mid_stream(spark, tmp_path):
+    """Dimension routing applied inside foreachBatch re-reads the routing
+    table every micro-batch: a table added BETWEEN batches routes without
+    a restart — the reference's live hypertable-map behavior
+    (connector.go:204-209). (A plan-embedded stream-static join pins the
+    file listing at query start and never sees updates — hence the
+    foreachBatch contract.)"""
+    from go_pq_cdc_kafka_spark.plans.routing import resolve_topics_from_dimension
+
+    dim = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    out: list = []
+    spark.createDataFrame(
+        [("public.users", "users.cdc")], "full_table string, topic string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim)
+
+    schema = "table_namespace string, table_name string, pk string"
+    spark.createDataFrame(
+        [("public", "users", "1"), ("public", "books", "9")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def land(batch_df, _bid):
+        routed = resolve_topics_from_dimension(batch_df, dim)
+        out.extend((r.table_name, r.topic) for r in routed.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # books is unroutable in batch 1: skipped-and-acked
+    assert set(out) == {("users", "users.cdc")}
+
+    # routing update lands between batches: books gains a topic
+    spark.createDataFrame(
+        [("public.users", "users.cdc"), ("public.books", "books.cdc")],
+        "full_table string, topic string",
+    ).coalesce(1).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame([("public", "books", "10")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert ("books", "books.cdc") in set(out)
