@@ -515,3 +515,113 @@ SELECT query_id, rk, neighbor_id, cos_sim
 FROM ranked WHERE rk <= {k}
 ORDER BY query_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-bandwidth scale path
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the embedding column IS the dataset: 64 float32 dims = 256 B/row,
+# and brute-force scoring is memory-bandwidth-bound. Per-vector symmetric
+# int8 quantization cuts the scanned bytes 4x and turns the scoring hot loop
+# into integer multiply-adds. Quantized dot products are INTEGER arithmetic,
+# so Spark and DuckDB agree exactly — no decimal accumulator needed.
+#
+# floor() (not round) maps float->int8: floor is bit-identical across
+# engines, while round's tie behavior differs (HALF_UP on shortest repr vs
+# half-away on exact binary expansion).
+
+def quantize_i8(vec: Column) -> Column:
+    """Symmetric per-vector int8 code: q_i = floor(x_i * 127 / max|x|)."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(dv, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return F.transform(
+        dv, lambda x: F.floor(x * F.lit(127.0) / scale).cast("long")
+    )
+
+
+def quantize_i8_sql(vec: str) -> str:
+    return (
+        f"list_transform({vec}, x -> CAST(floor(x::DOUBLE * 127.0 / "
+        f"greatest(list_max(list_transform({vec}, y -> abs(y::DOUBLE))), 1e-30)"
+        f") AS BIGINT))"
+    )
+
+
+def quantized_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 code vectors (|q|<=127, so a
+    64-dim dot fits easily in BIGINT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"t -> t[1] * t[2])) AS BIGINT)"
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product: same broadcast-queries map-only
+    shape as :func:`cosine_topk`, but the corpus pass reads 4x fewer bytes
+    once codes are materialized, and scoring is integer MACs (SIMD-friendly
+    under whole-stage codegen). Ranking is (score desc, neighbor_id) —
+    fully deterministic because scores are integers."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"), quantize_i8(F.col(q_vec)).alias("_qc")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), quantize_i8(F.col(c_vec)).alias("_cc")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        quantized_dot(F.col("_qc"), F.col("_cc")).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "qdot")
+    )
+
+
+def quantized_topk_sql(
+    k: int = 5, query_pred: str = "vec_id < 5", table: str = "embeddings"
+) -> str:
+    dot = quantized_dot_sql("q.code", "c.code")
+    code = quantize_i8_sql("embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, {code} AS code
+           FROM {table} WHERE {query_pred}),
+c AS (SELECT vec_id AS neighbor_id, {code} AS code FROM {table}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {dot} AS qdot
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, rk, neighbor_id, qdot
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""

@@ -2810,3 +2810,233 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(payloads, every_n_bytes=64, max_frames=4).orderBy(
         "doc_id", "frame_no"
     )
+
+
+# ===========================================================================
+# Round-2 continuation: quantized ANN, SCD2 history, semi-join reduction,
+# substring-level dedup inventory, time-series outlier detection
+# ===========================================================================
+
+@register(
+    "sim_quantized_topk",
+    oracle=SIM.quantized_topk_sql(k=5, query_pred="vec_id < 5"),
+    category="similarity",
+    description="Top-5 neighbors by int8-quantized dot product: symmetric "
+    "per-vector scalar quantization (floor(x*127/max|x|)) cuts scanned "
+    "bytes 4x at 100 TB and scores with exact integer MACs — "
+    "cross-engine-exact with no decimal accumulator.",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.quantized_topk(q, e, k=5).orderBy("query_id", "rk")
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
+SELECT pk, op, price,
+       lsn AS valid_from_lsn,
+       LEAD(lsn) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to_lsn,
+       (LEAD(lsn) OVER (PARTITION BY pk ORDER BY lsn) IS NULL
+        AND op <> 'DELETE') AS is_current
+FROM changelog
+ORDER BY pk, valid_from_lsn
+""",
+    category="cdc",
+    description="SCD Type-2 history materialization from a change stream: "
+    "each version carries [valid_from_lsn, valid_to_lsn) via LEAD over "
+    "(pk, lsn); open-ended non-DELETE versions are current. One window "
+    "shuffle on pk — the same partitioning LWW uses, so at scale the two "
+    "materializations share one exchange.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("lsn")
+    nxt = F.lead("lsn").over(w)
+    return (
+        log.select(
+            "pk",
+            "op",
+            "price",
+            F.col("lsn").alias("valid_from_lsn"),
+            nxt.alias("valid_to_lsn"),
+            (nxt.isNull() & (F.col("op") != "DELETE")).alias("is_current"),
+        )
+        .orderBy("pk", "valid_from_lsn")
+    )
+
+
+@register(
+    "join_semi_reduced_fact",
+    oracle="""
+SELECT o.o_orderdate,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY o.o_orderdate
+ORDER BY o.o_orderdate
+""",
+    category="join",
+    description="Semi-join reduction: when the dim side is too big to "
+    "broadcast but its FILTERED key set is not, broadcast just the keys as "
+    "a left-semi prefilter so the fact table is reduced BEFORE the "
+    "shuffle join pays for it (the runtime-filter / Bloom-pushdown play, "
+    "done explicitly in the plan). The main join is hinted merge to model "
+    "the non-broadcastable case; plan-asserted in tests/test_plans.py.",
+)
+def join_semi_reduced_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    keys = o.select("o_orderkey")
+    reduced = li.join(
+        F.broadcast(keys), li["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
+    joined = reduced.join(
+        o.hint("merge"), reduced["l_orderkey"] == o["o_orderkey"]
+    )
+    return (
+        joined.groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderdate")
+    )
+
+
+_TW_W = 8  # tokens per window
+
+
+@register(
+    "dedup_token_windows",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(tokens[i:i+{_TW_W - 1}], ' ')
+                 for i in generate_series(1, len(tokens) - {_TW_W - 1})]) AS gram
+  FROM tok
+  WHERE len(tokens) >= {_TW_W}
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, gram
+LIMIT 100
+""",
+    category="dedup",
+    description=f"Substring-level (RefinedWeb-style) duplicated-span "
+    f"inventory: every {_TW_W}-token sliding window, grouped corpus-wide; "
+    f"spans seen in 2+ docs ranked by occurrence. The explode is map-side "
+    f"(sequence+slice inside the task, no Python); the only shuffle is the "
+    f"gram groupBy, and the final ordering is TakeOrdered (no global sort).",
+)
+def dedup_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(_TW_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _TW_W)),
+    )
+    return (
+        d.filter(F.size(toks) >= _TW_W)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(100)
+    )
+
+
+@register(
+    "ts_zscore_outliers",
+    # All aggregates are EXACT integers (value has <=2 frac digits -> cents
+    # as BIGINT; squares of cents fit: (5e4)^2 * 1e7 rows ~ 2.5e16 < 2^63).
+    # Every double is then derived from identical integer inputs through an
+    # identical expression tree -> bit-identical across engines.
+    oracle="""
+WITH cents AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+buckets AS (
+  SELECT event_type, day,
+         COUNT(*) AS bn,
+         CAST(SUM(c) AS BIGINT) AS bs,
+         CAST(SUM(c * c) AS BIGINT) AS bss
+  FROM cents GROUP BY event_type, day
+),
+typ AS (
+  SELECT event_type,
+         CAST(CAST(SUM(bn) AS BIGINT) AS DOUBLE) AS n,
+         CAST(CAST(SUM(bs) AS BIGINT) AS DOUBLE) AS s,
+         CAST(CAST(SUM(bss) AS BIGINT) AS DOUBLE) AS ss
+  FROM buckets GROUP BY event_type
+)
+SELECT b.event_type, b.day,
+       CAST(b.bs AS DOUBLE) / CAST(b.bn AS DOUBLE) / 100.0 AS bucket_mean,
+       (CAST(b.bs AS DOUBLE) / CAST(b.bn AS DOUBLE) - t.s / t.n) /
+         sqrt((t.ss - t.s / t.n * t.s) / (t.n - 1.0) + 1e-9) AS z
+FROM buckets b JOIN typ t USING (event_type)
+ORDER BY event_type, day
+""",
+    category="timeseries",
+    description="Per-day bucket z-score outlier detection against the "
+    "event-type's distribution of daily means. Two partial-aggregable "
+    "shuffles (day buckets, then per-type moments) — the type-level stats "
+    "are tiny and broadcast back. Exact-integer cents keep the oracle "
+    "bit-identical.",
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    buckets = cents.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum("c").cast("long").alias("bs"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("bss"),
+    )
+    bmean = F.col("bs").cast("double") / F.col("bn").cast("double")
+    typ = buckets.groupBy("event_type").agg(
+        F.sum("bn").cast("long").cast("double").alias("n"),
+        F.sum("bs").cast("long").cast("double").alias("s"),
+        F.sum("bss").cast("long").cast("double").alias("ss"),
+    )
+    tmean = F.col("s") / F.col("n")
+    bvar = (F.col("ss") - tmean * F.col("s")) / (F.col("n") - F.lit(1.0))
+    return (
+        buckets.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "day",
+            (bmean / F.lit(100.0)).alias("bucket_mean"),
+            ((bmean - tmean) / F.sqrt(bvar + F.lit(1e-9))).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )

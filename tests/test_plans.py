@@ -224,3 +224,48 @@ def test_domain_mixture_is_map_only(spark):
     # orderBy in the query is presentation-only and AQE may plan it as a
     # single Sort; what must NOT appear is an aggregate/join exchange)
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_semi_reduction_prefilters_before_shuffle_join(spark):
+    plan = plan_of(spark, "join_semi_reduced_fact")
+    # the key-set prefilter is a broadcast LEFT SEMI on the fact side...
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # ...feeding the (modeled non-broadcastable) main join, which shuffles
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the semi join must happen BEFORE the sort-merge join consumes the fact
+    assert plan.index("LeftSemi") > plan.index("SortMergeJoin"), (
+        "formatted plans list parents first: the SMJ node must sit above "
+        "the LeftSemi prefilter in its input subtree"
+    )
+
+
+def test_token_windows_single_shuffle_topk(spark):
+    plan = plan_of(spark, "dedup_token_windows")
+    assert "CartesianProduct" not in plan
+    # global order+limit must be distributed top-k, not a single-partition sort
+    assert "TakeOrderedAndProject" in plan
+    # countDistinct expands to the canonical two-phase (gram,doc)->(gram)
+    # exchange pair; the third is spread_small_scan's round-robin (small-file
+    # ingest spread, absent once inputs have real splits)
+    assert plan.count("hashpartitioning") <= 2
+    assert plan.count("Exchange") <= 3
+
+
+def test_quantized_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "sim_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_window_shuffle(spark):
+    plan = plan_of(spark, "cdc_scd2_history")
+    # one exchange partitions by pk for the LEAD window; the final
+    # presentation sort is a range exchange — nothing else shuffles
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_zscore_type_stats_broadcast_back(spark):
+    plan = plan_of(spark, "ts_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
