@@ -249,7 +249,9 @@ def test_token_windows_single_shuffle_topk(spark):
     # exchange pair; the third is spread_small_scan's round-robin (small-file
     # ingest spread, absent once inputs have real splits)
     assert plan.count("hashpartitioning") <= 2
-    assert plan.count("Exchange") <= 3
+    # formatted explain prints each node twice (tree + "(n) Exchange"
+    # details), so count detail entries to count nodes
+    assert plan.count(") Exchange") <= 3
 
 
 def test_quantized_topk_broadcasts_queries(spark):
