@@ -131,17 +131,19 @@ def register(spark) -> None:
 
 
 class PostgresReplicationClient:
-    """Production interface for a real logical-replication tail.
+    """Production client for a real logical-replication tail.
 
-    The pgoutput DECODING layer is fully implemented
-    (:mod:`~go_pq_cdc_kafka_spark.sources.pgoutput` — the role go-pq-cdc
-    plays for the reference, go.mod:6); what a deployment must provide is
-    only the TRANSPORT: a ``frame_source`` callable yielding raw CopyData
-    frames from ``START_REPLICATION SLOT ... LOGICAL`` (any libpq binding
-    with replication-connection support works). No such driver/server ships
-    in this environment, so without one ``events()`` raises. The Spark-side
-    plumbing (offsets, checkpointing, schema) is identical to
-    :class:`WalFileStreamReader` — only the byte source differs.
+    Both layers are implemented in-repo: DECODING by
+    :mod:`~go_pq_cdc_kafka_spark.sources.pgoutput` and TRANSPORT by
+    :mod:`~go_pq_cdc_kafka_spark.sources.wire` (protocol-v3 walsender
+    client: SCRAM auth, slot DDL, START_REPLICATION, keepalive acks) —
+    together the role go-pq-cdc plays for the reference (go.mod:6,
+    connector.go:51-56). By default ``events()`` dials the DSN over the
+    wire client; pass ``frame_source`` to substitute any other byte
+    transport (tests use file replay and scripted sockets — no live
+    Postgres exists in this sandbox). The Spark-side plumbing (offsets,
+    checkpointing, schema) is identical to :class:`WalFileStreamReader`;
+    only the byte source differs.
     """
 
     def __init__(
@@ -150,18 +152,19 @@ class PostgresReplicationClient:
         slot: str,
         publication: str,
         frame_source=None,  # Callable[[int], Iterator[bytes]] | None
+        socket_factory=None,  # forwarded to sources.wire when dialing
     ) -> None:
         self.dsn, self.slot, self.publication = dsn, slot, publication
+        self.socket_factory = socket_factory
+        if frame_source is None:
+            from go_pq_cdc_kafka_spark.sources import wire
+
+            frame_source = wire.frame_source_from_dsn(
+                dsn, slot, publication, socket_factory=socket_factory
+            )
         self.frame_source = frame_source
 
     def events(self, start_lsn: int) -> Iterator[dict]:
-        if self.frame_source is None:
-            raise NotImplementedError(
-                "no replication-capable Postgres driver in this environment; "
-                "pass frame_source=... (raw CopyData frames) — decoding is "
-                "handled by sources.pgoutput; see WalFileDataSource for the "
-                "offset/checkpoint contract"
-            )
         from go_pq_cdc_kafka_spark.sources import pgoutput as PO
 
         for ev in PO.decode_replication_stream(self.frame_source(start_lsn)):
