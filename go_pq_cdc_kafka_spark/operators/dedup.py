@@ -436,3 +436,112 @@ FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id
 ORDER BY tr.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (CCNet/RefinedWeb rewrite step)
+# ---------------------------------------------------------------------------
+
+def duplicate_block_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+    delim: str = " ",
+) -> DataFrame:
+    """Rewrite each document with corpus-duplicated spans REMOVED — the
+    mutation step that follows a duplicated-span inventory
+    (:func:`~go_pq_cdc_kafka_spark.queries.dedup_token_windows` is the
+    read-only half). CCNet-style: tokenize on ``delim``, group tokens into
+    consecutive ``width``-sized blocks, drop every block whose exact text
+    occurs in ``>= min_docs`` distinct documents, and reassemble the
+    survivors in original order. ``delim='\\n', width=1`` is classic
+    line-level boilerplate removal (nav bars, cookie banners); the default
+    tokens-of-8 form matches the fixture corpus, which has no newlines.
+
+    Scale shape (100 TB posture): blocking is map-side (sequence+slice
+    Column exprs, no Python); the duplicate census is one hash-groupBy on
+    (block) after an implicit per-(block, doc) distinct — both map-side
+    combinable; removal is a shuffle anti-join on the block text (the
+    common-block set is corpus-boilerplate-sized, so Spark's AQE usually
+    demotes it to broadcast); reassembly is one groupBy on the doc id.
+    No all-pairs comparison anywhere. Output keeps empty survivors (a doc
+    that was 100% boilerplate comes back with ``text_clean=''``) so row
+    count is stable for auditing.
+    """
+    toks = F.split(F.col(text_col), delim)
+    n_blocks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(delim, F.slice(toks, i * width + 1, width)).alias("block"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.inline(blocks)
+    )
+    common = (
+        exploded.groupBy("block")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("block")
+    )
+    kept = exploded.join(common, "block", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                lambda s: s["block"],
+            ),
+            delim,
+        ).alias("text_clean"),
+    )
+    base = df.select(F.col(id_col), n_blocks.cast("long").alias("total_blocks"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("kept_blocks"), F.lit(0)).cast("long").alias("kept_blocks"),
+        (F.col("total_blocks") - F.coalesce(F.col("kept_blocks"), F.lit(0)))
+        .cast("long")
+        .alias("removed_blocks"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def duplicate_block_removal_sql(width: int = 8, min_docs: int = 2) -> str:
+    """DuckDB oracle twin of :func:`duplicate_block_removal` (space-delim)."""
+    w = width
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(toks) / {w}.0) AS INT))) AS pos,
+         unnest([array_to_string(toks[i*{w}+1:i*{w}+{w}], ' ')
+                 for i in range(CAST(ceil(len(toks) / {w}.0) AS INT))]) AS block
+  FROM tok
+),
+common AS (
+  SELECT block FROM blocks GROUP BY block
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT * FROM blocks WHERE block NOT IN (SELECT block FROM common)
+),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS kept_blocks,
+         STRING_AGG(block, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+       CAST(CAST(ceil(len(string_split(d.text, ' ')) / {w}.0) AS INT)
+            - COALESCE(r.kept_blocks, 0) AS BIGINT) AS removed_blocks,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -3040,3 +3040,18 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "dedup_block_removal",
+    oracle=DD.duplicate_block_removal_sql(width=8, min_docs=2),
+    category="dedup",
+    description="CCNet-style duplicated-span REMOVAL: documents rewritten "
+    "with every corpus-duplicated 8-token block dropped (the mutation step "
+    "after dedup_token_windows' inventory). Blocking is map-side Column "
+    "exprs; census is one hash-groupBy; removal one anti-join; reassembly "
+    "one doc groupBy — no all-pairs stage.",
+)
+def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return DD.duplicate_block_removal(d, width=8, min_docs=2).orderBy("doc_id")

@@ -118,3 +118,61 @@ def test_domain_mixture_rates_and_stability(spark):
         ).collect()
     }
     assert a == b
+
+
+# -- duplicated-span removal (CCNet line/block dedup) ------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_block_removal_line_mode_strips_boilerplate(spark):
+    # delim='\n', width=1 == classic CCNet line-level dedup: the cookie
+    # banner shared by docs 1 and 2 is removed everywhere; unique lines
+    # survive in original order; doc 3 (banner-only) comes back empty.
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    d = _docs(
+        spark,
+        [
+            (1, "accept cookies\nalpha unique\nbravo unique"),
+            (2, "accept cookies\ncharlie unique"),
+            (3, "accept cookies"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.kept_blocks, r.removed_blocks, r.text_clean)
+        for r in DD.duplicate_block_removal(
+            d, width=1, min_docs=2, delim="\n"
+        ).collect()
+    }
+    assert got == {
+        1: (2, 1, "alpha unique\nbravo unique"),
+        2: (1, 1, "charlie unique"),
+        3: (0, 1, ""),
+    }
+
+
+def test_block_removal_preserves_order_and_ragged_tail(spark):
+    # width=2 over a 5-token doc: blocks are [a b][c d][e]; only the block
+    # duplicated across docs is dropped and the ragged tail survives.
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    d = _docs(spark, [(1, "a b c d e"), (2, "x y c d z")])
+    got = {
+        r.doc_id: r.text_clean
+        for r in DD.duplicate_block_removal(d, width=2, min_docs=2).collect()
+    }
+    assert got == {1: "a b e", 2: "x y z"}
+
+
+def test_block_removal_plan_shape(spark):
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    d = _docs(spark, [(1, "a b"), (2, "a b")])
+    qe = DD.duplicate_block_removal(d)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan  # blocking is pure Column exprs
