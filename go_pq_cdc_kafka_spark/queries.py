@@ -3055,3 +3055,72 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.duplicate_block_removal(d, width=8, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    category="scan",
+    description="ORC scan (SURVEY §2.B file-format row): parquet rewritten "
+    "as ORC, read back with an explicit schema, aggregated — exercises the "
+    "columnar ORC reader path end-to-end.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = tempfile.mkdtemp(prefix="scan_orc_")
+    orc_dir = os.path.join(base, "orc")
+    p.write.mode("overwrite").orc(orc_dir)
+    frm = spark.read.schema("p_partkey BIGINT, p_brand STRING").orc(orc_dir)
+    return (
+        frm.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p_partkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST()    OVER w AS cd,
+       NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_key
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+""",
+    category="window",
+    description="Distribution window functions (ntile/percent_rank/"
+    "cume_dist/nth_value) with a tie-broken total order so results are "
+    "engine-portable; both ratios are exact small-int divisions, so the "
+    "doubles are bit-identical across engines.",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_key"),
+    ).orderBy("c_custkey")

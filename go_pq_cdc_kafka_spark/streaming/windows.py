@@ -100,6 +100,24 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
+def dedup_stream_within_watermark(
+    df: DataFrame,
+    keys: Iterable[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup that only suppresses duplicates arriving within the
+    watermark delay of the first sighting; once the watermark passes a key
+    its state is evicted and the key may legitimately recur (CDC replay
+    after a slot restart, periodic heartbeats). Unlike :func:`dedup_stream`
+    the state size is bounded by the event-time horizon rather than by
+    distinct-key cardinality — the property that keeps the state store
+    finite on an unbounded 100 TB keyspace."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------

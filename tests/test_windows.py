@@ -343,3 +343,43 @@ def test_stateful_running_counts_tws(spark, tmp_path):
     assert final[("users", "INSERT")].events == 3
     assert final[("users", "UPDATE")].events == 1
     assert final[("books", "DELETE")].events == 1
+
+
+def test_streaming_dedup_within_watermark_reemits_after_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: near-in-time duplicates are dropped,
+    but once the watermark passes a key its state is evicted and a later
+    legitimate recurrence IS re-emitted (the bounded-state contract
+    dedup_stream cannot offer on an unbounded keyspace)."""
+    batches = [
+        [(1, ts(0), 10, "click", 1.0), (1, ts(1), 10, "click", 1.0)],  # dup within delay
+        [(99, ts(60), 20, "view", 2.0)],   # advances watermark to ts(50)
+        [(98, ts(61), 20, "view", 4.0)],   # a batch under the new watermark
+        # evicts key 1's expired state (eviction lags the watermark update
+        # by one micro-batch)
+        [(1, ts(65), 10, "click", 3.0)],   # key 1 recurs AFTER its state expired
+    ]
+    path = _write_files(spark, tmp_path, "dedup_ww", batches)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = W.dedup_stream_within_watermark(
+        stream, keys=["event_id"], watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ww_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ww"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.event_id, r.value)
+        for r in spark.sql("select * from dedup_ww_sink").collect()
+    )
+    assert got == [(1, 1.0), (1, 3.0), (98, 4.0), (99, 2.0)]
+
