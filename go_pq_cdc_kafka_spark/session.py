@@ -39,6 +39,38 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def enable_runtime_bloom_filters(
+    spark: SparkSession, application_side_threshold: str = "10GB"
+) -> SparkSession:
+    """Turn on Spark's injected runtime Bloom filters for shuffle joins.
+
+    When a shuffle join's build side carries a selective predicate, the
+    optimizer aggregates a Bloom filter over the build-side join keys
+    (``bloom_filter_agg``) and pushes a ``might_contain`` pre-filter into
+    the probe-side scan — the probe side (e.g. a 100 TB corpus joining a
+    benchmark suite for decontamination) drops non-matching rows map-side
+    before shuffling anything. The sketch only prunes, never admits, so
+    results are unchanged.
+
+    ``application_side_threshold`` gates injection by probe-scan size; the
+    10GB default means small local runs skip the sketch (right call — the
+    filter costs one extra aggregation of the build side). Pass ``"0"`` to
+    force it for plan inspection/tests. Two injection constraints worth
+    knowing: an explicit ``merge``/``shuffle_hash`` join hint suppresses
+    injection on that join (leave strategy to the optimizer where runtime
+    filtering matters), and the probe-side join key must be a plain scan
+    column — computed keys (e.g. exploded shingles) don't qualify, so
+    sketch-prefilter those joins by reducing with a broadcast semi-join
+    instead.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    return spark
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable in Spark's Python workers regardless of
     the driver's cwd (Python DataSources and UDFs referencing package code

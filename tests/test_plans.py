@@ -271,3 +271,51 @@ def test_zscore_type_stats_broadcast_back(spark):
     plan = plan_of(spark, "ts_zscore_outliers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection_on_shuffle_join(spark):
+    """enable_runtime_bloom_filters + a fact⋈selective-dim shuffle join:
+    the optimizer must aggregate a Bloom filter over the selective build
+    side and push might_contain into the fact scan (map-side pruning before
+    the shuffle — the shape that saves the shuffle at 100 TB). Results are
+    unchanged: the sketch prunes, never admits. Injection requires the
+    probe key to be a plain scan column, which this join has."""
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.session import enable_runtime_bloom_filters
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_filters(spark, application_side_threshold="0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        qe = joined._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # the sketch-filtered join row count equals the plain join's
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == plain and plain > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
