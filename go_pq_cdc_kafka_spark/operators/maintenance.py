@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -200,3 +201,46 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def footer_stats(
+    spark: SparkSession, path: str, key_col: str
+) -> dict[str, int]:
+    """MIN/MAX/COUNT of a column answered from parquet FOOTER metadata —
+    no row-group data is decoded. The table-maintenance primitive behind
+    "how big is this 100 TB table and what's its key range" (compaction
+    planning, snapshot chunk sizing) where a full scan is absurd.
+
+    Implementation: Spark's parquet aggregate pushdown
+    (``spark.sql.parquet.aggregatePushdown``), which requires the V2
+    DataSource reader; both confs are flipped for the duration of the
+    call and restored, since the engine default stays on the V1 path.
+    The plan is asserted in tests to carry ``PushedAggregation`` — if the
+    pushdown silently stopped applying, the test fails rather than the
+    query quietly becoming a scan."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()[0]
+        )
+        return {"min_key": row.min_key, "max_key": row.max_key, "n_rows": row.n_rows}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

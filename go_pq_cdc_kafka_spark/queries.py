@@ -3124,3 +3124,49 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_custkey", 2).over(wfull).alias("second_key"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "func_variant",
+    oracle="""
+SELECT o_orderkey,
+       CAST(json_extract(j, '$.key') AS BIGINT) AS key_back,
+       CAST(json_extract_string(j, '$.status') AS VARCHAR) AS status_back,
+       CAST(json_extract(j, '$.cents') AS BIGINT) AS cents_back
+FROM (
+  SELECT o_orderkey,
+         '{"key":' || o_orderkey || ',"status":"' || o_orderstatus ||
+         '","cents":' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '}' AS j
+  FROM orders
+  WHERE o_orderkey % 100 = 0
+)
+ORDER BY o_orderkey
+""",
+    category="functions",
+    description="Semi-structured VARIANT path (Spark 4): JSON text -> "
+    "parse_json to an open VARIANT value -> typed variant_get extraction. "
+    "The engine-native encoding scans/filters without re-parsing text per "
+    "access; the oracle walks the same JSON with DuckDB's json_extract. "
+    "Identical JSON is constructed in both engines from integer-exact parts.",
+)
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    j = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","cents":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    return (
+        o.withColumn("v", F.parse_json(j))
+        .select(
+            "o_orderkey",
+            F.expr("variant_get(v, '$.key', 'bigint')").alias("key_back"),
+            F.expr("variant_get(v, '$.status', 'string')").alias("status_back"),
+            F.expr("variant_get(v, '$.cents', 'bigint')").alias("cents_back"),
+        )
+        .orderBy("o_orderkey")
+    )

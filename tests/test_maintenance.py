@@ -137,3 +137,36 @@ def test_zorder_value_interleaves_bits(spark):
     # interleave LSB-first (a=bit0, b=bit1 per level):
     # a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 0b011011
     assert z.collect()[0].z == 0b011011
+
+
+def test_footer_stats_pushes_aggregates_into_the_scan(spark):
+    """footer_stats answers MIN/MAX/COUNT from parquet footers: the plan
+    must carry PushedAggregation (metadata-only), values must match a real
+    scan, and the session's V1-source default must be restored after."""
+    from go_pq_cdc_kafka_spark.operators import maintenance as MT
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    got = MT.footer_stats(spark, path, "o_orderkey")
+    d = spark.read.parquet(path)
+    exact = d.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))
+    ).collect()[0]
+    assert (got["min_key"], got["max_key"], got["n_rows"]) == tuple(exact)
+    # conf restored: plain reads stay on the engine's default V1 path
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
+    # plan shape: re-run with the confs as footer_stats sets them and pin
+    # PushedAggregation in the scan
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        agg = spark.read.parquet(path).agg(
+            F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = agg._jdf.queryExecution().explainString(mode)
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
