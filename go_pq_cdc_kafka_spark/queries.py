@@ -3170,3 +3170,73 @@ def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+from go_pq_cdc_kafka_spark.operators import expectations as EX  # noqa: E402
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+WITH wide AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_not_null,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS o_orderkey_unique,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_positive,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_in_domain
+  FROM orders
+),
+rules AS (
+  SELECT 'o_orderkey_not_null' AS rule, o_orderkey_not_null AS violations FROM wide
+  UNION ALL SELECT 'o_orderkey_unique', o_orderkey_unique FROM wide
+  UNION ALL SELECT 'o_totalprice_positive', o_totalprice_positive FROM wide
+  UNION ALL SELECT 'o_orderstatus_in_domain', o_orderstatus_in_domain FROM wide
+  UNION ALL
+  SELECT 'o_custkey_fk', CAST(COUNT(*) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT rule, violations FROM rules ORDER BY rule
+""",
+    category="quality",
+    description="Declarative data-quality expectations (Deequ/dbt-test "
+    "style): N row-local rules + exact uniqueness compile to ONE "
+    "aggregation pass; the FK rule adds one anti-join against distinct "
+    "parent keys. The in_domain rule is deliberately violated ('P' status "
+    "rows exist) so the check surface is provably live.",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rules = EX.check(
+        o,
+        [
+            EX.not_null("o_orderkey"),
+            EX.unique("o_orderkey"),
+            EX.positive("o_totalprice"),
+            EX.in_domain("o_orderstatus", ["O", "F"]),
+        ],
+    )
+    fk = EX.foreign_key(o, "o_custkey", c, "c_custkey")
+    return rules.unionByName(fk).orderBy("rule")
+
+
+from go_pq_cdc_kafka_spark.operators import sketches as SKCH  # noqa: E402
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle=None,  # DataSketches HLL bytes are engine-specific; rows-only.
+    # Accuracy + merge identity are pinned in tests/test_sketches.py.
+    category="aggregation",
+    description="Mergeable HLL sketches: one sketch per (day, event_type) "
+    "cell, then per-type distinct-user rollups answered by UNIONING the "
+    "cell sketches — the materialize-once/roll-up-anywhere shape that "
+    "avoids rescanning raw events at 100 TB.",
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    cells = SKCH.hll_cell_sketches(ev, ["day", "event_type"], "user_id")
+    return SKCH.hll_rollup(cells, ["event_type"]).orderBy("event_type")
