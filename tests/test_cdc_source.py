@@ -74,10 +74,16 @@ def test_wal_source_start_lsn_handoff(spark, tmp_path):
     assert lsns == [11, 12]
 
 
-def test_replication_client_is_documented_stub():
-    client = cdc.PostgresReplicationClient("dsn", "slot", "pub")
+def test_replication_client_dials_wire_when_no_frame_source():
+    # without an injected frame_source the client builds a real wire
+    # transport from the DSN; with no server to dial, events() must surface
+    # the connection failure (not NotImplementedError — the transport layer
+    # is implemented, sources/wire.py)
+    client = cdc.PostgresReplicationClient(
+        "postgresql://u:p@127.0.0.1:1/db", "slot", "pub"
+    )
     try:
         next(client.events(0))
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
+        raise AssertionError("expected a connection error")
+    except (OSError, ValueError):
         pass
