@@ -3240,3 +3240,95 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = SKCH.hll_cell_sketches(ev, ["day", "event_type"], "user_id")
     return SKCH.hll_rollup(cells, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "func_higher_order",
+    oracle="""
+WITH per_order AS (
+  -- one combined sort keyed (linenumber, cents, qty): linenumber is NOT
+  -- unique per order in the fixture, so the tie-break must cover both
+  -- payloads to keep the two projected vectors aligned across engines
+  SELECT l_orderkey,
+         list(CAST(round(l_extendedprice*100) AS BIGINT)
+              ORDER BY l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT),
+                       CAST(l_quantity AS BIGINT)) AS cents,
+         list(CAST(l_quantity AS BIGINT)
+              ORDER BY l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT),
+                       CAST(l_quantity AS BIGINT)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(list_sum(cents) AS BIGINT) AS total_cents,
+       CAST(len(list_filter(cents, x -> x > 2000000)) AS BIGINT) AS n_big,
+       CAST(list_sum(list_transform(list_zip(cents, qtys), t -> t[1] * t[2]))
+            AS BIGINT) AS dot
+FROM per_order
+WHERE l_orderkey % 50 = 0
+ORDER BY l_orderkey
+""",
+    category="functions",
+    description="Higher-order array functions (SURVEY §2.B array/map row, "
+    "lambda tier): per-order price vectors folded with aggregate(), "
+    "filter(), and zip_with() — all inside whole-stage codegen, integer-"
+    "exact (cents), order pinned by linenumber so both engines agree.",
+)
+def func_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    # single sorted struct array, then project both vectors from it: the
+    # fixture's linenumber is not unique per order, so sorting each vector
+    # separately would misalign the zip pairing (struct sort is
+    # lexicographic over (ln, c, q) — same total order as the oracle)
+    sorted_lines = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"), cents.alias("c"), qty.alias("q")
+            )
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(sorted_lines, lambda s: s["c"]).alias("cents"),
+        F.transform(sorted_lines, lambda s: s["q"]).alias("qtys"),
+    )
+    zero = F.lit(0).cast("long")
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate("cents", zero, lambda acc, x: acc + x).alias("total_cents"),
+        F.size(F.filter("cents", lambda x: x > 2_000_000)).cast("long").alias("n_big"),
+        F.aggregate(
+            F.zip_with("cents", "qtys", lambda a, b: a * b), zero, lambda acc, x: acc + x
+        ).alias("dot"),
+    ).orderBy("l_orderkey")
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_custkey % 40 = 0
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    category="aggregation",
+    description="Ordered string aggregation (listagg WITHIN GROUP / "
+    "string_agg): deterministic because the concat order is total.",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 40 == 0)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias(
+                "names"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
