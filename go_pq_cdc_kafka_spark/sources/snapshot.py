@@ -109,3 +109,102 @@ def snapshot_from_parquet(
     return env.snapshot_events(
         spread_small_scan(spark.read.parquet(path)), table_name, table_namespace
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot over the wire (dependency-free; the reference's chunked scan)
+# ---------------------------------------------------------------------------
+
+def snapshot_events_over_wire(
+    dsn: str,
+    table: str,
+    pk: str = "id",
+    schema_name: str = "public",
+    chunk_size: int = 8000,
+    socket_factory=None,
+) -> tuple[list[dict], int]:
+    """Chunked full-table scan over the in-repo wire client
+    (:mod:`~go_pq_cdc_kafka_spark.sources.wire`): keyset pagination
+    (``WHERE pk > last ORDER BY pk LIMIT chunk`` — the reference's chunked
+    scan, README.md:44-98, default chunk 8000) inside ONE ``REPEATABLE
+    READ`` transaction, so every chunk sees the same consistent snapshot.
+    Rows surface as SNAPSHOT envelope events (message.go:53-62) with
+    ``lsn=0`` — WAL positions don't apply to snapshot rows.
+
+    Returns ``(events, start_lsn)`` where ``start_lsn`` is the server's
+    WAL position from ``IDENTIFY_SYSTEM`` captured BEFORE the scan: start
+    the CDC stream from it for the reference's no-gap ``initial`` handoff
+    (README.md:50-54) — changes committed during the snapshot replay from
+    the WAL and the LWW materialization collapses them.
+
+    This is the dependency-free single-connection tier (like the
+    reference's own scan, one process pages through the table); at Spark
+    scale prefer :func:`snapshot_from_jdbc`'s partitioned read, which
+    splits the key space across executors. ``pk`` must be numeric (keyset
+    literals are rendered unquoted).
+    """
+    from go_pq_cdc_kafka_spark.sources import wire
+
+    conn = wire.ReplicationConnection(
+        socket_factory=socket_factory, **wire.parse_dsn(dsn)
+    ).connect()
+    try:
+        start_lsn = wire.parse_lsn(conn.identify_system()["xlogpos"])
+        conn.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        events: list[dict] = []
+        last = None
+        while True:
+            pred = f" WHERE {pk} > {last}" if last is not None else ""
+            rows = conn.simple_query(
+                f"SELECT * FROM {schema_name}.{table}{pred} "
+                f"ORDER BY {pk} LIMIT {chunk_size}"
+            )
+            for r in rows:
+                events.append(
+                    {
+                        "op": "SNAPSHOT",
+                        "event_time": None,
+                        "lsn": 0,
+                        "table_namespace": schema_name,
+                        "table_name": table,
+                        "before": None,
+                        "after": r,
+                    }
+                )
+            if len(rows) < chunk_size:
+                break
+            last = rows[-1][pk]
+        conn.simple_query("COMMIT")
+        return events, start_lsn
+    finally:
+        conn.close()
+
+
+def snapshot_df_over_wire(
+    spark: SparkSession,
+    dsn: str,
+    table: str,
+    pk: str = "id",
+    schema_name: str = "public",
+    chunk_size: int = 8000,
+    socket_factory=None,
+) -> tuple[DataFrame, int]:
+    """:func:`snapshot_events_over_wire` as an envelope DataFrame ready for
+    the same handler→routing→records lineage every other source feeds."""
+    events, start_lsn = snapshot_events_over_wire(
+        dsn, table, pk, schema_name, chunk_size, socket_factory
+    )
+    rows = [
+        (
+            e["op"],
+            None,
+            e["lsn"],
+            e["table_namespace"],
+            e["table_name"],
+            e["before"],
+            e["after"],
+        )
+        for e in events
+    ]
+    df = spark.createDataFrame(rows, env.dynamic_envelope_schema())
+    return df, start_lsn
