@@ -117,3 +117,60 @@ def snapshot_then_stream(
         .start()
     )
     return InitialLoad(handoff_lsn=handoff_lsn, snapshot_records=n, query=query)
+
+
+def snapshot_then_stream_over_wire(
+    spark: SparkSession,
+    dsn: str,
+    slot: str,
+    publication: str,
+    table: str,
+    pk_field: str,
+    routing: RoutingTable,
+    out_path: str,
+    checkpoint_location: str,
+    schema_name: str = "public",
+    chunk_size: int = 8000,
+) -> InitialLoad:
+    """``initial`` mode end-to-end over the wire client, no files anywhere:
+
+    1. :func:`~go_pq_cdc_kafka_spark.sources.snapshot.snapshot_df_over_wire`
+       captures the server's WAL position (IDENTIFY_SYSTEM) and runs the
+       chunked consistent scan — the no-gap rule, position first.
+    2. The bounded snapshot lands through the full record lineage.
+    3. The ``pgwire`` stream starts from the recorded LSN into the same
+       sink path; events committed during the snapshot replay from WAL
+       (lsn > handoff) and at-least-once consumers/LWW absorb the overlap
+       — the reference's own contract (README.md:44-54)."""
+    from go_pq_cdc_kafka_spark.sources import cdc
+    from go_pq_cdc_kafka_spark.sources import snapshot as SN
+
+    snap_df, handoff_lsn = SN.snapshot_df_over_wire(
+        spark, dsn, table, pk=pk_field, schema_name=schema_name,
+        chunk_size=chunk_size,
+    )
+    snap_pipe = CdcPipeline(source=snap_df, routing=routing, pk_field=pk_field)
+    snap_pipe.run_batch().write.mode("append").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+
+    cdc.register(spark)
+    stream = (
+        spark.readStream.format("pgwire")
+        .option("dsn", dsn)
+        .option("slot", slot)
+        .option("publication", publication)
+        .option("startlsn", handoff_lsn)
+        .load()
+    )
+    cdc_pipe = CdcPipeline(source=stream, routing=routing, pk_field=pk_field)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    query = (
+        cdc_pipe.records()
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+    return InitialLoad(handoff_lsn=handoff_lsn, snapshot_records=n, query=query)
