@@ -3332,3 +3332,36 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+SELECT n.n_nationkey, l.c_custkey, l.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) l
+ORDER BY n.n_nationkey, l.c_acctbal DESC, l.c_custkey
+""",
+    category="join",
+    description="Correlated LATERAL subquery join (per-nation top-2 "
+    "customers by balance, tie-broken): the dependent-join surface — "
+    "Catalyst decorrelates it into a ranked window rather than executing "
+    "one subquery per outer row.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, l.c_custkey, l.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) l
+        ORDER BY n.n_nationkey, l.c_acctbal DESC, l.c_custkey
+        """
+    )
