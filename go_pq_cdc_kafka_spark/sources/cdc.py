@@ -139,10 +139,12 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self.start_lsn = int(options.get("startlsn", 0))
         self.poll_secs = float(options.get("pollms", 200)) / 1000.0
         self.create_slot = options.get("createslot", "true") == "true"
+        self.max_retries = int(options.get("maxretries", 3))
         self._queue = None
         self._thread = None
         self._conn = None
         self._err: Exception | None = None
+        self._retries = 0
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
@@ -197,10 +199,31 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             e.get("after"),
         )
 
+    def _maybe_restart_pump(self, start_lsn: int) -> None:
+        """Transient-vs-fatal classing on a dead pump (the reference's B5
+        contract, kafka/reponse_handler.go:13-48): connection drops
+        reconnect and RESUME from the batch-start LSN — sound because the
+        un-acked slot retains that WAL — while protocol/auth errors and
+        retry exhaustion fail the query loudly."""
+        from go_pq_cdc_kafka_spark.sources import wire
+
+        if self._thread is None or self._thread.is_alive() or not self._queue.empty():
+            return
+        err, self._err = self._err, None
+        if err is None:
+            return  # clean stream end (CopyDone): stay ended
+        if isinstance(err, wire.WireError) or self._retries >= self.max_retries:
+            raise err
+        self._retries += 1
+        self._thread = None
+        self._conn = None
+
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         import queue as _queue
         import time
 
+        if self._thread is not None:
+            self._maybe_restart_pump(start["lsn"])
         self._ensure_pump(start["lsn"])
         rows: list[tuple] = []
         deadline = time.monotonic() + self.poll_secs
@@ -210,8 +233,10 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             except _queue.Empty:
                 break
             rows.append(self._row(ev))
-        if self._err is not None and not rows:
-            raise self._err
+        if rows:
+            self._retries = 0  # progress resets the transient budget
+        elif self._err is not None:
+            self._maybe_restart_pump(start["lsn"])
         end_lsn = rows[-1][2] if rows else start["lsn"]
         return iter(rows), {"lsn": end_lsn}
 
