@@ -753,3 +753,43 @@ def test_pgwire_reconnects_and_resumes_after_transient_drop(spark, tmp_path):
         assert q.isActive  # the drop was absorbed, not surfaced
     finally:
         q.stop()
+
+
+def test_sslmode_negotiation():
+    """SSLRequest dance: 'N' from the server fails sslmode=require but
+    falls back to plaintext under sslmode=prefer (libpq parity); the DSN
+    query string carries the mode."""
+    d = wire.parse_dsn("postgresql://u:p@h/db?sslmode=require")
+    assert d["sslmode"] == "require"
+    with pytest.raises(ValueError):
+        wire.ReplicationConnection(user="u", dbname="d", sslmode="bogus")
+
+    class RefusingWalsender(FakeWalsender):
+        def _session(self):
+            # answer the 8-byte SSLRequest with 'N', then (for prefer)
+            # proceed with the normal plaintext session
+            req = self._recv(8)
+            assert struct.unpack(">ii", req) == (8, 80877103)
+            self.sock.sendall(b"N")
+            FakeWalsender._session(self)
+
+    # require + refusal = hard error
+    srv, port = RefusingWalsender.listen_tcp([])
+    with pytest.raises(wire.WireError) as ei:
+        wire.ReplicationConnection(
+            host="127.0.0.1", port=port, user="repl", password="sekret",
+            dbname="orders", sslmode="require",
+            socket_factory=lambda h, p: socket.create_connection((h, p)),
+        ).connect()
+    assert "sslmode=require" in str(ei.value)
+
+    # prefer + refusal = plaintext fallback; the whole exchange still works
+    srv2, port2 = RefusingWalsender.listen_tcp([])
+    conn = wire.ReplicationConnection(
+        host="127.0.0.1", port=port2, user="repl", password="sekret",
+        dbname="orders", sslmode="prefer",
+    ).connect()
+    assert conn.identify_system()["dbname"] == "orders"
+    conn.close()
+    srv2.join(timeout=10)
+    assert srv2.error is None
