@@ -202,3 +202,56 @@ class SnapshotMetrics:
         with self._m._lock:
             g[f"{self.PREFIX}_in_progress"] = 0
             g[f"{self.PREFIX}_duration_seconds"] = duration_s
+
+
+def checkpoint_position(checkpoint_dir: str) -> dict:
+    """Inspect a streaming checkpoint's offset bookkeeping without a
+    running query — the ops answer to "where is this pipeline in the WAL"
+    (the reference serves the same from /status, README.md:270-276;
+    Postgres-side the equivalent is pg_replication_slots.confirmed_flush).
+
+    Returns ``{"planned_batch", "planned", "committed_batch", "committed"}``
+    where ``planned`` is the newest offset written to ``offsets/`` (batch
+    may still be running) and ``committed`` the offset of the newest batch
+    in ``commits/`` (durable — safe to ack upstream). Offsets are the
+    source's own JSON (``{"lsn": N}`` for pgwal/pgwire sources); None when
+    the checkpoint has no entries yet."""
+    import json as _json
+    import os as _os
+
+    def _entries(sub: str) -> dict[int, str]:
+        d = _os.path.join(checkpoint_dir, sub)
+        if not _os.path.isdir(d):
+            return {}
+        return {
+            int(f): _os.path.join(d, f)
+            for f in _os.listdir(d)
+            if f.isdigit()
+        }
+
+    def _offset_of(path: str):
+        # offset log format: "v1" line, metadata JSON line, then one
+        # offset JSON line per source (single-source pipelines: one)
+        with open(path, "r", encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for ln in lines[2:]:
+            try:
+                return _json.loads(ln)
+            except _json.JSONDecodeError:
+                continue
+        return None
+
+    offsets = _entries("offsets")
+    commits = _entries("commits")
+    planned_batch = max(offsets) if offsets else None
+    committed_batch = max(commits) if commits else None
+    return {
+        "planned_batch": planned_batch,
+        "planned": _offset_of(offsets[planned_batch]) if planned_batch is not None else None,
+        "committed_batch": committed_batch,
+        "committed": (
+            _offset_of(offsets[committed_batch])
+            if committed_batch is not None and committed_batch in offsets
+            else None
+        ),
+    }
