@@ -151,19 +151,64 @@ class PgOutputDecoder:
     """Stateful decoder: Relation messages build the relid→schema registry
     (pgoutput sends each relation once per connection before first use);
     Begin/Commit bracket transactions and stamp event_time with the commit
-    timestamp; Insert/Update/Delete/Truncate yield envelope dicts."""
+    timestamp; Insert/Update/Delete/Truncate yield envelope dicts.
+
+    Protocol version 2 STREAMED transactions are supported too: between
+    Stream Start ('S') and Stream Stop ('E') every message carries an Xid
+    after its tag; their events buffer per-xid and are released only by
+    Stream Commit ('c', stamping the commit timestamp) or discarded by
+    Stream Abort ('A') — so consumers never see rows from a transaction
+    that ultimately rolled back, exactly the guarantee non-streamed
+    Begin/Commit gives. Interleaved streams of different xids keep their
+    events separate."""
 
     def __init__(self) -> None:
         self.relations: dict[int, Relation] = {}
         self.tx = TxState()
+        self._stream_xid: int | None = None  # inside S..E of this xid
+        self._pending: dict[int, list[dict]] = {}  # xid → buffered events
 
     # -- message decode -----------------------------------------------------
 
     def decode(self, lsn: int, buf: bytes) -> list[dict]:
         """Decode ONE pgoutput message; returns 0..n envelope events (n>1
-        only for Truncate over several relations)."""
+        only for Truncate over several relations; 0..n at Stream Commit,
+        which releases a whole buffered transaction)."""
         r = _Reader(buf)
         tag = r.byte()
+        if tag == "S":  # Stream Start: xid, first-segment flag
+            self._stream_xid = r.i32()
+            self._pending.setdefault(self._stream_xid, [])
+            return []
+        if tag == "E":  # Stream Stop: back to non-streamed context
+            self._stream_xid = None
+            return []
+        if tag == "c":  # Stream Commit: xid, flags, commit/end lsn, ts
+            xid = r.i32()
+            r.u8()
+            r.i64()
+            r.i64()
+            ts = pg_timestamp(r.i64()).isoformat()
+            events = self._pending.pop(xid, [])
+            for e in events:
+                e["event_time"] = ts
+            return events
+        if tag == "A":  # Stream Abort: xid, subxid — drop the buffer
+            xid = r.i32()
+            self._pending.pop(xid, None)
+            return []
+        if self._stream_xid is not None and tag in "RYIUDT":
+            # within a stream, protocol v2 prefixes each message with its
+            # xid; route the decoded events into that xid's buffer
+            xid = r.i32()
+            inner = buf[:1] + buf[r.pos :]
+            saved, self._stream_xid = self._stream_xid, None
+            try:
+                events = self.decode(lsn, inner)
+            finally:
+                self._stream_xid = saved
+            self._pending.setdefault(xid, []).extend(events)
+            return []
         if tag == "B":  # Begin: final_lsn, commit_ts, xid
             r.i64()
             self.tx = TxState(commit_ts=pg_timestamp(r.i64()), xid=r.i32())

@@ -427,14 +427,22 @@ class ReplicationConnection:
         publication: str,
         start_lsn: int = 0,
         proto_version: int = 1,
+        streaming: bool = False,
     ) -> Iterator[bytes]:
         """START_REPLICATION ... LOGICAL; yields raw CopyData payloads
         (XLogData and keepalives — the pgoutput layer skips the latter).
         Keepalives asking for a reply are answered inline with the current
-        flushed LSN; the generator returns on CopyDone/ReadyForQuery."""
+        flushed LSN; the generator returns on CopyDone/ReadyForQuery.
+        ``streaming=True`` (requires proto_version >= 2) asks the server to
+        stream large in-progress transactions; the decoder buffers them
+        per-xid until Stream Commit."""
+        if streaming and proto_version < 2:
+            raise ValueError("streaming requires proto_version >= 2")
         options = (
             f"proto_version '{proto_version}', publication_names '{publication}'"
         )
+        if streaming:
+            options += ", streaming 'on'"
         self._send(
             b"Q",
             _cstr(

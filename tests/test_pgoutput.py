@@ -264,3 +264,75 @@ def test_rename_via_relation_redefinition_routes_new_name():
     d.decode(4, rel_msg(name="users_v2"))
     (b,) = d.decode(5, insert(tup("2", "y")))
     assert a["table_name"] == "users" and b["table_name"] == "users_v2"
+
+
+# -- protocol v2 streamed transactions ---------------------------------------
+
+
+def stream_start(xid, first=1):
+    return b"S" + struct.pack(">ib", xid, first)
+
+
+def stream_stop():
+    return b"E"
+
+
+def stream_commit(xid, ts_us=TS_2024):
+    return b"c" + struct.pack(">ibqqq", xid, 0, 0, 0, ts_us)
+
+
+def stream_abort(xid, subxid=0):
+    return b"A" + struct.pack(">ii", xid, subxid)
+
+
+def _xid_prefixed(msg, xid):
+    # within S..E every v2 message carries its xid right after the tag
+    return msg[:1] + struct.pack(">i", xid) + msg[1:]
+
+
+def test_streamed_transaction_buffers_until_stream_commit():
+    d = PO.PgOutputDecoder()
+    assert d.decode(1, rel_msg()) == []
+    assert d.decode(2, stream_start(701)) == []
+    assert d.decode(3, _xid_prefixed(insert(tup("1", "A")), 701)) == []
+    assert d.decode(4, stream_stop()) == []
+    # nothing visible while the transaction is in flight
+    assert d.decode(5, stream_start(701, first=0)) == []
+    assert d.decode(6, _xid_prefixed(insert(tup("2", "B")), 701)) == []
+    assert d.decode(7, stream_stop()) == []
+    events = d.decode(8, stream_commit(701))
+    assert [(e["op"], e["after"]["id"]) for e in events] == [
+        ("INSERT", "1"),
+        ("INSERT", "2"),
+    ]
+    # commit timestamp stamped onto every buffered event
+    assert all(e["event_time"].startswith("2024-01-01") for e in events)
+
+
+def test_streamed_abort_discards_and_interleaving_keeps_xids_apart():
+    d = PO.PgOutputDecoder()
+    d.decode(1, rel_msg())
+    # two interleaved streamed transactions
+    d.decode(2, stream_start(801))
+    d.decode(3, _xid_prefixed(insert(tup("1", "dead")), 801))
+    d.decode(4, stream_stop())
+    d.decode(5, stream_start(802))
+    d.decode(6, _xid_prefixed(insert(tup("2", "live")), 802))
+    d.decode(7, stream_stop())
+    assert d.decode(8, stream_abort(801)) == []  # rollback: buffer dropped
+    events = d.decode(9, stream_commit(802))
+    assert [(e["op"], e["after"]["name"]) for e in events] == [("INSERT", "live")]
+    # nothing lingers for the aborted xid
+    assert d.decode(10, stream_commit(801)) == []
+
+
+def test_streamed_relation_updates_registry_immediately():
+    d = PO.PgOutputDecoder()
+    d.decode(1, stream_start(901))
+    # Relation arrives INSIDE the stream (xid-prefixed) and must apply
+    # to the registry at once so later messages in the stream decode
+    d.decode(2, _xid_prefixed(rel_msg(), 901))
+    d.decode(3, _xid_prefixed(insert(tup("5", "E")), 901))
+    d.decode(4, stream_stop())
+    events = d.decode(5, stream_commit(901))
+    assert [(e["op"], e["after"]["id"]) for e in events] == [("INSERT", "5")]

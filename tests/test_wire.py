@@ -848,3 +848,24 @@ def test_pgwire_batch_cap_and_checkpoint_position(spark, tmp_path):
     assert pos["planned"]["lsn"] >= 1029  # all 30 inserts planned
     assert pos["committed_batch"] is not None
     assert pos["committed"]["lsn"] >= 1000  # durable progress recorded
+
+
+def test_start_replication_streaming_option():
+    srv, factory = _server_and_factory()
+    conn = wire.ReplicationConnection(
+        host="db", user="repl", password="sekret", dbname="orders",
+        socket_factory=factory,
+    ).connect()
+    with pytest.raises(ValueError):
+        conn.start_replication("s1", "pub1", proto_version=1, streaming=True)
+    frames = conn.start_replication(
+        "s1", "pub1", proto_version=2, streaming=True
+    )
+    for _ in frames:
+        pass
+    conn.close()
+    srv.join(timeout=10)
+    assert any(
+        "proto_version '2', publication_names 'pub1', streaming 'on'" in q
+        for q in srv.queries
+    )
