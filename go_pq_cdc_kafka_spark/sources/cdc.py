@@ -140,6 +140,10 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self.poll_secs = float(options.get("pollms", 200)) / 1000.0
         self.create_slot = options.get("createslot", "true") == "true"
         self.max_retries = int(options.get("maxretries", 3))
+        self.proto_version = int(options.get("protoversion", 1))
+        # protocol v2 in-progress-transaction streaming (decoder buffers
+        # per-xid until Stream Commit; aborted streams never surface)
+        self.streaming = options.get("streaming", "false") == "true"
         self._queue = None
         self._thread = None
         self._conn = None
@@ -162,6 +166,8 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             self.publication,
             create_slot=self.create_slot,
             on_connect=on_connect,
+            proto_version=self.proto_version,
+            streaming=self.streaming,
         )
         return PostgresReplicationClient(
             self.dsn, self.slot, self.publication, frame_source=fs

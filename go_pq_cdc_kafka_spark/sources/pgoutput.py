@@ -192,6 +192,10 @@ class PgOutputDecoder:
             events = self._pending.pop(xid, [])
             for e in events:
                 e["event_time"] = ts
+                # resume position: a streamed transaction is only safe to
+                # ack PAST its commit (mid-stream offsets replay the whole
+                # stream), so every released event carries the commit lsn
+                e["lsn"] = lsn
             return events
         if tag == "A":  # Stream Abort: xid, subxid — drop the buffer
             xid = r.i32()

@@ -521,6 +521,8 @@ def frame_source_from_dsn(
     create_slot: bool = True,
     socket_factory: Callable[[str, int], socket.socket] | None = None,
     on_connect: Callable[[ReplicationConnection], None] | None = None,
+    proto_version: int = 1,
+    streaming: bool = False,
 ) -> Callable[[int], Iterator[bytes]]:
     """Build the ``frame_source`` contract PostgresReplicationClient expects:
     a callable ``(start_lsn) -> Iterator[raw CopyData frames]`` backed by a
@@ -536,7 +538,13 @@ def frame_source_from_dsn(
                 conn.create_replication_slot(slot)
             if on_connect is not None:
                 on_connect(conn)
-            yield from conn.start_replication(slot, publication, start_lsn)
+            yield from conn.start_replication(
+                slot,
+                publication,
+                start_lsn,
+                proto_version=proto_version,
+                streaming=streaming,
+            )
         finally:
             conn.close()
 

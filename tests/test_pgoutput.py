@@ -336,3 +336,24 @@ def test_streamed_relation_updates_registry_immediately():
     d.decode(4, stream_stop())
     events = d.decode(5, stream_commit(901))
     assert [(e["op"], e["after"]["id"]) for e in events] == [("INSERT", "5")]
+
+
+def test_streamed_frames_through_decode_replication_stream():
+    """v2 streamed frames flow through the transport-level stream decoder:
+    events surface only at Stream Commit, in commit order."""
+    frames = [
+        xlogdata(1, rel_msg()),
+        xlogdata(2, stream_start(55)),
+        xlogdata(3, _xid_prefixed(insert(tup("1", "A")), 55)),
+        xlogdata(4, stream_stop()),
+        keepalive(),
+        xlogdata(5, stream_start(55, first=0)),
+        xlogdata(6, _xid_prefixed(insert(tup("2", "B")), 55)),
+        xlogdata(7, stream_stop()),
+        xlogdata(900, stream_commit(55)),
+    ]
+    events = list(PO.decode_replication_stream(iter(frames)))
+    assert [(e["op"], e["lsn"], e["after"]["name"]) for e in events] == [
+        ("INSERT", 900, "A"),
+        ("INSERT", 900, "B"),
+    ]
