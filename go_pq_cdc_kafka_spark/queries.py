@@ -121,6 +121,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     category="aggregation",
+    description="MIN/MAX/COUNT/COUNT DISTINCT per group (SURVEY §2.B aggregation row).",
 )
 def agg_minmax_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -150,6 +151,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """,
     category="grouping-sets",
+    description="ROLLUP hierarchy totals — one Expand + hash aggregate, single shuffle.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -181,6 +183,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """,
     category="grouping-sets",
+    description="CUBE over two dims — all grouping combinations in one pass.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -204,6 +207,7 @@ FROM customer
 ORDER BY c_mktsegment, c_nationkey
 """,
     category="distinct",
+    description="Exact DISTINCT over a two-column projection (dedup baseline).",
 )
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -321,6 +325,7 @@ GROUP BY c.c_custkey
 ORDER BY c.c_custkey
 """,
     category="join",
+    description="Left outer join preserving unmatched left rows (null-padded).",
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -346,6 +351,7 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
 ORDER BY c_custkey
 """,
     category="join",
+    description="Left semi join — existence filter, right side never materialized.",
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -514,6 +520,7 @@ SELECT 'except' AS src, custkey FROM (SELECT custkey FROM big_cust EXCEPT SELECT
 ORDER BY src, custkey
 """,
     category="setop",
+    description="UNION ALL / INTERSECT / EXCEPT composed in one query.",
 )
 def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -584,6 +591,7 @@ GROUP BY order_month
 ORDER BY order_month
 """,
     category="function-datetime",
+    description="Date/time functions: trunc, extract, intervals, unix epoch.",
 )
 def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -612,6 +620,7 @@ WHERE l_linenumber = 1 AND l_orderkey <= 1000
 ORDER BY l_orderkey
 """,
     category="function-math",
+    description="Math functions: rounding, abs, arithmetic, integer division.",
 )
 def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -639,6 +648,7 @@ GROUP BY word
 ORDER BY n DESC, word
 """,
     category="function-array",
+    description="Array construction, explode, contains, sort (SURVEY §2.B array row).",
 )
 def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -661,6 +671,7 @@ GROUP BY event_type
 ORDER BY event_type
 """,
     category="function-json",
+    description="JSON functions: to_json, get_json_object, schema-on-read extraction.",
 )
 def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
