@@ -319,3 +319,22 @@ def test_runtime_bloom_filter_injection_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lambda_and_variant_funcs_stay_jvm_side(spark):
+    """func_higher_order's lambdas and func_variant's parse_json are
+    Catalyst expressions — no Python execution anywhere in either plan."""
+    for name in ("func_higher_order", "func_variant", "agg_listagg"):
+        plan = plan_of(spark, name)
+        assert "PythonUDF" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_lateral_topn_decorrelates_to_partitioned_window(spark):
+    """The LATERAL subquery must decorrelate to a window PARTITIONED by the
+    correlation key (per-group rank), never a per-outer-row rescan and
+    never an unpartitioned global window."""
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "windowspecdefinition(c_nationkey" in plan
+    assert "CartesianProduct" not in plan
