@@ -287,3 +287,33 @@ def test_snapshot_chunk_planning():
     assert plan_partitions(50, SnapshotConfig().chunk_size) == 1
     assert plan_partitions(16001, 8000) == 3
     assert plan_partitions(10**9, 8000, max_partitions=2000) == 2000
+
+
+def test_idempotent_sink_effectively_once_and_partial_invisibility(spark, tmp_path):
+    """foreach_batch_idempotent_parquet: a replayed batchId is a no-op (the
+    effectively-once upgrade over plain appends), a partial directory
+    without its marker is invisible to readers, and the replay of a
+    crashed batch overwrites the partial output."""
+    import os
+
+    from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
+    out = str(tmp_path / "eo_out")
+    write = SK.foreach_batch_idempotent_parquet(out)
+    b0 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    b1 = spark.range(5, 8).selectExpr("id", "id * 2 AS v")
+
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # checkpoint replay of batch 0: must not duplicate
+    got = SK.read_committed(spark, out)
+    assert got.count() == 8
+    assert got.select("batch").distinct().count() == 2
+
+    # crash mid-batch-2: files land but no marker → invisible to readers
+    partial = os.path.join(out, "batch=2")
+    spark.range(100).write.mode("overwrite").parquet(partial)
+    assert SK.read_committed(spark, out).count() == 8
+    # the replay overwrites the partial directory and commits it
+    write(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), 2)
+    assert SK.read_committed(spark, out).count() == 10
