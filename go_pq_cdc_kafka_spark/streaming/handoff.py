@@ -145,13 +145,25 @@ def snapshot_then_stream_over_wire(
     from go_pq_cdc_kafka_spark.sources import cdc
     from go_pq_cdc_kafka_spark.sources import snapshot as SN
 
+    import os
+
+    from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
     snap_df, handoff_lsn = SN.snapshot_df_over_wire(
         spark, dsn, table, pk=pk_field, schema_name=schema_name,
         chunk_size=chunk_size,
     )
     snap_pipe = CdcPipeline(source=snap_df, routing=routing, pk_field=pk_field)
-    snap_pipe.run_batch().write.mode("append").parquet(out_path)
-    n = spark.read.parquet(out_path).count()
+    # the snapshot is "batch -1" of the same effectively-once layout the
+    # stream writes: committed-marker semantics make a re-run of the whole
+    # initial load idempotent too
+    snap_dir = os.path.join(out_path, "batch=-1")
+    snap_marker = os.path.join(snap_dir, "_COMMITTED")
+    if not os.path.exists(snap_marker):
+        snap_pipe.run_batch().write.mode("overwrite").parquet(snap_dir)
+        with open(snap_marker, "w", encoding="utf-8"):
+            pass
+    n = spark.read.parquet(snap_dir).count()
 
     cdc.register(spark)
     stream = (
@@ -163,13 +175,9 @@ def snapshot_then_stream_over_wire(
         .load()
     )
     cdc_pipe = CdcPipeline(source=stream, routing=routing, pk_field=pk_field)
-
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
-
     query = (
         cdc_pipe.records()
-        .writeStream.foreachBatch(_append)
+        .writeStream.foreachBatch(SK.foreach_batch_idempotent_parquet(out_path))
         .option("checkpointLocation", checkpoint_location)
         .start()
     )

@@ -671,20 +671,20 @@ def test_initial_mode_over_wire_no_gap_handoff(spark, tmp_path):
     try:
         assert load.handoff_lsn == 0x100
         assert load.snapshot_records == 2
+        from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
         deadline = time.monotonic() + 60
         names = set()
         while time.monotonic() < deadline:
-            recs = spark.read.parquet(str(tmp_path / "out")).collect()
+            recs = SK.read_committed(spark, str(tmp_path / "out")).collect()
             names = {json.loads(bytes(r.value))["name"] for r in recs}
             if {"S5", "S6", "A", "B"} <= names:
                 break
             time.sleep(0.5)
         assert {"S5", "S6", "A", "B"} <= names, names
         assert "OLD" not in names  # pre-handoff event not replayed
-        ops = {
-            json.loads(bytes(r.value))["operation"]
-            for r in spark.read.parquet(str(tmp_path / "out")).collect()
-        }
+        recs = SK.read_committed(spark, str(tmp_path / "out")).collect()
+        ops = {json.loads(bytes(r.value))["operation"] for r in recs}
         assert {"SNAPSHOT", "INSERT"} <= ops
     finally:
         load.query.stop()
