@@ -3376,3 +3376,24 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_nationkey, l.c_acctbal DESC, l.c_custkey
         """
     )
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle="""
+SELECT md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id
+FROM documents
+ORDER BY shuffle_key
+""",
+    category="sampling",
+    description="Seeded deterministic epoch shuffle: md5(seed || id) as "
+    "the sort key gives a reproducible global permutation of the corpus "
+    "(same seed => same order on any cluster, any partitioning — the "
+    "training-epoch contract). Executes as a range-partitioned sort, the "
+    "shape that totals 100 TB without a single-node bottleneck; changing "
+    "the seed reshuffles with zero data movement beforehand.",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    return d.select(key.alias("shuffle_key"), "doc_id").orderBy("shuffle_key")
