@@ -3397,3 +3397,46 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
     return d.select(key.alias("shuffle_key"), "doc_id").orderBy("shuffle_key")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              ELSE o_orderkey % 7 END AS grp
+  FROM orders WHERE o_orderkey % 25 = 0
+)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+FROM keyed a JOIN keyed b
+  ON a.grp IS NOT DISTINCT FROM b.grp AND a.o_orderkey < b.o_orderkey
+ORDER BY key_a, key_b
+""",
+    category="join",
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM): "
+    "NULL keys match each other — the semantics plain equi-joins silently "
+    "drop. Still hash-joinable (null-safe equality is a valid hash key), "
+    "so the plan stays an equi join, not a nested loop.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("grp"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.grp").eqNullSafe(F.col("b.grp"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+        )
+        .orderBy("key_a", "key_b")
+    )

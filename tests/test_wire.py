@@ -892,3 +892,43 @@ def test_pgwire_read_between_offsets_replays_committed_range():
     srv.join(timeout=10)
     # exactly the window: 900 excluded (already committed), 910 included
     assert [(r[0], r[2]) for r in rows] == [("INSERT", 910)]
+
+
+def test_framing_survives_one_byte_recv_chunks():
+    """TCP gives no message boundaries: the client's framing must reassemble
+    messages delivered one byte at a time (worst-case fragmentation)."""
+
+    class OneByteSocket:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def recv(self, n):
+            return self.inner.recv(1)
+
+        def sendall(self, b):
+            return self.inner.sendall(b)
+
+        def close(self):
+            return self.inner.close()
+
+    client_sock, server_sock = socket.socketpair()
+    srv = FakeWalsender(server_sock, _wal_frames())
+    srv.start()
+    conn = wire.ReplicationConnection(
+        host="db", user="repl", password="sekret", dbname="orders",
+        socket_factory=lambda h, p: OneByteSocket(client_sock),
+    ).connect()
+    info = conn.identify_system()
+    assert info["xlogpos"] == "0/16B3748"
+    events = list(
+        PO.decode_replication_stream(
+            conn.start_replication("s1", "pub1", 0)
+        )
+    )
+    assert [(e["op"], e["lsn"]) for e in events[:2]] == [
+        ("INSERT", 900),
+        ("INSERT", 910),
+    ]
+    conn.close()
+    srv.join(timeout=10)
+    assert srv.error is None
