@@ -3440,3 +3440,40 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH a AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer WHERE c_acctbal > 9800 GROUP BY c_nationkey
+),
+b AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM supplier WHERE s_acctbal > 4000 GROUP BY s_nationkey
+)
+SELECT COALESCE(a.nk, b.nk) AS nk, a.n_cust, b.n_supp
+FROM a FULL OUTER JOIN b ON a.nk = b.nk
+ORDER BY nk
+""",
+    category="join",
+    description="Full outer join of two filtered aggregates: unmatched "
+    "rows from BOTH sides survive null-padded (the filters make each side "
+    "miss nations the other has). Completes the outer-join family with "
+    "join_left_outer.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9800)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+    a = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    b = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp")
+    )
+    return (
+        a.join(b, "nk", "full_outer")
+        .select(F.col("nk"), "n_cust", "n_supp")
+        .orderBy("nk")
+    )
