@@ -3477,3 +3477,36 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("nk"), "n_cust", "n_supp")
         .orderBy("nk")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_done,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="aggregation",
+    description="SQL-standard FILTER clause on aggregates: per-group "
+    "conditional counts/sums in ONE pass (no self-joins, no pivot) — "
+    "integer cents keep both engines bit-identical.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_done,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
