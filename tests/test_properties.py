@@ -229,3 +229,42 @@ def test_shingles_parity(spark, rows):
         T.shingles_sql("{c}", 5),
     )
     assert [sorted(g) for g in got] == [sorted(w) for w in want]
+
+
+# -- whole-operator parity: duplicated-span removal --------------------------
+
+# tiny vocabulary => cross-doc duplicate blocks occur constantly, driving
+# the interesting paths (removal, reassembly order, fully-emptied docs)
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+docs_strategy = st.lists(
+    st.lists(word, min_size=1, max_size=9).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs_strategy, st.integers(min_value=1, max_value=3))
+@SETTINGS
+def test_block_removal_parity(spark, docs, width):
+    """duplicate_block_removal vs its DuckDB twin on arbitrary small-vocab
+    corpora: same survivors, same reassembled text, same counts — including
+    ragged tails and docs whose every block was boilerplate."""
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.kept_blocks, r.removed_blocks, r.text_clean)
+        for r in DD.duplicate_block_removal(df, width=width)
+        .orderBy("doc_id")
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(docs)))
+    want = con.execute(
+        DD.duplicate_block_removal_sql(width=width, min_docs=2)
+    ).fetchall()
+    assert got == want
