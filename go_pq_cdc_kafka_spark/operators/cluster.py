@@ -93,6 +93,59 @@ def connected_components(
     )
 
 
+def bfs_min_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed, depth-bounded.
+
+    Returns ``(doc_id, min_hops)`` for every node reachable from ``seeds``
+    (a one-column ``doc_id`` DataFrame) within ``max_hops`` over the
+    undirected ``pairs`` graph. Seeds themselves carry ``min_hops = 0``.
+
+    This is the *node-frontier* formulation: each level expands the current
+    frontier through one equi-join, collapses to DISTINCT nodes, and
+    anti-joins the already-visited set before the next round. Intermediate
+    state is therefore bounded by the node count at every level — a k-member
+    clique costs O(k) rows per level, never the O(k^hops) a path-enumerating
+    recursive UNION ALL pays on the same input. Levels are
+    ``localCheckpoint``-ed so the plan does not re-derive prior frontiers
+    (same rationale as :func:`connected_components`; swap for
+    ``.checkpoint()`` on a real cluster).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("min_hops", F.lit(0))
+    for level in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["doc_id"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt.withColumn("min_hops", F.lit(level)))
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
 def cluster_survivors(members: DataFrame) -> DataFrame:
     """Collapse a (doc_id, cluster_id) membership table to one keeper per
     cluster (the minimum id — which is the cluster_id itself by

@@ -40,6 +40,11 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, category: str, description: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would silently shadow the earlier definition in
+        # the dict, leaving dead code that future edits patch by mistake
+        # (this happened once: two scan_orc_roundtrip defs). Fail loudly.
+        if name in REGISTRY:
+            raise ValueError(f"query {name!r} registered twice")
         REGISTRY[name] = QueryDef(name, fn, oracle, category, description)
         return fn
 
@@ -2004,45 +2009,6 @@ def composite_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scan_orc_roundtrip",
-    oracle="""
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
-""",
-    category="scan",
-    description="ORC scan (SURVEY §2.B file-format row): parquet rewritten "
-    "as ORC (native Spark support, pushdown + pruning apply), read back and "
-    "aggregated. Avro needs the external spark-avro jar - absent here, the "
-    "format raises at read, never silently degrades.",
-)
-def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    orc_dir = os.path.join(tempfile.mkdtemp(prefix="scan_orc_"), "orc")
-    o.write.mode("overwrite").orc(orc_dir)
-    return (
-        spark.read.orc(orc_dir)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("o_orderkey").cast("long").alias("sum_key"),
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Composite batch 2 — the remaining TPC-H shapes expressible on the reduced
 # schema (no partsupp / shipmode / commitdate columns in the fixtures, so
@@ -2717,39 +2683,33 @@ SELECT doc_id, CAST(MIN(hops) AS INT) AS min_hops
 FROM bfs GROUP BY doc_id ORDER BY doc_id
 """,
     category="graph",
-    description="Depth-bounded BFS (<=3 hops) over the near-dup pair graph "
-    "from seed docs (doc_id % 10 == 0), via Spark 4's native WITH "
-    "RECURSIVE (UNION ALL + monotone depth guard => terminates under "
-    "cycles; min-hop dedup happens in the final aggregate). Each "
-    "recursion step is one equi-join shuffle on the frontier — frontier-"
-    "sized, not corpus-sized.",
+    description="Depth-bounded multi-source BFS (<=3 hops) over the "
+    "near-dup pair graph from seed docs (doc_id % 10 == 0), as an "
+    "iterative node-frontier loop (operators/cluster.bfs_min_hops): each "
+    "level is one frontier⋈edges equi-join collapsed to DISTINCT nodes and "
+    "anti-joined against visited, so intermediate state is node-bounded — "
+    "a k-clique costs O(k) rows per level, where the path-enumerating "
+    "recursive-CTE formulation (kept as the DuckDB oracle) pays O(k^hops). "
+    "Levels localCheckpoint to stop lineage growth.",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    # persist: the recursive plan references `edges` once per BFS level, and
-    # without a pin each level would re-run the whole candidate+verify
-    # pipeline that produces the pairs
+    # persist: the frontier loop references the pair edges once per BFS
+    # level, and without a pin each level would re-run the whole
+    # candidate+verify pipeline that produces the pairs
     pairs = DD.ngram_jaccard_pairs(d, threshold=0.5).persist()
-    pairs.createOrReplaceTempView("_graph_bfs_pairs")
-    return spark.sql(
-        """
-WITH RECURSIVE edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM _graph_bfs_pairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM _graph_bfs_pairs
-),
-seeds AS (SELECT DISTINCT src AS doc_id FROM edges WHERE src % 10 = 0),
-bfs(doc_id, hops) AS (
-  SELECT doc_id, 0 FROM seeds
-  UNION ALL
-  SELECT e.dst, b.hops + 1
-  FROM bfs b JOIN edges e ON e.src = b.doc_id
-  WHERE b.hops < 3
-)
-SELECT doc_id, CAST(MIN(hops) AS INT) AS min_hops
-FROM bfs GROUP BY doc_id ORDER BY doc_id
-"""
+    seeds = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .filter(F.col("doc_id") % 10 == 0)
+        .distinct()
     )
+    out = (
+        CL.bfs_min_hops(pairs, seeds, max_hops=3)
+        .select("doc_id", F.col("min_hops").cast("int").alias("min_hops"))
+        .orderBy("doc_id")
+    )
+    return out
 
 
 _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}

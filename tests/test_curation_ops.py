@@ -34,6 +34,41 @@ def test_connected_components_long_path_converges(spark):
     assert len(rows) == 12
 
 
+def test_bfs_min_hops_levels_and_bound(spark):
+    # path 1-2-3-4-5 seeded at 1: hop levels are exact, and node 5 is
+    # outside the 3-hop bound.
+    edges = [(i, i + 1) for i in range(1, 5)]
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {
+        (r.doc_id, r.min_hops)
+        for r in CL.bfs_min_hops(_pairs(spark, edges), seeds, max_hops=3).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_min_hops_clique_stays_node_bounded(spark):
+    # A 200-node clique (19,900 edges) is the adversarial input for
+    # path-enumerating BFS: a recursive UNION ALL would generate
+    # O(200^3) ≈ 8e6 frontier rows within the 3-hop bound, while the
+    # node-frontier loop touches each node once per level. The whole run
+    # must finish promptly AND return exactly one row per node (min-hops
+    # semantics: every non-seed node is 1 hop from the seed).
+    import itertools
+    import time
+
+    n = 200
+    edges = list(itertools.combinations(range(n), 2))
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    t0 = time.monotonic()
+    rows = CL.bfs_min_hops(_pairs(spark, edges), seeds, max_hops=3).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n
+    assert {r.min_hops for r in rows} == {0, 1}
+    # generous local-mode budget; the path-enumerating version spins for
+    # far longer on this fixture
+    assert elapsed < 60, f"clique BFS took {elapsed:.1f}s — frontier not node-bounded?"
+
+
 def test_cluster_survivors_counts(spark):
     members = CL.connected_components(_pairs(spark, [(5, 9), (9, 11), (20, 21)]))
     got = {
