@@ -155,10 +155,17 @@ class PgOutputDecoder:
 
     Protocol version 2 STREAMED transactions are supported too: between
     Stream Start ('S') and Stream Stop ('E') every message carries an Xid
-    after its tag; their events buffer per-xid and are released only by
-    Stream Commit ('c', stamping the commit timestamp) or discarded by
-    Stream Abort ('A') — so consumers never see rows from a transaction
-    that ultimately rolled back, exactly the guarantee non-streamed
+    after its tag. That per-message Xid is the xid of the (sub)transaction
+    that made the change — NOT necessarily the top-level xid announced by
+    Stream Start — so events buffer under the top-level xid of the
+    enclosing stream segment, each tagged with its own subxid. Stream
+    Commit ('c', top-level xid) releases the whole buffer — including rows
+    from committed subtransactions — stamping the commit timestamp; Stream
+    Abort ('A', xid + subxid) discards only the subxid's rows when
+    subxid != xid (a savepoint / PL/pgSQL exception-block rollback inside a
+    transaction that may still commit) and the whole buffer when
+    subxid == xid. Consumers therefore never see rows from anything that
+    ultimately rolled back — exactly the guarantee non-streamed
     Begin/Commit gives. Interleaved streams of different xids keep their
     events separate."""
 
@@ -166,7 +173,8 @@ class PgOutputDecoder:
         self.relations: dict[int, Relation] = {}
         self.tx = TxState()
         self._stream_xid: int | None = None  # inside S..E of this xid
-        self._pending: dict[int, list[dict]] = {}  # xid → buffered events
+        #: top-level xid → [(subxid, event), ...] in arrival order
+        self._pending: dict[int, list[tuple[int, dict]]] = {}
 
     # -- message decode -----------------------------------------------------
 
@@ -189,7 +197,7 @@ class PgOutputDecoder:
             r.i64()
             r.i64()
             ts = pg_timestamp(r.i64()).isoformat()
-            events = self._pending.pop(xid, [])
+            events = [e for _subxid, e in self._pending.pop(xid, [])]
             for e in events:
                 e["event_time"] = ts
                 # resume position: a streamed transaction is only safe to
@@ -197,21 +205,34 @@ class PgOutputDecoder:
                 # stream), so every released event carries the commit lsn
                 e["lsn"] = lsn
             return events
-        if tag == "A":  # Stream Abort: xid, subxid — drop the buffer
+        if tag == "A":  # Stream Abort: xid, subxid
             xid = r.i32()
-            self._pending.pop(xid, None)
+            subxid = r.i32()
+            if subxid == xid:
+                # the whole top-level transaction rolled back
+                self._pending.pop(xid, None)
+            elif xid in self._pending:
+                # only the subtransaction rolled back; the rest of the
+                # transaction is still in flight and may commit
+                self._pending[xid] = [
+                    (sx, e) for sx, e in self._pending[xid] if sx != subxid
+                ]
             return []
         if self._stream_xid is not None and tag in "RYIUDT":
-            # within a stream, protocol v2 prefixes each message with its
-            # xid; route the decoded events into that xid's buffer
-            xid = r.i32()
+            # within a stream, protocol v2 prefixes each message with the
+            # xid of the (sub)transaction that made the change; buffer under
+            # the segment's TOP-LEVEL xid, tagged with the message xid so a
+            # subtransaction abort can surgically remove its rows
+            msg_xid = r.i32()
             inner = buf[:1] + buf[r.pos :]
-            saved, self._stream_xid = self._stream_xid, None
+            top_xid, self._stream_xid = self._stream_xid, None
             try:
                 events = self.decode(lsn, inner)
             finally:
-                self._stream_xid = saved
-            self._pending.setdefault(xid, []).extend(events)
+                self._stream_xid = top_xid
+            self._pending.setdefault(top_xid, []).extend(
+                (msg_xid, e) for e in events
+            )
             return []
         if tag == "B":  # Begin: final_lsn, commit_ts, xid
             r.i64()

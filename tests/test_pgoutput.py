@@ -281,8 +281,10 @@ def stream_commit(xid, ts_us=TS_2024):
     return b"c" + struct.pack(">ibqqq", xid, 0, 0, 0, ts_us)
 
 
-def stream_abort(xid, subxid=0):
-    return b"A" + struct.pack(">ii", xid, subxid)
+def stream_abort(xid, subxid=None):
+    # a whole-transaction abort carries subxid == xid; subxid != xid means
+    # only that subtransaction rolled back (savepoint / exception block)
+    return b"A" + struct.pack(">ii", xid, xid if subxid is None else subxid)
 
 
 def _xid_prefixed(msg, xid):
@@ -324,6 +326,49 @@ def test_streamed_abort_discards_and_interleaving_keeps_xids_apart():
     assert [(e["op"], e["after"]["name"]) for e in events] == [("INSERT", "live")]
     # nothing lingers for the aborted xid
     assert d.decode(10, stream_commit(801)) == []
+
+
+def test_streamed_subtransaction_rows_released_at_top_level_commit():
+    """Per-message Xids inside a stream are the (sub)transaction's xid —
+    rows written under a subtransaction (subxid != top xid) must still be
+    released when the TOP-LEVEL transaction commits. Regression: they were
+    buffered under the subxid and silently dropped at Stream Commit."""
+    d = PO.PgOutputDecoder()
+    d.decode(1, rel_msg())
+    d.decode(2, stream_start(1001))
+    d.decode(3, _xid_prefixed(insert(tup("1", "top")), 1001))
+    # SAVEPOINT: change arrives tagged with the subtransaction's xid
+    d.decode(4, _xid_prefixed(insert(tup("2", "sub")), 1002))
+    d.decode(5, _xid_prefixed(insert(tup("3", "top2")), 1001))
+    d.decode(6, stream_stop())
+    events = d.decode(7, stream_commit(1001))
+    assert [(e["op"], e["after"]["name"]) for e in events] == [
+        ("INSERT", "top"),
+        ("INSERT", "sub"),
+        ("INSERT", "top2"),
+    ]
+
+
+def test_streamed_subtransaction_abort_keeps_rest_of_transaction():
+    """Stream Abort with subxid != xid rolls back ONLY the subtransaction;
+    the remaining rows of the top-level transaction must survive to commit.
+    Regression: the whole top-level buffer was popped."""
+    d = PO.PgOutputDecoder()
+    d.decode(1, rel_msg())
+    d.decode(2, stream_start(1101))
+    d.decode(3, _xid_prefixed(insert(tup("1", "keep")), 1101))
+    d.decode(4, _xid_prefixed(insert(tup("2", "rollback-me")), 1102))
+    d.decode(5, _xid_prefixed(insert(tup("3", "keep2")), 1103))
+    d.decode(6, stream_stop())
+    # savepoint 1102 rolls back; 1101 and 1103 are still in flight
+    assert d.decode(7, stream_abort(1101, subxid=1102)) == []
+    events = d.decode(8, stream_commit(1101))
+    assert [(e["op"], e["after"]["name"]) for e in events] == [
+        ("INSERT", "keep"),
+        ("INSERT", "keep2"),
+    ]
+    # abort of an unknown/already-gone xid is a no-op, not an error
+    assert d.decode(9, stream_abort(9999, subxid=9998)) == []
 
 
 def test_streamed_relation_updates_registry_immediately():
