@@ -20,6 +20,8 @@ functions.text, so oracles match bit-for-bit).
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
@@ -469,8 +471,13 @@ def duplicate_block_removal(
     No all-pairs comparison anywhere. Output keeps empty survivors (a doc
     that was 100% boilerplate comes back with ``text_clean=''``) so row
     count is stable for auditing.
+
+    ``delim`` is a LITERAL delimiter: ``F.split`` takes a Java regex, so
+    the pattern is regex-escaped here while ``concat_ws``/``array_join``
+    use the raw string — without the escape a delimiter like ``'.'`` or
+    ``'|'`` tokenizes wrongly and silently corrupts block boundaries.
     """
-    toks = F.split(F.col(text_col), delim)
+    toks = F.split(F.col(text_col), re.escape(delim))
     n_blocks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(0), n_blocks - F.lit(1)),

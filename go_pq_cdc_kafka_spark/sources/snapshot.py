@@ -17,12 +17,28 @@ record the slot LSN before the snapshot, start the stream from it
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from enum import Enum
 
 from pyspark.sql import DataFrame, SparkSession
 
 from go_pq_cdc_kafka_spark import envelope as env
+
+#: plain SQL identifiers only — embedded quotes/control chars are rejected
+#: rather than escaped (nothing legitimate in a CDC config needs them), so
+#: a hostile schema/table/pk option can't smuggle SQL into the wire scan
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+_NUMERIC_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def _quote_ident(name: str) -> str:
+    """Validate + double-quote an identifier for interpolation into wire
+    simple queries (quoting also stops case folding from surprising users
+    with mixed-case table names)."""
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"invalid SQL identifier {name!r}")
+    return f'"{name}"'
 
 
 class SnapshotMode(str, Enum):
@@ -141,10 +157,13 @@ def snapshot_events_over_wire(
     reference's own scan, one process pages through the table); at Spark
     scale prefer :func:`snapshot_from_jdbc`'s partitioned read, which
     splits the key space across executors. ``pk`` must be numeric (keyset
-    literals are rendered unquoted).
+    literals are rendered unquoted; enforced per chunk).
     """
     from go_pq_cdc_kafka_spark.sources import wire
 
+    ident_schema = _quote_ident(schema_name)
+    ident_table = _quote_ident(table)
+    ident_pk = _quote_ident(pk)
     conn = wire.ReplicationConnection(
         socket_factory=socket_factory, **wire.parse_dsn(dsn)
     ).connect()
@@ -154,10 +173,10 @@ def snapshot_events_over_wire(
         events: list[dict] = []
         last = None
         while True:
-            pred = f" WHERE {pk} > {last}" if last is not None else ""
+            pred = f" WHERE {ident_pk} > {last}" if last is not None else ""
             rows = conn.simple_query(
-                f"SELECT * FROM {schema_name}.{table}{pred} "
-                f"ORDER BY {pk} LIMIT {chunk_size}"
+                f"SELECT * FROM {ident_schema}.{ident_table}{pred} "
+                f"ORDER BY {ident_pk} LIMIT {int(chunk_size)}"
             )
             for r in rows:
                 events.append(
@@ -174,6 +193,13 @@ def snapshot_events_over_wire(
             if len(rows) < chunk_size:
                 break
             last = rows[-1][pk]
+            # the keyset literal is interpolated unquoted — enforce the
+            # numeric-pk contract instead of trusting the server's bytes
+            if last is None or not _NUMERIC_RE.match(str(last)):
+                raise ValueError(
+                    f"keyset pagination needs a numeric pk; got {last!r} "
+                    f"for {pk!r}"
+                )
         conn.simple_query("COMMIT")
         return events, start_lsn
     finally:

@@ -149,20 +149,35 @@ def snapshot_then_stream_over_wire(
 
     from go_pq_cdc_kafka_spark.streaming import sinks as SK
 
-    snap_df, handoff_lsn = SN.snapshot_df_over_wire(
-        spark, dsn, table, pk=pk_field, schema_name=schema_name,
-        chunk_size=chunk_size,
-    )
-    snap_pipe = CdcPipeline(source=snap_df, routing=routing, pk_field=pk_field)
-    # the snapshot is "batch -1" of the same effectively-once layout the
-    # stream writes: committed-marker semantics make a re-run of the whole
-    # initial load idempotent too
+    # The snapshot is "batch -1" of the same effectively-once layout the
+    # stream writes; its _COMMITTED marker records the handoff LSN so a
+    # re-run NEVER captures a fresh position against an old snapshot. The
+    # failure mode that rule closes: crash after the marker but before the
+    # stream's first offset commit — re-running with a freshly captured LSN
+    # would hand changes committed in between to NEITHER the (old) snapshot
+    # NOR the (new-LSN) stream. Marker present + LSN recorded → skip the
+    # wire rescan entirely and resume the stream from the recorded LSN.
+    # Marker absent/empty (legacy or torn write) → redo the scan, which
+    # recaptures position-then-snapshot atomically from the server.
     snap_dir = os.path.join(out_path, "batch=-1")
     snap_marker = os.path.join(snap_dir, "_COMMITTED")
-    if not os.path.exists(snap_marker):
+    handoff_lsn: int | None = None
+    if os.path.exists(snap_marker):
+        with open(snap_marker, "r", encoding="utf-8") as f:
+            content = f.read().strip()
+        if content:
+            handoff_lsn = int(content)
+    if handoff_lsn is None:
+        snap_df, handoff_lsn = SN.snapshot_df_over_wire(
+            spark, dsn, table, pk=pk_field, schema_name=schema_name,
+            chunk_size=chunk_size,
+        )
+        snap_pipe = CdcPipeline(
+            source=snap_df, routing=routing, pk_field=pk_field
+        )
         snap_pipe.run_batch().write.mode("overwrite").parquet(snap_dir)
-        with open(snap_marker, "w", encoding="utf-8"):
-            pass
+        with open(snap_marker, "w", encoding="utf-8") as f:
+            f.write(str(handoff_lsn))
     n = spark.read.parquet(snap_dir).count()
 
     cdc.register(spark)

@@ -202,6 +202,22 @@ def test_block_removal_preserves_order_and_ragged_tail(spark):
     assert got == {1: "a b e", 2: "x y z"}
 
 
+def test_block_removal_regex_metachar_delim_is_literal(spark):
+    # '.' is a regex metachar: F.split gets the escaped pattern while
+    # reassembly uses the raw string — without the escape every character
+    # becomes its own token and block boundaries silently corrupt.
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    d = _docs(spark, [(1, "spam.alpha.beta"), (2, "spam.gamma"), (3, "spam")])
+    got = {
+        r.doc_id: (r.kept_blocks, r.text_clean)
+        for r in DD.duplicate_block_removal(
+            d, width=1, min_docs=2, delim="."
+        ).collect()
+    }
+    assert got == {1: (2, "alpha.beta"), 2: (1, "gamma"), 3: (0, "")}
+
+
 def test_block_removal_plan_shape(spark):
     from go_pq_cdc_kafka_spark.operators import dedup as DD
 
