@@ -3472,6 +3472,50 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREE_ROLLUP_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child,
+         CAST(FLOOR(c_custkey / 10) AS BIGINT) AS parent,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+walk(node, anc, depth, bal_cents) AS (
+  SELECT child, child, 0, bal_cents FROM edges
+  UNION ALL
+  SELECT w.node, e.parent, w.depth + 1, w.bal_cents
+  FROM walk w JOIN edges e ON e.child = w.anc
+  WHERE e.parent > 0
+)
+SELECT anc AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS n_subtree,
+       CAST(MAX(depth) AS INT) AS max_depth,
+       CAST(SUM(bal_cents) AS BIGINT) AS subtree_bal_cents
+FROM walk
+GROUP BY anc
+ORDER BY ancestor
+"""
+
+
+@register(
+    "recursive_tree_rollup",
+    oracle=_TREE_ROLLUP_SQL,
+    category="recursive",
+    description="Hierarchical (org-chart / category-tree) rollup via Spark "
+    "4's native WITH RECURSIVE: an implicit tree (parent = custkey DIV 10) "
+    "is walked upward to materialize the ancestor closure, then each "
+    "ancestor aggregates its whole subtree (count, max depth, balance in "
+    "integer cents for cross-engine exactness). Iteration bound: depth = "
+    "digits of the max key, i.e. O(log10 n) recursion rounds — at 100 TB "
+    "(~1e10 keys) that is 10 rounds, each one frontier-sized equi-join; "
+    "the closure is n*log10(n) rows, not quadratic, because the walk "
+    "ascends a tree (single parent per node), never a general graph. The "
+    "DuckDB oracle is the very same recursive SQL.",
+)
+def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_TREE_ROLLUP_SQL)
+
+
 # ===========================================================================
 # Driver-window rotation
 # ===========================================================================
