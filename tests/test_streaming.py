@@ -289,6 +289,59 @@ def test_snapshot_chunk_planning():
     assert plan_partitions(10**9, 8000, max_partitions=2000) == 2000
 
 
+def test_snapshot_jdbc_dry_run_pins_reader_options(spark):
+    """No Postgres exists in the sandbox, so pin the EXACT options
+    snapshot_from_jdbc hands Spark's JDBC reader for a given chunk plan
+    (the reference's chunked-scan contract, README.md:242-248): partition
+    column = pk, bounds = caller's key range, numPartitions = ceil(rows /
+    chunk_size), Postgres driver class. A fake reader records the call and
+    returns a real DataFrame so the envelope lineage downstream stays the
+    production one."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import (
+        SnapshotConfig,
+        snapshot_from_jdbc,
+    )
+
+    rows_df = spark.createDataFrame([(1, "A"), (2, "B")], "id long, name string")
+    calls = []
+
+    class RecordingReader:
+        def jdbc(self, **kw):
+            calls.append(kw)
+            return rows_df
+
+    class FakeSpark:
+        read = RecordingReader()
+
+    events = snapshot_from_jdbc(
+        FakeSpark(),
+        url="jdbc:postgresql://db:5432/orders",
+        table="public.users",
+        pk_col="id",
+        lower=1,
+        upper=16001,
+        row_count=16001,
+        cfg=SnapshotConfig(chunk_size=8000),
+        properties={"user": "repl"},
+    )
+    assert calls == [
+        {
+            "url": "jdbc:postgresql://db:5432/orders",
+            "table": "public.users",
+            "column": "id",
+            "lowerBound": 1,
+            "upperBound": 16001,
+            "numPartitions": 3,  # ceil(16001 / 8000) — the chunk contract
+            "properties": {"driver": "org.postgresql.Driver", "user": "repl"},
+        }
+    ]
+    # the fake rows flowed through the real SNAPSHOT envelope lineage
+    got = events.collect()
+    assert {r.op for r in got} == {"SNAPSHOT"}
+    assert {r.table_name for r in got} == {"users"}
+    assert sorted(int(r.after["id"]) for r in got) == [1, 2]
+
+
 def test_idempotent_sink_effectively_once_and_partial_invisibility(spark, tmp_path):
     """foreach_batch_idempotent_parquet: a replayed batchId is a no-op (the
     effectively-once upgrade over plain appends), a partial directory
