@@ -63,15 +63,20 @@ def main() -> None:
     ).mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    all_runs: dict[str, list[float]] = {}
 
-    def best_of(run) -> float:
-        best = float("inf")
+    def best_of(run, name: str) -> float:
+        # every individual run is recorded in the JSON (`runs` key) so a
+        # round-over-round diff can tell noise from regression; the min is
+        # still the headline number (noise-floor estimator)
+        times = []
         for _ in range(runs):
             spark.catalog.clearCache()  # persist()-ing operators run cold
             t0 = time.time()
             run()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        all_runs[name] = times
+        return min(times)
 
     for name in HEADLINE:
         timings[name] = best_of(
@@ -79,7 +84,8 @@ def main() -> None:
             .fn(spark, sf_dir)
             .write.format("noop")
             .mode("overwrite")
-            .save()
+            .save(),
+            name,
         )
 
     # CDC end-to-end throughput at the same SF — directly comparable to the
@@ -98,7 +104,8 @@ def main() -> None:
     )
     n_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     cdc_wall = best_of(
-        lambda: pipe.run_batch().write.format("noop").mode("overwrite").save()
+        lambda: pipe.run_batch().write.format("noop").mode("overwrite").save(),
+        "cdc_pipeline_snapshot",
     )
     cdc_rows_per_sec = round(n_rows / cdc_wall, 1)
     timings["cdc_pipeline_snapshot"] = cdc_wall
@@ -115,6 +122,7 @@ def main() -> None:
                 "cdc_rows_per_sec": cdc_rows_per_sec,
                 "cdc_rows": n_rows,
                 "runs_per_query": runs,
+                "runs": all_runs,
             }
         )
     )
