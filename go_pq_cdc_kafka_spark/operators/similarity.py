@@ -377,6 +377,98 @@ def train_centroids(
     return cents
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over embeddings — k-means-cluster the space, score cosine
+    only WITHIN each cluster, and among near-duplicates (cos >= threshold)
+    keep the member with the LOWEST cosine to its centroid (the paper's
+    best-performing keep rule: the most diverse representative survives).
+
+    Drop rule, pairwise and iteration-free: ``b`` is dropped when some
+    same-cluster ``a`` has ``cos(a,b) >= threshold`` and ``a`` is
+    keep-preferred (lower centroid-cosine; ties broken by lower id). One
+    broadcast assignment + one within-cluster self-join + one distinct —
+    no driver loops.
+
+    Returns ``(vec_id, cluster, cent_cos, kept)`` for every corpus vector.
+
+    Scale notes (100 TB posture): the within-cluster self-join is
+    SemDeDup's own complexity bound — pair work is Σ cluster², controlled
+    by k (the paper runs k=11k on LAION); the shuffle key is the cluster
+    id, so a balanced trained quantizer (train_centroids) is what keeps
+    partitions even. Centroid assignment broadcasts the K×dim table and
+    touches the corpus once."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec, id_col)
+    cents = centroids.select(
+        "centroid_id",
+        "centroid_vec",
+        norm(F.col("centroid_vec")).alias("_cn"),
+    )
+    members = (
+        assigned.join(
+            F.broadcast(cents),
+            assigned["cluster"] == cents["centroid_id"],
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec),
+            F.col("_vnorm"),
+            F.col("cluster"),
+            cosine_from_norms(
+                F.col(vec),
+                F.col("centroid_vec"),
+                F.col("_vnorm"),
+                F.col("_cn"),
+            ).alias("cent_cos"),
+        )
+        .persist()
+    )
+    a = members.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec).alias("_va"),
+        F.col("_vnorm").alias("_na"),
+        F.col("cent_cos").alias("_cca"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec).alias("_vb"),
+        F.col("_vnorm").alias("_nb"),
+        F.col("cent_cos").alias("_ccb"),
+    )
+    keep_preferred = (F.col("_cca") < F.col("_ccb")) | (
+        (F.col("_cca") == F.col("_ccb")) & (F.col("_ida") < F.col("_idb"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(keep_preferred)
+        .filter(
+            cosine_from_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return members.join(
+        dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("cent_cos"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL via Spark).
+"""Mergeable sketches: HLL distinct counts + exact-arithmetic histograms.
 
 ``approx_count_distinct`` (the ``distinct_approx`` query) answers one
 question once; SKETCHES are the 100 TB production shape: materialize one
@@ -55,3 +55,103 @@ def hll_rollup(
             F.hll_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketches (mergeable AND exactly oracle-checkable)
+# ---------------------------------------------------------------------------
+#
+# The same materialize-once/merge-anywhere tier as HLL, but for quantiles —
+# and unlike HLL (whose bytes are engine-specific, hence rows-only checks),
+# a histogram sketch is a (bin → integer count) table built with pure
+# integer arithmetic: value in cents, bin = cents div width. Merge =
+# summing counts; a quantile is the first bin whose cumulative count
+# crosses q% of the total (integer comparison ``cum*100 >= pct*total``, no
+# float rounding anywhere). Every tier is therefore bit-identical in any
+# engine — DuckDB oracles check the whole pipeline exactly.
+#
+# 100 TB posture: the cell pass is one groupBy over the raw data (map-side
+# combinable, fixed nbins keys per cell); every later rollup shuffles only
+# (cells × nbins) count rows, never the events. Accuracy is the bin width:
+# the quantile is exact to ±width/2, the classic equi-width trade.
+
+
+def histogram_cell_sketches(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    value_cents,
+    width_cents: int,
+    nbins: int,
+) -> DataFrame:
+    """(cell → bin → count) histogram of an integer-cents value column.
+
+    ``value_cents`` must already be integral (cast upstream with
+    ``CAST(ROUND(x*100) AS BIGINT)`` so Spark and any oracle agree
+    bit-for-bit). Bins clamp into [0, nbins-1]."""
+    v = value_cents.cast("bigint")
+    # integer floor-division without a float round-trip hazard: the
+    # numerator (v - v % w) is an exact multiple of w and far below 2^53,
+    # so the double division is exact in every engine
+    quotient = ((v - (v % F.lit(width_cents))) / F.lit(width_cents)).cast(
+        "bigint"
+    )
+    bin_col = F.least(
+        F.lit(int(nbins - 1)).cast("bigint"),
+        F.greatest(F.lit(0).cast("bigint"), quotient),
+    )
+    return df.groupBy(
+        *cell_cols,
+        bin_col.alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def histogram_rollup(
+    hist: DataFrame, rollup_cols: Sequence[str]
+) -> DataFrame:
+    """Merge cell histograms to a coarser grouping: counts just add."""
+    return hist.groupBy(*rollup_cols, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    width_cents: int,
+    pcts: Sequence[int] = (50, 95, 99),
+) -> DataFrame:
+    """Per-group quantile bin edges from a (group, bin, n) histogram.
+
+    Integer-only: the p-th percentile is the lowest bin whose cumulative
+    count satisfies ``cum * 100 >= p * total``; the reported edge is
+    ``bin * width_cents`` (the bin's lower bound, in cents)."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    aggs = [
+        (
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(int(p)) * F.col("total"),
+                    F.col("bin"),
+                )
+            )
+            * F.lit(width_cents)
+        )
+        .cast("long")
+        .alias(f"p{p}_edge_cents")
+        for p in pcts
+    ]
+    aggs.append(F.max("total").cast("long").alias("n_rows"))
+    return c.groupBy(*group_cols).agg(*aggs)

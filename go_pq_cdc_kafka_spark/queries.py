@@ -3516,6 +3516,107 @@ def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TREE_ROLLUP_SQL)
 
 
+@register(
+    "dedup_semantic_clusters",
+    oracle=None,  # k-means-trained clusters are engine-specific (same
+    # reason sim_ivf_trained_topk is rows-only); the keep rule itself is
+    # pinned exactly by tests/test_training_ops.py::test_semantic_dedup_*
+    category="dedup",
+    description="SemDeDup (Abbas et al. 2023): embedding-space semantic "
+    "dedup — k-means clusters bound the pairwise work, cosine scored "
+    "within clusters only, and of each near-dup group the member with the "
+    "LOWEST centroid-cosine survives (the paper's diversity-keeping rule). "
+    "Returns per-cluster member/survivor counts. Pair cost is sum(cluster"
+    "^2), dialed by k; shuffle key is the cluster id (balanced by the "
+    "trained quantizer).",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_centroids=8, iters=3)
+    # 0.4 matches dedup_embedding_cosine's fixture threshold: the synthetic
+    # corpus is near-uniform (typical cos ~0.2), with planted similar pairs
+    # above 0.4 — production text embeddings would use ~0.95
+    res = SIM.semantic_dedup(e, cents, threshold=0.4)
+    return (
+        res.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_HIST_WIDTH_CENTS = 11000  # $110 bins over l_extendedprice (≈900..104950)
+_HIST_NBINS = 1000
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         LEAST({_HIST_NBINS - 1},
+               GREATEST(0, CAST(round(l_extendedprice * 100) AS BIGINT)
+                           // {_HIST_WIDTH_CENTS})) AS bin
+  FROM lineitem
+),
+b2 AS (
+  SELECT flag, bin FROM b
+  UNION ALL
+  SELECT 'ALL' AS flag, bin FROM b
+),
+h AS (SELECT flag, bin, COUNT(*) AS n FROM b2 GROUP BY flag, bin),
+c AS (
+  SELECT flag, bin, n,
+         SUM(n) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY flag) AS total
+  FROM h
+)
+SELECT flag,
+       CAST(MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END)
+            * {_HIST_WIDTH_CENTS} AS BIGINT) AS p50_edge_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 95 * total THEN bin END)
+            * {_HIST_WIDTH_CENTS} AS BIGINT) AS p95_edge_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END)
+            * {_HIST_WIDTH_CENTS} AS BIGINT) AS p99_edge_cents,
+       CAST(MAX(total) AS BIGINT) AS n_rows
+FROM c GROUP BY flag ORDER BY flag
+""",
+    category="sketch",
+    description="Mergeable equi-width histogram sketch tier with an EXACT "
+    "oracle (unlike HLL, whose bytes are engine-specific): one integer-"
+    "cents binning pass per cell (map-side-combinable groupBy, fixed "
+    f"{_HIST_NBINS} bins), then any coarser rollup — here the per-"
+    "returnflag histograms MERGED into a global 'ALL' tier — by summing "
+    "counts, never rescanning events. Quantiles are integer comparisons "
+    "(cum*100 >= p*total) on bin edges, so Spark and DuckDB agree "
+    "bit-for-bit. At 100 TB rollups shuffle (cells x bins) count rows "
+    "only; accuracy is the +-width/2 equi-width trade.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    cells = SKCH.histogram_cell_sketches(
+        li.select(F.col("l_returnflag").alias("flag"), cents.alias("cents")),
+        ["flag"],
+        F.col("cents"),
+        width_cents=_HIST_WIDTH_CENTS,
+        nbins=_HIST_NBINS,
+    )
+    # merge tier: the global histogram comes from the per-flag sketches
+    # alone (counts add) — the raw table is scanned exactly once above
+    merged = cells.unionByName(
+        SKCH.histogram_rollup(cells.withColumn("flag", F.lit("ALL")), ["flag"])
+    )
+    return (
+        SKCH.histogram_quantiles(
+            merged, ["flag"], width_cents=_HIST_WIDTH_CENTS, pcts=(50, 95, 99)
+        )
+        .orderBy("flag")
+    )
+
+
 # ===========================================================================
 # Driver-window rotation
 # ===========================================================================

@@ -50,3 +50,34 @@ def test_hll_merge_identity(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_histogram_sketch_merge_identity_and_quantiles(spark):
+    """Histogram tier: merging cell sketches equals sketching undivided
+    data (counts add exactly), bins clamp into [0, nbins), and quantile
+    edges follow the integer cum*100 >= p*total rule."""
+    rows = [("a", 50), ("a", 150), ("a", 250), ("b", 250), ("b", 99999)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    cells = SKCH.histogram_cell_sketches(
+        df, ["g"], F.col("cents"), width_cents=100, nbins=10
+    )
+    got = {(r.g, r.bin): r.n for r in cells.collect()}
+    # 99999 // 100 = 999 clamps into the last bin (9)
+    assert got == {("a", 0): 1, ("a", 1): 1, ("a", 2): 1, ("b", 2): 1, ("b", 9): 1}
+
+    merged = SKCH.histogram_rollup(cells, [])
+    direct = SKCH.histogram_cell_sketches(
+        df, [], F.col("cents"), width_cents=100, nbins=10
+    )
+    assert {(r.bin, r.n) for r in merged.collect()} == {
+        (r.bin, r.n) for r in direct.collect()
+    }
+
+    q = SKCH.histogram_quantiles(
+        merged.withColumn("g", F.lit("ALL")), ["g"], 100, pcts=(50, 100)
+    ).collect()[0]
+    # cum over bins 0,1,2,9 = 1,2,4,5 of 5: p50 needs cum*100 >= 250 -> the
+    # first qualifying bin is 2 (cum 4); p100 -> bin 9
+    assert q.p50_edge_cents == 200
+    assert q.p100_edge_cents == 900
+    assert q.n_rows == 5

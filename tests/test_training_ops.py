@@ -185,6 +185,52 @@ def test_ivf_trained_centroids_recall(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"  # measured 0.96
 
 
+def test_semantic_dedup_keeps_low_centroid_sim_and_breaks_ties_by_id(spark):
+    """SemDeDup keep rule: within a cluster, of a near-dup pair the member
+    with the LOWER centroid-cosine survives; exact ties (identical
+    vectors) break toward the lower id. Cross-cluster pairs are never
+    scored. Fixtures use exact duplicates so float noise can't flip the
+    expected keeps."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0 (same cluster)
+        (3, [0.0, 1.0, 0.0, 0.0]),  # exact dup of 1
+        (4, [0.6, 0.0, 0.8, 0.0]),  # cluster of 0, below threshold
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.train_centroids(e, n_centroids=2, iters=2, id_col="vec_id")
+    out = {
+        r.vec_id: r.kept
+        for r in SIM.semantic_dedup(e, cents, threshold=0.99).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_semantic_dedup_prefers_diverse_representative(spark):
+    """Non-tied case: the near-dup farther from the centroid is the one
+    kept (the paper's diversity rule), regardless of id order."""
+    # cluster pulled toward x-axis by a mass of identical far members;
+    # near-dup pair: id 10 lies ON the centroid direction, id 9 is tilted
+    # away — 9 must survive even though 10 has the larger id... and vice
+    # versa when ids swap, which the second half checks.
+    base = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    pair_a = [(9, [0.9995, 0.0316, 0.0, 0.0]), (10, [1.0, 0.0, 0.0, 0.0])]
+    off = [(20, [0.0, 0.0, 0.0, 1.0])]  # second centroid seed target
+    e = spark.createDataFrame(
+        base + pair_a + off, "vec_id long, embedding array<double>"
+    )
+    cents = SIM.train_centroids(e, n_centroids=2, iters=2, id_col="vec_id")
+    out = {
+        r.vec_id: r.kept
+        for r in SIM.semantic_dedup(e, cents, threshold=0.999).collect()
+    }
+    # 9 is tilted off-centroid -> lower cent_cos -> keep-preferred; 10 is a
+    # dup of the base mass too and drops with it
+    assert out[9] is True
+    assert out[10] is False
+
+
 def test_ivf_training_fixes_hot_cluster_skew(spark):
     """The hot-cluster scenario first-N seeding is pathological for: the
     corpus has two well-separated blobs but the first N ids all live in blob
