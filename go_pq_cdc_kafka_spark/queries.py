@@ -3517,6 +3517,77 @@ def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_partition_pruned",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="scan",
+    description="Hive-style partition pruning: orders rewritten "
+    "partitionBy(o_orderpriority), then read with an IN filter that prunes "
+    "3 of 5 directories at PLANNING time (PartitionFilters on the scan, "
+    "plan-asserted) — at 100 TB the pruned partitions are never listed, "
+    "let alone read. The complement of footer_stats' row-group skipping.",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    pdir = os.path.join(tempfile.mkdtemp(prefix="scan_part_"), "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(pdir)
+    return (
+        spark.read.parquet(pdir)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+       CAST(SUM(cents) OVER w AS BIGINT) AS sum_band_cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY cents
+  RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_range_frame",
+    oracle=_RANGE_FRAME_SQL,
+    category="window",
+    description="Value-based RANGE window frame (vs the positional ROWS "
+    "frames of window_frame_positional): per customer, how many orders "
+    "fall within $10,000 below each order's price, and their total — the "
+    "band is defined by VALUE distance, so peers with equal keys are all "
+    "in-frame (well-defined under ties). Integer cents keep both engines "
+    "bit-identical; one shuffle on the partition key.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RANGE_FRAME_SQL)
+
+
+@register(
     "dedup_semantic_clusters",
     oracle=None,  # k-means-trained clusters are engine-specific (same
     # reason sim_ivf_trained_topk is rows-only); the keep rule itself is

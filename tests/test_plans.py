@@ -32,6 +32,18 @@ def test_scan_pushdown_and_pruning(spark):
     assert read_schema.count(",") < 8
 
 
+def test_partition_pruning_reaches_the_scan(spark):
+    """scan_partition_pruned: the IN predicate must prune directories at
+    planning time (PartitionFilters), not filter rows post-scan — the
+    difference between reading 2/5ths of 100 TB and reading all of it."""
+    plan = plan_of(spark, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "o_orderpriority" in pf
+    # the partition predicate must not ALSO appear as a data filter
+    assert "1-URGENT" in pf
+
+
 def test_dim_joins_broadcast(spark):
     for name in ("join_equi_broadcast", "join_multiway_fact"):
         plan = plan_of(spark, name)

@@ -1,0 +1,70 @@
+"""Self-enforcing 100-TB posture: source-level bans on driver-side and
+quadratic constructs, so a future edit can't quietly regress the scale
+story the plan tests pin operator-by-operator.
+
+Banned outside the allowlist below:
+
+- ``.collect()`` / ``.toPandas()`` — driver materialization; every allowed
+  occurrence is a provably tiny frame (a K×dim centroid table, a 1-row
+  footer-stats aggregate).
+- ``.crossJoin(`` — only legal as broadcast-scalar attachment (a 1-row
+  broadcast side).
+- ``F.udf`` / ``@udf`` — row-at-a-time Python in the hot path; Arrow-batched
+  pandas UDFs are the only sanctioned Python execution.
+- ``.rdd`` — the RDD API (partition-count introspection is allowed; RDD
+  transformations are not).
+
+The allowlist is (path, substring-of-line) pairs: a hit matching an entry
+is accepted, anything else fails with the offending location. Tests and
+tools are exempt (driver-side collects are the point there).
+"""
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "go_pq_cdc_kafka_spark")
+
+BANNED = re.compile(
+    r"\.collect\(\)|\.toPandas\(\)|\.crossJoin\(|F\.udf\(|@udf\b|\.rdd\b"
+)
+
+ALLOWED = [
+    # K×dim centroid table — bounded by n_centroids, never corpus rows
+    ("operators/similarity.py", "rows = means.collect()"),
+    # 1-row global-stats aggregate (footer-only maintenance pass)
+    ("operators/maintenance.py", ".collect()[0]"),
+    # broadcast-scalar attachment: the non-broadcast side is 1 row
+    ("operators/maintenance.py", "crossJoin(F.broadcast"),
+    ("operators/search.py", "crossJoin(F.broadcast"),
+    # partition-count introspection (no RDD transformation)
+    ("streaming/handoff.py", ".rdd.getNumPartitions()"),
+    ("catalog.py", ".rdd.getNumPartitions()"),
+]
+
+
+def test_no_driver_side_or_quadratic_constructs_in_source():
+    violations = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG)
+            with open(path, encoding="utf-8") as f:
+                for lineno, line in enumerate(f, 1):
+                    stripped = line.split("#", 1)[0]  # prose in comments is fine
+                    if "``" in line:
+                        continue  # reStructuredText prose in a docstring
+                    if not BANNED.search(stripped):
+                        continue
+                    if any(
+                        rel == apath and marker in line
+                        for apath, marker in ALLOWED
+                    ):
+                        continue
+                    violations.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not violations, (
+        "driver-side/quadratic construct outside the allowlist "
+        "(see module docstring):\n" + "\n".join(violations)
+    )
