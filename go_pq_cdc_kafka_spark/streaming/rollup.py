@@ -64,6 +64,47 @@ def stream_fine_rollup(
     )
 
 
+def stream_histogram_sketches(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cell_cols: Sequence[str],
+    value_cents_col: str,
+    width_cents: int,
+    nbins: int,
+) -> StreamingQuery:
+    """Stream-maintained histogram-sketch store: each micro-batch reduces
+    to its own (cell, bin, n) partial and appends — the quantile twin of
+    :func:`stream_fine_rollup`, with the same append-only/idempotent
+    rationale. Counts are integers, so the merged store equals the batch
+    histogram of the undivided stream BIT-FOR-BIT (pin in tests), a
+    stronger guarantee than the HLL tier can make."""
+    cells = list(cell_cols)
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        from go_pq_cdc_kafka_spark.operators import sketches as SKCH
+
+        part = SKCH.histogram_cell_sketches(
+            batch_df, cells, F.col(value_cents_col), width_cents, nbins
+        ).withColumn("_batch_id", F.lit(batch_id))
+        part.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_histogram_sketches(
+    spark: SparkSession, path: str, cell_cols: Sequence[str]
+) -> DataFrame:
+    """Merge the streamed partial store into the canonical histogram."""
+    from go_pq_cdc_kafka_spark.operators import sketches as SKCH
+
+    return SKCH.histogram_rollup(spark.read.parquet(path), list(cell_cols))
+
+
 def read_fine_rollup(
     spark: SparkSession,
     path: str,
