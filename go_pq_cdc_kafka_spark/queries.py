@@ -3554,6 +3554,35 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOL_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 900) AS all_above_floor,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(max_by(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000
+                   + o_orderkey) AS BIGINT) AS priciest_order
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "agg_boolean_argmax",
+    oracle=_BOOL_AGG_SQL,
+    category="aggregation",
+    description="SQL-standard boolean/conditional aggregates — count_if, "
+    "bool_and, bool_or — plus max_by (argmax) with a composite "
+    "cents*1e8+key ordering value so price ties can't make the chosen "
+    "argmax engine-dependent. Same SQL text runs in both engines; one "
+    "partial+final hash aggregate.",
+)
+def agg_boolean_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BOOL_AGG_SQL)
+
+
 _RANGE_FRAME_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
