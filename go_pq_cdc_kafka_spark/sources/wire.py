@@ -234,7 +234,9 @@ class ReplicationConnection:
 
         - ``require``/``prefer``: encrypt, do NOT verify the peer (libpq's
           own historical behavior for these modes) unless the caller handed
-          in ``ssl_context``.
+          in ``ssl_context`` — or an ``sslrootcert``: a caller who pins a
+          CA wants it checked, so require+rootcert upgrades to chain
+          verification (stricter than libpq, which ignores the CA there).
         - ``verify-ca``: require a certificate chained to ``sslrootcert``
           (or the system store), no hostname check.
         - ``verify-full``: verify-ca + hostname match — the mode productions
@@ -248,7 +250,7 @@ class ReplicationConnection:
         if self.ssl_context is not None:
             return self.ssl_context
         ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
-        if self.sslmode in ("verify-ca", "verify-full"):
+        if self.sslmode in ("verify-ca", "verify-full") or self.sslrootcert:
             ctx.check_hostname = self.sslmode == "verify-full"
             ctx.verify_mode = _ssl.CERT_REQUIRED
             if self.sslrootcert:

@@ -1030,6 +1030,32 @@ def test_sslmode_verify_ca_checks_chain_not_hostname(tmp_path):
         ).connect()
 
 
+def test_sslmode_require_with_rootcert_pins_the_ca(tmp_path):
+    """require + sslrootcert upgrades to chain verification (a pinned CA
+    the client ignores would be a footgun): the right CA connects, a
+    foreign CA is rejected even though the mode is only 'require'."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_pem, key_pem = _self_signed("db.example.com")
+    other_ca, _ = _self_signed("evil.example.com")
+
+    srv, port = _tls_server(tmp_path, cert_pem, key_pem)
+    conn = wire.ReplicationConnection(
+        host="127.0.0.1", port=port, user="repl", password="sekret",
+        dbname="orders", sslmode="require", sslrootcert=cert_pem,
+    ).connect()
+    assert conn.identify_system()["dbname"] == "orders"
+    conn.close()
+
+    srv2, port2 = _tls_server(tmp_path, cert_pem, key_pem)
+    with pytest.raises(ssl.SSLCertVerificationError):
+        wire.ReplicationConnection(
+            host="127.0.0.1", port=port2, user="repl", password="sekret",
+            dbname="orders", sslmode="require", sslrootcert=other_ca,
+        ).connect()
+
+
 def test_sslrequest_rejects_injected_plaintext():
     """Bytes buffered past the one-byte SSLRequest answer are the
     CVE-2021-23222 plaintext-injection shape — the client must abort
