@@ -19,6 +19,24 @@ def test_duplicate_registration_raises():
     assert REGISTRY[existing].fn is original
 
 
+def test_driver_window_rotates_past_checked_rounds():
+    """The first 50 registry entries (the driver's correctness window) must
+    avoid every query a prior round's driver gate already verified, so
+    independent driver coverage grows each round."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        checked.update(json.load(open(path)).keys())
+    window = list(REGISTRY)[:50]
+    overlap = [n for n in window if n in checked]
+    # allow overlap only once every query has been driver-checked already
+    assert not overlap or len(checked) >= len(REGISTRY), overlap
+
+
 def test_registry_size_and_shape():
     assert len(REGISTRY) >= 100
     for name, q in REGISTRY.items():
