@@ -105,6 +105,111 @@ def histogram_cell_sketches(
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
+def countmin_cell_sketches(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-min sketch per cell: the frequency member of the mergeable
+    family (HLL = distinct, histogram = quantiles, CM = counts).
+
+    ``d`` hash rows × ``w`` buckets; each key increments one bucket per
+    row, chosen by the engine's cross-engine 60-bit md5 hash salted with
+    the row index — fully deterministic integer arithmetic, so unlike
+    library CM implementations this one is EXACTLY replicable in SQL and
+    carries a DuckDB oracle. A point estimate (``countmin_estimate``) is
+    the MIN over the d rows' buckets: always >= the true count, equal when
+    no collision wins every row.
+
+    100 TB posture: one map-side-combinable groupBy with at most
+    cells × d × w output rows (d·w = 1024 here — KBs per cell); merge =
+    summing counts, append-only like the other sketch tiers."""
+    from go_pq_cdc_kafka_spark.functions.text import hash64
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("row"),
+                    F.pmod(
+                        hash64(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(key_col).cast("string")
+                            )
+                        ),
+                        F.lit(w),
+                    )
+                    .cast("bigint")
+                    .alias("bucket"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    return (
+        df.select(*cell_cols, rb.alias("rb"))
+        .select(*cell_cols, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy(*cell_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def countmin_rollup(cells: DataFrame, rollup_cols: Sequence[str]) -> DataFrame:
+    """Merge cell CM sketches to a coarser grouping: counts add."""
+    return cells.groupBy(*rollup_cols, "row", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-estimate each candidate key against a (row, bucket, n) sketch:
+    min over the d rows, 0 for buckets the sketch never touched."""
+    from go_pq_cdc_kafka_spark.functions.text import hash64
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("row"),
+                    F.pmod(
+                        hash64(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(key_col).cast("string")
+                            )
+                        ),
+                        F.lit(w),
+                    )
+                    .cast("bigint")
+                    .alias("bucket"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    cand_rb = candidates.select(key_col, rb.alias("rb")).select(
+        key_col,
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        cand_rb.join(sketch, ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+    )
+
+
 def histogram_rollup(
     hist: DataFrame, rollup_cols: Sequence[str]
 ) -> DataFrame:

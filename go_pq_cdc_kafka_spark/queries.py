@@ -3647,6 +3647,82 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_HASH = (
+    "CAST(concat('0x', substr(md5(CAST({i} AS VARCHAR) || ':' || "
+    "CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@register(
+    "sketch_countmin_frequencies",
+    oracle=f"""
+WITH rbs AS (
+  SELECT e.event_type, rw.i AS rw,
+         {_CM_HASH.format(i="rw.i", k="e.user_id")} AS bucket
+  FROM events e, (SELECT UNNEST(range(4)) AS i) rw
+),
+cells AS (
+  SELECT event_type, rw, bucket, COUNT(*) AS n
+  FROM rbs GROUP BY event_type, rw, bucket
+),
+merged AS (
+  SELECT rw, bucket, CAST(SUM(n) AS BIGINT) AS n
+  FROM cells GROUP BY rw, bucket
+),
+cand AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+cand_rb AS (
+  SELECT c.user_id, rw.i AS rw,
+         {_CM_HASH.format(i="rw.i", k="c.user_id")} AS bucket
+  FROM cand c, (SELECT UNNEST(range(4)) AS i) rw
+),
+est AS (
+  SELECT cr.user_id, CAST(MIN(COALESCE(m.n, 0)) AS BIGINT) AS cm_estimate
+  FROM cand_rb cr LEFT JOIN merged m USING (rw, bucket)
+  GROUP BY cr.user_id
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, x.exact_n, e.cm_estimate,
+       CAST(e.cm_estimate - x.exact_n AS BIGINT) AS overcount
+FROM est e JOIN exact x USING (user_id)
+ORDER BY e.user_id
+""",
+    category="sketch",
+    description="Count-min sketch tier — the frequency member of the "
+    "mergeable family (HLL=distinct, histogram=quantiles, CM=counts): "
+    "4x256 salted-md5 buckets built per event_type cell, MERGED to a "
+    "global sketch by summing counts, then point-estimated for a "
+    "deterministic candidate set next to the exact counts (overcount >= 0 "
+    "always; 0 unless a key collides on every row). Pure integer "
+    "arithmetic on a cross-engine hash, so unlike library CM sketches the "
+    "whole tier carries an EXACT DuckDB oracle. Cells are d*w = 1KB rows "
+    "each at any scale.",
+)
+def sketch_countmin_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = SKCH.countmin_cell_sketches(ev, ["event_type"], "user_id")
+    merged = SKCH.countmin_rollup(cells, [])
+    cands = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    est = SKCH.countmin_estimate(merged, cands, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _HIST_WIDTH_CENTS = 11000  # $110 bins over l_extendedprice (≈900..104950)
 _HIST_NBINS = 1000
 

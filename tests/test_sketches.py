@@ -81,3 +81,32 @@ def test_histogram_sketch_merge_identity_and_quantiles(spark):
     assert q.p50_edge_cents == 200
     assert q.p100_edge_cents == 900
     assert q.n_rows == 5
+
+
+def test_countmin_merge_identity_and_overestimate_property(spark):
+    """CM tier: merged cell sketches equal the sketch of undivided data
+    (counts add exactly), and every point estimate >= the true count —
+    with equality for keys that dodge collisions on at least one row."""
+    rows = [("a", i % 5) for i in range(50)] + [("b", 99)] * 7
+    df = spark.createDataFrame(rows, "g string, k long")
+    cells = SKCH.countmin_cell_sketches(df, ["g"], "k", d=4, w=64)
+    merged = SKCH.countmin_rollup(cells, [])
+    direct = SKCH.countmin_cell_sketches(df, [], "k", d=4, w=64)
+    assert {(r.row, r.bucket, r.n) for r in merged.collect()} == {
+        (r.row, r.bucket, r.n) for r in direct.collect()
+    }
+
+    cands = df.select("k").distinct()
+    est = {r.k: r.cm_estimate for r in
+           SKCH.countmin_estimate(merged, cands, "k", d=4, w=64).collect()}
+    truth = {r.k: r.cnt for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # 6 distinct keys in 64 buckets: at least one key must estimate exactly
+    assert any(est[k] == truth[k] for k in truth)
+
+    # an unseen key estimates 0 unless it collides everywhere
+    ghost = spark.createDataFrame([(123456789,)], "k long")
+    g = SKCH.countmin_estimate(merged, ghost, "k", d=4, w=64).collect()[0]
+    assert g.cm_estimate >= 0
