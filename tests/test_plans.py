@@ -99,6 +99,15 @@ def test_minhash_lsh_pins_shared_subtrees(spark):
     assert "InMemoryTableScan" in plan_j
 
 
+def test_semantic_dedup_pins_members_and_avoids_cartesian(spark):
+    # the assigned-members frame feeds both self-join sides AND the final
+    # kept-flag join — persisted by contract (InMemoryTableScan), and the
+    # within-cluster self-join must stay an equi-join on the cluster id
+    plan = plan_of(spark, "dedup_semantic_clusters")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_single_shuffle_before_window(spark):
     plan = plan_of(spark, "join_asof")
     # union-marker formulation: no join at all, one hashpartitioning on
