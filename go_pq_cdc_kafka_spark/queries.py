@@ -3647,6 +3647,92 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "setop_bag_semantics",
+    oracle="""
+WITH o_keys AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+), c_keys AS (
+  SELECT c_custkey AS custkey FROM customer
+)
+SELECT 'intersect_all' AS src, custkey
+FROM (SELECT custkey FROM o_keys INTERSECT ALL SELECT custkey FROM c_keys)
+UNION ALL
+SELECT 'except_all' AS src, custkey
+FROM (SELECT custkey FROM o_keys EXCEPT ALL SELECT custkey FROM c_keys)
+ORDER BY src, custkey
+""",
+    category="setop",
+    description="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-preserving variants Catalyst plans as dedicated "
+    "count-tracking aggregates, not the DISTINCT-based operators of the "
+    "plain set ops — a customer with 3 qualifying orders appears min(3,1) "
+    "times in the intersection and 2 times in the difference. One shuffle "
+    "per operand pair.",
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o_keys = o.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c_keys = c.select(F.col("c_custkey").alias("custkey"))
+    parts = [
+        o_keys.intersectAll(c_keys).select(
+            F.lit("intersect_all").alias("src"), "custkey"
+        ),
+        o_keys.exceptAll(c_keys).select(
+            F.lit("except_all").alias("src"), "custkey"
+        ),
+    ]
+    out = parts[0].unionByName(parts[1])
+    return out.orderBy("src", "custkey")
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+       AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_corr_moments",
+    oracle=_CORR_SQL,
+    category="aggregation",
+    description="Pearson correlation via integer MOMENT SUMS (n, Sx, Sy, "
+    "Sxx, Syy, Sxy as exact BIGINTs — quantity is integral, price in "
+    "cents; products stay < 2^63) with ONE final double expression, "
+    "rounded to 9 decimals. Shuffle-order-independent where the built-in "
+    "corr() is not (its float partials accumulate in partition order) — "
+    "the cross-engine-determinism trick generalized from _dsum to "
+    "second-order statistics. Same SQL both engines.",
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CORR_SQL)
+
+
 _CM_HASH = (
     "CAST(concat('0x', substr(md5(CAST({i} AS VARCHAR) || ':' || "
     "CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
