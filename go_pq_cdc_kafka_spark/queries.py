@@ -3647,6 +3647,60 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, event_id, ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+marked AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM marked
+),
+funnel AS (
+  SELECT user_id, sess_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(COUNT(t_view) AS BIGINT) AS sess_view,
+       CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+         AS sess_view_click,
+       CAST(COUNT(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+            AS BIGINT) AS sess_full_funnel
+FROM funnel GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "window_session_funnel",
+    oracle=_FUNNEL_SQL,
+    category="window-eventtime",
+    description="Sessionized conversion funnel (view -> click -> purchase "
+    "inside a 30-minute-gap session): gaps-and-islands sessionization, "
+    "per-session first-touch timestamps per step, then strict-order step "
+    "comparisons (NULL-safe: a missing step never counts). The classic "
+    "product-analytics query; two keyed window passes + one groupBy, all "
+    "shuffles on user_id. Identical SQL text runs in both engines.",
+)
+def window_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)
+
+
 @register(
     "setop_bag_semantics",
     oracle="""
