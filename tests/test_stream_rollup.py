@@ -129,3 +129,42 @@ def test_streamed_histogram_sketches_merge_bit_exact(spark, tmp_path):
     qa = SKCH.histogram_quantiles(merged, ["event_type"], 50).collect()
     qb = SKCH.histogram_quantiles(direct, ["event_type"], 50).collect()
     assert sorted(map(tuple, qa)) == sorted(map(tuple, qb))
+
+
+def test_streamed_countmin_partials_merge_bit_exact(spark, tmp_path):
+    """CM partials appended per micro-batch merge to the exact sketch of
+    the undivided stream — same append-only tier as the histogram, reusing
+    stream_fine_rollup's landing shape via a foreachBatch reducer."""
+    from go_pq_cdc_kafka_spark.operators import sketches as SKCH
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    src = str(tmp_path / "cmsrc")
+    ev.repartition(3).write.parquet(src)
+
+    out, ckpt = str(tmp_path / "cm"), str(tmp_path / "cmckpt")
+
+    def _land(batch_df, batch_id):
+        SKCH.countmin_cell_sketches(
+            batch_df, ["event_type"], "user_id", d=4, w=64
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    parts = spark.read.parquet(out)
+    assert parts.select("_batch_id").distinct().count() >= 2
+    merged = SKCH.countmin_rollup(parts, ["event_type"])
+    direct = SKCH.countmin_cell_sketches(
+        ev, ["event_type"], "user_id", d=4, w=64
+    )
+    assert _frames_equal(merged, direct, ["event_type", "row", "bucket"])
