@@ -3647,6 +3647,88 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_schema_evolution",
+    oracle="""
+WITH old AS (
+  SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_extra
+  FROM nation WHERE n_nationkey < 10
+), new AS (
+  SELECT n_nationkey, n_name, n_regionkey * 100 AS n_extra
+  FROM nation WHERE n_nationkey >= 10
+)
+SELECT n_nationkey, n_name, n_extra
+FROM (SELECT * FROM old UNION ALL SELECT * FROM new)
+ORDER BY n_nationkey
+""",
+    category="scan",
+    description="Parquet schema evolution (mergeSchema): an old partition "
+    "written without a column and a new partition with it read as ONE "
+    "table — missing columns surface as NULLs, the lake-pipeline "
+    "append-new-columns contract. Spark merges footers at planning time; "
+    "at 100 TB turn on spark.sql.parquet.mergeSchema only on evolving "
+    "prefixes (footer merge costs a file-listing pass).",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    root = os.path.join(tempfile.mkdtemp(prefix="scan_evo_"), "nation_evo")
+    n.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(os.path.join(root, "v=1"))
+    n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_regionkey") * 100).cast("long").alias("n_extra"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "v=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .select("n_nationkey", "n_name", "n_extra")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "func_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS BIGINT) AS prio_as_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_rank,
+       CAST(o_orderkey AS DOUBLE)
+         / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0.0) AS safe_div
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+    category="functions",
+    description="Error-safe expression surface: TRY_CAST returns NULL on "
+    "unparseable input instead of failing the job (a malformed row in a "
+    "100 TB scan must not kill the query), and try_divide gives "
+    "NULL-on-zero division (oracle spells it NULLIF — same semantics). "
+    "Map-only.",
+)
+def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").try_cast("bigint").alias("prio_as_int"),
+            F.expr("substr(o_orderpriority, 1, 1)")
+            .try_cast("bigint")
+            .alias("prio_rank"),
+            F.try_divide(
+                F.col("o_orderkey").cast("double"),
+                (F.col("o_orderkey") % 5).cast("double"),
+            ).alias("safe_div"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 _FUNNEL_SQL = """
 WITH base AS (
   SELECT user_id, event_type, event_id, ts
