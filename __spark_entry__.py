@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-from go_pq_cdc_kafka_spark.queries import REGISTRY
+from go_pq_cdc_kafka_spark.queries import REGISTRY, driver_window_order
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    # Rotated HERE (the driver invocation path), not at library import
+    # time: never-driver-checked oracle queries first so the driver's
+    # 50-entry window grows independent coverage each round, rows-only
+    # queries last so no window slot reports ``no_oracle``.
+    return {name: REGISTRY[name].fn for name in driver_window_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in driver_window_order()
+        if REGISTRY[name].oracle is not None
     }

@@ -383,6 +383,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over embeddings — k-means-cluster the space, score cosine
@@ -459,7 +460,7 @@ def semantic_dedup(
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
-    return members.join(
+    out = members.join(
         dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
     ).select(
         F.col(id_col),
@@ -467,6 +468,18 @@ def semantic_dedup(
         F.col("cent_cos"),
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
+    if not materialize:
+        # lazy plan for inspection/composition — caller owns the members
+        # cache lifecycle (it is reachable through out's lineage)
+        return out
+    # materialize while the members cache is hot, then release it — the
+    # checkpointed result owns its own (result-sized) storage tied to the
+    # returned DataFrame's lifetime, so repeated invocations don't leak a
+    # cached members frame per call (mirrors cluster.bfs_min_hops's
+    # edges.unpersist discipline)
+    out = out.localCheckpoint(eager=True)
+    members.unpersist()
+    return out
 
 
 def ivf_topk(

@@ -171,8 +171,19 @@ def countmin_estimate(
     w: int = 256,
 ) -> DataFrame:
     """Point-estimate each candidate key against a (row, bucket, n) sketch:
-    min over the d rows, 0 for buckets the sketch never touched."""
+    min over the d rows, 0 for buckets the sketch never touched.
+
+    The sketch is first merged to one count per (row, bucket) — a no-op
+    shuffle of at most d*w rows on already-merged input, but essential
+    when the caller passes cell-level sketches (extra cell columns →
+    multiple rows per bucket): taking MIN over per-cell PARTIAL counts
+    would silently underestimate and break the CM >=-true-count
+    guarantee."""
     from go_pq_cdc_kafka_spark.functions.text import hash64
+
+    sketch = sketch.groupBy("row", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
 
     rb = F.explode(
         F.array(

@@ -1119,19 +1119,41 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 
 @register(
     "distinct_approx",
-    oracle=None,  # HLL sketches differ across engines; driver does rows-only
+    # The HLL++ estimate itself is engine-specific, so the hashed output
+    # carries the EXACT count plus a boolean error-bound assertion: the
+    # oracle pins within_2pct = TRUE, so an estimate drifting past 2%
+    # relative error hash-mismatches — an oracle-checkable accuracy
+    # contract instead of a rows-only row count.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     category="aggregation",
-    description="approx_count_distinct (HLL++) per event type — the "
-    "sketch path for 100 TB cardinality estimation; exactness checked "
-    "separately by distinct_segments.",
+    description="approx_count_distinct (HLL++ at rsd=0.01) per event type "
+    "— the sketch path for 100 TB cardinality estimation. Output asserts "
+    "|approx-exact|/exact <= 0.02 as a column the DuckDB oracle checks, "
+    "so the sketch's accuracy (not just its row count) is independently "
+    "verified; exactness itself is checked by distinct_segments.",
 )
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
             F.count_distinct(F.col("user_id")).cast("long").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("within_2pct"),
         )
         .orderBy("event_type")
     )
@@ -3197,20 +3219,50 @@ from go_pq_cdc_kafka_spark.operators import sketches as SKCH  # noqa: E402
 
 @register(
     "sketch_hll_rollup",
-    oracle=None,  # DataSketches HLL bytes are engine-specific; rows-only.
-    # Accuracy + merge identity are pinned in tests/test_sketches.py.
+    # DataSketches HLL bytes are engine-specific, so the hashed output is
+    # the EXACT per-type distinct count plus a boolean asserting the
+    # union-rollup estimate lands within 5% of it (lg_k=12 is ~1.6%
+    # typical) — the oracle pins TRUE, turning the accuracy-of-the-merge
+    # contract into an oracle-checkable column instead of a rows-only
+    # check. Merge identity is additionally pinned in
+    # tests/test_sketches.py.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     category="aggregation",
     description="Mergeable HLL sketches: one sketch per (day, event_type) "
     "cell, then per-type distinct-user rollups answered by UNIONING the "
     "cell sketches — the materialize-once/roll-up-anywhere shape that "
-    "avoids rescanning raw events at 100 TB.",
+    "avoids rescanning raw events at 100 TB. Output asserts the merged "
+    "estimate is within 5% of the exact count (computed here only for "
+    "the oracle contract; production rollups never rescan).",
 )
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
     cells = SKCH.hll_cell_sketches(ev, ["day", "event_type"], "user_id")
-    return SKCH.hll_rollup(cells, ["event_type"]).orderBy("event_type")
+    rolled = SKCH.hll_rollup(cells, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
@@ -3560,7 +3612,8 @@ SELECT o_orderpriority,
        bool_and(o_totalprice > 900) AS all_above_floor,
        bool_or(o_orderstatus = 'F') AS any_finished,
        CAST(max_by(o_orderkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS DECIMAL(38,0)) * 1000000000000
                    + o_orderkey) AS BIGINT) AS priciest_order
 FROM orders
 GROUP BY o_orderpriority
@@ -3574,9 +3627,12 @@ ORDER BY o_orderpriority
     category="aggregation",
     description="SQL-standard boolean/conditional aggregates — count_if, "
     "bool_and, bool_or — plus max_by (argmax) with a composite "
-    "cents*1e8+key ordering value so price ties can't make the chosen "
-    "argmax engine-dependent. Same SQL text runs in both engines; one "
-    "partial+final hash aggregate.",
+    "DECIMAL(38,0) cents*1e12+key ordering value so price ties can't make "
+    "the chosen argmax engine-dependent. The decimal width keeps the key "
+    "term below the price term for any orderkey < 1e12 (TPC-H keys reach "
+    "~6e11 only at SF~100k, and the 38-digit headroom never overflows — "
+    "a BIGINT ordering value would wrap at realistic scale). Same SQL "
+    "text runs in both engines; one partial+final hash aggregate.",
 )
 def agg_boolean_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -3829,13 +3885,17 @@ _CORR_SQL = """
 WITH m AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
-         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
-         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
-         CAST(SUM(CAST(l_quantity AS BIGINT)
-                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+         SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -3857,12 +3917,15 @@ ORDER BY l_returnflag
     oracle=_CORR_SQL,
     category="aggregation",
     description="Pearson correlation via integer MOMENT SUMS (n, Sx, Sy, "
-    "Sxx, Syy, Sxy as exact BIGINTs — quantity is integral, price in "
-    "cents; products stay < 2^63) with ONE final double expression, "
-    "rounded to 9 decimals. Shuffle-order-independent where the built-in "
-    "corr() is not (its float partials accumulate in partition order) — "
-    "the cross-engine-determinism trick generalized from _dsum to "
-    "second-order statistics. Same SQL both engines.",
+    "Sxx, Syy, Sxy — quantity is integral, price in cents). Per-row "
+    "PRODUCTS stay < 2^63 (cents^2 ~ 1e14) but their per-group SUMS do "
+    "not once a group holds ~1e5 rows, so every moment accumulates as "
+    "DECIMAL(38,0): exact in both engines up to ~1e24 rows per group, "
+    "far past 100 TB. ONE final double expression, rounded to 9 decimals. "
+    "Shuffle-order-independent where the built-in corr() is not (its "
+    "float partials accumulate in partition order) — the cross-engine-"
+    "determinism trick generalized from _dsum to second-order statistics. "
+    "Same SQL both engines.",
 )
 def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -4018,12 +4081,17 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Driver-window rotation
 # ===========================================================================
-# The driver's correctness gate caps at 50 entries taken in registration
-# order, so only the first 50 REGISTRY entries get the per-round
-# spark-vs-DuckDB hash check; the rest are verified by the (stricter) local
-# tools/oracle_check.py sweep. To rotate independent driver coverage across
-# rounds, re-insert entries so queries a prior driver window has NOT yet
-# checked come first. Round 2's window covered these 50:
+# The driver's correctness gate caps at 50 entries taken in iteration
+# order, so only the first 50 entries of the dict __spark_entry__.queries()
+# returns get the per-round spark-vs-DuckDB hash check; the rest are
+# verified by the (stricter) local tools/oracle_check.py sweep. To rotate
+# independent driver coverage across rounds, ``driver_window_order`` sorts
+# names so queries no prior driver window has checked come first.
+#
+# IMPORTANT: the library itself is hermetic — REGISTRY stays in
+# registration order and importing this module never reads harness output
+# files. Only __spark_entry__ (the driver contract) applies the rotation,
+# at call time. Round 2's window covered these 50:
 
 _DRIVER_CHECKED_PRIOR_ROUNDS: set[str] = {
     "agg_pricing_summary", "agg_minmax_count", "agg_rollup", "agg_cube",
@@ -4046,32 +4114,57 @@ _DRIVER_CHECKED_PRIOR_ROUNDS: set[str] = {
 
 
 def _driver_checked_so_far() -> set[str]:
-    """Every query name any prior round's driver gate already verified:
-    the hard-coded round-2 set above, unioned with whatever
-    CORRECTNESS_r*.json files the driver has left in the repo root — so
-    the rotation keeps itself current each round without manual edits."""
+    """Every query name any prior round's driver gate already HASH-verified:
+    the hard-coded round-2 set above (minus its rows-only members — they
+    only ever produced ``no_oracle`` records), unioned with every
+    CORRECTNESS_r*.json record whose hash_match is true — so the rotation
+    keeps itself current each round without manual edits, and a query
+    whose oracle contract is new (e.g. a rows-only query later upgraded
+    to an oracle-checkable one) counts as fresh until the driver has
+    actually hash-checked it once."""
     import glob
     import json
     import os
 
-    checked = set(_DRIVER_CHECKED_PRIOR_ROUNDS)
+    checked = set(_DRIVER_CHECKED_PRIOR_ROUNDS) - {
+        # in the r2 window but recorded only as no_oracle there
+        "distinct_approx",
+        "sim_ivf_trained_topk",
+    }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path, encoding="utf-8") as f:
-                checked.update(json.load(f).keys())
+                records = json.load(f)
         except (OSError, ValueError):
             continue
+        checked.update(
+            name
+            for name, rec in records.items()
+            if isinstance(rec, dict) and rec.get("hash_match") is True
+        )
     return checked
 
 
-def _rotate_registry_for_driver_window() -> None:
+def driver_window_order() -> list[str]:
+    """Registry names ordered for the driver's 50-entry correctness window:
+
+    1. oracle-checkable queries NO prior driver round has verified (the
+       independent-coverage growth the rotation exists for),
+    2. oracle-checkable queries a prior round already verified
+       (regression re-checks, as window budget allows),
+    3. rows-only queries (oracle=None) last — the driver can only report
+       ``no_oracle`` for them, so they must never consume a hash-check
+       slot.
+
+    Within each tier, registration order (deterministic). Pure function of
+    REGISTRY plus whatever CORRECTNESS_r*.json the driver has dropped in
+    the repo root; the REGISTRY itself is never mutated."""
     checked = _driver_checked_so_far()
-    fresh = [n for n in REGISTRY if n not in checked]
-    seen = [n for n in REGISTRY if n in checked]
-    rotated = {n: REGISTRY[n] for n in fresh + seen}
-    REGISTRY.clear()
-    REGISTRY.update(rotated)
 
+    def tier(name: str) -> int:
+        if REGISTRY[name].oracle is None:
+            return 2
+        return 1 if name in checked else 0
 
-_rotate_registry_for_driver_window()
+    return sorted(REGISTRY, key=lambda n: tier(n))

@@ -102,8 +102,21 @@ def test_minhash_lsh_pins_shared_subtrees(spark):
 def test_semantic_dedup_pins_members_and_avoids_cartesian(spark):
     # the assigned-members frame feeds both self-join sides AND the final
     # kept-flag join — persisted by contract (InMemoryTableScan), and the
-    # within-cluster self-join must stay an equi-join on the cluster id
-    plan = plan_of(spark, "dedup_semantic_clusters")
+    # within-cluster self-join must stay an equi-join on the cluster id.
+    # Inspect the LAZY plan (materialize=False): the production path
+    # eagerly localCheckpoints the result and unpersists members, which
+    # truncates the inspectable lineage to a checkpoint scan.
+    from go_pq_cdc_kafka_spark.operators import similarity as SIM
+    from go_pq_cdc_kafka_spark.queries import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    cents = SIM.train_centroids(e, n_centroids=4, iters=1)
+    out = SIM.semantic_dedup(e, cents, threshold=0.4, materialize=False)
+    qe = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
 
