@@ -247,12 +247,26 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"lsn": end_lsn}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Spark plans a (start == end) batch whenever an offset didn't
+        # advance (batch 0 of a fresh query, idle ticks) and the simple-
+        # reader prefetch cache never holds empty batches — so this replay
+        # path IS reached with an empty range, on the executor. Answer it
+        # without dialing: connecting would contend for the slot the
+        # driver-side pump is holding (live PG: ERROR 55006) for zero rows.
+        if start["lsn"] >= end["lsn"]:
+            return iter([])
         client = self._client(start["lsn"], keep_conn=False)
         out = []
-        for ev in client.events(start["lsn"]):
-            if ev["lsn"] > end["lsn"]:
-                break
-            out.append(self._row(ev))
+        events = client.events(start["lsn"])
+        try:
+            for ev in events:
+                if ev["lsn"] > end["lsn"]:
+                    break
+                out.append(self._row(ev))
+        finally:
+            # close the generator NOW (not at GC) so the walsender drops
+            # the slot before the driver pump (re)dials it
+            events.close()
         return iter(out)
 
     def commit(self, end: dict) -> None:

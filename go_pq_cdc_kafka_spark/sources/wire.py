@@ -282,6 +282,18 @@ class ReplicationConnection:
             )
         if answer == b"S":
             ctx = self._build_ssl_context()
+            if ctx.verify_mode == __import__("ssl").CERT_NONE:
+                # libpq parity: require/prefer encrypt without verifying the
+                # peer, which leaves an active MITM undetected — warn so
+                # deployments notice and move to verify-full (or pin a CA)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sslmode=%s encrypts but does NOT verify the server "
+                    "certificate; use sslmode=verify-full (or pass "
+                    "sslrootcert) in production",
+                    self.sslmode,
+                )
             self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
         elif answer == b"N":
             if self.sslmode in ("require", "verify-ca", "verify-full"):
@@ -566,29 +578,52 @@ def frame_source_from_dsn(
     on_connect: Callable[[ReplicationConnection], None] | None = None,
     proto_version: int = 1,
     streaming: bool = False,
+    slot_busy_timeout: float = 10.0,
 ) -> Callable[[int], Iterator[bytes]]:
     """Build the ``frame_source`` contract PostgresReplicationClient expects:
     a callable ``(start_lsn) -> Iterator[raw CopyData frames]`` backed by a
     real wire connection. ``on_connect`` lets callers keep the connection
-    handle (to ``ack`` flushed LSNs after checkpoint commits)."""
+    handle (to ``ack`` flushed LSNs after checkpoint commits).
+
+    A replication slot admits exactly ONE active consumer, and a walsender
+    releases it a beat AFTER its client socket closes — so two legitimate
+    same-slot consumers can race during recovery handoffs (a restart-replay
+    reader finishing while the new live tail dials in). ``55006 object in
+    use`` is therefore retried with backoff for up to ``slot_busy_timeout``
+    seconds before being raised as fatal (a genuinely live second consumer
+    still fails loudly)."""
 
     def frames(start_lsn: int) -> Iterator[bytes]:
-        conn = ReplicationConnection(
-            socket_factory=socket_factory, **parse_dsn(dsn)
-        ).connect()
-        try:
-            if create_slot:
-                conn.create_replication_slot(slot)
-            if on_connect is not None:
-                on_connect(conn)
-            yield from conn.start_replication(
-                slot,
-                publication,
-                start_lsn,
-                proto_version=proto_version,
-                streaming=streaming,
-            )
-        finally:
-            conn.close()
+        deadline = time.monotonic() + slot_busy_timeout
+        while True:
+            conn = ReplicationConnection(
+                socket_factory=socket_factory, **parse_dsn(dsn)
+            ).connect()
+            try:
+                if create_slot:
+                    conn.create_replication_slot(slot)
+                if on_connect is not None:
+                    on_connect(conn)
+                stream = conn.start_replication(
+                    slot,
+                    publication,
+                    start_lsn,
+                    proto_version=proto_version,
+                    streaming=streaming,
+                )
+            except WireError as e:
+                conn.close()
+                if e.sqlstate == "55006" and time.monotonic() < deadline:
+                    time.sleep(0.25)
+                    continue
+                raise
+            except BaseException:
+                conn.close()
+                raise
+            try:
+                yield from stream
+            finally:
+                conn.close()
+            return
 
     return frames

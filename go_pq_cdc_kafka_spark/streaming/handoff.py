@@ -134,16 +134,25 @@ def snapshot_then_stream_over_wire(
 ) -> InitialLoad:
     """``initial`` mode end-to-end over the wire client, no files anywhere:
 
-    1. :func:`~go_pq_cdc_kafka_spark.sources.snapshot.snapshot_df_over_wire`
-       captures the server's WAL position (IDENTIFY_SYSTEM) and runs the
-       chunked consistent scan — the no-gap rule, position first.
-    2. The bounded snapshot lands through the full record lineage.
-    3. The ``pgwire`` stream starts from the recorded LSN into the same
-       sink path; events committed during the snapshot replay from WAL
-       (lsn > handoff) and at-least-once consumers/LWW absorb the overlap
-       — the reference's own contract (README.md:44-54)."""
+    1. CREATE the replication slot FIRST and record its consistent point.
+       A logical slot only decodes transactions that BEGIN after it
+       exists, so creating it lazily (when the stream dials) would
+       silently LOSE every commit between the snapshot scan and the
+       stream's first connection — the exact gap ``initial`` mode exists
+       to close. Live-PG-verified failure mode: the walsender streams
+       nothing but keepalives for rows inserted pre-slot. The reference
+       orders it the same way (slot bootstrap before snapshot,
+       README.md:44-54).
+    2. :func:`~go_pq_cdc_kafka_spark.sources.snapshot.snapshot_df_over_wire`
+       runs the chunked consistent scan; the bounded snapshot lands
+       through the full record lineage.
+    3. The ``pgwire`` stream starts from the recorded consistent point
+       into the same sink path; events committed during the snapshot
+       replay from the slot-retained WAL (lsn > handoff) and
+       at-least-once consumers/LWW absorb the overlap."""
     from go_pq_cdc_kafka_spark.sources import cdc
     from go_pq_cdc_kafka_spark.sources import snapshot as SN
+    from go_pq_cdc_kafka_spark.sources import wire
 
     import os
 
@@ -168,10 +177,38 @@ def snapshot_then_stream_over_wire(
         if content:
             handoff_lsn = int(content)
     if handoff_lsn is None:
-        snap_df, handoff_lsn = SN.snapshot_df_over_wire(
+        # Slot BEFORE snapshot (step 1 above): its consistent point is the
+        # handoff LSN — every commit after it is retained by the slot and
+        # will stream, even ones landing before the stream first dials.
+        slot_conn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+        try:
+            row = slot_conn.create_replication_slot(slot)
+        finally:
+            slot_conn.close()
+        slot_lsn = (
+            wire.parse_lsn(row["consistent_point"])
+            if row and row.get("consistent_point")
+            else None
+        )
+        snap_df, scan_lsn = SN.snapshot_df_over_wire(
             spark, dsn, table, pk=pk_field, schema_name=schema_name,
             chunk_size=chunk_size,
         )
+        # Fresh slot: start from its consistent point (<= scan position;
+        # the overlap replays from retained WAL and is absorbed at-least-
+        # once). Pre-existing slot (row is None, 42710 swallowed): the
+        # scan position is the floor instead — everything below it is
+        # already captured by the snapshot, and the reader's >-filter
+        # must not re-emit that history.
+        #
+        # MINUS ONE, because both positions are end-of-WAL markers: the
+        # NEXT record begins exactly AT them, and the stream reader's
+        # resume filter is strictly ``lsn > offset`` (it must be — an
+        # inclusive filter would re-emit the last event of every batch).
+        # Live-PG-verified: on a quiet server the first post-slot commit
+        # decodes with lsn == consistent_point and a non-decremented
+        # handoff silently drops it.
+        handoff_lsn = (slot_lsn if slot_lsn is not None else scan_lsn) - 1
         snap_pipe = CdcPipeline(
             source=snap_df, routing=routing, pk_field=pk_field
         )

@@ -111,6 +111,10 @@ class FakeWalsender(threading.Thread):
         # {"schema.table": (["col", ...], [("v", ...), ...])}
         self.tables = {}
         self.identify_xlogpos = "0/16B3748"
+        # real-server slot semantics: the FIRST create succeeds and returns
+        # a consistent point; repeats are 42710 duplicate_object (the
+        # idempotence path the client must swallow)
+        self.slot_created = False
 
     @classmethod
     def listen_tcp(cls, wal_frames, n_conns=1, **kw):
@@ -244,8 +248,22 @@ class FakeWalsender(threading.Thread):
                     ["7300000000000000001", "1", self.identify_xlogpos, "orders"],
                 )
             elif sql.startswith("CREATE_REPLICATION_SLOT"):
-                self._send_error("42710", 'replication slot "s1" already exists')
-                self._send(b"Z", b"I")
+                if self.slot_created:
+                    self._send_error(
+                        "42710", 'replication slot "s1" already exists'
+                    )
+                    self._send(b"Z", b"I")
+                else:
+                    self.slot_created = True
+                    self._row_result(
+                        [
+                            "slot_name",
+                            "consistent_point",
+                            "snapshot_name",
+                            "output_plugin",
+                        ],
+                        [sql.split()[1], self.identify_xlogpos, "", "pgoutput"],
+                    )
             elif sql.startswith("START_REPLICATION"):
                 self._copy_both()
             elif sql.startswith(("BEGIN", "COMMIT")):
@@ -656,11 +674,12 @@ def test_snapshot_over_wire_feeds_the_pipeline(spark):
 
 
 def test_initial_mode_over_wire_no_gap_handoff(spark, tmp_path):
-    """The reference's `initial` mode with ZERO files: consistent snapshot
-    over connection 1 (recording IDENTIFY_SYSTEM's position first), then
-    the pgwire stream from that position over connection 2, both landing
-    in one sink. An event older than the handoff LSN must NOT reappear;
-    events newer than it must."""
+    """The reference's `initial` mode with ZERO files: slot FIRST over
+    connection 1 (its consistent point is the handoff — a logical slot
+    only decodes transactions begun after it exists), consistent snapshot
+    over connection 2, then the pgwire stream over connection 3, all
+    landing in one sink. An event older than the handoff LSN must NOT
+    reappear; events newer than it must."""
     import json
     import time
 
@@ -675,8 +694,8 @@ def test_initial_mode_over_wire_no_gap_handoff(spark, tmp_path):
         xlogdata(910, insert(tup("8", "B"))),
         xlogdata(1300, commit()),
     ]
-    srv, port = FakeWalsender.listen_tcp(frames, n_conns=2, hold_open=True)
-    srv.identify_xlogpos = "0/100"  # handoff lsn = 256
+    srv, port = FakeWalsender.listen_tcp(frames, n_conns=3, hold_open=True)
+    srv.identify_xlogpos = "0/100"  # consistent point 256 → handoff 255
     srv.tables["public.users"] = (["id", "name"], [(5, "S5"), (6, "S6")])
 
     load = HO.snapshot_then_stream_over_wire(
@@ -691,8 +710,15 @@ def test_initial_mode_over_wire_no_gap_handoff(spark, tmp_path):
         checkpoint_location=str(tmp_path / "ckpt_initial"),
     )
     try:
-        assert load.handoff_lsn == 0x100
+        # consistent point minus one: the first post-slot record decodes
+        # AT the consistent point and the resume filter is strictly >
+        assert load.handoff_lsn == 0x100 - 1
         assert load.snapshot_records == 2
+        # slot creation preceded the snapshot scan (the no-gap ordering)
+        q = srv.queries
+        assert q.index("CREATE_REPLICATION_SLOT s1 LOGICAL pgoutput") < q.index(
+            "BEGIN ISOLATION LEVEL REPEATABLE READ"
+        )
         from go_pq_cdc_kafka_spark.streaming import sinks as SK
 
         deadline = time.monotonic() + 60
@@ -733,8 +759,8 @@ def test_initial_mode_rerun_reuses_recorded_handoff_lsn(spark, tmp_path):
         xlogdata(900, insert(tup("7", "A"))),
         xlogdata(1300, commit()),
     ]
-    srv, port = FakeWalsender.listen_tcp(frames, n_conns=2, hold_open=True)
-    srv.identify_xlogpos = "0/100"  # handoff lsn = 256
+    srv, port = FakeWalsender.listen_tcp(frames, n_conns=3, hold_open=True)
+    srv.identify_xlogpos = "0/100"  # consistent point 256 → handoff 255
     srv.tables["public.users"] = (["id", "name"], [(5, "S5")])
     routing = RoutingTable({"public.users": "users.cdc"})
     out = str(tmp_path / "out")
@@ -751,7 +777,7 @@ def test_initial_mode_rerun_reuses_recorded_handoff_lsn(spark, tmp_path):
         checkpoint_location=str(tmp_path / "ckpt1"),
     )
     load1.query.stop()
-    assert load1.handoff_lsn == 0x100
+    assert load1.handoff_lsn == 0x100 - 1
 
     # crash before the first offset commit: checkpoint is empty/new, but
     # the marker (with the LSN inside) survived. The server has meanwhile
@@ -774,7 +800,7 @@ def test_initial_mode_rerun_reuses_recorded_handoff_lsn(spark, tmp_path):
     )
     try:
         # recorded LSN reused, not the server's new position
-        assert load2.handoff_lsn == 0x100
+        assert load2.handoff_lsn == 0x100 - 1
         assert load2.snapshot_records == 1
         # and the table was NOT rescanned over the wire
         assert not any("REPEATABLE READ" in q for q in srv2.queries)
