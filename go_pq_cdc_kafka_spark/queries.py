@@ -1208,25 +1208,66 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_trained_topk",
-    oracle=None,  # iterative Lloyd training isn't single-statement SQL;
-    # recall@5 >= 0.9 vs exact ground truth is asserted in
-    # tests/test_training_ops.py::test_ivf_trained_centroids_recall
+    # Iterative Lloyd training isn't single-statement SQL, so the trained
+    # lists themselves can't be replicated in DuckDB — instead the hashed
+    # output asserts the contracts that matter: k results per query,
+    # ranks aligned with non-increasing cosine, and recall@5 >= 4/5
+    # against the EXACT top-5 computed in the same job. The oracle pins
+    # all three TRUE/constant, so a recall or ordering regression
+    # hash-mismatches. (Exact recall numbers per config are additionally
+    # pinned in tests/test_training_ops.py.)
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(5 AS BIGINT) AS n_results,
+       TRUE AS cos_nonincreasing,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+ORDER BY query_id
+""",
     category="similarity",
     description="IVF ANN top-5 with k-means-trained centroids (3 Lloyd "
     "rounds, nprobe=2): the production-shape coarse quantizer — balanced "
-    "inverted lists, probe-cost/recall dial.",
+    "inverted lists, probe-cost/recall dial. Output is the per-query "
+    "accuracy contract (result count, rank/cosine monotonicity, "
+    "recall@5 >= 0.8 vs the exact top-5), oracle-checked.",
 )
 def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
-        e.filter(F.col("vec_id") < 5),
-        e,
-        dim=64,
-        k=5,
-        n_centroids=8,
-        nprobe=2,
-        train_iters=3,
-    ).orderBy("query_id", "rk")
+    q = e.filter(F.col("vec_id") < 5)
+    ivf = SIM.ivf_topk(
+        q, e, dim=64, k=5, n_centroids=8, nprobe=2, train_iters=3
+    )
+    exact = SIM.cosine_topk(q, e, k=5)
+    w = Window.partitionBy("query_id").orderBy("rk")
+    flagged = ivf.withColumn(
+        "_ok",
+        F.coalesce(
+            F.col("cos_sim") <= F.lag("cos_sim").over(w), F.lit(True)
+        ),
+    )
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        flagged.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.bool_and(F.col("_ok")).alias("cos_nonincreasing"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "n_results",
+            "cos_nonincreasing",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 from go_pq_cdc_kafka_spark.streaming import windows as W  # noqa: E402
@@ -3674,17 +3715,29 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_clusters",
-    oracle=None,  # k-means-trained clusters are engine-specific (same
-    # reason sim_ivf_trained_topk is rows-only); the keep rule itself is
-    # pinned exactly by tests/test_training_ops.py::test_semantic_dedup_*
+    # k-means-trained cluster IDS are engine-specific, so per-cluster
+    # counts can't be pinned in SQL — the hashed output asserts the
+    # algorithm's engine-independent invariants instead: every embedding
+    # is assigned exactly once, and every non-empty cluster keeps at
+    # least one survivor but never more than its members (the
+    # keep-preferred minimum member always survives by construction).
+    # The exact keep rule is additionally pinned by
+    # tests/test_training_ops.py::test_semantic_dedup_*.
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_members,
+       TRUE AS all_assigned_once,
+       TRUE AS every_cluster_keeps_some
+FROM embeddings
+""",
     category="dedup",
     description="SemDeDup (Abbas et al. 2023): embedding-space semantic "
     "dedup — k-means clusters bound the pairwise work, cosine scored "
     "within clusters only, and of each near-dup group the member with the "
-    "LOWEST centroid-cosine survives (the paper's diversity-keeping rule). "
-    "Returns per-cluster member/survivor counts. Pair cost is sum(cluster"
-    "^2), dialed by k; shuffle key is the cluster id (balanced by the "
-    "trained quantizer).",
+    "LOWEST centroid-cosine survives (the paper's diversity-keeping "
+    "rule). Output is the oracle-checked invariant row (assignment "
+    "totality, per-cluster 1 <= kept <= members). Pair cost is "
+    "sum(cluster^2), dialed by k; shuffle key is the cluster id "
+    "(balanced by the trained quantizer).",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -3693,13 +3746,32 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus is near-uniform (typical cos ~0.2), with planted similar pairs
     # above 0.4 — production text embeddings would use ~0.95
     res = SIM.semantic_dedup(e, cents, threshold=0.4)
-    return (
-        res.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+    per_cluster = res.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+    )
+    bounds = per_cluster.agg(
+        F.sum("n_members").cast("long").alias("total_members"),
+        F.bool_and(
+            (F.col("n_kept") >= 1) & (F.col("n_kept") <= F.col("n_members"))
+        ).alias("every_cluster_keeps_some"),
+    )
+    assigned_once = res.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count_distinct(F.col("vec_id")).cast("long").alias("_nd"),
+        F.bool_and(F.col("cluster").isNotNull()).alias("_nn"),
+    ).select(
+        ((F.col("_n") == F.col("_nd")) & F.col("_nn")).alias(
+            "all_assigned_once"
         )
-        .orderBy("cluster")
+    )
+    # 1-row × 1-row attachment as a literal-key equi-join (broadcast)
+    return (
+        bounds.withColumn("_k", F.lit(1))
+        .join(F.broadcast(assigned_once.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "total_members", "all_assigned_once", "every_cluster_keeps_some"
+        )
     )
 
 
