@@ -193,26 +193,54 @@ class ReplicationConnection:
         )
         self._scram_nonce = scram_nonce
         self._sock: socket.socket | None = None
-        self._buf = b""
+        self._buf = bytearray()
+        self._pos = 0
         self.parameters: dict[str, str] = {}
         self._written_lsn = 0
         self._flushed_lsn = 0
 
     # -- framing ------------------------------------------------------------
 
+    def _fill(self) -> None:
+        chunk = self._sock.recv(65536)
+        if not chunk:
+            raise ConnectionError("server closed the connection")
+        self._buf += chunk
+
+    def _pending(self) -> int:
+        return len(self._buf) - self._pos
+
     def _recv_exactly(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("server closed the connection")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+        while len(self._buf) - self._pos < n:
+            self._fill()
+        p = self._pos
+        out = bytes(self._buf[p : p + n])
+        self._pos = p + n
+        if self._pos > 65536:
+            del self._buf[: self._pos]
+            self._pos = 0
         return out
 
     def _read_message(self) -> tuple[bytes, bytes]:
-        tag = self._recv_exactly(1)
-        (length,) = struct.unpack(">i", self._recv_exactly(4))
-        return tag, self._recv_exactly(length - 4)
+        # single-pass framing over an offset-tracked bytearray: the naive
+        # tag/len/body triple-slice costs ~6 allocations per message, which
+        # at replication rates (hundreds of thousands of messages/s) was a
+        # measurable slice of decode throughput
+        while len(self._buf) - self._pos < 5:
+            self._fill()
+        p = self._pos
+        length = int.from_bytes(self._buf[p + 1 : p + 5], "big")
+        total = 1 + length  # length includes its own 4 bytes
+        while len(self._buf) - self._pos < total:
+            self._fill()
+        p = self._pos
+        tag = bytes(self._buf[p : p + 1])
+        payload = bytes(self._buf[p + 5 : p + 1 + length])
+        self._pos = p + total
+        if self._pos > (1 << 18):
+            del self._buf[: self._pos]
+            self._pos = 0
+        return tag, payload
 
     def _send(self, tag: bytes, payload: bytes) -> None:
         self._sock.sendall(tag + struct.pack(">i", len(payload) + 4) + payload)
@@ -275,7 +303,7 @@ class ReplicationConnection:
         abort the connection."""
         self._sock.sendall(struct.pack(">ii", 8, 80877103))
         answer = self._recv_exactly(1)
-        if self._buf:
+        if self._pending():
             raise WireError(
                 {"M": "unexpected bytes after SSLRequest answer "
                       "(possible plaintext injection)"}
