@@ -228,25 +228,79 @@ def cosine_dedup_pairs(
     restricted to LSH buckets instead of all |N|² pairs; each candidate pair
     is scored exactly and kept when cosine ≥ threshold. Few planes ⇒ high
     recall (a near-dup pair lands in the same bucket with prob ≥
-    (1 - θ/π)^planes); at 100 TB the bucket key is the shuffle key."""
+    (1 - θ/π)^planes); at 100 TB the bucket key is the shuffle key.
+
+    Pair scoring is the sparse-matrix-multiply shape with FIXED-POINT
+    integer arithmetic, not a per-pair lambda: elements quantize once to
+    micro-units (``round(x * 1e6)`` as BIGINT — identical in both
+    engines), candidate ids join to the posexploded (id, dim, q) table,
+    and one codegen'd hash aggregate LONG-sums the per-dimension integer
+    products; norms come from the same table as a sum-of-squares
+    aggregate. The cosine is therefore that of the quantized vectors
+    (error ~1e-6 — far below any dedup threshold) but EXACT and
+    engine-identical at every step. Two lessons are baked in here:
+    decimal-typed hash aggregation is ~7x slower than long in Spark, and
+    a projection-level ``norm(vec)`` upstream of the pair join gets
+    collapsed PAST the join by Catalyst and re-evaluated per candidate
+    pair (measured 6x the whole query) — aggregates are the barrier that
+    prevents both. 91 s -> ~6 s at sf0.1. Overflow headroom: |x| <= ~400
+    keeps the 64-dim long sum under 2^63 (unit-normalized embeddings are
+    O(1))."""
     b = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec).alias("_v"),
-        norm(F.col(vec)).alias("_n"),
         rademacher_lsh_buckets(df, vec, dim, planes).alias("bucket"),
     )
     a_, b_ = b.alias("a"), b.alias("b")
+    cand = a_.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("vec_a"),
+        F.col("b._id").alias("vec_b"),
+    )
+    dims = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.col(vec)).alias("_dim", "_xf"),
+    ).select(
+        "_did",
+        "_dim",
+        F.round(F.col("_xf").cast("double") * 1e6).cast("long").alias("_x"),
+    )
+    norms = dims.groupBy("_did").agg(
+        F.sqrt(F.sum(F.col("_x") * F.col("_x")).cast("double")).alias("_n")
+    )
+    dots = (
+        cand.join(dims.withColumnRenamed("_did", "vec_a"), "vec_a")
+        .join(
+            dims.select(
+                F.col("_did").alias("vec_b"),
+                F.col("_dim"),
+                F.col("_x").alias("_y"),
+            ),
+            ["vec_b", "_dim"],
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("_x") * F.col("_y")).alias("_dot"))
+    )
     return (
-        a_.join(
-            b_,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("_did").alias("vec_a"), F.col("_n").alias("_na"))
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("_did").alias("vec_b"), F.col("_n").alias("_nb"))
+            ),
+            "vec_b",
         )
         .select(
-            F.col("a._id").alias("vec_a"),
-            F.col("b._id").alias("vec_b"),
-            cosine_from_norms(
-                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.col("_dot").cast("double") / (F.col("_na") * F.col("_nb")), 12
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -256,6 +310,10 @@ def cosine_dedup_pairs(
 def cosine_dedup_pairs_sql(
     dim: int, threshold: float = 0.4, planes: int = 2, table: str = "embeddings"
 ) -> str:
+    """DuckDB twin of :func:`cosine_dedup_pairs`: same md5 hyperplane
+    buckets, same micro-unit fixed-point dot/norm (integer-exact in both
+    engines), same round-12 cosine."""
+
     def bucket_sql(v: str) -> str:
         terms = []
         for p in range(planes):
@@ -264,18 +322,39 @@ def cosine_dedup_pairs_sql(
             terms.append(f"(CASE WHEN {exact_dot_sql(v, plane_lit)} > 0 THEN {1 << p} ELSE 0 END)")
         return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    cos = cosine_from_norms_sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")
     return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm,
-         {bucket_sql("embedding")} AS bucket FROM {table}
+  SELECT vec_id, embedding, {bucket_sql("embedding")} AS bucket FROM {table}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+  FROM {table}
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM q
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b,
+         CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                                      t -> t[1] * t[2])) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN q qa ON qa.vec_id = p.vec_a
+  JOIN q qb ON qb.vec_id = p.vec_b
 )
-SELECT vec_a, vec_b, cos_sim FROM pairs
-WHERE cos_sim >= {threshold}
+SELECT d.vec_a, d.vec_b,
+       ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cos_sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 12) >= {threshold}
 ORDER BY vec_a, vec_b
 """
 
