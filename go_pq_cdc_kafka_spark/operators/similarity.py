@@ -71,6 +71,34 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.round(exact_dot(a, b) / (na * nb), 12)
 
 
+# -- fast (double-accumulated) variants --------------------------------------
+#
+# The decimal accumulator exists for CROSS-ENGINE bit-exactness (DuckDB
+# oracle parity), at ~5x the cost of double arithmetic (BigDecimal per
+# element). Operators whose oracles are invariant-based rather than
+# value-based — the k-means-trained tier, whose cluster contents are
+# engine-specific anyway — use these double-accumulated twins: identical
+# shape, deterministic within Spark, no BigDecimal in the lambda.
+
+
+def fast_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def fast_norm(a: Column) -> Column:
+    return F.sqrt(fast_dot(a, a))
+
+
+def fast_cosine_from_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    return F.round(fast_dot(a, b) / (na * nb), 12)
+
+
 def cosine_from_norms_sql(a: str, b: str, na: str, nb: str) -> str:
     return f"ROUND({exact_dot_sql(a, b)} / ({na} * {nb}), 12)"
 
@@ -370,15 +398,24 @@ def ivf_assign(
     vec: str,
     out_id: str,
     nprobe: int = 1,
+    exact: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     score every (vector, centroid) pair, keep the ``nprobe`` best-cosine
     centroids (1 for indexing; >1 on the query side widens the probe).
-    One map-side broadcast join + one shuffle on the vector id."""
+    One map-side broadcast join + one shuffle on the vector id.
+
+    ``exact=True`` scores with the decimal-accumulated dot (bit-exact
+    against the SQL oracle — required for the seeded, SQL-expressible IVF
+    configuration). ``exact=False`` uses the double-accumulated twin —
+    the right choice for trained centroids, whose contents are
+    engine-specific and invariant-checked anyway (~5x faster)."""
+    _norm = norm if exact else fast_norm
+    _cos = cosine_from_norms if exact else fast_cosine_from_norms
     cents = centroids.select(
         F.col("centroid_id"),
         F.col("centroid_vec"),
-        norm(F.col("centroid_vec")).alias("_centn"),
+        _norm(F.col("centroid_vec")).alias("_centn"),
     )
     w = Window.partitionBy("_aid").orderBy(
         F.col("_ccos").desc(), F.col("centroid_id")
@@ -387,7 +424,7 @@ def ivf_assign(
         df.select(
             F.col(id_col).alias("_aid"),
             F.col(vec).alias("_av"),
-            norm(F.col(vec)).alias("_an"),
+            _norm(F.col(vec)).alias("_an"),
         )
         .join(F.broadcast(cents))
         .select(
@@ -395,7 +432,7 @@ def ivf_assign(
             "_av",
             "_an",
             "centroid_id",
-            cosine_from_norms(
+            _cos(
                 F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_centn")
             ).alias("_ccos"),
         )
@@ -434,7 +471,9 @@ def train_centroids(
     )
     spark = corpus.sparkSession
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec, "_m_id")
+        # trained clusters are engine-specific (invariant-checked), so
+        # Lloyd assignment uses the fast double scorer
+        assigned = ivf_assign(corpus, cents, id_col, vec, "_m_id", exact=False)
         means = (
             assigned.select("cluster", F.posexplode(F.col(vec)).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -484,11 +523,13 @@ def semantic_dedup(
     id, so a balanced trained quantizer (train_centroids) is what keeps
     partitions even. Centroid assignment broadcasts the K×dim table and
     touches the corpus once."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec, id_col)
+    # trained clusters are engine-specific (the query's oracle checks
+    # invariants, not values) — score with the fast double twins
+    assigned = ivf_assign(corpus, centroids, id_col, vec, id_col, exact=False)
     cents = centroids.select(
         "centroid_id",
         "centroid_vec",
-        norm(F.col("centroid_vec")).alias("_cn"),
+        fast_norm(F.col("centroid_vec")).alias("_cn"),
     )
     members = (
         assigned.join(
@@ -500,7 +541,7 @@ def semantic_dedup(
             F.col(vec),
             F.col("_vnorm"),
             F.col("cluster"),
-            cosine_from_norms(
+            fast_cosine_from_norms(
                 F.col(vec),
                 F.col("centroid_vec"),
                 F.col("_vnorm"),
@@ -531,7 +572,7 @@ def semantic_dedup(
         .filter(F.col("_ida") != F.col("_idb"))
         .filter(keep_preferred)
         .filter(
-            cosine_from_norms(
+            fast_cosine_from_norms(
                 F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
             )
             >= F.lit(threshold)
@@ -584,22 +625,28 @@ def ivf_topk(
     (:func:`train_centroids`), which balances inverted lists and lifts
     recall; raise ``nprobe`` to trade probe cost for recall (each extra
     probe scores one more cluster's list)."""
+    # the seeded (train_iters=0) configuration is the SQL-oracle-parity
+    # one and scores with exact decimal dots; the trained tier's clusters
+    # are engine-specific and invariant-checked, so it takes the ~5x
+    # faster double scorer
+    exact = train_iters == 0
     if train_iters > 0:
         centroids = train_centroids(corpus, n_centroids, train_iters, q_id, vec)
     else:
         centroids = corpus.orderBy(q_id).limit(n_centroids).select(
             F.col(q_id).alias("centroid_id"), F.col(vec).alias("centroid_vec")
         )
-    c_assigned = ivf_assign(corpus, centroids, q_id, vec, "neighbor_id")
+    c_assigned = ivf_assign(corpus, centroids, q_id, vec, "neighbor_id", exact=exact)
     q_assigned = ivf_assign(
-        queries, centroids, q_id, vec, "query_id", nprobe=nprobe
+        queries, centroids, q_id, vec, "query_id", nprobe=nprobe, exact=exact
     ).select(
         "query_id", F.col(vec).alias("_qv"), F.col("_vnorm").alias("_qn"), "cluster"
     )
+    _cos = cosine_from_norms if exact else fast_cosine_from_norms
     scored = c_assigned.join(F.broadcast(q_assigned), "cluster").select(
         "query_id",
         "neighbor_id",
-        cosine_from_norms(
+        _cos(
             F.col("_qv"), F.col(vec), F.col("_qn"), F.col("_vnorm")
         ).alias("cos_sim"),
     )
