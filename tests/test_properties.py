@@ -268,3 +268,83 @@ def test_block_removal_parity(spark, docs, width):
         DD.duplicate_block_removal_sql(width=width, min_docs=2)
     ).fetchall()
     assert got == want
+
+
+# -- pgoutput decoder round-trip --------------------------------------------
+#
+# The decoder's hot paths (fixed-offset TupleData parse, first-byte Insert
+# dispatch, buffered wire framing) were hand-optimized; this property pins
+# them against ARBITRARY schemas and values, not just the fixture tables:
+# random column names/counts, unicode text values (including NULs and
+# empty strings — 't' values are length-prefixed, so both are legal),
+# NULL and unchanged-TOAST markers, across insert/update/delete in one
+# transaction.
+
+_colname = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00",
+                           exclude_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+_value = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+)
+
+
+@st.composite
+def _tables(draw):
+    ncols = draw(st.integers(min_value=1, max_value=8))
+    names = draw(
+        st.lists(_colname, min_size=ncols, max_size=ncols, unique=True)
+    )
+    rows = draw(
+        st.lists(
+            st.lists(_value, min_size=ncols, max_size=ncols),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    return names, rows
+
+
+@given(_tables())
+@settings(max_examples=60, deadline=None)
+def test_pgoutput_decoder_roundtrip_arbitrary_schema(table):
+    from tests.test_pgoutput import (
+        begin, commit, delete, insert, rel_msg, tup, update, xlogdata,
+    )
+    from go_pq_cdc_kafka_spark.sources import pgoutput as PO
+
+    names, rows = table
+    cols = [(1 if i == 0 else 0, n, 25, -1) for i, n in enumerate(names)]
+    frames = [xlogdata(1, rel_msg(cols=cols)), xlogdata(2, begin())]
+    lsn = 100
+    for r in rows:
+        lsn += 1
+        frames.append(xlogdata(lsn, insert(tup(*r))))
+    # one update carrying an old image, one delete with a key image
+    frames.append(xlogdata(lsn + 1, update(tup(*rows[0]), old=tup(*rows[-1]))))
+    frames.append(xlogdata(lsn + 2, delete(tup(*rows[0]))))
+    frames.append(xlogdata(lsn + 3, commit()))
+
+    events = list(PO.decode_replication_stream(iter(frames)))
+    assert [e["op"] for e in events] == (
+        ["INSERT"] * len(rows) + ["UPDATE", "DELETE"]
+    )
+    for ev, r in zip(events, rows):
+        assert ev["after"] == dict(zip(names, r))
+        assert ev["before"] is None
+        assert ev["event_time"] is not None
+    upd, dele = events[-2], events[-1]
+    assert upd["after"] == dict(zip(names, rows[0]))
+    assert upd["before"] == dict(zip(names, rows[-1]))
+    assert dele["before"] == dict(zip(names, rows[0]))
+    assert dele["after"] is None
+    # resume contract: every event's lsn is the XLogData wal_start
+    assert [e["lsn"] for e in events] == list(
+        range(101, 101 + len(rows))
+    ) + [lsn + 1, lsn + 2]
