@@ -62,7 +62,10 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # default 3: the shared box shows sustained multi-minute load spikes
+    # (round-4 measurement: the same commit benched 9.9 s and 16.8 s an
+    # hour apart); a third sample materially tightens the min-floor
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     all_runs: dict[str, list[float]] = {}
 
     def best_of(run, name: str) -> float:
