@@ -1728,6 +1728,57 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_binaryfile_ingest",
+    # The oracle reconstructs the expected bytes from the nation view (the
+    # files' content is derived from it deterministically) — the same
+    # no-shared-tmp-path pattern as scan_schema_evolution.
+    oracle="""
+SELECT n_nationkey,
+       CAST(octet_length(encode(repeat(n_name, 3))) AS BIGINT) AS length,
+       md5(repeat(n_name, 3)) AS content_md5
+FROM nation
+WHERE n_nationkey < 10
+ORDER BY n_nationkey
+""",
+    category="scan",
+    description="binaryFile source (the multimodal ingest path: images/"
+    "audio/video land as opaque binary + file metadata before any decode "
+    "UDF runs): write small binary blobs, read them back with "
+    "format('binaryFile'), surface (key, byte length, md5 of content). "
+    "At 100 TB this scan parallelizes per file and never materializes "
+    "blobs driver-side; pathGlobFilter/recursiveFileLookup prune the "
+    "listing.",
+)
+def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    rows = (
+        n.filter(F.col("n_nationkey") < 10)
+        .select("n_nationkey", "n_name")
+        .collect()  # 10 rows: fixture-file synthesis only, not a data path
+    )
+    base = tempfile.mkdtemp(prefix="scan_bin_")
+    for r in rows:
+        with open(os.path.join(base, f"{r.n_nationkey:04d}.bin"), "wb") as f:
+            f.write((r.n_name * 3).encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d{4})\.bin$", 1)
+            .cast("long")
+            .alias("n_nationkey"),
+            F.col("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 from go_pq_cdc_kafka_spark.functions import udfs as U  # noqa: E402
 
 

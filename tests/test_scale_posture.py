@@ -40,6 +40,8 @@ ALLOWED = [
     # partition-count introspection (no RDD transformation)
     ("streaming/handoff.py", ".rdd.getNumPartitions()"),
     ("catalog.py", ".rdd.getNumPartitions()"),
+    # 10-row driver-side synthesis of the binaryFile scan's fixture files
+    ("queries.py", "fixture-file synthesis only"),
 ]
 
 
