@@ -205,12 +205,24 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             e.get("after"),
         )
 
+    #: server-side SQLSTATEs that mean "the connection went away, not that
+    #: the request was wrong" — a real walsender sends these as FATAL
+    #: ErrorResponses (so they surface as WireError, not ConnectionError):
+    #: 57P01 admin_shutdown (pg_terminate_backend / fast shutdown),
+    #: 57P02 crash_shutdown, 57P03 cannot_connect_now (startup/recovery),
+    #: 53300 too_many_connections. The reference reconnects on all of
+    #: them (go-pq-cdc's connection bootstrap retry); auth/protocol/SQL
+    #: errors stay fatal.
+    _RETRYABLE_SQLSTATES = frozenset({"57P01", "57P02", "57P03", "53300"})
+
     def _maybe_restart_pump(self, start_lsn: int) -> None:
         """Transient-vs-fatal classing on a dead pump (the reference's B5
-        contract, kafka/reponse_handler.go:13-48): connection drops
-        reconnect and RESUME from the batch-start LSN — sound because the
-        un-acked slot retains that WAL — while protocol/auth errors and
-        retry exhaustion fail the query loudly."""
+        contract, kafka/reponse_handler.go:13-48): connection drops —
+        including server-initiated terminations like pg_terminate_backend,
+        which arrive as FATAL 57P01 ErrorResponses — reconnect and RESUME
+        from the batch-start LSN, sound because the un-acked slot retains
+        that WAL; protocol/auth errors and retry exhaustion fail the query
+        loudly."""
         from go_pq_cdc_kafka_spark.sources import wire
 
         if self._thread is None or self._thread.is_alive() or not self._queue.empty():
@@ -218,7 +230,10 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         err, self._err = self._err, None
         if err is None:
             return  # clean stream end (CopyDone): stay ended
-        if isinstance(err, wire.WireError) or self._retries >= self.max_retries:
+        fatal_wire = isinstance(err, wire.WireError) and (
+            err.sqlstate not in self._RETRYABLE_SQLSTATES
+        )
+        if fatal_wire or self._retries >= self.max_retries:
             raise err
         self._retries += 1
         self._thread = None

@@ -382,3 +382,86 @@ def test_live_protocol_v2_streamed_transaction():
                 pass
         finally:
             admin.close()
+
+
+def test_live_walsender_termination_is_transient(spark, tmp_path):
+    """pg_terminate_backend on the walsender (a rolling restart / failover
+    in production) arrives as a FATAL 57P01 ErrorResponse, not a socket
+    drop. The pgwire reader must class it TRANSIENT: reconnect, resume
+    from the batch-start LSN, lose nothing, duplicate nothing — the live
+    twin of the scripted DropOnceWalsender test (B5 retryable class)."""
+    from go_pq_cdc_kafka_spark.sources import cdc
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_tm_{suffix}", f"sg_tmpub_{suffix}", f"sg_tmslot_{suffix}"
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)')
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    cdc.register(spark)
+    q = None
+    try:
+        c2 = _conn()
+        row = c2.create_replication_slot(slot)
+        c2.close()
+        start = wire.parse_lsn(row["consistent_point"]) - 1
+
+        stream = (
+            spark.readStream.format("pgwire")
+            .option("dsn", DSN)
+            .option("slot", slot)
+            .option("publication", pub)
+            .option("startlsn", str(start))
+            .option("pollms", "300")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("live_term_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+        def sunk_ids():
+            return sorted(
+                int(r.after["id"])
+                for r in spark.sql(
+                    "select after from live_term_sink where op = 'INSERT'"
+                ).collect()
+            )
+
+        def wait_for(ids, secs=60):
+            deadline = time.monotonic() + secs
+            while time.monotonic() < deadline:
+                if sunk_ids() == ids:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (1, 'a'), (2, 'b')")
+        assert wait_for([1, 2]), sunk_ids()
+
+        # kill the walsender holding the slot — FATAL 57P01 to the client
+        pids = admin.simple_query(
+            f"SELECT active_pid FROM pg_replication_slots "
+            f"WHERE slot_name = '{slot}' AND active"
+        )
+        assert pids and pids[0]["active_pid"]
+        admin.simple_query(
+            f"SELECT pg_terminate_backend({pids[0]['active_pid']})"
+        )
+
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (3, 'c'), (4, 'd')")
+        assert wait_for([1, 2, 3, 4]), sunk_ids()
+        assert q.isActive  # the termination was absorbed, not surfaced
+    finally:
+        try:
+            if q is not None:
+                q.stop()
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            try:
+                admin.drop_replication_slot(slot)
+            except wire.WireError:
+                pass
+        finally:
+            admin.close()
