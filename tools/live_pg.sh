@@ -38,8 +38,8 @@ PGPASSWORD=cdc_pass psql -h 127.0.0.1 -U cdc_user -d postgres -Atc \
   || PGPASSWORD=cdc_pass createdb -h 127.0.0.1 -U cdc_user cdc_db
 
 cd "$(dirname "$0")/.."
-SPARK_GRAFT_LIVE_PG="$DSN" python -m pytest tests/live/test_live_pg.py -q
-rc=$?
+rc=0
+SPARK_GRAFT_LIVE_PG="$DSN" python -m pytest tests/live/test_live_pg.py -q || rc=$?
 
 if [ "${KEEP:-0}" != "1" ]; then
   AS_PG "pg_ctl -D '$DATA' stop -m fast" || true
