@@ -89,6 +89,30 @@ def test_lsh_ops_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_cosine_dedup_pair_scoring_is_lambda_free(spark):
+    """dedup_embedding_cosine scores candidate pairs via the fixed-point
+    sparse-matmul shape: posexplode + equi-joins + codegen'd long-sum hash
+    aggregates. The per-pair higher-order lambda dot (zip_with/aggregate)
+    must NOT reappear downstream of the pair join — it re-evaluates per
+    candidate row and was measured at 10x the whole query. (The bucket
+    sign projections upstream legitimately keep their per-VECTOR lambdas.)"""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    # pair dots + per-vector norms are plain hash aggregates over exploded
+    # dims; at least: partial+final for dots, partial+final for norms
+    assert plan.count("HashAggregate") >= 4
+    assert "posexplode" in plan
+    # every aggregate is a plain long sum over the quantized products —
+    # the decimal accumulator only survives in the per-VECTOR bucket sign
+    # projections (zip_with stays legal there), never in an aggregate
+    func_lines = [
+        ln for ln in plan.splitlines() if ln.startswith("Functions")
+    ]
+    assert len(func_lines) >= 4
+    for ln in func_lines:
+        assert "sum((_" in ln and "decimal" not in ln, ln
+        assert "lambda" not in ln, ln
+
+
 def test_minhash_lsh_pins_shared_subtrees(spark):
     # the shingle index and banded signatures are persisted, so every branch
     # reads the cache (InMemoryTableScan) — single tokenization by contract,
