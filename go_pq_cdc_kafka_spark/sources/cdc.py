@@ -40,8 +40,71 @@ from go_pq_cdc_kafka_spark.envelope import dynamic_envelope_schema
 FORMAT_NAME = "pgwal"
 
 
+_TS_CACHE: dict = {}
+
+
 def _parse_ts(v: str | None) -> datetime | None:
-    return datetime.fromisoformat(v) if v else None
+    """Memoized ISO parse: every event of a transaction carries the SAME
+    commit-timestamp string, so the hot path re-parsed one value per event
+    (~1µs each at replication rates). Bounded: cleared at 4096 entries."""
+    if not v:
+        return None
+    ts = _TS_CACHE.get(v)
+    if ts is None:
+        if len(_TS_CACHE) >= 4096:
+            _TS_CACHE.clear()
+        ts = datetime.fromisoformat(v)
+        _TS_CACHE[v] = ts
+    return ts
+
+
+def _rows_to_arrow(rows: list[tuple]):
+    """Envelope tuples → ONE pyarrow RecordBatch matching the dynamic
+    envelope schema. Spark's python-data-source runner accepts RecordBatch
+    iterators verbatim (pyspark plan_data_source_read.records_to_arrow_
+    batches) — handing it a prebuilt columnar batch skips the per-row
+    tuple→Arrow conversion that otherwise caps streaming throughput at a
+    few 10k rows/s (the dominant E2E cost measured by tools/live_bench.py;
+    column-building here is ~4x faster)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(dynamic_envelope_schema())
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+
+    def map_array(col, field_type):
+        # flat (offsets, keys, values) construction: pa.array over
+        # per-row lists of item-tuples boxes every pair through Python
+        # objects (~3x slower at replication rates)
+        # offsets[i] = start of entry i (None ⇒ entry i is null);
+        # offsets[-1] = total item count and must be non-null
+        offsets: list = []
+        keys: list = []
+        vals: list = []
+        n = 0
+        for d in col:
+            if d is None:
+                offsets.append(None)
+                continue
+            offsets.append(n)
+            keys.extend(d.keys())
+            vals.extend(d.values())
+            n += len(d)
+        offsets.append(n)
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(keys, type=field_type.key_type),
+            pa.array(vals, type=field_type.item_type),
+        )
+
+    arrays = []
+    for i, field in enumerate(schema):
+        col = list(cols[i])
+        if pa.types.is_map(field.type):
+            arrays.append(map_array(col, field.type))
+        else:
+            arrays.append(pa.array(col, type=field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 class WalFileStreamReader(SimpleDataSourceStreamReader):
@@ -90,14 +153,17 @@ class WalFileStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         rows = self._scan(start["lsn"], self.max_events)
-        end_lsn = rows[-1][2] if rows else start["lsn"]
-        return iter(rows), {"lsn": end_lsn}
+        if not rows:
+            # empty MUST be a truly empty iterator: the wrapper probes
+            # no-progress results with next() and a 0-row batch would trip
+            # its offset-did-not-advance guard
+            return iter([]), {"lsn": start["lsn"]}
+        return iter([_rows_to_arrow(rows)]), {"lsn": rows[-1][2]}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # deterministic replay of a committed range after restart
-        return iter(
-            [r for r in self._scan(start["lsn"], None) if r[2] <= end["lsn"]]
-        )
+        rows = [r for r in self._scan(start["lsn"], None) if r[2] <= end["lsn"]]
+        return iter([_rows_to_arrow(rows)]) if rows else iter([])
 
 
 class WalFileDataSource(DataSource):
@@ -176,22 +242,32 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
     def _ensure_pump(self, after_lsn: int) -> None:
         if self._thread is not None:
             return
-        import queue as _queue
+        import collections
         import threading
+        import time as _time
 
         client = self._client(after_lsn, keep_conn=True)
-        q: "_queue.Queue" = _queue.Queue(maxsize=100_000)
+        # a GIL-atomic deque, NOT queue.Queue: Queue.get(timeout=...) costs
+        # ~30µs/event in lock/condvar machinery, capping the drain at
+        # ~30k events/s (measured as the E2E bottleneck by live_bench);
+        # deque.append/popleft are lock-free. Backpressure is a soft cap
+        # polled by the producer — it must hold at least one full
+        # micro-batch or read() can never assemble max_events rows.
+        dq: "collections.deque" = collections.deque()
+        cap = max(100_000, 2 * self.max_events)
 
         def pump() -> None:
             try:
                 for ev in client.events(after_lsn):
-                    q.put(ev)
+                    while len(dq) >= cap:
+                        _time.sleep(0.005)
+                    dq.append(ev)
             except Exception as e:  # surfaced on the next read()
                 self._err = e
 
         t = threading.Thread(target=pump, name="pgwire-pump", daemon=True)
         t.start()
-        self._queue, self._thread = q, t
+        self._queue, self._thread = dq, t
 
     @staticmethod
     def _row(e: dict) -> tuple:
@@ -225,7 +301,7 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         loudly."""
         from go_pq_cdc_kafka_spark.sources import wire
 
-        if self._thread is None or self._thread.is_alive() or not self._queue.empty():
+        if self._thread is None or self._thread.is_alive() or len(self._queue):
             return
         err, self._err = self._err, None
         if err is None:
@@ -240,7 +316,6 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self._conn = None
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        import queue as _queue
         import time
 
         if self._thread is not None:
@@ -248,18 +323,23 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         self._ensure_pump(start["lsn"])
         rows: list[tuple] = []
         deadline = time.monotonic() + self.poll_secs
+        dq, row = self._queue, self._row
         while len(rows) < self.max_events:
             try:
-                ev = self._queue.get(timeout=max(0.0, deadline - time.monotonic()))
-            except _queue.Empty:
-                break
-            rows.append(self._row(ev))
+                ev = dq.popleft()
+            except IndexError:
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(0.005)
+                continue
+            rows.append(row(ev))
         if rows:
             self._retries = 0  # progress resets the transient budget
         elif self._err is not None:
             self._maybe_restart_pump(start["lsn"])
-        end_lsn = rows[-1][2] if rows else start["lsn"]
-        return iter(rows), {"lsn": end_lsn}
+        if not rows:
+            return iter([]), {"lsn": start["lsn"]}
+        return iter([_rows_to_arrow(rows)]), {"lsn": rows[-1][2]}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # Spark plans a (start == end) batch whenever an offset didn't
@@ -282,7 +362,7 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             # close the generator NOW (not at GC) so the walsender drops
             # the slot before the driver pump (re)dials it
             events.close()
-        return iter(out)
+        return iter([_rows_to_arrow(out)]) if out else iter([])
 
     def commit(self, end: dict) -> None:
         # micro-batch durable ⇒ advance the slot (sent with the next

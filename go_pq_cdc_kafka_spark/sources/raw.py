@@ -1,0 +1,343 @@
+"""Raw-frame replication source + executor-side pgoutput decode.
+
+The ``pgwire`` source decodes pgoutput ON THE DRIVER (inside the python
+data-source runner): correct, but every event pays Python decode + row
+build + Arrow conversion under one GIL — measured ceiling ~50k rows/s
+E2E (tools/live_bench.py). This module is the scale tier: the driver
+pump only READS FRAMES off the socket (a tag peek and a header unpack
+per message — I/O bound), ships them as an Arrow binary column, and the
+pgoutput decode runs in EXECUTOR python workers via ``mapInPandas`` —
+parallel across transaction groups, off the driver's GIL.
+
+Design contracts:
+
+- **Commit-aligned offsets**: ``read()`` only releases frames up to the
+  last Commit in the drained window (the remainder carries over), so an
+  offset is always a transaction boundary — exactly the resume points
+  the slot protocol supports (mid-transaction offsets are not safe).
+- **Relation preamble**: pgoutput sends each Relation message once per
+  connection, but executor workers are stateless per micro-batch, so the
+  pump keeps a registry of raw Relation payloads and PREPENDS one copy
+  per transaction group to every batch (lsn 0 ⇒ sorts first).
+- **Transaction groups**: each committed transaction gets a group id
+  (round-robin); ``decode_raw_frames`` repartitions by group and sorts
+  by (lsn, seq) within partitions, so every decoder instance sees whole
+  transactions in WAL order — decode parallelism without breaking the
+  sequential-decode requirement. Downstream consumers already order by
+  ``lsn`` (LWW / SCD2), same as with the serial tier.
+
+The decoded output is bit-identical to the ``pgwire`` source's envelope
+(tests/live/test_live_pg.py asserts parity on a real server).
+
+Known limitation: every transaction in a batch decodes against the
+relation versions as of the batch END (the preamble carries the latest
+registry). If a table's schema evolves MID-batch (a DDL commit between
+two transactions of the same ~1s micro-batch), rows from before the
+change decode with the new column list. The serial ``pgwire`` tier
+preserves exact in-stream relation ordering — use it when intra-batch
+DDL fidelity matters more than throughput.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RAW_FORMAT_NAME = "pgwire-raw"
+
+_RAW_SCHEMA = StructType(
+    [
+        StructField("lsn", LongType(), True),
+        StructField("seq", LongType(), True),
+        StructField("txgrp", IntegerType(), True),
+        StructField("msg", BinaryType(), True),
+    ]
+)
+
+
+def raw_schema() -> StructType:
+    return _RAW_SCHEMA
+
+
+def _frames_to_arrow(rows: list[tuple]):
+    import pyarrow as pa
+
+    cols = list(zip(*rows)) if rows else [[], [], [], []]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(cols[0]), type=pa.int64()),
+            pa.array(list(cols[1]), type=pa.int64()),
+            pa.array(list(cols[2]), type=pa.int32()),
+            pa.array(list(cols[3]), type=pa.binary()),
+        ],
+        names=["lsn", "seq", "txgrp", "msg"],
+    )
+
+
+class PgRawStreamReader(SimpleDataSourceStreamReader):
+    """Offset = ``{"lsn": <last committed>}`` — always a Commit boundary."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.dsn = options.get("dsn")
+        self.slot = options.get("slot")
+        self.publication = options.get("publication")
+        if not (self.dsn and self.slot and self.publication):
+            raise ValueError(
+                "pgwire-raw source requires options dsn, slot, publication"
+            )
+        self.start_lsn = int(options.get("startlsn", 0))
+        self.poll_secs = float(options.get("pollms", 200)) / 1000.0
+        self.max_frames = int(options.get("maxframesperbatch", 500_000))
+        self.groups = int(options.get("groups", 8))
+        self.create_slot = options.get("createslot", "true") == "true"
+        self._dq = None
+        self._thread = None
+        self._conn = None
+        self._err: Exception | None = None
+        #: raw Relation payloads by relid (replayed to every batch)
+        self._relations: dict[int, bytes] = {}
+        #: frames of the currently-open transaction (not yet committed)
+        self._open_tx: list[tuple[int, bytes]] = []
+        self._txgrp = 0
+        self._seq = 0
+
+    def initialOffset(self) -> dict:
+        return {"lsn": self.start_lsn}
+
+    def _ensure_pump(self, after_lsn: int) -> None:
+        if self._thread is not None:
+            return
+        import collections
+        import struct
+        import threading
+        import time as _time
+
+        from go_pq_cdc_kafka_spark.sources import wire
+
+        def on_connect(conn):
+            self._conn = conn
+
+        fs = wire.frame_source_from_dsn(
+            self.dsn,
+            self.slot,
+            self.publication,
+            create_slot=self.create_slot,
+            on_connect=on_connect,
+        )
+        dq: "collections.deque" = collections.deque()
+        cap = max(100_000, 2 * self.max_frames)
+
+        def pump() -> None:
+            try:
+                for frame in fs(after_lsn):
+                    if frame[0] != 119:  # not XLogData ('w'): keepalive
+                        continue
+                    (wal_start,) = struct.unpack_from(">q", frame, 1)
+                    msg = frame[25:]
+                    tag = msg[0]
+                    if tag == 82:  # Relation: registry only — the batch
+                        # preamble replays it to every group, so the data
+                        # path would only duplicate it into one group
+                        (relid,) = struct.unpack_from(">i", msg, 1)
+                        self._relations[relid] = msg
+                        continue
+                    if wal_start <= after_lsn:
+                        continue  # pre-offset replay (commit-aligned resume)
+                    while len(dq) >= cap:
+                        _time.sleep(0.005)
+                    dq.append((wal_start, tag, msg))
+            except Exception as e:  # surfaced on the next read()
+                self._err = e
+
+        t = threading.Thread(target=pump, name="pgraw-pump", daemon=True)
+        t.start()
+        self._dq, self._thread = dq, t
+
+    def _drain(self, deadline: float) -> list[tuple[int, int, bytes]]:
+        import time
+
+        out: list[tuple[int, int, bytes]] = []
+        dq = self._dq
+        while len(out) < self.max_frames:
+            try:
+                out.append(dq.popleft())
+            except IndexError:
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(0.005)
+        return out
+
+    def read(self, start: dict):
+        import time
+
+        self._ensure_pump(start["lsn"])
+        if self._err is not None and self._thread is not None and not self._thread.is_alive():
+            err, self._err = self._err, None
+            raise err
+        drained = self._drain(time.monotonic() + self.poll_secs)
+
+        rows: list[tuple] = []
+        end_lsn = start["lsn"]
+        for wal_start, tag, msg in drained:
+            self._open_tx.append((wal_start, msg))
+            if tag == 67:  # Commit: release the whole transaction
+                grp = self._txgrp % self.groups
+                self._txgrp += 1
+                for lsn_i, msg_i in self._open_tx:
+                    self._seq += 1
+                    rows.append((lsn_i, self._seq, grp, msg_i))
+                self._open_tx = []
+                end_lsn = wal_start
+        if not rows:
+            return iter([]), {"lsn": start["lsn"]}
+        # relation preamble: one copy per group, lsn/seq 0 so it decodes
+        # first in every partition
+        preamble = [
+            (0, 0, g, rmsg)
+            for g in range(self.groups)
+            for rmsg in self._relations.values()
+        ]
+        return (
+            iter([_frames_to_arrow(preamble + rows)]),
+            {"lsn": end_lsn},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if start["lsn"] >= end["lsn"]:
+            return iter([])
+        import struct
+
+        from go_pq_cdc_kafka_spark.sources import wire
+
+        fs = wire.frame_source_from_dsn(
+            self.dsn, self.slot, self.publication, create_slot=False
+        )
+        relations: dict[int, bytes] = {}
+        rows: list[tuple] = []
+        open_tx: list[tuple[int, bytes]] = []
+        txgrp = 0
+        seq = 0
+        frames = fs(start["lsn"])
+        try:
+            for frame in frames:
+                if frame[0] != 119:
+                    continue
+                (wal_start,) = struct.unpack_from(">q", frame, 1)
+                msg = frame[25:]
+                tag = msg[0]
+                if tag == 82:
+                    (relid,) = struct.unpack_from(">i", msg, 1)
+                    relations[relid] = msg
+                    continue
+                if wal_start <= start["lsn"]:
+                    continue
+                open_tx.append((wal_start, msg))
+                if tag == 67:
+                    grp = txgrp % self.groups
+                    txgrp += 1
+                    for lsn_i, msg_i in open_tx:
+                        seq += 1
+                        rows.append((lsn_i, seq, grp, msg_i))
+                    open_tx = []
+                    if wal_start >= end["lsn"]:
+                        break
+        finally:
+            frames.close()
+        preamble = [
+            (0, 0, g, rmsg)
+            for g in range(self.groups)
+            for rmsg in relations.values()
+        ]
+        return iter([_frames_to_arrow(preamble + rows)]) if rows else iter([])
+
+    def commit(self, end: dict) -> None:
+        if self._conn is not None and end.get("lsn", 0) > 0:
+            self._conn.ack(end["lsn"])
+
+
+class PgRawDataSource(DataSource):
+    """``spark.readStream.format("pgwire-raw")`` — raw pgoutput frames as
+    (lsn, seq, txgrp, msg); pair with :func:`decode_raw_frames`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return RAW_FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return _RAW_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> PgRawStreamReader:
+        return PgRawStreamReader(schema, self.options)
+
+
+def decode_raw_frames(frames: DataFrame, groups: int = 8) -> DataFrame:
+    """Raw (lsn, seq, txgrp, msg) frames → the dynamic envelope, decoded
+    in EXECUTOR python workers: repartition by transaction group, restore
+    WAL order within each partition, run the pgoutput decoder per
+    partition. Each group sees whole transactions plus the Relation
+    preamble, so decode state never crosses partitions."""
+    import pandas as pd
+
+    from go_pq_cdc_kafka_spark import envelope as ENV
+    from go_pq_cdc_kafka_spark.sources import pgoutput as PO
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # streaming plans forbid sortWithinPartitions, and a shuffle's
+        # within-partition order is not contractual anyway — collect the
+        # partition's chunks and restore WAL order here (bounded by
+        # maxframesperbatch / groups rows)
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["lsn", "seq"], kind="mergesort"
+        )
+        decoder = PO.PgOutputDecoder()
+        events: list[dict] = []
+        for lsn, msg in zip(pdf["lsn"], pdf["msg"]):
+            events.extend(decoder.decode(int(lsn), bytes(msg)))
+        if not events:
+            return
+        yield pd.DataFrame(
+            {
+                "op": [e["op"] for e in events],
+                "event_time": pd.to_datetime(
+                    [e["event_time"] for e in events], utc=True
+                ),
+                "lsn": [e["lsn"] for e in events],
+                "table_namespace": [
+                    e.get("table_namespace", "public") for e in events
+                ],
+                "table_name": [e["table_name"] for e in events],
+                "before": [e.get("before") for e in events],
+                "after": [e.get("after") for e in events],
+            }
+        )
+
+    return frames.repartition(groups, "txgrp").mapInPandas(
+        decode, schema=ENV.dynamic_envelope_schema()
+    )
+
+
+def register(spark) -> None:
+    """Register the ``pgwire-raw`` format (same pickling story as
+    :func:`go_pq_cdc_kafka_spark.sources.cdc.register`)."""
+    import cloudpickle
+
+    from go_pq_cdc_kafka_spark import envelope
+    from go_pq_cdc_kafka_spark.session import ship_package
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(envelope)
+    ship_package(spark)
+    spark.dataSource.register(PgRawDataSource)

@@ -465,3 +465,91 @@ def test_live_walsender_termination_is_transient(spark, tmp_path):
                 pass
         finally:
             admin.close()
+
+
+def test_live_raw_executor_decode_matches_pgwire(spark, tmp_path):
+    """The executor-decode scale tier (pgwire-raw + decode_raw_frames)
+    must produce the SAME envelope as the driver-decoding pgwire source
+    for an identical live workload: same ops, lsns, and images."""
+    from go_pq_cdc_kafka_spark.sources import cdc, raw as RAW
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub = f"sg_rp_{suffix}", f"sg_rppub_{suffix}"
+    slots = {"serial": f"sg_rps_{suffix}", "raw": f"sg_rpr_{suffix}"}
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)')
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    cdc.register(spark)
+    RAW.register(spark)
+    queries = []
+    try:
+        starts = {}
+        for k, s in slots.items():
+            c = _conn()
+            row = c.create_replication_slot(s)
+            c.close()
+            starts[k] = wire.parse_lsn(row["consistent_point"]) - 1
+
+        serial = (
+            spark.readStream.format("pgwire")
+            .option("dsn", DSN).option("slot", slots["serial"])
+            .option("publication", pub)
+            .option("startlsn", str(starts["serial"]))
+            .option("pollms", "300").load()
+        )
+        raw_frames = (
+            spark.readStream.format("pgwire-raw")
+            .option("dsn", DSN).option("slot", slots["raw"])
+            .option("publication", pub)
+            .option("startlsn", str(starts["raw"]))
+            .option("groups", "4").option("pollms", "300").load()
+        )
+        for name, df in (
+            ("par_serial", serial),
+            ("par_raw", RAW.decode_raw_frames(raw_frames, groups=4)),
+        ):
+            queries.append(
+                df.writeStream.format("memory").queryName(name)
+                .option("checkpointLocation", str(tmp_path / name))
+                .start()
+            )
+
+        admin.simple_query(
+            f"INSERT INTO \"{tbl}\" SELECT g, 'u' || g FROM generate_series(1, 50) g"
+        )
+        admin.simple_query(f"UPDATE \"{tbl}\" SET name = 'upd' WHERE id <= 5")
+        admin.simple_query(f'DELETE FROM "{tbl}" WHERE id > 45')
+
+        def rows_of(sink):
+            return [
+                (r.op, r.lsn, r.table_name,
+                 tuple(sorted(dict(r.after).items())) if r.after else None,
+                 tuple(sorted(dict(r.before).items())) if r.before else None)
+                for r in spark.sql(
+                    f"select op, lsn, table_name, before, after from {sink} "
+                    "order by lsn"
+                ).collect()
+            ]
+
+        deadline = time.monotonic() + 90
+        a = b = None
+        while time.monotonic() < deadline:
+            a, b = rows_of("par_serial"), rows_of("par_raw")
+            if len(a) == 60 and a == b:
+                break
+            time.sleep(0.5)
+        assert len(a) == 60, (len(a), len(b))
+        assert a == b
+    finally:
+        try:
+            for q in queries:
+                q.stop()
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            for s in slots.values():
+                try:
+                    admin.drop_replication_slot(s)
+                except wire.WireError:
+                    pass
+        finally:
+            admin.close()

@@ -1191,10 +1191,13 @@ def test_pgwire_read_between_offsets_replays_committed_range():
             "publication": "pub1",
         },
     )
-    rows = list(reader.readBetweenOffsets({"lsn": 900}, {"lsn": 910}))
+    batches = list(reader.readBetweenOffsets({"lsn": 900}, {"lsn": 910}))
     srv.join(timeout=10)
-    # exactly the window: 900 excluded (already committed), 910 included
-    assert [(r[0], r[2]) for r in rows] == [("INSERT", 910)]
+    # the replay path yields prebuilt Arrow batches (the same fast path
+    # read() uses); exactly the window: 900 excluded (already committed),
+    # 910 included
+    rows = [r for b in batches for r in b.to_pylist()]
+    assert [(r["op"], r["lsn"]) for r in rows] == [("INSERT", 910)]
 
 
 def test_framing_survives_one_byte_recv_chunks():

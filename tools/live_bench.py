@@ -73,11 +73,16 @@ def main() -> None:
         events = []
         t0 = time.monotonic()
         frames = wire.frame_source_from_dsn(dsn, slot, pub)(start_lsn)
-        for ev in PO.decode_replication_stream(frames):
-            if ev["op"] == "INSERT":
-                events.append(ev)
-                if len(events) >= n_rows:
-                    break
+        try:
+            for ev in PO.decode_replication_stream(frames):
+                if ev["op"] == "INSERT":
+                    events.append(ev)
+                    if len(events) >= n_rows:
+                        break
+        finally:
+            # release the slot NOW — tier 3 dials the same slot, and a
+            # lingering generator would hold it until GC
+            frames.close()
         decode_secs = time.monotonic() - t0
         out["decode_secs"] = round(decode_secs, 3)
         out["decode_rows_per_sec"] = round(n_rows / decode_secs, 1)
@@ -124,18 +129,210 @@ def main() -> None:
         out["pipeline_secs"] = round(pipe_secs, 3)
         out["pipeline_rows_per_sec"] = round(n_rows / pipe_secs, 1)
 
+        # tier 3: TRUE end-to-end — a second batch of rows inserted into
+        # the published table while a pgwire Structured Streaming query
+        # (socket → decode → envelope → handler → routing → records →
+        # parquet sink) is live; clock from first insert to last record
+        # durable in the sink. This is the number to compare with the
+        # reference's 66.7k rows/s, which measures the same span
+        # (insert → Kafka-visible).
+        from go_pq_cdc_kafka_spark.streaming import sinks as SK2
+        import tempfile as _tf
+
+        # sustained-regime sizing: small workloads are dominated by the
+        # ~1 s/trigger fixed cost and the 1 s sink-poll quantization
+        e2e_n = n_rows
+        out_dir = os.path.join(_tf.mkdtemp(prefix="live_e2e_"), "out")
+        ck_dir = os.path.join(_tf.mkdtemp(prefix="live_e2e_"), "ckpt")
+        cdc.register(spark)
+        # fresh slot for the E2E tier: tier 1 never acked (it measures raw
+        # decode), so reusing its slot would prepend a full replay of the
+        # un-acked workload to the E2E clock — a production stream acks
+        # per checkpoint commit and resumes at its confirmed position
+        slot2 = f"{slot}_e2e"
+        sc = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+        row2 = sc.create_replication_slot(slot2)
+        sc.close()
+        e2e_start = wire.parse_lsn(row2["consistent_point"]) - 1
+        stream_df = (
+            spark.readStream.format("pgwire")
+            .option("dsn", dsn)
+            .option("slot", slot2)
+            .option("publication", pub)
+            .option("startlsn", str(e2e_start))
+            # sustained-throughput configuration: ~1s micro-batches so the
+            # fixed per-trigger cost (plan + arrow + sink commit, ~1s)
+            # amortizes over 6-figure batches instead of dominating
+            .option("maxeventsperbatch", "500000")
+            .option("pollms", "1000")
+            .load()
+        )
+        # the python-data-source micro-batch arrives as ONE partition —
+        # fan it out so record assembly uses the cluster, not one core
+        pipe2 = CdcPipeline(
+            source=stream_df.repartition(16),
+            routing=RoutingTable({f"public.{tbl}": f"{tbl}.cdc"}),
+            pk_field="id",
+        )
+        q = (
+            pipe2.records()
+            .writeStream.foreachBatch(
+                __import__(
+                    "go_pq_cdc_kafka_spark.streaming.sinks", fromlist=["x"]
+                ).foreach_batch_idempotent_parquet(out_dir)
+            )
+            .option("checkpointLocation", ck_dir)
+            .start()
+        )
+        try:
+
+            def sunk_count() -> int:
+                try:
+                    return SK2.read_committed(spark, out_dir).count()
+                except Exception:
+                    return 0
+
+            def wait_sunk(target: int, secs: float = 600) -> int:
+                deadline = time.monotonic() + secs
+                n = 0
+                while time.monotonic() < deadline:
+                    n = sunk_count()
+                    if n >= target:
+                        return n
+                    if q.exception() is not None:
+                        raise RuntimeError(f"stream died: {q.exception()}")
+                    time.sleep(1.0)
+                return n
+
+            # warmup wave: batch-0 JVM/codegen cost (~4 s once per query
+            # lifetime) must not be billed to the steady-state rate — the
+            # reference's 2.5-minute number is steady-state too
+            warm = 10_000
+            admin.simple_query(
+                f'INSERT INTO "{tbl}" (id, name) '
+                f"SELECT g, 'w' || g FROM generate_series("
+                f"{n_rows + 1}, {n_rows + warm}) g"
+            )
+            assert wait_sunk(warm) >= warm
+
+            # sustained workload: e2e_n rows in waves, clocked insert →
+            # last record durable in the sink
+            t0 = time.monotonic()
+            wave = 100_000
+            base = n_rows + warm
+            for w0 in range(0, e2e_n, wave):
+                admin.simple_query(
+                    f'INSERT INTO "{tbl}" (id, name) '
+                    f"SELECT g, 'e' || g FROM generate_series("
+                    f"{base + w0 + 1}, {base + min(w0 + wave, e2e_n)}) g"
+                )
+            sunk = wait_sunk(warm + e2e_n)
+            e2e_secs = time.monotonic() - t0
+            assert sunk >= warm + e2e_n, (sunk, e2e_n, q.exception())
+            out["e2e_rows"] = e2e_n
+            out["e2e_secs"] = round(e2e_secs, 3)
+            out["e2e_rows_per_sec"] = round(e2e_n / e2e_secs, 1)
+        finally:
+            q.stop()
+
+        # tier 4: the executor-decode scale path (sources/raw.py) — the
+        # driver ships raw frames, pgoutput decode fans out over
+        # transaction groups in executor workers; same sustained workload
+        from go_pq_cdc_kafka_spark.sources import raw as RAW
+
+        RAW.register(spark)
+        slot3 = f"{slot}_raw"
+        sc3 = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+        row3 = sc3.create_replication_slot(slot3)
+        sc3.close()
+        raw_start = wire.parse_lsn(row3["consistent_point"]) - 1
+        out_dir3 = os.path.join(_tf.mkdtemp(prefix="live_raw_"), "out")
+        ck3 = os.path.join(_tf.mkdtemp(prefix="live_raw_"), "ckpt")
+        frames3 = (
+            spark.readStream.format("pgwire-raw")
+            .option("dsn", dsn)
+            .option("slot", slot3)
+            .option("publication", pub)
+            .option("startlsn", str(raw_start))
+            .option("maxframesperbatch", "600000")
+            .option("pollms", "1000")
+            .option("groups", "8")
+            .load()
+        )
+        pipe3 = CdcPipeline(
+            source=RAW.decode_raw_frames(frames3, groups=8),
+            routing=RoutingTable({f"public.{tbl}": f"{tbl}.cdc"}),
+            pk_field="id",
+        )
+        q3 = (
+            pipe3.records()
+            .writeStream.foreachBatch(
+                SK2.foreach_batch_idempotent_parquet(out_dir3)
+            )
+            .option("checkpointLocation", ck3)
+            .start()
+        )
+        try:
+
+            def sunk3() -> int:
+                try:
+                    return SK2.read_committed(spark, out_dir3).count()
+                except Exception:
+                    return 0
+
+            def wait3(target: int, secs: float = 600) -> int:
+                deadline = time.monotonic() + secs
+                n = 0
+                while time.monotonic() < deadline:
+                    n = sunk3()
+                    if n >= target:
+                        return n
+                    if q3.exception() is not None:
+                        raise RuntimeError(f"raw stream died: {q3.exception()}")
+                    time.sleep(1.0)
+                return n
+
+            base3 = n_rows + warm + e2e_n
+            admin.simple_query(
+                f'INSERT INTO "{tbl}" (id, name) '
+                f"SELECT g, 'x' || g FROM generate_series("
+                f"{base3 + 1}, {base3 + warm}) g"
+            )
+            assert wait3(warm) >= warm
+            t0 = time.monotonic()
+            for w0 in range(0, e2e_n, wave):
+                admin.simple_query(
+                    f'INSERT INTO "{tbl}" (id, name) '
+                    f"SELECT g, 'r' || g FROM generate_series("
+                    f"{base3 + warm + w0 + 1}, "
+                    f"{base3 + warm + min(w0 + wave, e2e_n)}) g"
+                )
+            sunk = wait3(warm + e2e_n)
+            raw_secs = time.monotonic() - t0
+            assert sunk >= warm + e2e_n, (sunk, e2e_n, q3.exception())
+            out["raw_e2e_rows"] = e2e_n
+            out["raw_e2e_secs"] = round(raw_secs, 3)
+            out["raw_e2e_rows_per_sec"] = round(e2e_n / raw_secs, 1)
+        finally:
+            q3.stop()
+
         out["baseline_rows_per_sec"] = 66_700  # reference README.md:27-28
         out["decode_vs_baseline"] = round(
             out["decode_rows_per_sec"] / 66_700, 2
+        )
+        out["e2e_vs_baseline"] = round(out["e2e_rows_per_sec"] / 66_700, 2)
+        out["raw_e2e_vs_baseline"] = round(
+            out["raw_e2e_rows_per_sec"] / 66_700, 2
         )
     finally:
         try:
             admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
             admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
-            try:
-                admin.drop_replication_slot(slot)
-            except wire.WireError:
-                pass
+            for s in (slot, f"{slot}_e2e", f"{slot}_raw"):
+                try:
+                    admin.drop_replication_slot(s)
+                except wire.WireError:
+                    pass
         finally:
             admin.close()
     print(json.dumps(out))
