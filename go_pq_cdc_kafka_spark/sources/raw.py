@@ -100,10 +100,12 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self.max_frames = int(options.get("maxframesperbatch", 500_000))
         self.groups = int(options.get("groups", 8))
         self.create_slot = options.get("createslot", "true") == "true"
+        self.max_retries = int(options.get("maxretries", 3))
         self._dq = None
         self._thread = None
         self._conn = None
         self._err: Exception | None = None
+        self._retries = 0
         #: raw Relation payloads by relid (replayed to every batch)
         self._relations: dict[int, bytes] = {}
         #: frames of the currently-open transaction (not yet committed)
@@ -151,8 +153,14 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                         (relid,) = struct.unpack_from(">i", msg, 1)
                         self._relations[relid] = msg
                         continue
-                    if wal_start <= after_lsn:
-                        continue  # pre-offset replay (commit-aligned resume)
+                    # NO per-frame lsn filter here: the first records of a
+                    # transaction share wal_start with the PREVIOUS commit
+                    # (live-PG-verified), so frame-level `<= offset`
+                    # filtering silently drops the head of the first fresh
+                    # transaction after a resume. Replayed history is
+                    # discarded per-TRANSACTION at release time instead
+                    # (read() compares the commit lsn to the resume
+                    # offset).
                     while len(dq) >= cap:
                         _time.sleep(0.005)
                     dq.append((wal_start, tag, msg))
@@ -162,6 +170,9 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         t = threading.Thread(target=pump, name="pgraw-pump", daemon=True)
         t.start()
         self._dq, self._thread = dq, t
+        #: resume boundary: transactions whose COMMIT lsn is <= this are
+        #: replayed history and must be discarded at release time
+        self._pump_start_lsn = after_lsn
 
     def _drain(self, deadline: float) -> list[tuple[int, int, bytes]]:
         import time
@@ -177,20 +188,46 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                 time.sleep(0.005)
         return out
 
+    def _maybe_restart_pump(self) -> None:
+        """Same transient-vs-fatal classing as the pgwire reader
+        (cdc.PgWireStreamReader): connection drops and server-initiated
+        terminations (57P01 etc.) reconnect and resume from the
+        commit-aligned batch-start offset; partial open transactions are
+        discarded — the slot replays them whole."""
+        from go_pq_cdc_kafka_spark.sources import cdc, wire
+
+        if self._thread is None or self._thread.is_alive() or len(self._dq):
+            return
+        err, self._err = self._err, None
+        if err is None:
+            return
+        fatal_wire = isinstance(err, wire.WireError) and (
+            err.sqlstate not in cdc.PgWireStreamReader._RETRYABLE_SQLSTATES
+        )
+        if fatal_wire or self._retries >= self.max_retries:
+            raise err
+        self._retries += 1
+        self._thread = None
+        self._conn = None
+        self._open_tx = []  # replayed whole by the slot on reconnect
+
     def read(self, start: dict):
         import time
 
+        if self._thread is not None:
+            self._maybe_restart_pump()
         self._ensure_pump(start["lsn"])
-        if self._err is not None and self._thread is not None and not self._thread.is_alive():
-            err, self._err = self._err, None
-            raise err
         drained = self._drain(time.monotonic() + self.poll_secs)
 
         rows: list[tuple] = []
         end_lsn = start["lsn"]
         for wal_start, tag, msg in drained:
             self._open_tx.append((wal_start, msg))
-            if tag == 67:  # Commit: release the whole transaction
+            if tag == 67:  # Commit: release (or discard) the transaction
+                if wal_start <= self._pump_start_lsn:
+                    # replayed history below the resume offset
+                    self._open_tx = []
+                    continue
                 grp = self._txgrp % self.groups
                 self._txgrp += 1
                 for lsn_i, msg_i in self._open_tx:
@@ -200,6 +237,7 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                 end_lsn = wal_start
         if not rows:
             return iter([]), {"lsn": start["lsn"]}
+        self._retries = 0  # progress resets the transient budget
         # relation preamble: one copy per group, lsn/seq 0 so it decodes
         # first in every partition
         preamble = [
@@ -239,10 +277,14 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     (relid,) = struct.unpack_from(">i", msg, 1)
                     relations[relid] = msg
                     continue
-                if wal_start <= start["lsn"]:
-                    continue
                 open_tx.append((wal_start, msg))
                 if tag == 67:
+                    # per-TRANSACTION replay window (frame-level lsn
+                    # filtering is wrong: a tx's first records share
+                    # wal_start with the previous commit)
+                    if wal_start <= start["lsn"]:
+                        open_tx = []
+                        continue
                     grp = txgrp % self.groups
                     txgrp += 1
                     for lsn_i, msg_i in open_tx:

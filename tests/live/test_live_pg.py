@@ -553,3 +553,77 @@ def test_live_raw_executor_decode_matches_pgwire(spark, tmp_path):
                     pass
         finally:
             admin.close()
+
+
+def test_live_raw_tier_absorbs_walsender_termination(spark, tmp_path):
+    """Same 57P01 resilience contract as the serial tier, for the
+    executor-decode path: terminate the walsender mid-stream, stream
+    resumes from the commit-aligned offset with no loss/duplication."""
+    from go_pq_cdc_kafka_spark.sources import raw as RAW
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_rt_{suffix}", f"sg_rtpub_{suffix}", f"sg_rtslot_{suffix}"
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)')
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    RAW.register(spark)
+    q = None
+    try:
+        c2 = _conn()
+        row = c2.create_replication_slot(slot)
+        c2.close()
+        start = wire.parse_lsn(row["consistent_point"]) - 1
+        frames = (
+            spark.readStream.format("pgwire-raw")
+            .option("dsn", DSN).option("slot", slot)
+            .option("publication", pub)
+            .option("startlsn", str(start))
+            .option("groups", "2").option("pollms", "300").load()
+        )
+        q = (
+            RAW.decode_raw_frames(frames, groups=2)
+            .writeStream.format("memory").queryName("live_rawterm_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+
+        def sunk_ids():
+            return sorted(
+                int(r.after["id"])
+                for r in spark.sql(
+                    "select after from live_rawterm_sink where op = 'INSERT'"
+                ).collect()
+            )
+
+        def wait_for(ids, secs=60):
+            deadline = time.monotonic() + secs
+            while time.monotonic() < deadline:
+                if sunk_ids() == ids:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (1, 'a'), (2, 'b')")
+        assert wait_for([1, 2]), sunk_ids()
+        pids = admin.simple_query(
+            f"SELECT active_pid FROM pg_replication_slots "
+            f"WHERE slot_name = '{slot}' AND active"
+        )
+        assert pids and pids[0]["active_pid"]
+        admin.simple_query(
+            f"SELECT pg_terminate_backend({pids[0]['active_pid']})"
+        )
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (3, 'c'), (4, 'd')")
+        assert wait_for([1, 2, 3, 4]), sunk_ids()
+        assert q.isActive
+    finally:
+        try:
+            if q is not None:
+                q.stop()
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            try:
+                admin.drop_replication_slot(slot)
+            except wire.WireError:
+                pass
+        finally:
+            admin.close()
