@@ -1779,6 +1779,54 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    category="scan",
+    description="Avro scan via the from-scratch OCF codec (sources/avro.py; "
+    "public Avro 1.11 spec — no spark-avro jar in this env): orders is "
+    "re-written as deflate-compressed Avro container files executor-side "
+    "(one file per partition, mapInPandas, no driver materialization), read "
+    "back through binaryFile + distributed block decode, and aggregated. "
+    "The oracle reads the same rows from parquet — every value (keys, "
+    "cents, timestamps) must survive the format round-trip exactly. At "
+    "100 TB the parallelism unit is the container file, same as the JVM "
+    "reader; read_avro prefers the native avro format when the jar exists.",
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from go_pq_cdc_kafka_spark.sources.avro import read_avro, write_avro
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_"), "orders")
+    write_avro(o, base, codec="deflate")
+    back = read_avro(spark, base)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_date"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 from go_pq_cdc_kafka_spark.functions import udfs as U  # noqa: E402
 
 
