@@ -146,6 +146,89 @@ def bfs_min_hops(
     return visited
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """PageRank over a directed MULTIGRAPH in fixed-point integer
+    arithmetic — bit-identical across engines and shuffle orders.
+
+    ``edges`` carries (src, dst); parallel edges count once each, exactly
+    like repeated links in the original formulation. Scores live in
+    integer "probability micro-units" (``scale`` total mass):
+
+        s0        = scale // N                       (uniform start)
+        contrib_v = Σ_{(u,v)∈E} s_k(u) // outdeg(u)  (integer division)
+        s_{k+1}   = ((100-d)·s0) // 100 + (d·contrib_v) // 100
+
+    Every operation is BIGINT +, //, Σ — associative/commutative, no
+    float accumulation order to diverge on, so a DuckDB unrolled-CTE twin
+    reproduces the scores exactly (floor and truncating integer division
+    agree on the non-negative values used here). Dangling-node mass is
+    dropped rather than redistributed — the classic simplified variant;
+    both engines drop it identically.
+
+    Scale notes (100-TB posture): edges and out-degrees are computed once
+    and persisted; each iteration is one shuffle join (scores ⋈ edges on
+    src — a broadcast when the score table fits) plus one groupBy(dst),
+    with ``localCheckpoint`` per round to stop lineage growth, the same
+    discipline as :func:`connected_components`. Work per round is O(|E|);
+    ``iterations`` is a fixed hyper-parameter, not a convergence probe, so
+    the job graph is static and AQE can size every exchange.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # scalar graph size, not a data collect
+    s0 = scale // max(n_nodes, 1)
+    base = ((100 - damping_pct) * s0) // 100
+    scores = nodes.withColumn("score", F.lit(s0).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(scores.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score div outdeg").cast("long").alias("part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("part").cast("long").alias("contrib"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    return scores
+
+
 def cluster_survivors(members: DataFrame) -> DataFrame:
     """Collapse a (doc_id, cluster_id) membership table to one keeper per
     cluster (the minimum id — which is the cluster_id itself by

@@ -2874,6 +2874,100 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
+                         scale: int = 1_000_000_000_000) -> str:
+    """Unrolled-CTE DuckDB twin of operators/cluster.pagerank_fixed —
+    generated for the same iteration count so the two stay in lockstep."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n.node,
+         CAST((({100 - damping} * p.s0) // 100)
+              + (({damping} * COALESCE(c.contrib, 0)) // 100) AS BIGINT)
+           AS score
+  FROM nodes n CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(s.score // o.outdeg) AS BIGINT) AS contrib
+    FROM e JOIN it{k-1} s ON s.node = e.src
+           JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    return f"""
+WITH e AS (
+  SELECT prev AS src, l_suppkey AS dst FROM (
+    SELECT l_suppkey,
+           LAG(l_suppkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_suppkey) AS prev
+    FROM lineitem) t
+  WHERE prev IS NOT NULL AND prev <> l_suppkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src),
+params AS (SELECT CAST({scale} // COUNT(*) AS BIGINT) AS s0 FROM nodes),
+it0 AS (SELECT node, p.s0 AS score FROM nodes CROSS JOIN params p),
+{",".join(its)}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, node) AS INT) AS rk,
+       CAST(node AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(score AS BIGINT) AS score
+FROM it{iterations} JOIN supplier s ON s.s_suppkey = node
+ORDER BY score DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=_pagerank_oracle_sql(),
+    category="graph",
+    description="Fixed-point integer PageRank (3 iterations, d=0.85, 1e12 "
+    "probability micro-units) over the supplier co-purchase multigraph — "
+    "edges are consecutive-linenumber supplier pairs within each order "
+    "(one LAG window pass). All arithmetic is BIGINT +, integer div, SUM: "
+    "associative and order-independent, so the DuckDB unrolled-CTE twin "
+    "matches bit-for-bit where a float PageRank would drift per shuffle "
+    "order. Each iteration is one scores⋈edges join + one groupBy(dst) "
+    "with localCheckpoint against lineage growth (operators/cluster."
+    "pagerank_fixed); edges/degrees persist once. Top 20 by score with "
+    "supplier names, deterministic node-id tiebreak.",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    # the fixture carries duplicate (orderkey, linenumber) pairs, so the
+    # sort key must include l_suppkey to make the LAG sequence total —
+    # rows still tied are then identical, leaving the edge multiset unique
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    edges = (
+        li.withColumn("prev", F.lag("l_suppkey").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("l_suppkey")))
+        .select(F.col("prev").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    scores = CL.pagerank_fixed(edges, iterations=3)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    wr = Window.orderBy(F.desc("score"), F.asc("node"))
+    top = (
+        scores.orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+    )
+    return (
+        top.join(F.broadcast(sup), top["node"] == sup["s_suppkey"])
+        .select(
+            "rk",
+            F.col("s_suppkey").cast("long"),
+            "s_name",
+            F.col("score").cast("long"),
+        )
+        .orderBy("rk")
+    )
+
+
 _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
 
 

@@ -227,3 +227,39 @@ def test_block_removal_plan_shape(spark):
     plan = qe.explainString(mode)
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan  # blocking is pure Column exprs
+
+
+def test_pagerank_fixed_hand_computed_star(spark):
+    # star 2->1, 3->1, 4->1 plus 1->2: hand-computable in micro-units.
+    # N=4, scale=1000 -> s0=250, base=(15*250)//100=37.
+    # it1: contrib(1)=250+250+250=750 -> 37+(85*750)//100=37+637=674
+    #      contrib(2)=250//1=250      -> 37+212=249
+    #      contrib(3)=contrib(4)=0    -> 37
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.score)
+        for r in CL.pagerank_fixed(edges, iterations=1, scale=1000).collect()
+    }
+    assert got == {(1, 674), (2, 249), (3, 37), (4, 37)}
+
+
+def test_pagerank_fixed_mass_bounded_and_deterministic(spark):
+    # integer floors only ever LOSE probability mass: total score stays
+    # <= scale after any number of iterations; and two runs over a
+    # shuffled edge order produce identical scores (the whole point of
+    # fixed-point arithmetic).
+    import random
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(60)] + [(5, 11), (5, 11)]
+    edges = [e for e in edges if e[0] != e[1]]
+    rng = random.Random(42)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df2 = spark.createDataFrame(shuffled, "src long, dst long").repartition(7)
+    s1 = {(r.node, r.score) for r in CL.pagerank_fixed(df1, iterations=3).collect()}
+    s2 = {(r.node, r.score) for r in CL.pagerank_fixed(df2, iterations=3).collect()}
+    assert s1 == s2
+    assert sum(s for _, s in s1) <= 1_000_000_000_000
