@@ -740,6 +740,50 @@ _ORDERS_CHANGELOG_SQL = """
 
 
 @register(
+    "cdc_avro_value_roundtrip",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
+SELECT pk, op, price, lsn
+FROM changelog
+ORDER BY pk, lsn
+""",
+    category="cdc",
+    description="Kafka value serialization as Confluent-framed Avro "
+    "(magic 0x00 + schema-id + datum — the Debezium/Schema-Registry wire "
+    "format), using the from-scratch datum codec (sources/avro.to_avro/"
+    "from_avro, Arrow-batched pandas UDFs — no spark-avro jar): the orders "
+    "changelog is struct-packed, encoded to binary, decoded back, and "
+    "every field must survive bit-exactly (the oracle reads the plain "
+    "changelog). The deterministic encoder means retried batches produce "
+    "byte-identical Kafka values — idempotent-producer friendly.",
+)
+def cdc_avro_value_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_kafka_spark.sources.avro import from_avro, to_avro
+
+    value_schema = {
+        "type": "record",
+        "name": "orders_value",
+        "fields": [
+            {"name": "pk", "type": ["null", "long"]},
+            {"name": "op", "type": ["null", "string"]},
+            {"name": "price", "type": ["null", "double"]},
+            {"name": "lsn", "type": ["null", "long"]},
+        ],
+    }
+    log = _orders_changelog_spark(spark, sf_dir)
+    encoded = log.select(
+        to_avro(value_schema, confluent_schema_id=1)(
+            F.struct("pk", "op", "price", "lsn")
+        ).alias("value")
+    )
+    return (
+        encoded.select(from_avro(value_schema, confluent=True)("value").alias("d"))
+        .select("d.pk", "d.op", "d.price", "d.lsn")
+        .orderBy("pk", "lsn")
+    )
+
+
+@register(
     "cdc_lww_materialize",
     oracle=f"""
 WITH changelog AS ({_ORDERS_CHANGELOG_SQL}),

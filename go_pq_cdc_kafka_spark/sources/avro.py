@@ -715,6 +715,129 @@ def spark_to_avro_schema(schema, name: str = "row") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# datum-level column functions (the spark-avro from_avro/to_avro surface)
+# ---------------------------------------------------------------------------
+
+
+def _pandas():
+    # pandas_udf resolves the stringified type hints (PEP 563 is active in
+    # this module) against the FUNCTION's globals, so `pd` must exist at
+    # module scope when the udf is built
+    global pd
+    import pandas as pd
+
+    return pd
+
+
+def to_avro(schema: str | dict, confluent_schema_id: int | None = None):
+    """Arrow-batched serializer: STRUCT column → Avro-datum ``binary``.
+
+    Mirrors spark-avro's ``to_avro`` without the jar: the returned
+    pandas_udf encodes each struct row as a single Avro binary datum (no
+    container framing). With ``confluent_schema_id`` set, bytes are
+    prefixed with the Confluent Schema Registry wire format the Kafka
+    ecosystem (Debezium, ksqlDB, sink connectors) expects: magic 0x00 +
+    big-endian 4-byte schema id. Encoding is deterministic (fixed field
+    order) so repeated runs produce byte-identical Kafka values."""
+    pd = _pandas()
+    from pyspark.sql.functions import pandas_udf
+
+    sch = parse_schema(schema)
+    prefix = (
+        b"\x00" + int(confluent_schema_id).to_bytes(4, "big")
+        if confluent_schema_id is not None
+        else b""
+    )
+    field_names = [f["name"] for f in sch["fields"]]
+
+    @pandas_udf("binary")
+    def enc(pdf: pd.DataFrame) -> pd.Series:
+        encoder = _make_encoder(sch)
+        out = []
+        for row in pdf.itertuples(index=False):
+            rec = {
+                name: (None if _is_na_scalar(v) else _pandas_to_avro(v))
+                for name, v in zip(field_names, row)
+            }
+            buf = bytearray(prefix)
+            encoder(rec, buf)
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    return enc
+
+
+def from_avro(schema: str | dict, confluent: bool = False):
+    """Arrow-batched deserializer: Avro-datum ``binary`` column → STRUCT.
+
+    The inverse of :func:`to_avro`. With ``confluent=True`` the 5-byte
+    Confluent header is validated (magic 0x00) and stripped; the schema id
+    is NOT resolved against a registry — the caller supplies the writer
+    schema, as spark-avro's ``from_avro`` does. Trailing bytes after the
+    datum raise (schema drift must be loud, not silently truncated)."""
+    pd = _pandas()
+    from pyspark.sql.functions import pandas_udf
+
+    sch = parse_schema(schema)
+    spark_schema = avro_to_spark_schema(sch)
+    names = [f.name for f in spark_schema.fields]
+
+    @pandas_udf(spark_schema)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        decoder = _make_decoder(sch)
+        rows = []
+        for b in s:
+            data = bytes(b)
+            if confluent:
+                if len(data) < 5 or data[0] != 0:
+                    raise ValueError(
+                        "not a Confluent-framed Avro value (magic byte != 0)"
+                    )
+                data = data[5:]
+            r = _Reader(data)
+            rows.append(decoder(r))
+            if r.pos != len(data):
+                raise ValueError(
+                    f"datum decoded {r.pos} of {len(data)} bytes — "
+                    "writer/reader schema mismatch"
+                )
+        return pd.DataFrame(rows, columns=names)
+
+    return dec
+
+
+def _is_na_scalar(v: Any) -> bool:
+    import pandas as pd
+
+    try:
+        return v is None or bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays/lists: pd.isna is elementwise
+        return False
+
+
+def _pandas_to_avro(v: Any) -> Any:
+    """Normalize pandas/numpy scalars out of a struct row for encoding."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.ndarray):
+        return [_pandas_to_avro(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _pandas_to_avro(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_pandas_to_avro(x) for x in v]
+    return v
+
+
+# ---------------------------------------------------------------------------
 # distributed Spark paths
 # ---------------------------------------------------------------------------
 

@@ -260,3 +260,72 @@ def test_read_avro_explicit_schema_skips_driver_header_read(spark):
     got = A.read_avro(spark, base, avro_schema=sch).toPandas()
     assert sorted(got["k"].tolist(), key=lambda v: (pd.isna(v), v)) [0] == 1
     assert got["k"].isna().sum() == 1
+
+
+_DATUM_SCHEMA = {
+    "type": "record",
+    "name": "env",
+    "fields": [
+        {"name": "pk", "type": ["null", "long"]},
+        {"name": "op", "type": ["null", "string"]},
+        {"name": "amount", "type": ["null", "double"]},
+    ],
+}
+
+
+def test_datum_confluent_roundtrip_with_nulls(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "INSERT", 1.5), (2, "DELETE", None), (None, "U", 0.25)],
+        "pk long, op string, amount double",
+    )
+    out = (
+        df.select(
+            A.to_avro(_DATUM_SCHEMA, confluent_schema_id=7)(
+                F.struct("pk", "op", "amount")
+            ).alias("v")
+        )
+        .select(
+            F.col("v").substr(1, 1).alias("magic"),
+            A.from_avro(_DATUM_SCHEMA, confluent=True)("v").alias("d"),
+        )
+        .collect()
+    )
+    assert all(r.magic == b"\x00" for r in out)
+    assert [(r.d.pk, r.d.op, r.d.amount) for r in out] == [
+        (1, "INSERT", 1.5),
+        (2, "DELETE", None),
+        (None, "U", 0.25),
+    ]
+
+
+def test_datum_encoding_is_deterministic(spark):
+    # retried batches must produce byte-identical Kafka values
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, "OP", i / 4) for i in range(50)],
+                               "pk long, op string, amount double")
+    enc = A.to_avro(_DATUM_SCHEMA, confluent_schema_id=3)
+    v1 = [r.h for r in df.select(F.md5(enc(F.struct("pk", "op", "amount"))).alias("h"))
+          .orderBy("h").collect()]
+    v2 = [r.h for r in df.repartition(7).select(
+          F.md5(enc(F.struct("pk", "op", "amount"))).alias("h")).orderBy("h").collect()]
+    assert v1 == v2
+
+
+def test_datum_bad_magic_and_schema_drift_raise(spark):
+    from pyspark.sql import functions as F
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame([(b"\x01\x00\x00\x00\x07\x02",)], "v binary")
+    with pytest.raises(PythonException, match="magic"):
+        df.select(A.from_avro(_DATUM_SCHEMA, confluent=True)("v")).collect()
+    # trailing garbage after a valid datum = writer/reader schema mismatch
+    good = spark.createDataFrame([(11, "I", None)], "pk long, op string, amount double")
+    raw = good.select(
+        A.to_avro(_DATUM_SCHEMA)(F.struct("pk", "op", "amount")).alias("v")
+    ).collect()[0].v
+    bad = spark.createDataFrame([(bytes(raw) + b"\x00\x00",)], "v binary")
+    with pytest.raises(PythonException, match="mismatch"):
+        bad.select(A.from_avro(_DATUM_SCHEMA)("v")).collect()
