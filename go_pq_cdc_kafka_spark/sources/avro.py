@@ -276,6 +276,177 @@ def _make_decoder(schema: Any) -> Callable[[_Reader], Any]:
 
 
 # ---------------------------------------------------------------------------
+# schema resolution: decode writer-schema bytes into reader-schema values
+# (Avro spec "Schema Resolution" — the schema-evolution contract)
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(schema: Any, default: Any) -> Any:
+    """Convert a JSON-encoded field default to the runtime value."""
+    kind, sch = _logical(schema)
+    if isinstance(schema, list):  # union default applies to the FIRST branch
+        return _default_value(schema[0], default)
+    if kind == "null":
+        return None
+    if kind == "bytes" or kind == "fixed":
+        # spec: bytes/fixed defaults are strings where each char is a byte
+        return default.encode("latin-1") if isinstance(default, str) else default
+    if kind == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=default)
+    if kind in ("timestamp-micros", "local-timestamp-micros"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=default)
+    if kind == "timestamp-millis":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=default)
+    if kind == "decimal":
+        scale = sch.get("scale", 0)
+        q = _decimal.Decimal(1).scaleb(-scale)
+        return _decimal.Decimal(str(default)).quantize(q)
+    if kind == "record":
+        return {
+            f["name"]: _default_value(f["type"], f.get("default"))
+            for f in sch["fields"]
+        }
+    return default
+
+
+def _make_skipper(schema: Any) -> Callable[[_Reader], None]:
+    """Decode-and-discard for writer fields the reader dropped."""
+    dec = _make_decoder(schema)
+    return lambda r: (dec(r), None)[1]
+
+
+def _make_resolver(writer: Any, reader: Any) -> Callable[[_Reader], Any]:
+    """Decoder that reads WRITER-encoded bytes and yields READER values,
+    per the spec's resolution rules: field matching by name, reader-side
+    defaults for new fields, silent skip of dropped fields, numeric and
+    string/bytes promotions, and union-branch matching."""
+    wk, _ = _logical(writer)
+    rk, _ = _logical(reader)
+
+    if isinstance(writer, list):  # writer union: pick branch at runtime
+        branch = [_make_resolver(b, reader) for b in writer]
+
+        def un(r: _Reader) -> Any:
+            i = r.read_long()
+            if not 0 <= i < len(branch):
+                raise ValueError(f"union index {i} out of range")
+            return branch[i](r)
+
+        return un
+    if isinstance(reader, list):  # writer single, reader union: first match
+        for b in reader:
+            try:
+                return _make_resolver(writer, b)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"writer type {wk!r} matches no branch of reader union"
+        )
+
+    if (wk, rk) in _PROMOTIONS:
+        dec, conv = _make_decoder(writer), _PROMOTIONS[(wk, rk)]
+        return lambda r: conv(dec(r))
+
+    if wk != rk:
+        raise ValueError(f"cannot resolve writer {wk!r} into reader {rk!r}")
+
+    if wk == "record":
+        wfields = writer["fields"]
+        rfields = {f["name"]: f for f in reader["fields"]}
+        steps: list[tuple[str | None, Callable]] = []
+        for wf in wfields:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                steps.append((None, _make_skipper(wf["type"])))
+            else:
+                steps.append((wf["name"], _make_resolver(wf["type"], rf["type"])))
+        wnames = {f["name"] for f in wfields}
+        fills = []
+        for rf in reader["fields"]:
+            if rf["name"] not in wnames:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer "
+                        "schema and has no default"
+                    )
+                fills.append((rf["name"], _default_value(rf["type"], rf["default"])))
+
+        def rec(r: _Reader) -> dict:
+            out = {}
+            for name, step in steps:
+                v = step(r)
+                if name is not None:
+                    out[name] = v
+            for name, v in fills:
+                out[name] = v
+            return out
+
+        return rec
+    if wk == "array":
+        item = _make_resolver(writer["items"], reader["items"])
+
+        def arr(r: _Reader) -> list:
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    out.append(item(r))
+
+        return arr
+    if wk == "map":
+        val = _make_resolver(writer["values"], reader["values"])
+
+        def mp(r: _Reader) -> dict:
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = val(r)
+
+        return mp
+    if wk == "enum":
+        wsyms, rsyms = writer["symbols"], set(reader["symbols"])
+        rdefault = reader.get("default")
+
+        def en(r: _Reader) -> str:
+            s = wsyms[r.read_long()]
+            if s in rsyms:
+                return s
+            if rdefault is not None:
+                return rdefault
+            raise ValueError(f"enum symbol {s!r} unknown to reader schema")
+
+        return en
+    if wk == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError("fixed size mismatch between writer and reader")
+        return _make_decoder(reader)
+    return _make_decoder(reader)  # identical primitive / logical type
+
+
+# ---------------------------------------------------------------------------
 # encoder: python object -> avro binary
 # ---------------------------------------------------------------------------
 
@@ -567,11 +738,17 @@ def read_ocf_header(data: bytes) -> tuple[Any, str, bytes, int]:
     return schema, codec, sync, r.pos
 
 
-def read_ocf(data: bytes) -> Iterator[Any]:
-    """Decode every row of one container file held in memory."""
+def read_ocf(data: bytes, reader_schema: Any = None) -> Iterator[Any]:
+    """Decode every row of one container file held in memory. With
+    ``reader_schema`` set, the file's own (writer) schema is resolved into
+    it per the spec's schema-resolution rules — a directory can mix files
+    written under different schema versions and still read uniformly."""
     schema, codec, sync, pos = read_ocf_header(data)
     _, decomp = _codec_pair(codec)
-    dec = _make_decoder(schema)
+    if reader_schema is not None and reader_schema != schema:
+        dec = _make_resolver(schema, reader_schema)
+    else:
+        dec = _make_decoder(schema)
     r = _Reader(data, pos)
     while r.pos < len(data):
         n_rows = r.read_long()
@@ -767,24 +944,35 @@ def to_avro(schema: str | dict, confluent_schema_id: int | None = None):
     return enc
 
 
-def from_avro(schema: str | dict, confluent: bool = False):
+def from_avro(
+    schema: str | dict,
+    confluent: bool = False,
+    reader_schema: str | dict | None = None,
+):
     """Arrow-batched deserializer: Avro-datum ``binary`` column → STRUCT.
 
     The inverse of :func:`to_avro`. With ``confluent=True`` the 5-byte
     Confluent header is validated (magic 0x00) and stripped; the schema id
     is NOT resolved against a registry — the caller supplies the writer
-    schema, as spark-avro's ``from_avro`` does. Trailing bytes after the
-    datum raise (schema drift must be loud, not silently truncated)."""
+    schema, as spark-avro's ``from_avro`` does. ``reader_schema`` applies
+    the spec's schema-resolution rules (new fields from defaults, dropped
+    fields skipped, promotions) and determines the output struct type.
+    Trailing bytes after the datum raise (schema drift must be loud, not
+    silently truncated)."""
     pd = _pandas()
     from pyspark.sql.functions import pandas_udf
 
     sch = parse_schema(schema)
-    spark_schema = avro_to_spark_schema(sch)
+    rsch = parse_schema(reader_schema) if reader_schema is not None else None
+    spark_schema = avro_to_spark_schema(rsch if rsch is not None else sch)
     names = [f.name for f in spark_schema.fields]
 
     @pandas_udf(spark_schema)
     def dec(s: pd.Series) -> pd.DataFrame:
-        decoder = _make_decoder(sch)
+        if rsch is not None and rsch != sch:
+            decoder = _make_resolver(sch, rsch)
+        else:
+            decoder = _make_decoder(sch)
         rows = []
         for b in s:
             data = bytes(b)
@@ -899,6 +1087,7 @@ def read_avro(
     path: str,
     avro_schema: str | dict | None = None,
     batch_rows: int = 8192,
+    reader_schema: str | dict | None = None,
 ):
     """Read Avro container files as a DataFrame.
 
@@ -907,11 +1096,16 @@ def read_avro(
     OCF parallelism unit) + pure-Python block decode inside mapInPandas.
     Schema comes from ``avro_schema`` if given, else from one file's header
     read driver-side (local paths only — pass the schema explicitly for
-    object-store paths)."""
-    try:
-        return spark.read.format("avro").load(path)
-    except Exception:
-        pass  # jar absent (or incompatible): distributed pure-Python path
+    object-store paths). ``reader_schema`` turns on per-file schema
+    RESOLUTION: every file decodes under its own embedded writer schema
+    and resolves into the reader's shape, so a directory mixing schema
+    versions (the normal state of a long-lived CDC topic archive) reads
+    uniformly."""
+    if reader_schema is None:
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception:
+            pass  # jar absent (or incompatible): distributed pure-Python path
 
     if avro_schema is None:
         local = path[7:] if path.startswith("file://") else path
@@ -930,7 +1124,8 @@ def read_avro(
             schema, _, _, _ = read_ocf_header(f.read(1 << 20))
     else:
         schema = parse_schema(avro_schema)
-    spark_schema = avro_to_spark_schema(schema)
+    rschema = parse_schema(reader_schema) if reader_schema is not None else None
+    spark_schema = avro_to_spark_schema(rschema if rschema is not None else schema)
     names = [f.name for f in spark_schema.fields]
 
     def decode(iterator):
@@ -939,7 +1134,7 @@ def read_avro(
         for pdf in iterator:
             for content in pdf["content"]:
                 rows = []
-                for rec in read_ocf(bytes(content)):
+                for rec in read_ocf(bytes(content), reader_schema=rschema):
                     rows.append(rec)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=names)

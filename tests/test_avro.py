@@ -329,3 +329,114 @@ def test_datum_bad_magic_and_schema_drift_raise(spark):
     bad = spark.createDataFrame([(bytes(raw) + b"\x00\x00",)], "v binary")
     with pytest.raises(PythonException, match="mismatch"):
         bad.select(A.from_avro(_DATUM_SCHEMA)("v")).collect()
+
+
+# --- schema resolution (evolution) -----------------------------------------
+
+_V1 = {
+    "type": "record",
+    "name": "orders_v",
+    "fields": [
+        {"name": "pk", "type": "long"},
+        {"name": "legacy", "type": "string"},
+        {"name": "qty", "type": "int"},
+    ],
+}
+_V2 = {
+    "type": "record",
+    "name": "orders_v",
+    "fields": [
+        {"name": "pk", "type": "long"},
+        {"name": "qty", "type": "double"},  # int -> double promotion
+        {"name": "status", "type": "string", "default": "NEW"},
+        {"name": "note", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def test_resolution_defaults_skip_and_promotion():
+    res = A._make_resolver(A.parse_schema(_V1), A.parse_schema(_V2))
+    out = bytearray()
+    A._make_encoder(A.parse_schema(_V1))({"pk": 9, "legacy": "x", "qty": 4}, out)
+    got = res(A._Reader(bytes(out)))
+    assert got == {"pk": 9, "qty": 4.0, "status": "NEW", "note": None}
+    assert isinstance(got["qty"], float)
+
+
+def test_resolution_missing_default_raises():
+    bad_reader = {
+        "type": "record",
+        "name": "orders_v",
+        "fields": [
+            {"name": "pk", "type": "long"},
+            {"name": "brand_new", "type": "string"},  # no default
+        ],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        A._make_resolver(A.parse_schema(_V1), A.parse_schema(bad_reader))
+
+
+def test_resolution_incompatible_types_raise():
+    w = A.parse_schema({"type": "record", "name": "r",
+                        "fields": [{"name": "x", "type": "string"}]})
+    r = A.parse_schema({"type": "record", "name": "r",
+                        "fields": [{"name": "x", "type": "long"}]})
+    with pytest.raises(ValueError, match="cannot resolve"):
+        A._make_resolver(w, r)
+
+
+def test_resolution_enum_fallback_default():
+    w = A.parse_schema({"type": "enum", "name": "e", "symbols": ["A", "B", "C"]})
+    r = A.parse_schema({"type": "enum", "name": "e", "symbols": ["A"], "default": "A"})
+    res = A._make_resolver(w, r)
+    out = bytearray()
+    A._make_encoder(w)("C", out)
+    assert res(A._Reader(bytes(out))) == "A"
+
+
+def test_read_avro_mixed_schema_versions_resolve_uniformly(spark):
+    """One directory holding v1- and v2-written container files reads as a
+    single reader-schema DataFrame — the long-lived-topic-archive case."""
+    base = tempfile.mkdtemp()
+    A.write_ocf(os.path.join(base, "old.avro"), _V1,
+                iter([{"pk": 1, "legacy": "a", "qty": 2},
+                      {"pk": 2, "legacy": "b", "qty": 3}]))
+    A.write_ocf(os.path.join(base, "new.avro"), _V2,
+                iter([{"pk": 3, "qty": 4.5, "status": "SHIPPED", "note": "n"}]))
+    got = {
+        (r.pk, r.qty, r.status, r.note)
+        for r in A.read_avro(spark, base, reader_schema=_V2).collect()
+    }
+    assert got == {(1, 2.0, "NEW", None), (2, 3.0, "NEW", None),
+                   (3, 4.5, "SHIPPED", "n")}
+
+
+def test_from_avro_with_reader_schema(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(5, "z", 7)], "pk long, legacy string, qty int")
+    v1_nullable = {
+        "type": "record",
+        "name": "orders_v",
+        "fields": [
+            {"name": "pk", "type": ["null", "long"]},
+            {"name": "legacy", "type": ["null", "string"]},
+            {"name": "qty", "type": ["null", "int"]},
+        ],
+    }
+    v2_nullable = {
+        "type": "record",
+        "name": "orders_v",
+        "fields": [
+            {"name": "pk", "type": ["null", "long"]},
+            {"name": "qty", "type": ["null", "double"]},
+            {"name": "status", "type": "string", "default": "NEW"},
+        ],
+    }
+    out = (
+        df.select(A.to_avro(v1_nullable)(F.struct("pk", "legacy", "qty")).alias("v"))
+        .select(A.from_avro(v1_nullable, reader_schema=v2_nullable)("v").alias("d"))
+        .select("d.pk", "d.qty", "d.status")
+        .collect()
+    )
+    assert [(r.pk, r.qty, r.status) for r in out] == [(5, 7.0, "NEW")]
