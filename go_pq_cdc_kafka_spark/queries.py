@@ -1066,6 +1066,98 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads).orderBy("doc_id")
 
 
+@register(
+    "multimodal_image_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM((n.n_nationkey*31 + r.i*7 + c.i*3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((n.n_nationkey*31 + r.i*7 + c.i*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((n.n_nationkey*31 + r.i*7 + c.i*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM nation n,
+     (SELECT UNNEST(range(4)) AS i) r,
+     (SELECT UNNEST(range(4)) AS i) c
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL image decode on executors: 4x4 24-bit BMPs are "
+    "synthesized per nation key inside one mapInPandas stage (pixel "
+    "(r,c,k) = (key*31+r*7+c*3+k*11) mod 256, encoded via the from-spec "
+    "BMP writer with bottom-up BGR rows + 4-byte padding), then a second "
+    "stage parses the actual BMP bytes back (functions/multimodal."
+    "decode_image) and emits integer-exact per-channel pixel sums. The "
+    "oracle recomputes the sums from the generating formula — any header, "
+    "stride, row-order or channel-order bug in the codec breaks the "
+    "match. Map-only lineage; payloads never leave the task.",
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                r = np.arange(4).reshape(4, 1, 1)
+                c = np.arange(4).reshape(1, 4, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                arr = ((nk * 31 + r * 7 + c * 3 + k * 11) % 256).astype(np.uint8)
+                ids.append(nk)
+                payloads.append(MM.encode_bmp(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.image_stats(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(600 AS BIGINT) AS n_samples,
+       CAST(1 AS INT) AS channels,
+       CAST(75 AS BIGINT) AS duration_ms,
+       CAST(SUM(ABS((n.n_nationkey*13 + i.i*7) % 199 - 99)) AS BIGINT) AS sum_abs,
+       CAST(SUM(((n.n_nationkey*13 + i.i*7) % 199 - 99)
+                * ((n.n_nationkey*13 + i.i*7) % 199 - 99)) AS BIGINT) AS sum_sq
+FROM nation n, (SELECT UNNEST(range(600)) AS i) i
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL audio decode on executors: 600-sample 8 kHz mono "
+    "PCM WAVs synthesized per nation key (sample_i = (key*13+i*7) mod 199 "
+    "- 99, int16, stdlib wave writer), then parsed back by functions/"
+    "multimodal.decode_audio and reduced to integer signal statistics "
+    "(|x| and x^2 sums — RMS is one sqrt away). The oracle recomputes "
+    "from the generating formula, pinning RIFF parsing, sample width and "
+    "frame count exactly. Map-only; no shuffle.",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                i = np.arange(600, dtype=np.int64)
+                samples = ((nk * 13 + i * 7) % 199 - 99).astype(np.int16)
+                ids.append(nk)
+                payloads.append(MM.encode_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.audio_stats(media).orderBy("doc_id")
+
+
 # ===========================================================================
 # Round-1 widening: as-of join, grouping sets, approx distinct, rolling
 # fingerprint, embedding near-dup, IVF ANN

@@ -306,10 +306,11 @@ def test_resize_and_frames(spark):
     assert sorted(per_doc[2]) == [0]
 
 
-def test_decode_stub_raises():
+def test_decode_unknown_payload_raises():
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    # decoders are REAL for BMP/PPM/PGM/WAV now; unknown bytes still raise
+    with pytest.raises(ValueError, match="unrecognized"):
         MM.decode_image(b"")
 
 
@@ -351,3 +352,95 @@ def test_fixture_corpus_is_ascii(spark):
             F.octet_length(F.col("text")) != F.length(F.col("text"))
         ).count()
         assert n_wide == 0, f"non-ASCII docs in {sf}"
+
+
+# --- real multimodal decoders (BMP/PPM/PGM/WAV, from-spec) ------------------
+
+
+def test_bmp_encode_decode_roundtrip_exact():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    rng = np.random.RandomState(7)
+    # width 5 forces row padding (15 bytes -> stride 16)
+    arr = rng.randint(0, 256, size=(3, 5, 3)).astype(np.uint8)
+    back = MM.decode_image(MM.encode_bmp(arr))
+    assert back.shape == (3, 5, 3)
+    assert (back == arr).all()
+
+
+def test_bmp_topdown_and_32bit():
+    import struct
+
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    # hand-build a 2x2 top-down 32-bit BMP (negative height, BGRA)
+    px = [
+        (1, 2, 3, 255), (4, 5, 6, 255),   # row 0 (top)
+        (7, 8, 9, 255), (10, 11, 12, 255) # row 1
+    ]
+    pix = b"".join(struct.pack("<BBBB", b, g, r, a) for r, g, b, a in
+                   [(p[0], p[1], p[2], p[3]) for p in px])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(pix), 0, 0, 0, 0)
+    arr = MM.decode_image(header + info + pix)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [1, 2, 3]
+    assert arr[1, 1].tolist() == [10, 11, 12]
+
+
+def test_pnm_decode_with_comment_and_gray_replication():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    arr = MM.decode_image(ppm)
+    assert arr.shape == (1, 2, 3) and arr[0, 1].tolist() == [40, 50, 60]
+    pgm = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    gray = MM.decode_image(pgm)
+    assert gray.shape == (2, 2, 3)
+    assert (gray[:, :, 0] == gray[:, :, 2]).all()
+    assert gray[1, 0].tolist() == [3, 3, 3]
+
+
+def test_resize_nearest_integer_mapping():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = MM.resize_nearest(arr, 2, 2)
+    # floor mapping: rows/cols 0 and 2
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+    big = MM.resize_nearest(arr, 8, 8)
+    assert big.shape == (8, 8, 1)
+    assert big[7, 7, 0] == 15  # (7*4)//8 = 3 -> last source row/col
+
+
+def test_wav_encode_decode_roundtrip_and_stats():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    samples = (np.arange(100, dtype=np.int64) % 50 - 25).astype(np.int16)
+    payload = MM.encode_wav(samples, 16000)
+    back, rate = MM.decode_audio(payload)
+    assert rate == 16000 and back.shape == (100, 1)
+    assert (back[:, 0] == samples.astype(np.int64)).all()
+
+
+def test_compressed_formats_raise_loudly():
+    import pytest as _pytest
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag header
+    with _pytest.raises(ValueError, match="unrecognized"):
+        MM.decode_image(b"GARBAGE!")
