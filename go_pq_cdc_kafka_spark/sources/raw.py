@@ -21,10 +21,19 @@ Design contracts:
   per transaction group to every batch (lsn 0 ⇒ sorts first).
 - **Transaction groups**: each committed transaction gets a group id
   (round-robin); ``decode_raw_frames`` repartitions by group and sorts
-  by (lsn, seq) within partitions, so every decoder instance sees whole
-  transactions in WAL order — decode parallelism without breaking the
-  sequential-decode requirement. Downstream consumers already order by
-  ``lsn`` (LWW / SCD2), same as with the serial tier.
+  by (lsn, seq) within partitions, so every decoder instance sees
+  well-formed transactions in WAL order — decode parallelism without
+  breaking the sequential-decode requirement. Downstream consumers
+  already order by ``lsn`` (LWW / SCD2), same as with the serial tier.
+- **Large-transaction split**: a bulk load arrives as ONE transaction
+  per batch, which whole-transaction grouping would pin to a single
+  core. Transactions with >= ``splitframes`` frames therefore fan their
+  DML body round-robin across ALL groups, replicating the Begin and
+  Commit frames into each group — every partition still decodes a
+  well-formed Begin..DML..Commit slice, and since non-streamed DML
+  decode is stateless given the relation registry + Begin's timestamp
+  state, the decoded events are identical, only their worker placement
+  changes. Streamed (protocol-v2) transactions always stay whole.
 
 The decoded output is bit-identical to the ``pgwire`` source's envelope
 (tests/live/test_live_pg.py asserts parity on a real server).
@@ -84,6 +93,54 @@ def _frames_to_arrow(rows: list[tuple]):
     )
 
 
+def _emit_transaction(
+    open_tx: list,
+    rows: list,
+    groups: int,
+    split_frames: int,
+    txgrp: int,
+    seq: int,
+) -> tuple[int, int]:
+    """Append (lsn, seq, grp, msg) rows for ONE committed transaction.
+
+    Small transactions stay whole on one round-robin group (WAL-ordered
+    sequential decode). A large NON-STREAMED transaction (>= split_frames
+    frames) is the bulk-load shape — released alone it would pin executor
+    decode to a single core, capping the raw tier at serial speed — so its
+    DML body fans out round-robin across ALL groups with the Begin and
+    Commit frames REPLICATED into every group: each partition then decodes
+    a well-formed Begin..DML-slice..Commit transaction. Non-streamed DML
+    decode is stateless given the relation registry plus Begin's
+    commit-timestamp state, so slicing cannot change any decoded event —
+    only which worker emits it. Protocol-v2 streamed transactions carry
+    per-message xids and abort semantics; they always stay whole."""
+    first_tag = open_tx[0][1][0]
+    if (
+        split_frames
+        and groups > 1
+        and len(open_tx) >= split_frames
+        and first_tag == 0x42  # 'B' — non-streamed Begin
+    ):
+        b_lsn, b_msg = open_tx[0]
+        c_lsn, c_msg = open_tx[-1]
+        for g in range(groups):
+            seq += 1
+            rows.append((b_lsn, seq, g, b_msg))
+        for i, (lsn_i, msg_i) in enumerate(open_tx[1:-1]):
+            seq += 1
+            rows.append((lsn_i, seq, i % groups, msg_i))
+        for g in range(groups):
+            seq += 1
+            rows.append((c_lsn, seq, g, c_msg))
+        return txgrp, seq
+    grp = txgrp % groups
+    txgrp += 1
+    for lsn_i, msg_i in open_tx:
+        seq += 1
+        rows.append((lsn_i, seq, grp, msg_i))
+    return txgrp, seq
+
+
 class PgRawStreamReader(SimpleDataSourceStreamReader):
     """Offset = ``{"lsn": <last committed>}`` — always a Commit boundary."""
 
@@ -99,6 +156,10 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self.poll_secs = float(options.get("pollms", 200)) / 1000.0
         self.max_frames = int(options.get("maxframesperbatch", 500_000))
         self.groups = int(options.get("groups", 8))
+        #: transactions with >= this many frames fan out across ALL groups
+        #: (bulk-load shape: one huge tx per batch must not pin decode to
+        #: a single core); 0 disables splitting
+        self.split_frames = int(options.get("splitframes", 4096))
         self.create_slot = options.get("createslot", "true") == "true"
         self.max_retries = int(options.get("maxretries", 3))
         self._dq = None
@@ -228,11 +289,14 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     # replayed history below the resume offset
                     self._open_tx = []
                     continue
-                grp = self._txgrp % self.groups
-                self._txgrp += 1
-                for lsn_i, msg_i in self._open_tx:
-                    self._seq += 1
-                    rows.append((lsn_i, self._seq, grp, msg_i))
+                self._txgrp, self._seq = _emit_transaction(
+                    self._open_tx,
+                    rows,
+                    self.groups,
+                    self.split_frames,
+                    self._txgrp,
+                    self._seq,
+                )
                 self._open_tx = []
                 end_lsn = wal_start
         if not rows:
@@ -285,11 +349,9 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     if wal_start <= start["lsn"]:
                         open_tx = []
                         continue
-                    grp = txgrp % self.groups
-                    txgrp += 1
-                    for lsn_i, msg_i in open_tx:
-                        seq += 1
-                        rows.append((lsn_i, seq, grp, msg_i))
+                    txgrp, seq = _emit_transaction(
+                        open_tx, rows, self.groups, self.split_frames, txgrp, seq
+                    )
                     open_tx = []
                     if wal_start >= end["lsn"]:
                         break
@@ -322,7 +384,9 @@ class PgRawDataSource(DataSource):
         return PgRawStreamReader(schema, self.options)
 
 
-def decode_raw_frames(frames: DataFrame, groups: int = 8) -> DataFrame:
+def decode_raw_frames(
+    frames: DataFrame, groups: int = 8, partitions: int | None = None
+) -> DataFrame:
     """Raw (lsn, seq, txgrp, msg) frames → the dynamic envelope, decoded
     in EXECUTOR python workers: repartition by transaction group, restore
     WAL order within each partition, run the pgoutput decoder per
@@ -366,7 +430,11 @@ def decode_raw_frames(frames: DataFrame, groups: int = 8) -> DataFrame:
             }
         )
 
-    return frames.repartition(groups, "txgrp").mapInPandas(
+    # hash-partitioning G group ids into G partitions leaves ~1/e of the
+    # partitions empty (collisions); running with groups > partitions >
+    # cores keeps every core fed — each partition may receive several
+    # groups, which the in-partition (lsn, seq) sort already handles
+    return frames.repartition(partitions or groups, "txgrp").mapInPandas(
         decode, schema=ENV.dynamic_envelope_schema()
     )
 

@@ -255,12 +255,12 @@ def main() -> None:
             .option("publication", pub)
             .option("startlsn", str(raw_start))
             .option("maxframesperbatch", "600000")
-            .option("pollms", "1000")
-            .option("groups", "8")
+            .option("pollms", "500")
+            .option("groups", "64")
             .load()
         )
         pipe3 = CdcPipeline(
-            source=RAW.decode_raw_frames(frames3, groups=8),
+            source=RAW.decode_raw_frames(frames3, groups=64, partitions=16),
             routing=RoutingTable({f"public.{tbl}": f"{tbl}.cdc"}),
             pk_field="id",
         )
