@@ -78,16 +78,38 @@ def raw_schema() -> StructType:
     return _RAW_SCHEMA
 
 
-def _frames_to_arrow(rows: list[tuple]):
+def _cols_to_arrow(
+    relations: dict[int, bytes],
+    lsns: list[int],
+    grps: list[int],
+    msgs: list[bytes],
+    groups: int,
+):
+    """Columnar batch assembly: the relation preamble (lsn/seq 0, one copy
+    per group) is prepended, data seq is a numpy arange — no per-frame
+    tuple or Python seq counter on the driver hot path."""
+    import numpy as np
     import pyarrow as pa
 
-    cols = list(zip(*rows)) if rows else [[], [], [], []]
+    rel_msgs = list(relations.values())
+    pre_n = groups * len(rel_msgs)
+    n = len(lsns)
+    lsn_arr = np.empty(pre_n + n, dtype=np.int64)
+    lsn_arr[:pre_n] = 0
+    lsn_arr[pre_n:] = lsns
+    seq_arr = np.empty(pre_n + n, dtype=np.int64)
+    seq_arr[:pre_n] = 0
+    seq_arr[pre_n:] = np.arange(1, n + 1)
+    grp_arr = np.empty(pre_n + n, dtype=np.int32)
+    grp_arr[:pre_n] = np.repeat(np.arange(groups, dtype=np.int32), len(rel_msgs))
+    grp_arr[pre_n:] = grps
+    all_msgs = [m for g in range(groups) for m in rel_msgs] + msgs
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(list(cols[0]), type=pa.int64()),
-            pa.array(list(cols[1]), type=pa.int64()),
-            pa.array(list(cols[2]), type=pa.int32()),
-            pa.array(list(cols[3]), type=pa.binary()),
+            pa.array(lsn_arr, type=pa.int64()),
+            pa.array(seq_arr, type=pa.int64()),
+            pa.array(grp_arr, type=pa.int32()),
+            pa.array(all_msgs, type=pa.binary()),
         ],
         names=["lsn", "seq", "txgrp", "msg"],
     )
@@ -95,12 +117,13 @@ def _frames_to_arrow(rows: list[tuple]):
 
 def _emit_transaction(
     open_tx: list,
-    rows: list,
+    lsns: list,
+    grps: list,
+    msgs: list,
     groups: int,
     split_frames: int,
     txgrp: int,
-    seq: int,
-) -> tuple[int, int]:
+) -> int:
     """Append (lsn, seq, grp, msg) rows for ONE committed transaction.
 
     Small transactions stay whole on one round-robin group (WAL-ordered
@@ -115,30 +138,34 @@ def _emit_transaction(
     only which worker emits it. Protocol-v2 streamed transactions carry
     per-message xids and abort semantics; they always stay whole."""
     first_tag = open_tx[0][1][0]
+    n = len(open_tx)
     if (
         split_frames
         and groups > 1
-        and len(open_tx) >= split_frames
+        and n >= split_frames
         and first_tag == 0x42  # 'B' — non-streamed Begin
     ):
         b_lsn, b_msg = open_tx[0]
         c_lsn, c_msg = open_tx[-1]
-        for g in range(groups):
-            seq += 1
-            rows.append((b_lsn, seq, g, b_msg))
-        for i, (lsn_i, msg_i) in enumerate(open_tx[1:-1]):
-            seq += 1
-            rows.append((lsn_i, seq, i % groups, msg_i))
-        for g in range(groups):
-            seq += 1
-            rows.append((c_lsn, seq, g, c_msg))
-        return txgrp, seq
+        body = open_tx[1:-1]
+        # append order IS seq order (seq = arange at batch assembly):
+        # Begins first, body, then Commits — each group's slice sorts to
+        # Begin..DMLs..Commit under the in-partition (lsn, seq) sort
+        lsns.extend([b_lsn] * groups)
+        grps.extend(range(groups))
+        msgs.extend([b_msg] * groups)
+        lsns.extend([t[0] for t in body])
+        grps.extend(i % groups for i in range(len(body)))
+        msgs.extend([t[1] for t in body])
+        lsns.extend([c_lsn] * groups)
+        grps.extend(range(groups))
+        msgs.extend([c_msg] * groups)
+        return txgrp
     grp = txgrp % groups
-    txgrp += 1
-    for lsn_i, msg_i in open_tx:
-        seq += 1
-        rows.append((lsn_i, seq, grp, msg_i))
-    return txgrp, seq
+    lsns.extend([t[0] for t in open_tx])
+    grps.extend([grp] * n)
+    msgs.extend([t[1] for t in open_tx])
+    return txgrp + 1
 
 
 class PgRawStreamReader(SimpleDataSourceStreamReader):
@@ -172,7 +199,6 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         #: frames of the currently-open transaction (not yet committed)
         self._open_tx: list[tuple[int, bytes]] = []
         self._txgrp = 0
-        self._seq = 0
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
@@ -280,7 +306,9 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self._ensure_pump(start["lsn"])
         drained = self._drain(time.monotonic() + self.poll_secs)
 
-        rows: list[tuple] = []
+        lsns: list[int] = []
+        grps: list[int] = []
+        msgs: list[bytes] = []
         end_lsn = start["lsn"]
         for wal_start, tag, msg in drained:
             self._open_tx.append((wal_start, msg))
@@ -289,28 +317,22 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     # replayed history below the resume offset
                     self._open_tx = []
                     continue
-                self._txgrp, self._seq = _emit_transaction(
+                self._txgrp = _emit_transaction(
                     self._open_tx,
-                    rows,
+                    lsns,
+                    grps,
+                    msgs,
                     self.groups,
                     self.split_frames,
                     self._txgrp,
-                    self._seq,
                 )
                 self._open_tx = []
                 end_lsn = wal_start
-        if not rows:
+        if not lsns:
             return iter([]), {"lsn": start["lsn"]}
         self._retries = 0  # progress resets the transient budget
-        # relation preamble: one copy per group, lsn/seq 0 so it decodes
-        # first in every partition
-        preamble = [
-            (0, 0, g, rmsg)
-            for g in range(self.groups)
-            for rmsg in self._relations.values()
-        ]
         return (
-            iter([_frames_to_arrow(preamble + rows)]),
+            iter([_cols_to_arrow(self._relations, lsns, grps, msgs, self.groups)]),
             {"lsn": end_lsn},
         )
 
@@ -325,10 +347,11 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
             self.dsn, self.slot, self.publication, create_slot=False
         )
         relations: dict[int, bytes] = {}
-        rows: list[tuple] = []
+        lsns: list[int] = []
+        grps: list[int] = []
+        msgs: list[bytes] = []
         open_tx: list[tuple[int, bytes]] = []
         txgrp = 0
-        seq = 0
         frames = fs(start["lsn"])
         try:
             for frame in frames:
@@ -349,20 +372,20 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     if wal_start <= start["lsn"]:
                         open_tx = []
                         continue
-                    txgrp, seq = _emit_transaction(
-                        open_tx, rows, self.groups, self.split_frames, txgrp, seq
+                    txgrp = _emit_transaction(
+                        open_tx, lsns, grps, msgs,
+                        self.groups, self.split_frames, txgrp,
                     )
                     open_tx = []
                     if wal_start >= end["lsn"]:
                         break
         finally:
             frames.close()
-        preamble = [
-            (0, 0, g, rmsg)
-            for g in range(self.groups)
-            for rmsg in relations.values()
-        ]
-        return iter([_frames_to_arrow(preamble + rows)]) if rows else iter([])
+        return (
+            iter([_cols_to_arrow(relations, lsns, grps, msgs, self.groups)])
+            if lsns
+            else iter([])
+        )
 
     def commit(self, end: dict) -> None:
         if self._conn is not None and end.get("lsn", 0) > 0:
