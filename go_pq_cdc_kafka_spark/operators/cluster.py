@@ -229,6 +229,82 @@ def pagerank_fixed(
     return scores
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    ``edges`` carries (src, dst); direction and duplicates are ignored
+    (canonicalized to ``lo < hi`` pairs, self-loops dropped). Uses the
+    standard degree-ordering trick (e.g. Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    edge from the (degree, id)-smaller endpoint to the larger, join the
+    oriented list with itself on the source to enumerate wedges, then
+    join wedges against the canonical edge set to close triangles. Work
+    is Σ d_out² where d_out ≤ √(2|E|) by construction — the quadratic
+    blow-up a popular hub would cause in the naive wedge join cannot
+    happen, which is the 100-TB posture. Three shuffles total (degree
+    agg, wedge join, closing join), all on uniform keys.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("lo"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .unionByName(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient each edge toward the (deg, id)-larger endpoint
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(deg.withColumnRenamed("node", "hi"), "hi")
+        .withColumnRenamed("deg", "deg_hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))).select(
+        F.col("a.u").alias("apex"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    tris = wedges.join(
+        canon,
+        (F.least(F.col("x"), F.col("y")) == F.col("lo"))
+        & (F.greatest(F.col("x"), F.col("y")) == F.col("hi")),
+    ).select("apex", "x", "y")
+    per_node = (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    # materialize while canon/oriented caches are hot, then release them —
+    # the checkpointed result owns result-sized storage, so repeated calls
+    # don't leak cached subtrees (same discipline as semantic_dedup)
+    out = out.localCheckpoint(eager=True)
+    canon.unpersist()
+    oriented.unpersist()
+    return out
+
+
 def cluster_survivors(members: DataFrame) -> DataFrame:
     """Collapse a (doc_id, cluster_id) membership table to one keeper per
     cluster (the minimum id — which is the cluster_id itself by

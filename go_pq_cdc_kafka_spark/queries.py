@@ -3010,6 +3010,80 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_COPURCHASE_EDGES_SQL = """
+  SELECT prev AS src, l_suppkey AS dst FROM (
+    SELECT l_suppkey,
+           LAG(l_suppkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_suppkey) AS prev
+    FROM lineitem) t
+  WHERE prev IS NOT NULL AND prev <> l_suppkey
+"""
+
+
+def _copurchase_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-purchase multigraph: consecutive-linenumber supplier
+    pairs within each order (one LAG window pass). The sort key includes
+    l_suppkey because the fixture carries duplicate (orderkey, linenumber)
+    pairs that would otherwise make the window nondeterministic."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+    return (
+        li.withColumn("prev", F.lag("l_suppkey").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("l_suppkey")))
+        .select(F.col("prev").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+
+
+@register(
+    "graph_triangle_suppliers",
+    oracle=f"""
+WITH e0 AS ({_COPURCHASE_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM canon UNION ALL SELECT hi FROM canon
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM canon e1
+  JOIN canon e2 ON e2.lo = e1.hi
+  JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+ORDER BY d.node
+""",
+    category="graph",
+    description="Per-node triangle counts over the (deduplicated, "
+    "undirected) supplier co-purchase graph via the degree-ordering "
+    "wedge join (Suri & Vassilvitskii WWW'11): edges orient toward the "
+    "(deg,id)-larger endpoint, so wedge work per node is bounded by "
+    "sqrt(2|E|) and a popular hub cannot blow up the join — the 100-TB "
+    "posture the naive x<y<z SQL enumeration (kept as the DuckDB "
+    "oracle) lacks. Three uniform-key shuffles; each triangle counted "
+    "exactly once at its unique (deg,id)-minimal apex.",
+)
+def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    return CL.triangle_count(edges).orderBy("node")
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
                          scale: int = 1_000_000_000_000) -> str:
     """Unrolled-CTE DuckDB twin of operators/cluster.pagerank_fixed —
@@ -3031,14 +3105,7 @@ it{k} AS (
   ) c ON c.node = n.node
 )""")
     return f"""
-WITH e AS (
-  SELECT prev AS src, l_suppkey AS dst FROM (
-    SELECT l_suppkey,
-           LAG(l_suppkey) OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber, l_suppkey) AS prev
-    FROM lineitem) t
-  WHERE prev IS NOT NULL AND prev <> l_suppkey
-),
+WITH e AS ({_COPURCHASE_EDGES_SQL}),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
            FROM e GROUP BY src),
@@ -3072,18 +3139,7 @@ LIMIT 20
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
-    )
-    # the fixture carries duplicate (orderkey, linenumber) pairs, so the
-    # sort key must include l_suppkey to make the LAG sequence total —
-    # rows still tied are then identical, leaving the edge multiset unique
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
-    edges = (
-        li.withColumn("prev", F.lag("l_suppkey").over(w))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("l_suppkey")))
-        .select(F.col("prev").alias("src"), F.col("l_suppkey").alias("dst"))
-    )
+    edges = _copurchase_edges_spark(spark, sf_dir)
     scores = CL.pagerank_fixed(edges, iterations=3)
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     wr = Window.orderBy(F.desc("score"), F.asc("node"))

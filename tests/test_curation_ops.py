@@ -263,3 +263,27 @@ def test_pagerank_fixed_mass_bounded_and_deterministic(spark):
     s2 = {(r.node, r.score) for r in CL.pagerank_fixed(df2, iterations=3).collect()}
     assert s1 == s2
     assert sum(s for _, s in s1) <= 1_000_000_000_000
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    # K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles. Node 5 hangs
+    # off node 1 (pendant, 0 triangles). Duplicate/reversed/self edges
+    # must canonicalize away.
+    import itertools
+
+    edges = list(itertools.combinations([1, 2, 3, 4], 2))
+    edges += [(4, 3), (5, 1), (1, 5), (2, 2)]  # dup reversed, pendant, loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.deg, r.triangles) for r in CL.triangle_count(df).collect()}
+    assert got == {
+        (1, 4, 3), (2, 3, 3), (3, 3, 3), (4, 3, 3), (5, 1, 0),
+    }
+
+
+def test_triangle_count_triangle_free_graph(spark):
+    # a path and a star have no triangles at all
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = CL.triangle_count(df).collect()
+    assert all(r.triangles == 0 for r in rows)
+    assert {r.node for r in rows} == {1, 2, 3, 4, 10, 11, 12, 13}
