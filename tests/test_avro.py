@@ -440,3 +440,56 @@ def test_from_avro_with_reader_schema(spark):
         .collect()
     )
     assert [(r.pk, r.qty, r.status) for r in out] == [(5, 7.0, "NEW")]
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "a": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                "b": st.text(max_size=20),
+                "c": st.none() | st.floats(allow_nan=False, allow_infinity=False,
+                                           width=64),
+            }
+        ),
+        max_size=15,
+    ),
+    keep=st.sets(st.sampled_from(["a", "b", "c"])),
+    order=st.permutations(["a", "b", "c", "extra"]),
+    data=st.data(),
+)
+def test_property_resolution_subset_reorder_defaults(rows, keep, order, data):
+    """Any reader that keeps a subset of writer fields (in any order,
+    promoting int->long), drops the rest, and adds a defaulted field must
+    see exactly: kept values (by NAME, not position) + the default. The
+    expectation is computed from the input rows directly — independent of
+    the resolution code under test."""
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "double"]},
+        ],
+    }
+    default_val = data.draw(st.integers(min_value=-100, max_value=100))
+    rtypes = {"a": "long", "b": "string", "c": ["null", "double"],
+              "extra": "long"}
+    rfields = [
+        {"name": n, "type": rtypes[n]}
+        | ({"default": default_val} if n == "extra" else {})
+        for n in order
+        if n == "extra" or n in keep
+    ]
+    reader = {"type": "record", "name": "r", "fields": rfields}
+
+    path = os.path.join(tempfile.mkdtemp(), "e.avro")
+    A.write_ocf(path, writer, iter(rows))
+    with open(path, "rb") as f:
+        got = list(A.read_ocf(f.read(), reader_schema=A.parse_schema(reader)))
+    expected = [
+        {**{k: row[k] for k in keep}, "extra": default_val} for row in rows
+    ]
+    assert got == expected
