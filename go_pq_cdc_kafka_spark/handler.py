@@ -139,3 +139,56 @@ def flat_map_handler(
             yield fn(pdf)
 
     return df.mapInPandas(_gen, schema=schema)
+
+
+DEBEZIUM_OP = {"INSERT": "c", "UPDATE": "u", "DELETE": "d", "SNAPSHOT": "r"}
+
+
+def debezium_value(
+    op: Column,
+    before: Column,
+    after: Column,
+    lsn: Column,
+    source_name: str,
+    schema_name: str,
+    table_name: str,
+) -> Column:
+    """Debezium-compatible change-event VALUE as a JSON column — the
+    migration surface for consumers already built against the Debezium
+    PostgreSQL connector's envelope (a common pairing with the reference;
+    its handler surface, handler.go:5, leaves the payload shape to the
+    user). Field order and semantics follow Debezium's data-change-event
+    layout: ``before`` / ``after`` images, a ``source`` block
+    (connector, name, schema, table, lsn, snapshot flag), and the
+    single-char ``op`` (c/u/d + r for snapshot reads).
+
+    Conventions preserved from the reference's model: ``before`` is the
+    REPLICA IDENTITY projection (key-only under the default identity —
+    pass the key struct), ``after`` is null for deletes, and
+    ``snapshot`` is the string flag Debezium uses. Nulls render
+    explicitly (``ignoreNullFields=false``) so every event carries the
+    full envelope shape. Pure Column expressions — JVM-side JSON
+    serialization, no UDF."""
+    op_char = (
+        F.when(op == "INSERT", "c")
+        .when(op == "UPDATE", "u")
+        .when(op == "DELETE", "d")
+        .when(op == "SNAPSHOT", "r")
+    )
+    source = F.struct(
+        F.lit("postgresql").alias("connector"),
+        F.lit(source_name).alias("name"),
+        F.lit(schema_name).alias("schema"),
+        F.lit(table_name).alias("table"),
+        lsn.cast("long").alias("lsn"),
+        F.when(op == "SNAPSHOT", "true").otherwise("false").alias("snapshot"),
+    )
+    return F.to_json(
+        F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            source.alias("source"),
+            op_char.alias("op"),
+        ),
+        {"ignoreNullFields": "false"},
+    )

@@ -740,6 +740,62 @@ _ORDERS_CHANGELOG_SQL = """
 
 
 @register(
+    "cdc_debezium_envelope",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
+SELECT pk, lsn,
+       to_json(struct_pack(
+         before := CASE WHEN op = 'DELETE' THEN struct_pack(pk := pk) END,
+         after := CASE WHEN op <> 'DELETE' THEN struct_pack(
+             pk := pk,
+             amount_cents := CAST(ROUND(price * 100) AS BIGINT)) END,
+         source := struct_pack(
+             connector := 'postgresql',
+             name := 'spark-graft',
+             "schema" := 'public',
+             "table" := 'orders',
+             lsn := CAST(lsn AS BIGINT),
+             snapshot := CASE WHEN op = 'SNAPSHOT' THEN 'true'
+                              ELSE 'false' END),
+         op := CASE op WHEN 'INSERT' THEN 'c' WHEN 'UPDATE' THEN 'u'
+                       WHEN 'DELETE' THEN 'd' ELSE 'r' END
+       )) AS value
+FROM changelog
+ORDER BY pk, lsn
+""",
+    category="cdc",
+    description="Debezium-compatible data-change-event JSON (before/after "
+    "images, source block with lsn + snapshot flag, single-char op "
+    "c/u/d/r) rendered with pure Column expressions + to_json "
+    "(handler.debezium_value) — the migration surface for consumers "
+    "built against the Debezium PostgreSQL connector. before is the "
+    "REPLICA IDENTITY DEFAULT projection (key-only, reference S4 "
+    "parity); after is null for deletes; null fields render explicitly. "
+    "The oracle builds the SAME JSON with DuckDB's to_json/struct_pack — "
+    "byte-for-byte string equality, so field order, null rendering, and "
+    "escaping are all pinned cross-engine. Map-only lineage.",
+)
+def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_kafka_spark import handler as H
+
+    log = _orders_changelog_spark(spark, sf_dir)
+    cents = F.round(F.col("price") * 100).cast("long")
+    value = H.debezium_value(
+        op=F.col("op"),
+        before=F.when(F.col("op") == "DELETE", F.struct(F.col("pk"))),
+        after=F.when(
+            F.col("op") != "DELETE",
+            F.struct(F.col("pk"), cents.alias("amount_cents")),
+        ),
+        lsn=F.col("lsn"),
+        source_name="spark-graft",
+        schema_name="public",
+        table_name="orders",
+    )
+    return log.select("pk", "lsn", value.alias("value")).orderBy("pk", "lsn")
+
+
+@register(
     "cdc_avro_value_roundtrip",
     oracle=f"""
 WITH changelog AS ({_ORDERS_CHANGELOG_SQL})
