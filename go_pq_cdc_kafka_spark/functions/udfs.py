@@ -125,3 +125,35 @@ def zscore_per_group(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(standardize, schema=schema)
+
+
+def sum_squares_udaf(col) -> F.Column:
+    """GROUPED_AGG ``pandas_udf`` (the UDAF tier: whole-group Series →
+    one scalar, usable inside groupBy().agg alongside built-ins). The
+    demonstration aggregate is integer Σx² so the result is EXACTLY
+    reproducible by plain SQL (``SUM(x*x)``) — the UDAF machinery, not
+    the arithmetic, is what this surface exercises. Spark runs it with
+    map-side partial application per Arrow batch; for genuinely
+    non-distributive aggregates prefer applyInPandas (grouped map).
+    Built lazily like :func:`char_entropy` (return-type parsing needs an
+    active session)."""
+
+    @pandas_udf("long")
+    def _sum_sq(values: pd.Series) -> int:
+        v = values.astype("int64")
+        return int((v * v).sum())
+
+    return _sum_sq(col)
+
+
+def count_udaf(col) -> F.Column:
+    """Companion GROUPED_AGG count — Spark forbids mixing GROUPED_AGG
+    pandas UDFs with non-pandas aggregates in a single ``agg`` call
+    (INVALID_PANDAS_UDF_PLACEMENT), so UDAF-tier queries that also want a
+    row count express it as a second pandas aggregate."""
+
+    @pandas_udf("long")
+    def _count(values: pd.Series) -> int:
+        return int(values.notna().sum())
+
+    return _count(col)

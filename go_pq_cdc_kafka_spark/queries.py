@@ -2023,6 +2023,41 @@ from go_pq_cdc_kafka_spark.functions import udfs as U  # noqa: E402
 
 
 @register(
+    "udaf_grouped_sum_squares",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_sq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    category="udf-surface",
+    description="User-defined AGGREGATEs (GROUPED_AGG pandas_udf, Series "
+    "-> scalar) in groupBy().agg — the UDAF tier of the UDF surface "
+    "(UDTF and scalar/grouped-map pandas tiers are covered by "
+    "text_chunk_udtf / functions.udfs). Spark forbids mixing GROUPED_AGG "
+    "with non-pandas aggregates in one agg, so the row count is a second "
+    "pandas UDAF. Integer sum-of-squares keeps the oracle exact: the SQL "
+    "twin is SUM(x*x), so only the UDAF machinery is under test, not "
+    "float accumulation order.",
+)
+def udaf_grouped_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            U.count_udaf(F.col("qty")).cast("long").alias("n"),
+            U.sum_squares_udaf(F.col("qty")).cast("long").alias("sum_sq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "text_chunk_udtf",
     oracle=U.chunk_words_sql(),
     category="udf-surface",
