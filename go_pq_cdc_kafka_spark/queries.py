@@ -2019,6 +2019,82 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_avro_schema_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE -1 END) AS BIGINT) AS sum_cents_or_default
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    category="scan",
+    description="Avro schema RESOLUTION under the driver gate: even-key "
+    "orders are written as v2 container files (pk, status, cents), "
+    "odd-key orders as v1 (pk, status, legacy marker — no cents), into "
+    "ONE directory; read_avro(reader_schema=v2') resolves each file "
+    "under its own embedded writer schema (v1 rows take the cents "
+    "default -1 and drop the legacy field; the marker proves dropped-"
+    "field skipping consumed the bytes). The oracle reconstructs the "
+    "same aggregate from parquet with a CASE on key parity — defaults, "
+    "field skipping, and per-file dispatch are all value-checked. This "
+    "is the long-lived-topic-archive read path (files from different "
+    "connector versions in one scan).",
+)
+def scan_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from go_pq_cdc_kafka_spark.sources.avro import read_avro, write_avro
+
+    v2_reader = {
+        "type": "record",
+        "name": "orders_evo",
+        "fields": [
+            {"name": "pk", "type": ["null", "long"]},
+            {"name": "status", "type": ["null", "string"]},
+            # union default must match the FIRST branch (Avro spec), so a
+            # non-null default needs the long branch first
+            {"name": "cents", "type": ["long", "null"], "default": -1},
+        ],
+    }
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_evo_"), "mixed")
+    # v1 files: odd keys, legacy column, NO cents (written first)
+    write_avro(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit("old").alias("legacy"),
+        ),
+        base,
+    )
+    # v2 files: even keys, cents present — same directory
+    write_avro(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("cents"),
+        ),
+        base,
+    )
+    back = read_avro(spark, base, reader_schema=v2_reader)
+    return (
+        back.groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pk").cast("long").alias("sum_key"),
+            F.sum("cents").cast("long").alias("sum_cents_or_default"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 from go_pq_cdc_kafka_spark.functions import udfs as U  # noqa: E402
 
 
