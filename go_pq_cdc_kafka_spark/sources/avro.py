@@ -152,8 +152,18 @@ def _normalize_schema(schema: Any, named: dict | None = None) -> Any:
 
 
 def parse_schema(schema: str | dict | list) -> Any:
+    """Parse + normalize. Works on a DEEP COPY: normalization replaces
+    named-type string references with the defining dict in place, which
+    must never leak into the caller's schema object (json.dumps of a
+    mutated schema would inline shared definitions — an Avro name-
+    redefinition error for stricter readers — or recurse forever on a
+    self-referential record)."""
+    import copy
+
     if isinstance(schema, str) and schema not in _PRIMITIVES:
         schema = json.loads(schema)
+    else:
+        schema = copy.deepcopy(schema)
     return _normalize_schema(schema)
 
 
@@ -320,6 +330,13 @@ def _default_value(schema: Any, default: Any) -> Any:
     return default
 
 
+def _make_branch_raiser(msg: str) -> Callable[[_Reader], Any]:
+    def raiser(r: _Reader) -> Any:
+        raise ValueError(f"datum selected an unresolvable union branch: {msg}")
+
+    return raiser
+
+
 def _make_skipper(schema: Any) -> Callable[[_Reader], None]:
     """Decode-and-discard for writer fields the reader dropped."""
     dec = _make_decoder(schema)
@@ -335,7 +352,15 @@ def _make_resolver(writer: Any, reader: Any) -> Callable[[_Reader], Any]:
     rk, _ = _logical(reader)
 
     if isinstance(writer, list):  # writer union: pick branch at runtime
-        branch = [_make_resolver(b, reader) for b in writer]
+        # per spec, a writer branch the reader cannot accept errors when a
+        # DATUM selects it — not eagerly at schema-build time (the branch
+        # may never be encountered)
+        branch = []
+        for b in writer:
+            try:
+                branch.append(_make_resolver(b, reader))
+            except ValueError as e:
+                branch.append(_make_branch_raiser(str(e)))
 
         def un(r: _Reader) -> Any:
             i = r.read_long()

@@ -493,3 +493,54 @@ def test_property_resolution_subset_reorder_defaults(rows, keep, order, data):
         {**{k: row[k] for k in keep}, "extra": default_val} for row in rows
     ]
     assert got == expected
+
+
+def test_parse_schema_does_not_mutate_caller_and_reuses_named_types():
+    # two fields share one named record: normalization must not inline the
+    # definition into the CALLER's dict (json.dumps would then redefine
+    # the name — invalid Avro for strict readers)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "first",
+                "type": {
+                    "type": "record",
+                    "name": "point",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            },
+            {"name": "second", "type": "point"},  # reference by name
+        ],
+    }
+    import copy
+
+    before = copy.deepcopy(schema)
+    parsed = A.parse_schema(schema)
+    assert schema == before  # caller's dict untouched
+    # the PARSED copy resolves the reference to the defining dict
+    assert parsed["fields"][1]["type"]["fields"][0]["name"] == "x"
+    # and the header written by write_ocf stays loadable + reference-form
+    path = os.path.join(tempfile.mkdtemp(), "n.avro")
+    A.write_ocf(path, schema, iter([{"first": {"x": 1}, "second": {"x": 2}}]))
+    with open(path, "rb") as f:
+        data = f.read()
+    assert list(A.read_ocf(data)) == [{"first": {"x": 1}, "second": {"x": 2}}]
+    hdr_schema, _, _, _ = A.read_ocf_header(data)
+    assert hdr_schema["fields"][1]["type"]["name"] == "point"
+
+
+def test_resolution_union_branch_errors_only_when_datum_selects_it():
+    # writer ["null","string"] vs reader "string": build must succeed;
+    # string datums decode; a null datum raises loudly
+    w = A.parse_schema(["null", "string"])
+    r = A.parse_schema("string")
+    res = A._make_resolver(w, r)
+    out = bytearray()
+    A._make_encoder(w)("ok", out)
+    assert res(A._Reader(bytes(out))) == "ok"
+    out2 = bytearray()
+    A._make_encoder(w)(None, out2)
+    with pytest.raises(ValueError, match="unresolvable union branch"):
+        res(A._Reader(bytes(out2)))
