@@ -207,3 +207,47 @@ FROM tf JOIN dfreq USING (term)
 GROUP BY tf.doc_id
 ORDER BY tf.doc_id
 """
+
+
+def positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term) positional inverted index — the structure
+    behind phrase and proximity queries. One posexplode over the shared
+    deterministic tokenizer (functions.text.tokens); 0-based positions."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(T.tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: docs whose token stream contains
+    ``phrase_terms`` consecutively; returns (doc_id, n_matches,
+    first_pos). The index is FILTERED to the phrase's terms before any
+    join — the join input is O(postings of those terms), not O(corpus
+    positions) — then each subsequent term joins on (doc_id, pos-i),
+    the textbook positional-intersection plan. At 100 TB the index would
+    be precomputed and bucketed by term; the per-query work here is the
+    same either way."""
+    terms = [t.lower() for t in phrase_terms]
+    if not terms:
+        raise ValueError("phrase_terms must be non-empty")
+    idx = positional_index(docs, text_col, id_col).filter(
+        F.col("term").isin(terms)
+    )
+    base = idx.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, ["doc_id", "pos"])
+    return base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )

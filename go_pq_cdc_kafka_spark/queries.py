@@ -3125,6 +3125,48 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEARCH.bm25_topk(d, _BM25_TERMS, k=15).orderBy("rk")
 
 
+_PHRASE = ("slow", "hash", "batch")
+
+
+@register(
+    "search_phrase_positions",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {T.TOKENS_SQL.format(c="text")} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest([{{'t': ts[i+1], 'p': i}}
+                 for i in generate_series(0, len(ts) - 1)]) AS u
+  FROM toks
+),
+m AS (
+  SELECT t0.doc_id, t0.p
+  FROM (SELECT doc_id, u.p AS p FROM pos WHERE u.t = '{_PHRASE[0]}') t0
+  JOIN (SELECT doc_id, u.p - 1 AS p FROM pos WHERE u.t = '{_PHRASE[1]}') t1
+    USING (doc_id, p)
+  JOIN (SELECT doc_id, u.p - 2 AS p FROM pos WHERE u.t = '{_PHRASE[2]}') t2
+    USING (doc_id, p)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p) AS INT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+""",
+    category="search",
+    description="Exact PHRASE search ('slow hash batch') via a positional "
+    "inverted index (operators/search.positional_index + phrase_match): "
+    "the index is filtered to the phrase's terms BEFORE any join, so the "
+    "positional-intersection joins touch O(postings of those terms), not "
+    "O(corpus positions); term i+1 joins on (doc_id, pos-i). Shares the "
+    "deterministic tokenizer with BM25/dedup (property-tested against "
+    "the DuckDB twin). At 100 TB the index is precomputed and bucketed "
+    "by term; the per-query plan is identical.",
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return SEARCH.phrase_match(d, _PHRASE).orderBy("doc_id")
+
+
 @register(
     "graph_bfs_hops",
     oracle=f"""

@@ -112,3 +112,31 @@ SELECT doc_id, MIN(hops) AS min_hops FROM bfs GROUP BY doc_id
     got = {r.doc_id: r.min_hops for r in out}
     # 0 -(1)- 1, 0 -(1)- 2 (via the 2->0 edge reversed), 3 is 2 hops away
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_phrase_match_counts_and_positions(spark):
+    from go_pq_cdc_kafka_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # phrase 'a b c' twice, first at 0
+            (2, "x a b c y"),        # once at 1
+            (3, "a b a b"),          # never completes
+            (4, "A B C"),            # case folds -> once at 0
+            (5, "c b a"),            # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in S.phrase_match(docs, ("a", "b", "c")).collect()
+    }
+    assert got == {(1, 2, 0), (2, 1, 1), (4, 1, 0)}
+
+
+def test_phrase_match_overlapping_occurrences(spark):
+    from go_pq_cdc_kafka_spark.operators import search as S
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    got = S.phrase_match(docs, ("a", "a")).collect()
+    assert [(r.doc_id, r.n_matches, r.first_pos) for r in got] == [(1, 3, 0)]
