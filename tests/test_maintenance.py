@@ -170,3 +170,29 @@ def test_footer_stats_pushes_aggregates_into_the_scan(spark):
     finally:
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
         spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_overwrite_partitions_replaces_only_present_partitions(spark, tmp_path):
+    from go_pq_cdc_kafka_spark.operators import maintenance as MT
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, day string, v long",
+    )
+    MT.overwrite_partitions(base, path, ["day"])
+
+    # backfill ONLY day=a with corrected values; b and c must survive
+    fix = spark.createDataFrame(
+        [(1, "a", 11), (9, "a", 99)], "id long, day string, v long"
+    )
+    MT.overwrite_partitions(fix, path, ["day"])
+
+    got = {
+        (r.id, r.day, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 11), (9, "a", 99), (3, "b", 30), (4, "c", 40)}
+
+    # rerunning the same backfill is idempotent
+    MT.overwrite_partitions(fix, path, ["day"])
+    assert spark.read.parquet(path).count() == 4
