@@ -370,3 +370,55 @@ def test_idempotent_sink_effectively_once_and_partial_invisibility(spark, tmp_pa
     # the replay overwrites the partial directory and commits it
     write(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), 2)
     assert SK.read_committed(spark, out).count() == 10
+
+
+def test_available_now_catchup_drains_then_stops_and_resumes(spark, tmp_path):
+    """Trigger(availableNow): the operational catch-up mode — drain
+    everything the source has, terminate on its own, and a later run from
+    the same checkpoint picks up ONLY what arrived in between. This is
+    how a periodic (cron) backfill job runs the same pipeline code the
+    24/7 stream uses."""
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.sources import changelog as cl
+
+    users = spark.range(1, 6).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("U"), F.col("id")).alias("name"),
+    )
+    from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
+    log_dir = str(tmp_path / "log")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    log = cl.generate_table_changelog(users, "id", "users")
+    cl.write_changelog(log, log_dir, num_files=2)
+    total = log.count()
+
+    def drain() -> int:
+        q = (
+            cl.read_changelog_stream(spark, log_dir)
+            .writeStream.foreachBatch(SK.foreach_batch_idempotent_parquet(out))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow query failed to stop"
+        return SK.read_committed(spark, out).count()
+
+    assert drain() == total
+
+    # nothing new: second catch-up run lands nothing further
+    assert drain() == total
+
+    # append more change files; third run picks up exactly those
+    more = spark.range(100, 103).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("V"), F.col("id")).alias("name"),
+    )
+    log2 = cl.generate_table_changelog(more, "id", "users").withColumn(
+        "lsn", F.col("lsn") + 10_000
+    )
+    # append without clobbering the existing range files
+    log2.coalesce(1).write.mode("append").parquet(log_dir)
+    assert drain() == total + log2.count()
