@@ -1,0 +1,176 @@
+"""PostgreSQL upsert sink — materialize a CDC-derived DataFrame back into
+Postgres (the ``foreachBatch`` twin of the Kafka sink, for the common
+"CDC → transform → serving table" loop; runs fully live in this repo's
+test environment, where a Kafka broker cannot).
+
+Delivery contract: the sink statement is ``INSERT ... ON CONFLICT (keys)
+DO UPDATE SET col = EXCLUDED.col`` (plus ``DELETE`` for tombstones), which
+is idempotent per row — replaying a micro-batch after a checkpoint
+recovery converges to the same table state, giving effectively-once
+semantics on top of Spark's at-least-once ``foreachBatch`` (same argument
+as sinks.foreach_batch_idempotent_parquet, with the conflict target
+playing the role of the batch marker).
+
+One row per key per batch: feed LWW-collapsed batches
+(operators.relational — collapse on the key by max lsn). Postgres itself
+enforces this loudly ("ON CONFLICT DO UPDATE command cannot affect row a
+second time") rather than silently last-writer-winning inside a statement.
+
+Scale notes: each PARTITION opens one wire connection and writes
+multi-row statements in ``chunk_rows`` chunks — executor-parallel,
+nothing driver-side; per-partition throughput is bounded by the server's
+single-connection ingest, and total by partitions × that (cap partitions
+near the server's write capacity with ``df.coalesce``). Identifiers are
+validated+quoted (sources.snapshot discipline) and values rendered as
+escaped text literals — Postgres coerces per column type.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def quote_literal(v) -> str:
+    """Render one Python value as a Postgres text literal. '' doubling is
+    the only escape needed under standard_conforming_strings (the server
+    default since 9.1); bytes render as hex bytea. Non-finite floats are
+    rejected loudly (their text forms are type-dependent)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite float {v!r} has no portable literal")
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "'\\x" + bytes(v).hex() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def build_upsert_sql(
+    schema: str,
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    rows: Sequence[Sequence],
+) -> str:
+    """One multi-row INSERT ... ON CONFLICT (keys) DO UPDATE statement."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    cols_sql = ", ".join(_quote_ident(c) for c in columns)
+    keys_sql = ", ".join(_quote_ident(c) for c in key_cols)
+    non_keys = [c for c in columns if c not in key_cols]
+    if non_keys:
+        action = "DO UPDATE SET " + ", ".join(
+            f"{_quote_ident(c)} = EXCLUDED.{_quote_ident(c)}" for c in non_keys
+        )
+    else:
+        action = "DO NOTHING"
+    values = ", ".join(
+        "(" + ", ".join(quote_literal(v) for v in row) + ")" for row in rows
+    )
+    return (
+        f"INSERT INTO {_quote_ident(schema)}.{_quote_ident(table)} "
+        f"({cols_sql}) VALUES {values} "
+        f"ON CONFLICT ({keys_sql}) {action}"
+    )
+
+
+def build_delete_sql(
+    schema: str,
+    table: str,
+    key_cols: Sequence[str],
+    key_rows: Sequence[Sequence],
+) -> str:
+    """One multi-key DELETE (row-constructor IN list)."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    keys_sql = ", ".join(_quote_ident(c) for c in key_cols)
+    tuples = ", ".join(
+        "(" + ", ".join(quote_literal(v) for v in row) + ")" for row in key_rows
+    )
+    return (
+        f"DELETE FROM {_quote_ident(schema)}.{_quote_ident(table)} "
+        f"WHERE ({keys_sql}) IN ({tuples})"
+    )
+
+
+def foreach_batch_pg_upsert(
+    dsn: str,
+    table: str,
+    key_cols: Sequence[str],
+    schema: str = "public",
+    op_col: str | None = None,
+    chunk_rows: int = 500,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function upserting each micro-batch into
+    ``schema.table``. With ``op_col`` set, rows whose op is ``DELETE``
+    become deletes (tombstone handling); every other op upserts. Data
+    columns = the DataFrame's columns minus ``op_col``."""
+    key_cols = list(key_cols)
+
+    def fn(df: DataFrame, batch_id: int) -> None:
+        import pandas as pd  # noqa: F401 — mapInPandas contract
+
+        data_cols = [c for c in df.columns if c != op_col]
+        missing = [k for k in key_cols if k not in data_cols]
+        if missing:
+            raise ValueError(f"key columns {missing} absent from batch")
+
+        def part(iterator):
+            import pandas as pd
+
+            from go_pq_cdc_kafka_spark.sources import wire
+
+            conn = None
+            n = 0
+            try:
+                for pdf in iterator:
+                    if not len(pdf):
+                        continue
+                    if conn is None:
+                        conn = wire.ReplicationConnection(
+                            **wire.parse_dsn(dsn)
+                        ).connect()
+                    if op_col is not None:
+                        deletes = pdf[pdf[op_col] == "DELETE"]
+                        upserts = pdf[pdf[op_col] != "DELETE"]
+                    else:
+                        deletes, upserts = pdf.iloc[0:0], pdf
+                    for lo in range(0, len(upserts), chunk_rows):
+                        chunk = upserts.iloc[lo : lo + chunk_rows]
+                        rows = [
+                            tuple(None if pd.isna(v) else v for v in r)
+                            for r in chunk[data_cols].itertuples(index=False)
+                        ]
+                        conn.simple_query(
+                            build_upsert_sql(
+                                schema, table, data_cols, key_cols, rows
+                            )
+                        )
+                        n += len(rows)
+                    for lo in range(0, len(deletes), chunk_rows):
+                        chunk = deletes.iloc[lo : lo + chunk_rows]
+                        keys = [
+                            tuple(None if pd.isna(v) else v for v in r)
+                            for r in chunk[key_cols].itertuples(index=False)
+                        ]
+                        conn.simple_query(
+                            build_delete_sql(schema, table, key_cols, keys)
+                        )
+                        n += len(keys)
+            finally:
+                if conn is not None:
+                    conn.close()
+            yield pd.DataFrame({"rows": [n]})
+
+        # count() forces every partition exactly once (write_avro pattern)
+        df.mapInPandas(part, "rows long").count()
+
+    return fn

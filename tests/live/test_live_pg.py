@@ -627,3 +627,125 @@ def test_live_raw_tier_absorbs_walsender_termination(spark, tmp_path):
                 pass
         finally:
             admin.close()
+
+
+def test_live_pg_upsert_sink_materializes_cdc_roundtrip(spark, tmp_path):
+    """The full serving loop against a REAL server: change events →
+    pipeline-shaped DataFrame → streaming pg_sink upserts/deletes →
+    SELECT back equals the LWW-expected state; replaying the same batch
+    is idempotent (the effectively-once argument)."""
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.streaming import pg_sink as PS
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl = f"sg_mat_{suffix}"
+    admin = _conn()
+    admin.simple_query(
+        f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text, cents bigint)'
+    )
+    try:
+        # batch 1: inserts + one update collapsed upstream (one row/key)
+        b1 = spark.createDataFrame(
+            [
+                (1, "alice", 100, "INSERT"),
+                (2, "bob's", 250, "UPDATE"),   # quote in payload
+                (3, "carol", None, "SNAPSHOT"),
+            ],
+            "id long, name string, cents long, op string",
+        ).repartition(2)
+        sink = PS.foreach_batch_pg_upsert(
+            DSN, tbl, key_cols=["id"], op_col="op"
+        )
+        sink(b1, 0)
+        got = {
+            (int(r["id"]), r["name"], None if r["cents"] is None else int(r["cents"]))
+            for r in admin.simple_query(f'SELECT * FROM "{tbl}"')
+        }
+        assert got == {(1, "alice", 100), (2, "bob's", 250), (3, "carol", None)}
+
+        # replay the SAME batch: idempotent
+        sink(b1, 0)
+        n = admin.simple_query(f'SELECT COUNT(*) AS n FROM "{tbl}"')[0]["n"]
+        assert int(n) == 3
+
+        # batch 2: update one key, delete another
+        b2 = spark.createDataFrame(
+            [(1, "alice2", 111, "UPDATE"), (3, None, None, "DELETE")],
+            "id long, name string, cents long, op string",
+        )
+        sink(b2, 1)
+        got = {
+            (int(r["id"]), r["name"]) for r in admin.simple_query(
+                f'SELECT id, name FROM "{tbl}" ORDER BY id'
+            )
+        }
+        assert got == {(1, "alice2"), (2, "bob's")}
+    finally:
+        admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+        admin.close()
+
+
+def test_live_pg_upsert_sink_streaming_end_to_end(spark, tmp_path):
+    """availableNow streaming query: file-replay changelog → per-batch LWW
+    collapse (the real pipeline's materialize step) → pg_sink; the serving
+    table converges to the changelog's final state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.sources import changelog as cl
+    from go_pq_cdc_kafka_spark.streaming import pg_sink as PS
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl = f"sg_serve_{suffix}"
+    admin = _conn()
+    admin.simple_query(
+        f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)'
+    )
+    try:
+        users = spark.range(1, 8).select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("user"), F.col("id")).alias("name"),
+        )
+        log_dir = str(tmp_path / "log")
+        # snapshot(1..7) + re-keyed inserts(1000001..1000007) + delete(7)
+        cl.write_changelog(
+            cl.generate_table_changelog(users, "id", "users"), log_dir, 2
+        )
+        flat = cl.read_changelog_stream(spark, log_dir).select(
+            F.coalesce(F.col("after")["id"], F.col("before")["id"])
+            .cast("long")
+            .alias("id"),
+            F.col("after")["name"].alias("name"),
+            F.col("op"),
+            F.col("lsn"),
+        )
+        inner = PS.foreach_batch_pg_upsert(DSN, tbl, ["id"], op_col="op")
+
+        def fb(bdf, bid):
+            # LWW collapse per micro-batch: one statement per key — the
+            # contract the sink documents (PG errors loudly otherwise)
+            w = Window.partitionBy("id").orderBy(F.desc("lsn"))
+            inner(
+                bdf.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn", "lsn"),
+                bid,
+            )
+
+        q = (
+            flat.writeStream.foreachBatch(fb)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        assert q.awaitTermination(180)
+        rows = admin.simple_query(f'SELECT id, name FROM "{tbl}" ORDER BY id')
+        got = {(int(r["id"]), r["name"]) for r in rows}
+        expected = {(i, f"user{i}") for i in range(1, 7)} | {
+            (1_000_000 + i, f"user{i}") for i in range(1, 8)
+        }
+        assert got == expected
+    finally:
+        admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+        admin.close()

@@ -1,0 +1,49 @@
+"""PostgreSQL upsert sink: statement building + escaping (no server);
+the live round-trip is tests/live/test_live_pg.py."""
+
+import pytest
+
+from go_pq_cdc_kafka_spark.streaming import pg_sink as PS
+
+
+def test_quote_literal_escaping():
+    assert PS.quote_literal(None) == "NULL"
+    assert PS.quote_literal(True) == "TRUE"
+    assert PS.quote_literal(False) == "FALSE"
+    assert PS.quote_literal(42) == "42"
+    assert PS.quote_literal(-1.5) == "-1.5"
+    assert PS.quote_literal("it's") == "'it''s'"
+    assert PS.quote_literal("a\\b") == "'a\\b'"  # backslash is literal
+    assert PS.quote_literal(b"\x00\xff") == "'\\x00ff'"
+    with pytest.raises(ValueError, match="non-finite"):
+        PS.quote_literal(float("nan"))
+
+
+def test_build_upsert_sql_shape():
+    sql = PS.build_upsert_sql(
+        "public", "users", ["id", "name", "v"], ["id"],
+        [(1, "a'b", None), (2, "c", 3)],
+    )
+    assert sql == (
+        'INSERT INTO "public"."users" ("id", "name", "v") '
+        "VALUES (1, 'a''b', NULL), (2, 'c', 3) "
+        'ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", '
+        '"v" = EXCLUDED."v"'
+    )
+
+
+def test_build_upsert_all_key_cols_do_nothing():
+    sql = PS.build_upsert_sql("public", "t", ["a", "b"], ["a", "b"], [(1, 2)])
+    assert sql.endswith('ON CONFLICT ("a", "b") DO NOTHING')
+
+
+def test_build_delete_sql_shape():
+    sql = PS.build_delete_sql("public", "users", ["id"], [(1,), (2,)])
+    assert sql == 'DELETE FROM "public"."users" WHERE ("id") IN ((1), (2))'
+
+
+def test_hostile_identifiers_rejected():
+    with pytest.raises(ValueError, match="identifier"):
+        PS.build_upsert_sql("public", 'u"; DROP TABLE x;--', ["id"], ["id"], [(1,)])
+    with pytest.raises(ValueError, match="identifier"):
+        PS.build_delete_sql("public", "users", ["id; --"], [(1,)])
