@@ -453,6 +453,56 @@ class ReplicationConnection:
             if tag == b"Z":
                 return
 
+    def copy_in(self, sql: str, chunks) -> int:
+        """``COPY ... FROM STDIN`` (text format) — the bulk-load fast path
+        (one COPY beats multi-row INSERT by roughly an order of magnitude
+        at ingest rates). ``chunks`` yields encoded COPY-text bytes (rows
+        newline-terminated, fields tab-separated, ``\\N`` for null —
+        see streaming.pg_sink.copy_text_row). Returns the row count from
+        CommandComplete. Protocol: Query → CopyInResponse ('G') →
+        CopyData ('d')* → CopyDone ('c') → CommandComplete ('C') +
+        ReadyForQuery."""
+        self._send(b"Q", _cstr(sql))
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"G":
+                break
+            if tag == b"E":
+                err = self._error_fields(payload)
+                self._drain_to_ready()
+                raise WireError(err)
+            if tag in (b"N", b"S"):
+                continue
+            raise WireError({"M": f"expected CopyInResponse, got {tag!r}"})
+        try:
+            for chunk in chunks:
+                if chunk:
+                    self._send(b"d", chunk)
+        except Exception:
+            # CopyFail: the server aborts the COPY and reports an error,
+            # which the drain below consumes — the connection stays usable
+            self._send(b"f", _cstr("client-side failure"))
+            self._drain_to_ready()
+            raise
+        self._send(b"c", b"")
+        n_rows = 0
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"C":  # e.g. b"COPY 1234\x00"
+                words = payload.rstrip(b"\x00").split()
+                if len(words) == 2 and words[0] == b"COPY":
+                    n_rows = int(words[1])
+            elif tag == b"E":
+                err = self._error_fields(payload)
+                self._drain_to_ready()
+                raise WireError(err)
+            elif tag == b"Z":
+                return n_rows
+            elif tag in (b"N", b"S", b"I"):
+                continue
+            else:
+                raise WireError({"M": f"unexpected message {tag!r} after COPY"})
+
     def identify_system(self) -> dict[str, str | None]:
         return self.simple_query("IDENTIFY_SYSTEM")[0]
 

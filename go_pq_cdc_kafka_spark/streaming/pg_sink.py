@@ -101,6 +101,77 @@ def build_delete_sql(
     )
 
 
+_COPY_ESC = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+
+
+def copy_text_value(v) -> str:
+    """One value in COPY text format: ``\\N`` for null, t/f booleans, hex
+    bytea, and backslash/tab/newline/CR escaped per the COPY spec."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "\\\\x" + bytes(v).hex()  # \x…, backslash doubled for COPY
+    if isinstance(v, float) and not math.isfinite(v):
+        raise ValueError(f"non-finite float {v!r} has no portable literal")
+    s = str(v)
+    for raw, esc in _COPY_ESC.items():
+        if raw in s:
+            s = s.replace(raw, esc)
+    return s
+
+
+def copy_text_row(values) -> bytes:
+    return ("\t".join(copy_text_value(v) for v in values) + "\n").encode("utf-8")
+
+
+def stage_and_upsert(
+    conn,
+    schema: str,
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    rows,
+    stage_name: str,
+) -> None:
+    """COPY the rows into a session-local temp stage, then one
+    INSERT .. SELECT .. ON CONFLICT merge — the bulk-upsert fast path
+    (COPY ingest beats multi-row INSERT literals by ~an order of
+    magnitude; the merge is one set-based statement server-side)."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    target = f"{_quote_ident(schema)}.{_quote_ident(table)}"
+    stage = _quote_ident(stage_name)
+    cols_sql = ", ".join(_quote_ident(c) for c in columns)
+    keys_sql = ", ".join(_quote_ident(c) for c in key_cols)
+    non_keys = [c for c in columns if c not in key_cols]
+    action = (
+        "DO UPDATE SET "
+        + ", ".join(
+            f"{_quote_ident(c)} = EXCLUDED.{_quote_ident(c)}" for c in non_keys
+        )
+        if non_keys
+        else "DO NOTHING"
+    )
+    conn.simple_query(
+        f"CREATE TEMP TABLE {stage} "
+        f"(LIKE {target} INCLUDING DEFAULTS)"
+    )
+    try:
+        conn.copy_in(
+            f"COPY {stage} ({cols_sql}) FROM STDIN",
+            (copy_text_row(r) for r in rows),
+        )
+        conn.simple_query(
+            f"INSERT INTO {target} ({cols_sql}) "
+            f"SELECT {cols_sql} FROM {stage} "
+            f"ON CONFLICT ({keys_sql}) {action}"
+        )
+    finally:
+        conn.simple_query(f"DROP TABLE IF EXISTS {stage}")
+
+
 def foreach_batch_pg_upsert(
     dsn: str,
     table: str,
@@ -108,11 +179,15 @@ def foreach_batch_pg_upsert(
     schema: str = "public",
     op_col: str | None = None,
     chunk_rows: int = 500,
+    use_copy: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function upserting each micro-batch into
     ``schema.table``. With ``op_col`` set, rows whose op is ``DELETE``
     become deletes (tombstone handling); every other op upserts. Data
-    columns = the DataFrame's columns minus ``op_col``."""
+    columns = the DataFrame's columns minus ``op_col``. ``use_copy``
+    switches the upsert path from multi-row INSERT literals to
+    COPY-into-temp-stage + one set-based merge (:func:`stage_and_upsert`)
+    — the bulk path for 6-figure batches."""
     key_cols = list(key_cols)
 
     def fn(df: DataFrame, batch_id: int) -> None:
@@ -143,18 +218,31 @@ def foreach_batch_pg_upsert(
                         upserts = pdf[pdf[op_col] != "DELETE"]
                     else:
                         deletes, upserts = pdf.iloc[0:0], pdf
-                    for lo in range(0, len(upserts), chunk_rows):
-                        chunk = upserts.iloc[lo : lo + chunk_rows]
-                        rows = [
+                    if use_copy and len(upserts):
+                        import uuid as _uuid
+
+                        rows = (
                             tuple(None if pd.isna(v) else v for v in r)
-                            for r in chunk[data_cols].itertuples(index=False)
-                        ]
-                        conn.simple_query(
-                            build_upsert_sql(
-                                schema, table, data_cols, key_cols, rows
-                            )
+                            for r in upserts[data_cols].itertuples(index=False)
                         )
-                        n += len(rows)
+                        stage_and_upsert(
+                            conn, schema, table, data_cols, key_cols, rows,
+                            f"sg_stage_{_uuid.uuid4().hex[:12]}",
+                        )
+                        n += len(upserts)
+                    else:
+                        for lo in range(0, len(upserts), chunk_rows):
+                            chunk = upserts.iloc[lo : lo + chunk_rows]
+                            rows = [
+                                tuple(None if pd.isna(v) else v for v in r)
+                                for r in chunk[data_cols].itertuples(index=False)
+                            ]
+                            conn.simple_query(
+                                build_upsert_sql(
+                                    schema, table, data_cols, key_cols, rows
+                                )
+                            )
+                            n += len(rows)
                     for lo in range(0, len(deletes), chunk_rows):
                         chunk = deletes.iloc[lo : lo + chunk_rows]
                         keys = [

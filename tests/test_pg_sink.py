@@ -47,3 +47,14 @@ def test_hostile_identifiers_rejected():
         PS.build_upsert_sql("public", 'u"; DROP TABLE x;--', ["id"], ["id"], [(1,)])
     with pytest.raises(ValueError, match="identifier"):
         PS.build_delete_sql("public", "users", ["id; --"], [(1,)])
+
+
+def test_copy_text_encoding():
+    assert PS.copy_text_value(None) == "\\N"
+    assert PS.copy_text_value(True) == "t"
+    assert PS.copy_text_value(7) == "7"
+    assert PS.copy_text_value("a\tb\nc\\d\re") == "a\\tb\\nc\\\\d\\re"
+    assert PS.copy_text_value(b"\x01\xff") == "\\\\x01ff"
+    with pytest.raises(ValueError, match="non-finite"):
+        PS.copy_text_value(float("inf"))
+    assert PS.copy_text_row([1, None, "x"]) == b"1\t\\N\tx\n"
