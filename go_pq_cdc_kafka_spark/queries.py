@@ -2718,6 +2718,85 @@ def composite_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q11_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT r.l_suppkey AS s_suppkey, s.s_name,
+       CAST(r.cents AS BIGINT) AS revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.cents * 95 > (SELECT SUM(cents) FROM rev)
+ORDER BY revenue_cents DESC, s_suppkey
+"""
+
+
+@register(
+    "composite_important_suppliers",
+    oracle=_Q11_SQL,
+    category="composite",
+    description="TPC-H Q11-shaped 'important share' query adapted to the "
+    "fixture schema: suppliers whose revenue exceeds ~1.05% of GLOBAL "
+    "revenue — a grouped aggregate filtered against a scalar subquery "
+    "over the same CTE. Cross-engine exactness: per-row cents are BIGINT "
+    "but the global total overflows 2^63 at large SF, so sums accumulate "
+    "as DECIMAL(38,0) and the threshold compares rev*95 > total "
+    "(multiplication, never division — no rounding-mode drift). Catalyst "
+    "plans the scalar subquery as a broadcast single-row join; the CTE "
+    "aggregates once and feeds both sides. Same SQL both engines.",
+)
+def composite_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q11_SQL)
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  GROUP BY l.l_orderkey, l.l_suppkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late lt
+JOIN supplier s ON s.s_suppkey = lt.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = lt.l_orderkey
+          AND l2.l_suppkey <> lt.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late lt2
+        WHERE lt2.l_orderkey = lt.l_orderkey
+          AND lt2.l_suppkey <> lt.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register(
+    "composite_sole_late_suppliers",
+    oracle=_Q21_SQL,
+    category="composite",
+    description="TPC-H Q21-shaped 'suppliers who kept orders waiting' "
+    "adapted to the fixture schema (ship > 60 days after order date "
+    "stands in for receipt > commit): EXISTS + NOT EXISTS correlated "
+    "subqueries over a shared late-lineitems CTE — Catalyst rewrites "
+    "them to one LeftSemi and one LeftAnti join on l_orderkey, exactly "
+    "the decorrelated plan a 100 TB run needs (no per-row subquery "
+    "execution). Multi-supplier orders where ONLY this supplier shipped "
+    "late; top-20 by wait count. Same SQL both engines.",
+)
+def composite_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
 @register(
     "composite_wealthy_inactive",
     oracle="""

@@ -396,3 +396,30 @@ def test_lateral_topn_decorrelates_to_partitioned_window(spark):
     plan = plan_of(spark, "join_lateral_topn")
     assert "windowspecdefinition(c_nationkey" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sole_late_suppliers_decorrelates_to_semi_anti(spark):
+    """composite_sole_late_suppliers: the EXISTS / NOT EXISTS pair must
+    plan as LeftSemi + LeftAnti joins (decorrelated set operations), never
+    per-row subquery execution or a cartesian product."""
+    plan = plan_of(spark, "composite_sole_late_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_important_suppliers_scalar_subquery_single_row(spark):
+    """composite_important_suppliers: the global-total threshold is a
+    scalar subquery (single-row reuse), not a re-aggregation joined per
+    row; no cartesian product sneaks in."""
+    plan = plan_of(spark, "composite_important_suppliers")
+    assert "Subquery" in plan or "ReusedExchange" in plan
+    assert "Cartesian" not in plan
+
+
+def test_graph_queries_avoid_cartesian_products(spark):
+    """pagerank + triangle counting: every join is key-equi (scores⋈edges,
+    wedge⋈edges); a cartesian product would be the classic graph-join
+    scale-killer."""
+    for q in ("graph_pagerank_suppliers", "graph_triangle_suppliers"):
+        assert "Cartesian" not in plan_of(spark, q), q
