@@ -91,6 +91,80 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    bucketed: DataFrame,
+    bucket_col: str,
+    step_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Densify a bucketed series and LINEARLY interpolate missing values —
+    Timescale's ``interpolate()`` — in pure INTEGER arithmetic:
+
+        v = v0 + (v1 - v0) * (t - t0) div (t1 - t0)
+
+    with ``value_col`` in integer units (e.g. cents) and t in epoch
+    seconds. Spark's ``div`` and DuckDB's ``//`` both truncate toward
+    zero, so the filled values are bit-identical cross-engine where a
+    float lerp would drift with evaluation order. Outside the observed
+    span (no bracketing point) the nearest observation fills (LOCF
+    before the end, NOCB before the start). Two windows per key — same
+    shuffle count as LOCF."""
+    keys = list(keys)
+    bounds = bucketed.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("_lo"),
+                F.col("_hi"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias(bucket_col),
+    )
+    joined = grid.join(bucketed, on=[*keys, bucket_col], how="left")
+    # TIMESTAMP_NTZ refuses a direct bigint cast; hop through TIMESTAMP
+    # (session tz is pinned to UTC by session.get_spark, so epochs agree)
+    t = F.col(bucket_col).cast("timestamp").cast("long")
+    obs_t = F.when(F.col(value_col).isNotNull(), t)
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(value_col, ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first(value_col, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    return (
+        joined.withColumn("_pv", prev_v)
+        .withColumn("_pt", prev_t)
+        .withColumn("_nv", next_v)
+        .withColumn("_nt", next_t)
+        .withColumn(f"{bucket_col}_epoch", t)
+        .withColumn(
+            value_col,
+            F.when(
+                F.col("_pv").isNotNull()
+                & F.col("_nv").isNotNull()
+                & (F.col("_nt") != F.col("_pt")),
+                F.col("_pv")
+                + F.expr(
+                    f"(_nv - _pv) * ({bucket_col}_epoch - _pt) div (_nt - _pt)"
+                ),
+            ).otherwise(F.coalesce(F.col("_pv"), F.col("_nv"))),
+        )
+        .select(*keys, bucket_col, value_col)
+    )
+
+
 def rollup_fine(
     df: DataFrame,
     ts_col: str,

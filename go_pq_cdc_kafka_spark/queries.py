@@ -3118,6 +3118,76 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
+@register(
+    "ts_gapfill_interpolate",
+    oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value > 300 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.bucket, CAST(epoch(g.bucket) AS BIGINT) AS t,
+         b.cents,
+         CASE WHEN b.cents IS NOT NULL
+              THEN CAST(epoch(g.bucket) AS BIGINT) END AS obs_t
+  FROM grid g LEFT JOIN b USING (event_type, bucket)
+),
+w AS (
+  SELECT event_type, bucket, t, cents,
+         LAST_VALUE(cents IGNORE NULLS) OVER back AS pv,
+         LAST_VALUE(obs_t IGNORE NULLS) OVER back AS pt,
+         FIRST_VALUE(cents IGNORE NULLS) OVER fwd AS nv,
+         FIRST_VALUE(obs_t IGNORE NULLS) OVER fwd AS nt
+  FROM j
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       CAST(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                 THEN pv + ((nv - pv) * (t - pt)) // (nt - pt)
+                 ELSE COALESCE(pv, nv) END AS BIGINT) AS cents
+FROM w
+ORDER BY event_type, bucket
+""",
+    category="timeseries",
+    description="time_bucket_gapfill + INTERPOLATE (Timescale's "
+    "interpolate()): the same sparse hourly series as ts_gapfill_locf, "
+    "but missing buckets fill by LINEAR interpolation between the "
+    "bracketing observations — computed entirely in integer cents with "
+    "truncating division (Spark div == DuckDB // on these operands), so "
+    "the filled values match bit-for-bit where a float lerp would drift "
+    "with evaluation order. Outside the observed span the nearest "
+    "observation fills. Two windows per key, same shuffle count as LOCF "
+    "(operators/timeseries.gapfill_interpolate).",
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 300)
+    bucketed = ev.groupBy(
+        "event_type", TS.bucket(F.col("ts"), 3600).alias("bucket")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return (
+        TS.gapfill_interpolate(
+            bucketed, "bucket", 3600, keys=("event_type",), value_col="cents"
+        )
+        .select("event_type", "bucket", F.col("cents").cast("long"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 # ===========================================================================
 # Corpus search + decontamination + repetition (training-data tier)
 # ===========================================================================

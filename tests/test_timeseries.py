@@ -110,3 +110,53 @@ def test_rollup_coarse_step_must_nest(spark):
     n_fine = fine.agg(F.sum("n")).collect()[0][0]
     n_coarse = coarse.agg(F.sum("n")).collect()[0][0]
     assert n_fine == n_coarse == 500
+
+
+def test_gapfill_interpolate_hand_computed(spark):
+    """3600s grid, observations at t0 and t0+3h: the two missing buckets
+    interpolate at exact thirds (truncating division), and buckets
+    outside the span fill from the nearest observation."""
+    import datetime
+
+    from go_pq_cdc_kafka_spark.operators import timeseries as TS
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("a", t0, 100),
+        ("a", t0 + datetime.timedelta(hours=3), 110),
+    ]
+    bucketed = spark.createDataFrame(
+        rows, "k string, bucket timestamp_ntz, cents long"
+    )
+    out = {
+        (r.bucket.hour, r.cents)
+        for r in TS.gapfill_interpolate(
+            bucketed, "bucket", 3600, keys=("k",), value_col="cents"
+        ).collect()
+    }
+    # (110-100)*1//3 = 3, *2//3 = 6 — truncation, not rounding
+    assert out == {(0, 100), (1, 103), (2, 106), (3, 110)}
+
+
+def test_gapfill_interpolate_negative_slope_truncates_toward_zero(spark):
+    import datetime
+
+    from go_pq_cdc_kafka_spark.operators import timeseries as TS
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("a", t0, 10),
+        ("a", t0 + datetime.timedelta(hours=3), 3),
+    ]
+    bucketed = spark.createDataFrame(
+        rows, "k string, bucket timestamp_ntz, cents long"
+    )
+    out = {
+        (r.bucket.hour, r.cents)
+        for r in TS.gapfill_interpolate(
+            bucketed, "bucket", 3600, keys=("k",), value_col="cents"
+        ).collect()
+    }
+    # slope -7 over 3h: 10 + (-7*1)//3 = 10 + (-2) = 8 (trunc, not floor
+    # which would give 7); 10 + (-7*2)//3 = 10 - 4 = 6
+    assert out == {(0, 10), (1, 8), (2, 6), (3, 3)}
