@@ -383,3 +383,61 @@ def test_streaming_dedup_within_watermark_reemits_after_horizon(spark, tmp_path)
     )
     assert got == [(1, 1.0), (1, 3.0), (98, 4.0), (99, 2.0)]
 
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an impression with no click
+    inside [its, its+30min] must still emit — with null click columns —
+    but only once the right watermark passes its+30min (state eviction
+    proves no match can arrive). A far-future click in batch 2 advances
+    the watermark past every horizon."""
+    def write_batch(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    ipath, cpath = str(tmp_path / "imps"), str(tmp_path / "clks")
+    # imp 1 gets a click; imp 2 never does
+    write_batch(ipath, "imp_id long, its timestamp, user_id long",
+                [(1, ts(0), 10), (2, ts(100), 10)])
+    write_batch(cpath, "clk_id long, cts timestamp, user_id long",
+                [(91, ts(10), 10)])
+
+    imps = spark.readStream.schema(spark.read.parquet(ipath).schema).parquet(ipath)
+    clks = spark.readStream.schema(spark.read.parquet(cpath).schema).parquet(cpath)
+    q = (
+        W.interval_join(imps, clks, "user_id", "its", "cts", how="leftOuter")
+        .select("imp_id", "clk_id")
+        .writeStream.format("memory")
+        .queryName("ij_outer_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still near ts(10): imp 2's no-match row must NOT have
+        # emitted yet (a match could still arrive)
+        early = {(r.imp_id, r.clk_id)
+                 for r in spark.sql("select * from ij_outer_sink").collect()}
+        assert (2, None) not in early
+
+        # the GLOBAL watermark is min(left, right): advance BOTH sides far
+        # past its+30min, then drain twice — batch k advances the
+        # watermark, batch k+1 evicts state and emits the null row
+        write_batch(cpath, "clk_id long, cts timestamp, user_id long",
+                    [(99, ts(100_000), 77)])
+        write_batch(ipath, "imp_id long, its timestamp, user_id long",
+                    [(3, ts(100_000), 88)])
+        q.processAllAvailable()
+        write_batch(cpath, "clk_id long, cts timestamp, user_id long",
+                    [(98, ts(200_000), 77)])
+        write_batch(ipath, "imp_id long, its timestamp, user_id long",
+                    [(4, ts(200_000), 88)])
+        q.processAllAvailable()
+        got = {(r.imp_id, r.clk_id)
+               for r in spark.sql("select * from ij_outer_sink").collect()}
+        assert (1, 91) in got
+        assert (2, None) in got, got
+    finally:
+        q.stop()
