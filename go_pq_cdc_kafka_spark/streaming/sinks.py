@@ -55,3 +55,32 @@ def read_committed(spark: SparkSession, out_path: str) -> DataFrame:
     if not committed:
         raise FileNotFoundError(f"no committed batches under {out_path}")
     return spark.read.option("basePath", out_path).parquet(*committed)
+
+
+def vacuum_uncommitted(out_path: str, min_age_seconds: float = 3600) -> list[str]:
+    """Remove ``batch=<id>`` directories that never got their ``_COMMITTED``
+    marker — the debris of a writer that crashed mid-batch (replay rewrote
+    the batch under the same id only if the retry happened; an abandoned
+    checkpoint leaves the partial dir forever). Only directories older
+    than ``min_age_seconds`` are touched, so an IN-FLIGHT batch of a live
+    query is never vacuumed. Returns the removed paths. Readers were never
+    at risk (read_committed filters on the marker); this is storage
+    hygiene, the moral equivalent of VACUUM on the file sink."""
+    import shutil
+    import time
+
+    removed = []
+    if not os.path.isdir(out_path):
+        return removed
+    cutoff = time.time() - min_age_seconds
+    for d in sorted(os.listdir(out_path)):
+        target = os.path.join(out_path, d)
+        if not (d.startswith("batch=") and os.path.isdir(target)):
+            continue
+        if os.path.exists(os.path.join(target, "_COMMITTED")):
+            continue
+        if os.path.getmtime(target) > cutoff:
+            continue
+        shutil.rmtree(target)
+        removed.append(target)
+    return removed

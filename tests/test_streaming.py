@@ -422,3 +422,26 @@ def test_available_now_catchup_drains_then_stops_and_resumes(spark, tmp_path):
     # append without clobbering the existing range files
     log2.coalesce(1).write.mode("append").parquet(log_dir)
     assert drain() == total + log2.count()
+
+
+def test_vacuum_uncommitted_removes_only_old_markerless_dirs(spark, tmp_path):
+    import os
+    import time
+
+    from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
+    out = str(tmp_path / "out")
+    for bid, committed in ((0, True), (1, False), (2, False)):
+        d = os.path.join(out, f"batch={bid}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+        if committed:
+            open(os.path.join(d, "_COMMITTED"), "w").close()
+    # age batch=1 past the cutoff; batch=2 stays fresh (in-flight)
+    old = time.time() - 7200
+    os.utime(os.path.join(out, "batch=1"), (old, old))
+
+    removed = SK.vacuum_uncommitted(out, min_age_seconds=3600)
+    assert removed == [os.path.join(out, "batch=1")]
+    assert sorted(os.listdir(out)) == ["batch=0", "batch=2"]
