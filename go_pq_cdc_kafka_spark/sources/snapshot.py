@@ -234,3 +234,136 @@ def snapshot_df_over_wire(
     ]
     df = spark.createDataFrame(rows, env.dynamic_envelope_schema())
     return df, start_lsn
+
+
+def chunk_ranges(lo: int, hi: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split [lo, hi] (inclusive) into n contiguous integer ranges; the
+    remainder spreads over the leading chunks so sizes differ by <= 1."""
+    if hi < lo:
+        return []
+    n = max(1, int(n_chunks))
+    span = hi - lo + 1
+    base, rem = divmod(span, n)
+    out, cur = [], lo
+    for i in range(min(n, span)):
+        size = base + (1 if i < rem else 0)
+        out.append((cur, cur + size - 1))
+        cur += size
+    return out
+
+
+def parallel_snapshot_over_wire(
+    spark: SparkSession,
+    dsn: str,
+    table: str,
+    pk: str = "id",
+    schema_name: str = "public",
+    n_chunks: int = 8,
+    snapshot_name: str | None = None,
+    chunk_size: int = 8000,
+) -> DataFrame:
+    """EXECUTOR-PARALLEL consistent snapshot over the wire client — the
+    production initial-load pattern (Debezium's incremental/parallel
+    snapshot): each of ``n_chunks`` tasks opens its own connection, runs
+
+        BEGIN ISOLATION LEVEL REPEATABLE READ;
+        SET TRANSACTION SNAPSHOT '<exported>';
+
+    and scans one keyset range, so every chunk sees the SAME MVCC
+    snapshot — the one the replication slot EXPORTED at creation
+    (CREATE_REPLICATION_SLOT's ``snapshot_name``). Rows committed after
+    the slot exists are invisible to every chunk and replay from the WAL
+    instead: scan-then-stream has no gap and no dup, independent of scan
+    duration or parallelism.
+
+    CONTRACT: the connection that created the slot must stay OPEN and
+    IDLE until this returns (Postgres invalidates the exported snapshot
+    on its next command). Driver-side work is bounds discovery only (one
+    MIN/MAX under the same snapshot); all row traffic is executor-side
+    mapInPandas. ``pk`` must be integer-typed. Without ``snapshot_name``
+    each chunk is READ-COMMITTED-consistent only per chunk — pass the
+    exported name for cross-chunk consistency.
+
+    At 100 TB the knobs are ``n_chunks`` (≈ cluster cores; each task
+    streams its range in ``chunk_size`` keyset pages) and the server's
+    capacity for N parallel sequential range scans."""
+    from go_pq_cdc_kafka_spark.sources import wire
+    from go_pq_cdc_kafka_spark.streaming.pg_sink import quote_literal
+
+    ident_schema = _quote_ident(schema_name)
+    ident_table = _quote_ident(table)
+    ident_pk = _quote_ident(pk)
+    snap_sql = (
+        f"SET TRANSACTION SNAPSHOT {quote_literal(snapshot_name)}"
+        if snapshot_name
+        else None
+    )
+
+    bconn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+    try:
+        bconn.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        if snap_sql:
+            bconn.simple_query(snap_sql)
+        row = bconn.simple_query(
+            f"SELECT MIN({ident_pk}) AS lo, MAX({ident_pk}) AS hi "
+            f"FROM {ident_schema}.{ident_table}"
+        )[0]
+        bconn.simple_query("COMMIT")
+    finally:
+        bconn.close()
+    if row["lo"] is None:
+        return spark.createDataFrame([], env.dynamic_envelope_schema())
+    ranges = chunk_ranges(int(row["lo"]), int(row["hi"]), n_chunks)
+    chunks = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
+        "i int, lo long, hi long",
+    )
+
+    def scan(iterator):
+        import pandas as pd
+
+        from go_pq_cdc_kafka_spark.sources import wire as W
+
+        for pdf in iterator:
+            for _, lo, hi in pdf.itertuples(index=False):
+                conn = W.ReplicationConnection(**W.parse_dsn(dsn)).connect()
+                try:
+                    conn.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+                    if snap_sql:
+                        conn.simple_query(snap_sql)
+                    last = int(lo) - 1
+                    while True:
+                        rows = conn.simple_query(
+                            f"SELECT * FROM {ident_schema}.{ident_table} "
+                            f"WHERE {ident_pk} > {last} "
+                            f"AND {ident_pk} <= {int(hi)} "
+                            f"ORDER BY {ident_pk} LIMIT {int(chunk_size)}"
+                        )
+                        if rows:
+                            yield pd.DataFrame(
+                                {
+                                    "op": ["SNAPSHOT"] * len(rows),
+                                    "event_time": [None] * len(rows),
+                                    "lsn": [0] * len(rows),
+                                    "table_namespace": [schema_name] * len(rows),
+                                    "table_name": [table] * len(rows),
+                                    "before": [None] * len(rows),
+                                    "after": list(rows),
+                                }
+                            )
+                        if len(rows) < chunk_size:
+                            break
+                        nxt = rows[-1][pk]
+                        if nxt is None or not _NUMERIC_RE.match(str(nxt)):
+                            raise ValueError(
+                                f"keyset pagination needs a numeric pk; "
+                                f"got {nxt!r} for {pk!r}"
+                            )
+                        last = int(nxt)
+                    conn.simple_query("COMMIT")
+                finally:
+                    conn.close()
+
+    return chunks.repartition(max(1, len(ranges)), "i").mapInPandas(
+        scan, env.dynamic_envelope_schema()
+    )

@@ -802,3 +802,73 @@ def test_live_pg_upsert_sink_copy_bulk_path(spark):
     finally:
         admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
         admin.close()
+
+
+def test_live_parallel_snapshot_exported_snapshot_consistency(spark):
+    """Executor-parallel snapshot under the slot's EXPORTED snapshot: rows
+    inserted AFTER slot creation are invisible to every chunk (cross-chunk
+    MVCC consistency) and arrive via the replication stream instead —
+    scan ∪ stream has no gap and no dup regardless of scan parallelism."""
+    from go_pq_cdc_kafka_spark.sources import pgoutput as PO2
+    from go_pq_cdc_kafka_spark.sources import snapshot as SN2
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_psnap_{suffix}", f"sg_psnp_{suffix}", f"sg_psns_{suffix}"
+    admin = _conn()
+    admin.simple_query(
+        f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)'
+    )
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    slot_conn = None
+    try:
+        admin.simple_query(
+            f'INSERT INTO "{tbl}" SELECT g, \'pre\' || g '
+            f"FROM generate_series(1, 5000) g"
+        )
+        # slot creation EXPORTS a snapshot; the connection must stay idle
+        slot_conn = _conn()
+        row = slot_conn.create_replication_slot(slot)
+        snap_name, cpoint = row["snapshot_name"], row["consistent_point"]
+        assert snap_name
+
+        # rows AFTER the slot: must be invisible to the parallel scan
+        admin.simple_query(
+            f'INSERT INTO "{tbl}" SELECT g, \'post\' || g '
+            f"FROM generate_series(5001, 5400) g"
+        )
+
+        df = SN2.parallel_snapshot_over_wire(
+            spark, DSN, tbl, pk="id", n_chunks=4, snapshot_name=snap_name
+        )
+        ids = [
+            int(r.after["id"])
+            for r in df.select("after").collect()
+        ]
+        assert len(ids) == 5000 and max(ids) == 5000 and len(set(ids)) == 5000
+
+        # the post-slot rows replay from the WAL starting at the
+        # consistent point: no gap, no dup with the scan
+        slot_conn.close()  # snapshot no longer needed; free the slot
+        slot_conn = None
+        start = wire.parse_lsn(cpoint) - 1
+        frames = wire.frame_source_from_dsn(DSN, slot, pub, create_slot=False)(start)
+        streamed = []
+        try:
+            for ev in PO2.decode_replication_stream(frames):
+                if ev["op"] == "INSERT":
+                    streamed.append(int(ev["after"]["id"]))
+                    if len(streamed) >= 400:
+                        break
+        finally:
+            frames.close()
+        assert sorted(streamed) == list(range(5001, 5401))
+    finally:
+        if slot_conn is not None:
+            slot_conn.close()
+        admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+        admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+        try:
+            admin.drop_replication_slot(slot)
+        except wire.WireError:
+            pass
+        admin.close()
