@@ -131,6 +131,7 @@ def snapshot_then_stream_over_wire(
     checkpoint_location: str,
     schema_name: str = "public",
     chunk_size: int = 8000,
+    parallel: int | None = None,
 ) -> InitialLoad:
     """``initial`` mode end-to-end over the wire client, no files anywhere:
 
@@ -149,7 +150,18 @@ def snapshot_then_stream_over_wire(
     3. The ``pgwire`` stream starts from the recorded consistent point
        into the same sink path; events committed during the snapshot
        replay from the slot-retained WAL (lsn > handoff) and
-       at-least-once consumers/LWW absorb the overlap."""
+       at-least-once consumers/LWW absorb the overlap.
+
+    ``parallel=N`` upgrades step 2 to the executor-parallel scan under
+    the slot's EXPORTED snapshot
+    (:func:`~go_pq_cdc_kafka_spark.sources.snapshot.parallel_snapshot_over_wire`):
+    N keyset ranges scan concurrently, each pinned to the slot's exact
+    MVCC state, so the snapshot/stream boundary is EXACT — post-slot
+    commits appear in no chunk and replay from the WAL only (no overlap
+    for LWW to absorb). Requires a FRESH slot (a pre-existing slot has no
+    exported snapshot: falls back to the serial scan). The slot-creating
+    connection is held open and idle until the scan lands, per Postgres's
+    exported-snapshot lifetime rule."""
     from go_pq_cdc_kafka_spark.sources import cdc
     from go_pq_cdc_kafka_spark.sources import snapshot as SN
     from go_pq_cdc_kafka_spark.sources import wire
@@ -183,38 +195,53 @@ def snapshot_then_stream_over_wire(
         slot_conn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
         try:
             row = slot_conn.create_replication_slot(slot)
+            slot_lsn = (
+                wire.parse_lsn(row["consistent_point"])
+                if row and row.get("consistent_point")
+                else None
+            )
+            snap_name = row.get("snapshot_name") if row else None
+            if parallel and snap_name:
+                # exported-snapshot parallel scan — slot_conn must stay
+                # OPEN and IDLE until the scan is durable (next command
+                # or close invalidates the exported snapshot), so the
+                # materializing write happens inside this block
+                snap_df = SN.parallel_snapshot_over_wire(
+                    spark, dsn, table, pk=pk_field,
+                    schema_name=schema_name, n_chunks=parallel,
+                    snapshot_name=snap_name, chunk_size=chunk_size,
+                )
+                scan_lsn = None  # fresh slot ⇒ slot_lsn is the handoff
+            else:
+                snap_df, scan_lsn = SN.snapshot_df_over_wire(
+                    spark, dsn, table, pk=pk_field,
+                    schema_name=schema_name, chunk_size=chunk_size,
+                )
+            # Fresh slot: start from its consistent point (<= scan
+            # position; the overlap replays from retained WAL and is
+            # absorbed at-least-once — and with the parallel exported-
+            # snapshot scan there is no overlap at all). Pre-existing
+            # slot (row is None, 42710 swallowed): the scan position is
+            # the floor instead — everything below it is already captured
+            # by the snapshot, and the reader's >-filter must not
+            # re-emit that history.
+            #
+            # MINUS ONE, because both positions are end-of-WAL markers:
+            # the NEXT record begins exactly AT them, and the stream
+            # reader's resume filter is strictly ``lsn > offset`` (it
+            # must be — an inclusive filter would re-emit the last event
+            # of every batch). Live-PG-verified: on a quiet server the
+            # first post-slot commit decodes with lsn == consistent_point
+            # and a non-decremented handoff silently drops it.
+            handoff_lsn = (slot_lsn if slot_lsn is not None else scan_lsn) - 1
+            snap_pipe = CdcPipeline(
+                source=snap_df, routing=routing, pk_field=pk_field
+            )
+            snap_pipe.run_batch().write.mode("overwrite").parquet(snap_dir)
+            with open(snap_marker, "w", encoding="utf-8") as f:
+                f.write(str(handoff_lsn))
         finally:
             slot_conn.close()
-        slot_lsn = (
-            wire.parse_lsn(row["consistent_point"])
-            if row and row.get("consistent_point")
-            else None
-        )
-        snap_df, scan_lsn = SN.snapshot_df_over_wire(
-            spark, dsn, table, pk=pk_field, schema_name=schema_name,
-            chunk_size=chunk_size,
-        )
-        # Fresh slot: start from its consistent point (<= scan position;
-        # the overlap replays from retained WAL and is absorbed at-least-
-        # once). Pre-existing slot (row is None, 42710 swallowed): the
-        # scan position is the floor instead — everything below it is
-        # already captured by the snapshot, and the reader's >-filter
-        # must not re-emit that history.
-        #
-        # MINUS ONE, because both positions are end-of-WAL markers: the
-        # NEXT record begins exactly AT them, and the stream reader's
-        # resume filter is strictly ``lsn > offset`` (it must be — an
-        # inclusive filter would re-emit the last event of every batch).
-        # Live-PG-verified: on a quiet server the first post-slot commit
-        # decodes with lsn == consistent_point and a non-decremented
-        # handoff silently drops it.
-        handoff_lsn = (slot_lsn if slot_lsn is not None else scan_lsn) - 1
-        snap_pipe = CdcPipeline(
-            source=snap_df, routing=routing, pk_field=pk_field
-        )
-        snap_pipe.run_batch().write.mode("overwrite").parquet(snap_dir)
-        with open(snap_marker, "w", encoding="utf-8") as f:
-            f.write(str(handoff_lsn))
     n = spark.read.parquet(snap_dir).count()
 
     cdc.register(spark)

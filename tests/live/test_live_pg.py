@@ -872,3 +872,73 @@ def test_live_parallel_snapshot_exported_snapshot_consistency(spark):
         except wire.WireError:
             pass
         admin.close()
+
+
+def test_live_initial_mode_parallel_exported_snapshot_no_gap(spark, tmp_path):
+    """initial mode with parallel=4: the executor-parallel scan runs under
+    the slot's exported snapshot (slot connection held open+idle), 5000
+    snapshot rows land via 4 concurrent range scans, a post-snapshot
+    INSERT arrives exactly once via the stream, and nothing duplicates."""
+    import json
+
+    from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+    from go_pq_cdc_kafka_spark.streaming import handoff as HO
+    from go_pq_cdc_kafka_spark.streaming import sinks as SK
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_pho_{suffix}", f"sg_phop_{suffix}", f"sg_phos_{suffix}"
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)')
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    admin.simple_query(
+        f'INSERT INTO "{tbl}" SELECT g, \'pre\' || g '
+        f"FROM generate_series(1, 5000) g"
+    )
+    load = None
+    try:
+        load = HO.snapshot_then_stream_over_wire(
+            spark,
+            DSN,
+            slot,
+            pub,
+            table=tbl,
+            pk_field="id",
+            routing=RoutingTable({f"public.{tbl}": f"{tbl}.cdc"}),
+            out_path=str(tmp_path / "out"),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            parallel=4,
+        )
+        assert load.snapshot_records == 5000
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (9001, 'post')")
+        deadline = time.monotonic() + 60
+        ops_by_name: dict[str, list] = {}
+        while time.monotonic() < deadline:
+            recs = SK.read_committed(spark, str(tmp_path / "out")).collect()
+            ops_by_name = {}
+            for r in recs:
+                p = json.loads(bytes(r.value))
+                ops_by_name.setdefault(p["name"], []).append(p["operation"])
+            if "post" in ops_by_name:
+                break
+            time.sleep(0.5)
+        assert ops_by_name.get("post") == ["INSERT"]
+        # every snapshot row exactly once, all via the parallel scan
+        snap_ops = [
+            ops
+            for name, ops in ops_by_name.items()
+            if name.startswith("pre")
+        ]
+        assert len(snap_ops) == 5000
+        assert all(ops == ["SNAPSHOT"] for ops in snap_ops)
+    finally:
+        try:
+            if load is not None:
+                load.query.stop()
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            try:
+                admin.drop_replication_slot(slot)
+            except wire.WireError:
+                pass
+        finally:
+            admin.close()
