@@ -102,6 +102,11 @@ def main() -> None:
         assert len(events) == n_rows
         assert events[0]["after"]["name"] == "user1"
 
+        # tier 1b: initial-load (snapshot) throughput over the wire —
+        # serial chunked scan vs the executor-parallel exported-snapshot
+        # scan on the same table (the two initial-mode tiers)
+        from go_pq_cdc_kafka_spark.sources import snapshot as SN
+
         import tempfile as _tf
 
         from go_pq_cdc_kafka_spark import envelope as ENV
@@ -113,6 +118,32 @@ def main() -> None:
 
         spark = get_spark(app_name="live-bench")
         routing = RoutingTable({f"public.{tbl}": f"{tbl}.cdc"})
+
+        t0 = time.monotonic()
+        # eager: the whole serial wire scan happens inside this call
+        serial_df, _ = SN.snapshot_df_over_wire(spark, dsn, tbl, pk="id")
+        n_serial = serial_df.count()
+        serial_secs = time.monotonic() - t0
+        out["snapshot_serial_rows_per_sec"] = round(n_serial / serial_secs, 1)
+
+        snap_conn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+        srow = snap_conn.create_replication_slot(f"{slot}_snap")
+        try:
+            t0 = time.monotonic()
+            n_par = SN.parallel_snapshot_over_wire(
+                spark, dsn, tbl, pk="id", n_chunks=8,
+                snapshot_name=srow["snapshot_name"],
+            ).count()
+            par_secs = time.monotonic() - t0
+        finally:
+            snap_conn.close()
+            dc = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+            try:
+                dc.drop_replication_slot(f"{slot}_snap")
+            finally:
+                dc.close()
+        assert n_par == n_serial == n_rows, (n_par, n_serial, n_rows)
+        out["snapshot_parallel_rows_per_sec"] = round(n_par / par_secs, 1)
 
         # sustained-regime sizing: small workloads are dominated by the
         # per-trigger fixed cost and the 1 s sink-poll quantization
