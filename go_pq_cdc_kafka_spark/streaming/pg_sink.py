@@ -262,3 +262,81 @@ def foreach_batch_pg_upsert(
         df.mapInPandas(part, "rows long").count()
 
     return fn
+
+
+def pg_type_for(dt) -> str:
+    """Spark type → PostgreSQL column type (loud on unmapped types)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.IntegerType):
+        return "integer"
+    if isinstance(dt, (T.ShortType, T.ByteType)):
+        return "smallint"
+    if isinstance(dt, T.DoubleType):
+        return "double precision"
+    if isinstance(dt, T.FloatType):
+        return "real"
+    if isinstance(dt, T.StringType):
+        return "text"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "bytea"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"numeric({dt.precision},{dt.scale})"
+    raise ValueError(f"no PostgreSQL mapping for Spark type {dt}")
+
+
+def build_create_table_sql(
+    schema: str,
+    table: str,
+    spark_schema,
+    key_cols: Sequence[str],
+    op_col: str | None = None,
+) -> str:
+    """CREATE TABLE IF NOT EXISTS <target> (cols..., PRIMARY KEY (keys))
+    from a DataFrame schema — the serving-table bootstrap. Key columns
+    get NOT NULL (primary-key requirement); ``op_col`` is excluded (it
+    routes upsert-vs-delete, it is not data)."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    cols = []
+    for f in spark_schema.fields:
+        if f.name == op_col:
+            continue
+        null_sql = " NOT NULL" if f.name in key_cols else ""
+        cols.append(f"{_quote_ident(f.name)} {pg_type_for(f.dataType)}{null_sql}")
+    keys_sql = ", ".join(_quote_ident(c) for c in key_cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS "
+        f"{_quote_ident(schema)}.{_quote_ident(table)} "
+        f"({', '.join(cols)}, PRIMARY KEY ({keys_sql}))"
+    )
+
+
+def ensure_table(
+    dsn: str,
+    table: str,
+    spark_schema,
+    key_cols: Sequence[str],
+    schema: str = "public",
+    op_col: str | None = None,
+) -> None:
+    """Create the serving table if absent (idempotent)."""
+    from go_pq_cdc_kafka_spark.sources import wire
+
+    conn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+    try:
+        conn.simple_query(
+            build_create_table_sql(schema, table, spark_schema, key_cols, op_col)
+        )
+    finally:
+        conn.close()

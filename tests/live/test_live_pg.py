@@ -760,9 +760,6 @@ def test_live_pg_upsert_sink_copy_bulk_path(spark):
     suffix = uuid.uuid4().hex[:8]
     tbl = f"sg_copy_{suffix}"
     admin = _conn()
-    admin.simple_query(
-        f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text, blob bytea)'
-    )
     try:
         b1 = spark.createDataFrame(
             [
@@ -772,6 +769,9 @@ def test_live_pg_upsert_sink_copy_bulk_path(spark):
             ],
             "id long, name string, blob binary",
         ).repartition(2)
+        # serving-table bootstrap from the DataFrame schema (idempotent)
+        PS.ensure_table(DSN, tbl, b1.schema, ["id"])
+        PS.ensure_table(DSN, tbl, b1.schema, ["id"])
         sink = PS.foreach_batch_pg_upsert(DSN, tbl, ["id"], use_copy=True)
         sink(b1, 0)
 

@@ -58,3 +58,31 @@ def test_copy_text_encoding():
     with pytest.raises(ValueError, match="non-finite"):
         PS.copy_text_value(float("inf"))
     assert PS.copy_text_row([1, None, "x"]) == b"1\t\\N\tx\n"
+
+
+def test_build_create_table_sql_maps_types_and_keys():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("amount", T.DecimalType(12, 2), True),
+            T.StructField("seen", T.TimestampNTZType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    sql = PS.build_create_table_sql("public", "serve", schema, ["id"], op_col="op")
+    assert sql == (
+        'CREATE TABLE IF NOT EXISTS "public"."serve" '
+        '("id" bigint NOT NULL, "name" text, "amount" numeric(12,2), '
+        '"seen" timestamp, "blob" bytea, PRIMARY KEY ("id"))'
+    )
+
+
+def test_pg_type_unmapped_raises():
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="no PostgreSQL mapping"):
+        PS.pg_type_for(T.ArrayType(T.LongType()))
