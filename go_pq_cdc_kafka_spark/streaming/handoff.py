@@ -213,6 +213,12 @@ def snapshot_then_stream_over_wire(
                 )
                 scan_lsn = None  # fresh slot ⇒ slot_lsn is the handoff
             else:
+                # Serial scan does not use the exported snapshot, and the
+                # slot is durable once the DDL returns — release the slot
+                # session BEFORE dialing the scan connection. (Holding it
+                # open serializes two live sessions for no benefit, and
+                # deadlocks single-connection-at-a-time test servers.)
+                slot_conn.close()
                 snap_df, scan_lsn = SN.snapshot_df_over_wire(
                     spark, dsn, table, pk=pk_field,
                     schema_name=schema_name, chunk_size=chunk_size,

@@ -177,3 +177,43 @@ class KafkaProducerConfig:
     def trigger_kwargs(self) -> dict[str, str]:
         """The ticker (B2) as a processing-time trigger."""
         return {"processingTime": f"{self.producer_batch_ticker_duration_s} seconds"}
+
+    def wire_kwargs(self) -> dict:
+        """Constructor kwargs for the from-scratch producer
+        (kafka_wire.KafkaWireProducer) — the jar-free produce path that can
+        execute in environments without the spark-sql-kafka connector.
+
+        Loud rejections instead of silent downgrades: the wire client speaks
+        PLAINTEXT (TLS/SASL stay on the jar-backed sink), places keys with
+        the Java-compatible murmur2 partitioner (HASH/MURMUR2 balancers
+        only), and compresses with gzip or not at all (no pure-Python
+        snappy/lz4/zstd in the environment)."""
+        from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
+
+        if self.sasl_enabled or self.tls_enabled:
+            raise ValueError(
+                "the kafka_wire produce path speaks PLAINTEXT only; use the "
+                "jar-backed sink (sink_options) for TLS/SASL clusters"
+            )
+        if self.balancer not in (Balancer.HASH, Balancer.MURMUR2):
+            raise ValueError(
+                f"balancer {self.balancer.value!r} is not available on the "
+                "kafka_wire path (murmur2 key placement only)"
+            )
+        codec = {
+            Compression.NONE: kw.COMPRESSION_NONE,
+            Compression.GZIP: kw.COMPRESSION_GZIP,
+        }.get(self.compression)
+        if codec is None:
+            raise ValueError(
+                f"compression {self.compression.kafka_name!r} has no "
+                "pure-Python codec here; kafka_wire supports none/gzip"
+            )
+        return {
+            "bootstrap": list(self.brokers),
+            "client_id": self.client_id,
+            "acks": self.required_acks,
+            "timeout_ms": int(self.write_timeout_s * 1000),
+            "compression": codec,
+            "timeout_s": self.read_timeout_s,
+        }

@@ -1,0 +1,765 @@
+"""From-scratch Kafka wire-protocol client (producer + minimal consumer).
+
+The reference produces through kafka-go (kafka/producer.go:1-88 via
+segmentio/kafka-go); this module replaces that *upstream dependency* with a
+pure-Python implementation of the public Apache Kafka protocol
+(https://kafka.apache.org/protocol) — the same move sources/wire.py makes
+for PostgreSQL's replication protocol instead of depending on go-pq-cdc.
+Nothing here is derived from the reference repo: the byte layouts come from
+the Kafka protocol guide and KIP-98 (record batch v2).
+
+Why it exists: the sandbox has no spark-sql-kafka connector jar and no
+broker, so the ``kafka.*``-option sink (streaming/kafka.py) can never
+execute here. This client can — executor-side via ``mapInPandas`` (see
+pipeline.CdcPipeline.to_kafka_wire), against any real Kafka >= 0.11 broker
+or the protocol-conformance MiniBroker (streaming/minibroker.py) used by
+the tests.
+
+Protocol surface (deliberately non-flexible, pre-KIP-482 versions — fixed
+layouts every broker since 0.11 supports):
+
+- ApiVersions v0            — handshake sanity check
+- Metadata v1               — partition counts + leader discovery
+- Produce v3                — record batch v2 (magic=2) with CRC32C
+- Fetch v4                  — read-back for verification / consumer tier
+
+Scale posture: one producer instance per executor task, batches grouped by
+(topic, partition) and produced in a single Produce request per leader —
+the same connection/batch shape as the Java client. No driver-side loops.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import socket
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli) — required by record batch v2. Table-driven,
+# reflected polynomial 0x82F63B78 (public algorithm, RFC 3720 appendix).
+# ---------------------------------------------------------------------------
+
+def _make_crc32c_table() -> list[int]:
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Murmur2 — the Java client's default-partitioner hash (public algorithm;
+# matches org.apache.kafka.common.utils.Utils.murmur2). Keys land on the
+# byte-identical partition a Java producer would pick (kafka.py Balancer
+# MURMUR2 contract).
+# ---------------------------------------------------------------------------
+
+def murmur2(data: bytes) -> int:
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    r = 24
+    mask = 0xFFFFFFFF
+    h = (seed ^ length) & mask
+    n_blocks = length // 4
+    for i in range(n_blocks):
+        (k,) = struct.unpack_from("<i", data, i * 4)
+        k = (k * m) & mask
+        k ^= (k % 0x100000000) >> r
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    tail = data[n_blocks * 4:]
+    if len(tail) >= 3:
+        h ^= (tail[2] & 0xFF) << 16
+    if len(tail) >= 2:
+        h ^= (tail[1] & 0xFF) << 8
+    if len(tail) >= 1:
+        h ^= tail[0] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes | None, num_partitions: int, counter: int = 0) -> int:
+    """Java default partitioner: murmur2(key) & 0x7fffffff % N; keyless
+    records round-robin on ``counter`` (sticky-partitioner simplification)."""
+    if key is None:
+        return counter % num_partitions
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+# ---------------------------------------------------------------------------
+# primitive codecs
+# ---------------------------------------------------------------------------
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_varint(out: bytearray, value: int) -> None:
+    v = _zigzag_encode(value) & 0xFFFFFFFFFFFFFFFF
+    while (v & ~0x7F) != 0:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return _zigzag_decode(result), pos
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    raw = s.encode("utf-8")
+    return struct.pack(">h", len(raw)) + raw
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class _Reader:
+    """Cursor over a response body."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">b", self.buf, self.pos)
+        self.pos += 1
+        return v
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.pos)
+        self.pos += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n == -1:
+            return None
+        v = self.buf[self.pos:self.pos + n].decode("utf-8")
+        self.pos += n
+        return v
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        if n == -1:
+            return None
+        v = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return v
+
+
+# ---------------------------------------------------------------------------
+# record batch v2 (magic=2, KIP-98)
+# ---------------------------------------------------------------------------
+
+COMPRESSION_NONE = 0
+COMPRESSION_GZIP = 1
+_CODEC_BITS = 0x07
+
+
+@dataclass
+class Record:
+    key: bytes | None
+    value: bytes | None
+    headers: list[tuple[str, bytes | None]] = field(default_factory=list)
+    timestamp_ms: int | None = None
+    offset: int = 0  # absolute offset, filled by the decoder
+
+
+def _encode_record(rec: Record, offset_delta: int, ts_delta: int) -> bytes:
+    body = bytearray()
+    body.append(0)  # record attributes (unused)
+    write_varint(body, ts_delta)
+    write_varint(body, offset_delta)
+    if rec.key is None:
+        write_varint(body, -1)
+    else:
+        write_varint(body, len(rec.key))
+        body += rec.key
+    if rec.value is None:
+        write_varint(body, -1)
+    else:
+        write_varint(body, len(rec.value))
+        body += rec.value
+    write_varint(body, len(rec.headers))
+    for hk, hv in rec.headers:
+        hk_raw = hk.encode("utf-8")
+        write_varint(body, len(hk_raw))
+        body += hk_raw
+        if hv is None:
+            write_varint(body, -1)
+        else:
+            write_varint(body, len(hv))
+            body += hv
+    out = bytearray()
+    write_varint(out, len(body))
+    out += body
+    return bytes(out)
+
+
+def encode_record_batch(
+    records: list[Record],
+    base_timestamp_ms: int | None = None,
+    compression: int = COMPRESSION_NONE,
+    base_offset: int = 0,
+) -> bytes:
+    """Encode one record batch (magic=2). CRC32C covers everything after the
+    crc field, computed over the (possibly compressed) payload — the layout
+    a real broker validates before accepting the batch."""
+    if not records:
+        raise ValueError("empty record batch")
+    if base_timestamp_ms is None:
+        base_timestamp_ms = next(
+            (r.timestamp_ms for r in records if r.timestamp_ms is not None),
+            int(time.time() * 1000),
+        )
+    max_ts = base_timestamp_ms
+    payload = bytearray()
+    for i, rec in enumerate(records):
+        ts = rec.timestamp_ms if rec.timestamp_ms is not None else base_timestamp_ms
+        max_ts = max(max_ts, ts)
+        payload += _encode_record(rec, i, ts - base_timestamp_ms)
+    payload_bytes = bytes(payload)
+    if compression == COMPRESSION_GZIP:
+        payload_bytes = gzip.compress(payload_bytes, mtime=0)
+    elif compression != COMPRESSION_NONE:
+        raise ValueError(
+            f"compression codec {compression} not implemented in pure Python "
+            "(gzip only); use the jar-backed sink for snappy/lz4/zstd"
+        )
+
+    attributes = compression & _CODEC_BITS
+    after_crc = (
+        struct.pack(
+            ">hiqqqhii",
+            attributes,
+            len(records) - 1,          # lastOffsetDelta
+            base_timestamp_ms,
+            max_ts,
+            -1,                        # producerId
+            -1,                        # producerEpoch
+            -1,                        # baseSequence
+            len(records),
+        )
+        + payload_bytes
+    )
+    crc = crc32c(after_crc)
+    batch_tail = struct.pack(">ibI", -1, 2, crc) + after_crc  # leaderEpoch, magic, crc
+    return struct.pack(">qi", base_offset, len(batch_tail)) + batch_tail
+
+
+def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
+    """Decode a concatenation of record batches into absolute-offset records.
+    Raises on CRC mismatch (what a broker does: CORRUPT_MESSAGE)."""
+    out: list[Record] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        start = pos + 12
+        end = start + batch_len
+        if end > len(buf):
+            break  # partial trailing batch (legal in Fetch responses)
+        leader_epoch, magic, crc = struct.unpack_from(">ibI", buf, start)
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        after_crc = buf[start + 9:end]
+        if verify_crc and crc32c(after_crc) != crc:
+            raise ValueError("record batch CRC32C mismatch (corrupt message)")
+        r = _Reader(after_crc)
+        attributes = r.i16()
+        r.i32()  # lastOffsetDelta
+        base_ts = r.i64()
+        r.i64()  # maxTimestamp
+        r.i64()  # producerId
+        r.i16()  # producerEpoch
+        r.i32()  # baseSequence
+        count = r.i32()
+        payload = after_crc[r.pos:]
+        codec = attributes & _CODEC_BITS
+        if codec == COMPRESSION_GZIP:
+            payload = gzip.decompress(payload)
+        elif codec != COMPRESSION_NONE:
+            raise ValueError(f"compression codec {codec} not implemented")
+        ppos = 0
+        for _ in range(count):
+            rec_len, ppos = read_varint(payload, ppos)
+            rec_end = ppos + rec_len
+            ppos += 1  # record attributes
+            ts_delta, ppos = read_varint(payload, ppos)
+            off_delta, ppos = read_varint(payload, ppos)
+            klen, ppos = read_varint(payload, ppos)
+            key = None if klen < 0 else payload[ppos:ppos + klen]
+            ppos += max(klen, 0)
+            vlen, ppos = read_varint(payload, ppos)
+            value = None if vlen < 0 else payload[ppos:ppos + vlen]
+            ppos += max(vlen, 0)
+            hcount, ppos = read_varint(payload, ppos)
+            headers = []
+            for _ in range(hcount):
+                hklen, ppos = read_varint(payload, ppos)
+                hk = payload[ppos:ppos + hklen].decode("utf-8")
+                ppos += hklen
+                hvlen, ppos = read_varint(payload, ppos)
+                hv = None if hvlen < 0 else payload[ppos:ppos + hvlen]
+                ppos += max(hvlen, 0)
+                headers.append((hk, hv))
+            assert ppos == rec_end, "record length mismatch"
+            out.append(
+                Record(
+                    key=key,
+                    value=value,
+                    headers=headers,
+                    timestamp_ms=base_ts + ts_delta,
+                    offset=base_offset + off_delta,
+                )
+            )
+        pos = end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request/response framing
+# ---------------------------------------------------------------------------
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_METADATA = 3
+API_VERSIONS = 18
+
+ERR_NONE = 0
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_CORRUPT_MESSAGE = 2
+ERR_NOT_LEADER = 6
+
+ERROR_NAMES = {
+    0: "NONE",
+    2: "CORRUPT_MESSAGE",
+    3: "UNKNOWN_TOPIC_OR_PARTITION",
+    5: "LEADER_NOT_AVAILABLE",
+    6: "NOT_LEADER_FOR_PARTITION",
+    7: "REQUEST_TIMED_OUT",
+}
+
+
+class KafkaProtocolError(RuntimeError):
+    def __init__(self, code: int, context: str):
+        self.code = code
+        super().__init__(
+            f"{context}: error_code={code} ({ERROR_NAMES.get(code, 'UNKNOWN')})"
+        )
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    chunks = []
+    while n > 0:
+        chunk = sock.recv(n)
+        if not chunk:
+            raise ConnectionError("broker closed connection mid-frame")
+        chunks.append(chunk)
+        n -= len(chunk)
+    return b"".join(chunks)
+
+
+class BrokerConnection:
+    """One TCP connection to one broker; correlation-id request/response."""
+
+    def __init__(self, host: str, port: int, client_id: str, timeout_s: float = 30.0):
+        self.client_id = client_id
+        self._corr = 0
+        self._lock = threading.Lock()
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def request(
+        self,
+        api_key: int,
+        api_version: int,
+        body: bytes,
+        expect_response: bool = True,
+    ) -> _Reader | None:
+        with self._lock:
+            self._corr += 1
+            corr = self._corr
+            header = (
+                struct.pack(">hhi", api_key, api_version, corr)
+                + _str(self.client_id)
+            )
+            msg = header + body
+            self.sock.sendall(struct.pack(">i", len(msg)) + msg)
+            if not expect_response:  # Produce acks=0: no response frame
+                return None
+            (size,) = struct.unpack(">i", _recv_exact(self.sock, 4))
+            resp = _recv_exact(self.sock, size)
+        (resp_corr,) = struct.unpack_from(">i", resp, 0)
+        if resp_corr != corr:
+            raise ConnectionError(
+                f"correlation id mismatch: sent {corr}, got {resp_corr}"
+            )
+        return _Reader(resp[4:])
+
+
+@dataclass
+class PartitionMeta:
+    partition: int
+    leader: int
+
+
+@dataclass
+class ClusterMeta:
+    brokers: dict[int, tuple[str, int]]
+    topics: dict[str, list[PartitionMeta]]
+    topic_errors: dict[str, int]
+
+
+class KafkaWireClient:
+    """Bootstrap + metadata + per-leader connections (shared by producer
+    and consumer)."""
+
+    def __init__(
+        self,
+        bootstrap: list[str] | str,
+        client_id: str = "go-pq-cdc-kafka-spark",
+        timeout_s: float = 30.0,
+    ):
+        if isinstance(bootstrap, str):
+            bootstrap = [b.strip() for b in bootstrap.split(",") if b.strip()]
+        if not bootstrap:
+            raise ValueError("no bootstrap brokers given")
+        self.bootstrap = [
+            (h, int(p)) for h, _, p in (b.rpartition(":") for b in bootstrap)
+        ]
+        self.client_id = client_id
+        self.timeout_s = timeout_s
+        self._conns: dict[int, BrokerConnection] = {}
+        self._boot: BrokerConnection | None = None
+
+    # -- connections ------------------------------------------------------
+    def _bootstrap_conn(self) -> BrokerConnection:
+        if self._boot is not None:
+            return self._boot
+        last_err: Exception | None = None
+        for host, port in self.bootstrap:
+            try:
+                self._boot = BrokerConnection(
+                    host, port, self.client_id, self.timeout_s
+                )
+                return self._boot
+            except OSError as e:  # try next seed
+                last_err = e
+        raise ConnectionError(f"no bootstrap broker reachable: {last_err}")
+
+    def conn_for(self, node_id: int, meta: ClusterMeta) -> BrokerConnection:
+        conn = self._conns.get(node_id)
+        if conn is None:
+            host, port = meta.brokers[node_id]
+            conn = BrokerConnection(host, port, self.client_id, self.timeout_s)
+            self._conns[node_id] = conn
+        return conn
+
+    def close(self) -> None:
+        for c in self._conns.values():
+            c.close()
+        self._conns.clear()
+        if self._boot is not None:
+            self._boot.close()
+            self._boot = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- APIs -------------------------------------------------------------
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._bootstrap_conn().request(API_VERSIONS, 0, b"")
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, "ApiVersions")
+        out = {}
+        for _ in range(r.i32()):
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str]) -> ClusterMeta:
+        body = bytearray(struct.pack(">i", len(topics)))
+        for t in topics:
+            body += _str(t)
+        r = self._bootstrap_conn().request(API_METADATA, 1, bytes(body))
+        brokers: dict[int, tuple[str, int]] = {}
+        for _ in range(r.i32()):
+            node = r.i32()
+            host = r.string()
+            port = r.i32()
+            r.string()  # rack
+            brokers[node] = (host, port)
+        r.i32()  # controller id
+        tmeta: dict[str, list[PartitionMeta]] = {}
+        terrs: dict[str, int] = {}
+        for _ in range(r.i32()):
+            terr = r.i16()
+            name = r.string()
+            r.i8()  # is_internal
+            parts = []
+            for _ in range(r.i32()):
+                r.i16()  # partition error
+                pid = r.i32()
+                leader = r.i32()
+                for _ in range(r.i32()):
+                    r.i32()  # replicas
+                for _ in range(r.i32()):
+                    r.i32()  # isr
+                parts.append(PartitionMeta(pid, leader))
+            tmeta[name] = sorted(parts, key=lambda p: p.partition)
+            terrs[name] = terr
+        return ClusterMeta(brokers=brokers, topics=tmeta, topic_errors=terrs)
+
+    def await_topics(self, topics: list[str], attempts: int = 40) -> ClusterMeta:
+        """Metadata with retry while auto-creation settles
+        (LEADER_NOT_AVAILABLE / missing partitions)."""
+        meta = self.metadata(topics)
+        for _ in range(attempts):
+            pending = [
+                t
+                for t in topics
+                if meta.topic_errors.get(t, ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                not in (ERR_NONE,)
+                or not meta.topics.get(t)
+            ]
+            if not pending:
+                return meta
+            time.sleep(0.25)
+            meta = self.metadata(topics)
+        raise KafkaProtocolError(
+            meta.topic_errors.get(pending[0], -1), f"metadata for {pending[0]}"
+        )
+
+
+class KafkaWireProducer(KafkaWireClient):
+    """acks=all producer over the from-scratch protocol stack.
+
+    ``send_records(topic_records)`` takes ``(topic, key, value, headers)``
+    tuples, picks partitions with the Java-compatible murmur2 partitioner,
+    encodes ONE record batch per (topic, partition), groups batches into one
+    Produce request per leader broker, and raises on any partition error —
+    so a foreachBatch caller fails the micro-batch and Spark's checkpoint
+    redelivers (the reference's at-least-once ack contract,
+    producer_batch.go:141-151)."""
+
+    def __init__(
+        self,
+        bootstrap: list[str] | str,
+        client_id: str = "go-pq-cdc-kafka-spark",
+        acks: int = -1,
+        timeout_ms: int = 30000,
+        compression: int = COMPRESSION_NONE,
+        timeout_s: float = 30.0,
+    ):
+        super().__init__(bootstrap, client_id, timeout_s)
+        self.acks = acks
+        self.timeout_ms = timeout_ms
+        self.compression = compression
+        self._round_robin = 0
+
+    def send_records(
+        self,
+        items: list[tuple[str, bytes | None, bytes | None, list[tuple[str, bytes]]]],
+        timestamp_ms: int | None = None,
+    ) -> dict[tuple[str, int], int]:
+        """Produce all items; returns {(topic, partition): base_offset}."""
+        if not items:
+            return {}
+        topics = sorted({t for t, *_ in items})
+        meta = self.await_topics(topics)
+        grouped: dict[tuple[str, int], list[Record]] = {}
+        for topic, key, value, headers in items:
+            nparts = len(meta.topics[topic])
+            pid = partition_for_key(key, nparts, self._round_robin)
+            if key is None:
+                self._round_robin += 1
+            grouped.setdefault((topic, pid), []).append(
+                Record(key=key, value=value, headers=list(headers or []),
+                       timestamp_ms=timestamp_ms)
+            )
+        return self._produce_grouped(grouped, meta)
+
+    def _produce_grouped(
+        self,
+        grouped: dict[tuple[str, int], list[Record]],
+        meta: ClusterMeta,
+        retries: int = 3,
+    ) -> dict[tuple[str, int], int]:
+        by_leader: dict[int, dict[str, dict[int, bytes]]] = {}
+        for (topic, pid), recs in grouped.items():
+            leader = next(
+                p.leader for p in meta.topics[topic] if p.partition == pid
+            )
+            batch = encode_record_batch(recs, compression=self.compression)
+            by_leader.setdefault(leader, {}).setdefault(topic, {})[pid] = batch
+
+        offsets: dict[tuple[str, int], int] = {}
+        retriable: dict[tuple[str, int], list[Record]] = {}
+        for leader, topic_data in by_leader.items():
+            body = bytearray()
+            body += _str(None)  # transactional_id
+            body += struct.pack(">hi", self.acks, self.timeout_ms)
+            body += struct.pack(">i", len(topic_data))
+            for topic, parts in topic_data.items():
+                body += _str(topic)
+                body += struct.pack(">i", len(parts))
+                for pid, batch in parts.items():
+                    body += struct.pack(">i", pid)
+                    body += _bytes(batch)
+            conn = self.conn_for(leader, meta)
+            r = conn.request(
+                API_PRODUCE, 3, bytes(body), expect_response=self.acks != 0
+            )
+            if r is None:
+                continue  # acks=0 fire-and-forget: no response frame
+            for _ in range(r.i32()):
+                topic = r.string()
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    code = r.i16()
+                    base_offset = r.i64()
+                    r.i64()  # log_append_time
+                    if code in (ERR_NOT_LEADER, ERR_UNKNOWN_TOPIC_OR_PARTITION):
+                        retriable[(topic, pid)] = grouped[(topic, pid)]
+                    elif code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"Produce {topic}[{pid}]"
+                        )
+                    else:
+                        offsets[(topic, pid)] = base_offset
+            r.i32()  # throttle_time_ms
+
+        if retriable:
+            if retries <= 0:
+                topic, pid = next(iter(retriable))
+                raise KafkaProtocolError(
+                    ERR_NOT_LEADER, f"Produce {topic}[{pid}] (retries exhausted)"
+                )
+            time.sleep(0.25)
+            fresh = self.await_topics(sorted({t for t, _ in retriable}))
+            offsets.update(
+                self._produce_grouped(retriable, fresh, retries - 1)
+            )
+        return offsets
+
+
+class KafkaWireConsumer(KafkaWireClient):
+    """Minimal fetch-based reader — verification / read-back tier, not a
+    consumer group (no offsets commit; callers track positions)."""
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int = 0,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 500,
+    ) -> tuple[list[Record], int]:
+        """Returns (records from ``offset`` on, high_watermark)."""
+        meta = self.await_topics([topic])
+        leader = next(
+            p.leader for p in meta.topics[topic] if p.partition == partition
+        )
+        body = bytearray()
+        body += struct.pack(">iiii", -1, max_wait_ms, 0, max_bytes)
+        body += struct.pack(">b", 0)  # isolation_level: read_uncommitted
+        body += struct.pack(">i", 1)
+        body += _str(topic)
+        body += struct.pack(">i", 1)
+        body += struct.pack(">iqi", partition, offset, max_bytes)
+        conn = self.conn_for(leader, meta)
+        r = conn.request(API_FETCH, 4, bytes(body))
+        r.i32()  # throttle_time
+        records: list[Record] = []
+        hwm = 0
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _ in range(r.i32()):
+                r.i32()  # partition
+                code = r.i16()
+                hwm = r.i64()
+                r.i64()  # last_stable_offset
+                n_aborted = r.i32()
+                for _ in range(max(n_aborted, 0)):
+                    r.i64()
+                    r.i64()
+                record_set = r.bytes_() or b""
+                if code != ERR_NONE:
+                    raise KafkaProtocolError(code, f"Fetch {topic}[{partition}]")
+                records.extend(decode_record_batches(record_set))
+        return [rec for rec in records if rec.offset >= offset], hwm
+
+    def read_all(self, topic: str) -> list[Record]:
+        """Drain every partition from offset 0 (test-tier convenience)."""
+        meta = self.await_topics([topic])
+        out: list[Record] = []
+        for p in meta.topics[topic]:
+            pos = 0
+            while True:
+                recs, hwm = self.fetch(topic, p.partition, pos)
+                out.extend(recs)
+                pos = max((r.offset for r in recs), default=pos - 1) + 1
+                if pos >= hwm or not recs:
+                    break
+        return out

@@ -1,0 +1,274 @@
+"""MiniBroker — an in-process, single-node Kafka broker speaking the same
+fixed-layout protocol versions the kafka_wire client emits.
+
+Purpose: protocol-conformance fixture. The sandbox has no real broker, so
+the live-Kafka tier (tests/live/test_live_kafka.py) is env-gated; this
+broker lets the produce path EXECUTE — full TCP framing, Metadata
+leader discovery, record-batch v2 decode with mandatory CRC32C validation
+(rejecting a corrupt batch with CORRUPT_MESSAGE exactly as a real broker
+would), offset assignment, and Fetch read-back. It is intentionally not a
+durability layer: storage is in-memory, one node, no consumer groups.
+
+The test value is the byte format: everything the producer sends is parsed
+by an *independent decoder path* (decode_record_batches) and everything
+read back travels through real Fetch frames, so a client bug in varint
+zigzag, CRC coverage, or batch layout fails loudly instead of round-
+tripping through shared in-memory objects.
+
+APIs served: ApiVersions v0, Metadata v0-v1, Produce v3, Fetch v4.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+from dataclasses import dataclass, field
+
+from .kafka_wire import (
+    API_FETCH,
+    API_METADATA,
+    API_PRODUCE,
+    API_VERSIONS,
+    ERR_CORRUPT_MESSAGE,
+    ERR_NONE,
+    ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    Record,
+    _Reader,
+    _bytes,
+    _recv_exact,
+    _str,
+    decode_record_batches,
+    encode_record_batch,
+)
+
+
+@dataclass
+class _PartitionLog:
+    """Append-only in-memory log: decoded records with assigned offsets."""
+
+    records: list[Record] = field(default_factory=list)
+
+    @property
+    def high_watermark(self) -> int:
+        return len(self.records)
+
+    def append(self, batch_bytes: bytes) -> int:
+        base = len(self.records)
+        decoded = decode_record_batches(batch_bytes, verify_crc=True)
+        for i, rec in enumerate(decoded):
+            rec.offset = base + i
+            self.records.append(rec)
+        return base
+
+
+class MiniBroker:
+    """``with MiniBroker() as b: ... b.bootstrap`` → ``"127.0.0.1:<port>"``."""
+
+    def __init__(
+        self, num_partitions: int = 3, host: str = "127.0.0.1", port: int = 0
+    ):
+        self.num_partitions = num_partitions
+        self.host = host
+        self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        self._topics: set[str] = set()
+        self._lock = threading.Lock()
+        broker = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # one connection, many requests
+                sock = self.request
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                try:
+                    while True:
+                        raw = sock.recv(4)
+                        if len(raw) < 4:
+                            return
+                        (size,) = struct.unpack(">i", raw)
+                        frame = _recv_exact(sock, size)
+                        resp = broker._dispatch(frame)
+                        if resp is not None:
+                            sock.sendall(struct.pack(">i", len(resp)) + resp)
+                except (ConnectionError, OSError):
+                    return
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    # -- lifecycle --------------------------------------------------------
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def start(self) -> "MiniBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "MiniBroker":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- storage helpers (test assertions may use these directly) ---------
+    def topic_records(self, topic: str) -> list[Record]:
+        with self._lock:
+            out: list[Record] = []
+            for p in range(self.num_partitions):
+                out.extend(self._logs.get((topic, p), _PartitionLog()).records)
+            return out
+
+    def _ensure_topic(self, topic: str) -> None:
+        self._topics.add(topic)
+        for p in range(self.num_partitions):
+            self._logs.setdefault((topic, p), _PartitionLog())
+
+    # -- protocol ---------------------------------------------------------
+    def _dispatch(self, frame: bytes) -> bytes | None:
+        api_key, api_version, corr = struct.unpack_from(">hhi", frame, 0)
+        r = _Reader(frame[8:])
+        r.string()  # client_id
+        body = {
+            API_VERSIONS: self._api_versions,
+            API_METADATA: self._metadata,
+            API_PRODUCE: self._produce,
+            API_FETCH: self._fetch,
+        }.get(api_key)
+        if body is None:
+            raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
+        out = body(api_version, r)
+        if out is None:
+            return None
+        return struct.pack(">i", corr) + out
+
+    def _api_versions(self, version: int, r: _Reader) -> bytes:
+        apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                (API_METADATA, 0, 1), (API_VERSIONS, 0, 0)]
+        out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
+        for k, lo, hi in apis:
+            out += struct.pack(">hhh", k, lo, hi)
+        return bytes(out)
+
+    def _metadata(self, version: int, r: _Reader) -> bytes:
+        n = r.i32()
+        with self._lock:
+            if n <= 0:
+                topics = sorted(self._topics)
+            else:
+                topics = []
+                for _ in range(n):
+                    t = r.string()
+                    self._ensure_topic(t)  # auto-create on metadata, like
+                    topics.append(t)       # auto.create.topics.enable=true
+            out = bytearray()
+            out += struct.pack(">i", 1)  # brokers
+            out += struct.pack(">i", 0) + _str(self.host) + struct.pack(
+                ">i", self.port
+            )
+            if version >= 1:
+                out += _str(None)        # rack
+            if version >= 1:
+                out += struct.pack(">i", 0)  # controller_id
+            out += struct.pack(">i", len(topics))
+            for t in topics:
+                out += struct.pack(">h", ERR_NONE)
+                out += _str(t)
+                if version >= 1:
+                    out += struct.pack(">b", 0)  # is_internal
+                out += struct.pack(">i", self.num_partitions)
+                for p in range(self.num_partitions):
+                    out += struct.pack(">hiii", ERR_NONE, p, 0, 1)
+                    out += struct.pack(">i", 0)  # replicas: [0]
+                    out += struct.pack(">ii", 1, 0)  # isr: [0]
+        return bytes(out)
+
+    def _produce(self, version: int, r: _Reader) -> bytes | None:
+        r.string()  # transactional_id
+        acks = r.i16()
+        r.i32()  # timeout_ms
+        results: list[tuple[str, list[tuple[int, int, int]]]] = []
+        with self._lock:
+            for _ in range(r.i32()):
+                topic = r.string()
+                parts: list[tuple[int, int, int]] = []
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    record_set = r.bytes_() or b""
+                    if topic not in self._topics:
+                        self._ensure_topic(topic)  # auto-create on produce
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        parts.append((pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
+                        continue
+                    try:
+                        base = log.append(record_set)
+                        parts.append((pid, ERR_NONE, base))
+                    except ValueError:  # CRC mismatch / undecodable batch
+                        parts.append((pid, ERR_CORRUPT_MESSAGE, -1))
+                results.append((topic, parts))
+        if acks == 0:
+            return None
+        out = bytearray(struct.pack(">i", len(results)))
+        for topic, parts in results:
+            out += _str(topic)
+            out += struct.pack(">i", len(parts))
+            for pid, code, base in parts:
+                out += struct.pack(">ihqq", pid, code, base, -1)
+        out += struct.pack(">i", 0)  # throttle_time_ms
+        return bytes(out)
+
+    def _fetch(self, version: int, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait_ms
+        r.i32()  # min_bytes
+        r.i32()  # max_bytes
+        r.i8()   # isolation_level
+        requests: list[tuple[str, list[tuple[int, int]]]] = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                offset = r.i64()
+                r.i32()  # partition max_bytes
+                parts.append((pid, offset))
+            requests.append((topic, parts))
+        out = bytearray(struct.pack(">i", 0))  # throttle_time_ms
+        out += struct.pack(">i", len(requests))
+        with self._lock:
+            for topic, parts in requests:
+                out += _str(topic)
+                out += struct.pack(">i", len(parts))
+                for pid, offset in parts:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        out += struct.pack(
+                            ">ihqqi", pid, ERR_UNKNOWN_TOPIC_OR_PARTITION,
+                            -1, -1, 0
+                        )
+                        out += _bytes(b"")
+                        continue
+                    hwm = log.high_watermark
+                    tail = log.records[offset:]
+                    record_set = (
+                        encode_record_batch(tail, base_offset=offset)
+                        if tail
+                        else b""
+                    )
+                    out += struct.pack(
+                        ">ihqqi", pid, ERR_NONE, hwm, hwm, 0
+                    )
+                    out += _bytes(record_set)
+        return bytes(out)

@@ -29,7 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 from go_pq_cdc_kafka_spark import handler as H
 from go_pq_cdc_kafka_spark.envelope import filter_known_ops
 from go_pq_cdc_kafka_spark.plans.routing import RoutingTable, resolve_topics
-from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig, parse_size
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +102,79 @@ def _guarded_start(
     with _WRITERS_LOCK:
         _ACTIVE_WRITERS[path] = query
     return query
+
+
+def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
+    """Executor-side produce closure for ``mapInPandas`` over the record
+    frame ``(topic, key, value[, headers])``. Flushes a produce request at
+    the reference's B2 caps (producer_batch.go:73-104): ≥ ``max_count``
+    records OR ≥ ``max_bytes`` accumulated key+value bytes."""
+    max_count, max_bytes = batch_caps
+
+    def produce(iterator):
+        import pandas as pd
+
+        from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireProducer
+
+        prod = None
+        total = 0
+        pending: list = []
+        pending_bytes = 0
+
+        def flush():
+            nonlocal pending, pending_bytes, total
+            if pending:
+                prod.send_records(pending)
+                total += len(pending)
+                pending = []
+                pending_bytes = 0
+
+        try:
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                if prod is None:
+                    prod = KafkaWireProducer(**wire_kwargs)
+                has_headers = "headers" in pdf.columns
+                for row in pdf.itertuples(index=False):
+                    key = None if row.key is None else bytes(row.key)
+                    value = None if row.value is None else bytes(row.value)
+                    headers = []
+                    if has_headers and row.headers is not None:
+                        headers = [
+                            (h["key"], None if h["value"] is None else bytes(h["value"]))
+                            for h in row.headers
+                        ]
+                    pending.append((row.topic, key, value, headers))
+                    pending_bytes += len(key or b"") + len(value or b"")
+                    if len(pending) >= max_count or pending_bytes >= max_bytes:
+                        flush()
+            if prod is not None:
+                flush()
+        finally:
+            if prod is not None:
+                prod.close()
+        yield pd.DataFrame({"produced": [total]})
+
+    return produce
+
+
+def write_kafka_wire(
+    records_df: DataFrame,
+    cfg: KafkaProducerConfig,
+    strict_order: bool = False,
+    order_col: str = "lsn",
+) -> int:
+    """Batch produce of a record frame ``(topic, key, value[, headers])``
+    through the wire producer; returns the produced-record count. The batch
+    twin of ``CdcPipeline.to_kafka_wire`` (and what its foreachBatch does
+    per micro-batch)."""
+    df = ordered_records(records_df, order_col) if strict_order else records_df
+    wire_kwargs = cfg.wire_kwargs()
+    caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
+    acked = df.mapInPandas(_wire_produce_fn(wire_kwargs, caps), schema="produced long")
+    row = acked.agg(F.sum("produced").alias("n")).first()
+    return int(row["n"] or 0)
 
 
 def ordered_records(batch_df: DataFrame, order_col: str = "lsn") -> DataFrame:
@@ -203,6 +276,50 @@ class CdcPipeline:
                 rec.writeStream.foreachBatch(produce_sorted)
                 .option("checkpointLocation", checkpoint_location)
                 .trigger(**cfg.trigger_kwargs())
+                .start()
+            ),
+        )
+
+    def to_kafka_wire(
+        self,
+        cfg: KafkaProducerConfig,
+        checkpoint_location: str,
+        strict_order: bool = False,
+        default_topic: str | None = None,
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        """Streaming sink through the from-scratch wire producer
+        (streaming/kafka_wire.py) — no spark-sql-kafka jar required.
+
+        Executor-parallel: each task of the micro-batch opens its own
+        producer (the shape a multi-node Java-client deployment has anyway)
+        and produces its Arrow batches; a failed task fails the micro-batch,
+        so the checkpoint does not commit and the batch replays — the same
+        at-least-once ack contract as ``to_kafka`` (producer_batch.go:141-151).
+        ``strict_order=True`` funnels the batch through one sorted task,
+        mirroring the reference's single-threaded listener ordering."""
+        rec = self.records(carry_cols=("lsn",) if strict_order else ())
+        if default_topic is not None:
+            rec = rec.withColumn(
+                "topic", F.coalesce(F.col("topic"), F.lit(default_topic))
+            )
+        wire_kwargs = cfg.wire_kwargs()  # validate config at assembly time
+        batch_caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
+
+        def produce_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            df = ordered_records(batch_df) if strict_order else batch_df
+            acked = df.mapInPandas(
+                _wire_produce_fn(wire_kwargs, batch_caps),
+                schema="produced long",
+            )
+            acked.agg(F.sum("produced")).first()  # run + propagate failures
+
+        return _guarded_start(
+            checkpoint_location,
+            lambda: (
+                rec.writeStream.foreachBatch(produce_batch)
+                .option("checkpointLocation", checkpoint_location)
+                .trigger(**(trigger or cfg.trigger_kwargs()))
                 .start()
             ),
         )

@@ -1,0 +1,225 @@
+"""kafka_wire protocol stack: public test vectors for the primitives, batch
+round-trips through the independent decoder, and socket-level E2E against
+MiniBroker (real TCP frames, broker-side CRC validation)."""
+
+import struct
+
+import pytest
+
+from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+    COMPRESSION_GZIP,
+    KafkaProtocolError,
+    KafkaWireConsumer,
+    KafkaWireProducer,
+    Record,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+    murmur2,
+    partition_for_key,
+    read_varint,
+    write_varint,
+)
+from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+
+
+# -- primitives -------------------------------------------------------------
+
+def test_crc32c_public_vectors():
+    # RFC 3720 appendix B.4 / common published Castagnoli vectors
+    assert crc32c(b"") == 0
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_murmur2_matches_java_client_vectors():
+    # Signed-int32 outputs of org.apache.kafka.common.utils.Utils.murmur2,
+    # as published in kafka-python's partitioner tests.
+    def signed(x):
+        v = murmur2(x)
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    assert signed(b"21") == -973932308
+    assert signed(b"foobar") == -790332482
+    assert signed(b"a-little-bit-long-string") == -985981536
+    assert signed(b"a-little-bit-longer-string") == -1486304829
+    assert signed(b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8") == -58897971
+    assert signed(b"abc") == 479470107
+
+
+def test_partition_for_key_java_placement():
+    # murmur2(b"abc") = 479470107; 479470107 % 12 = 3
+    assert partition_for_key(b"abc", 12) == 479470107 % 12
+    # keyless: round-robin on the counter
+    assert [partition_for_key(None, 3, i) for i in range(5)] == [0, 1, 2, 0, 1]
+
+
+def test_varint_zigzag_roundtrip():
+    for v in [0, 1, -1, 63, -64, 64, 300, -301, 2**31 - 1, -(2**31), 2**40]:
+        buf = bytearray()
+        write_varint(buf, v)
+        got, pos = read_varint(bytes(buf), 0)
+        assert got == v and pos == len(buf), v
+
+
+# -- record batch v2 --------------------------------------------------------
+
+def _sample_records():
+    return [
+        Record(key=b"k1", value=b"v1", headers=[("op", b"INSERT")],
+               timestamp_ms=1_700_000_000_000),
+        Record(key=None, value=b"v2", headers=[], timestamp_ms=1_700_000_000_500),
+        Record(key=b"k3", value=None,
+               headers=[("a", b"x"), ("b", None)], timestamp_ms=1_700_000_001_000),
+    ]
+
+
+@pytest.mark.parametrize("codec", [0, COMPRESSION_GZIP])
+def test_record_batch_roundtrip(codec):
+    batch = encode_record_batch(_sample_records(), compression=codec,
+                                base_offset=7)
+    out = decode_record_batches(batch)
+    assert [(r.key, r.value, r.headers) for r in out] == [
+        (b"k1", b"v1", [("op", b"INSERT")]),
+        (None, b"v2", []),
+        (b"k3", None, [("a", b"x"), ("b", None)]),
+    ]
+    assert [r.offset for r in out] == [7, 8, 9]
+    assert [r.timestamp_ms for r in out] == [
+        1_700_000_000_000, 1_700_000_000_500, 1_700_000_001_000
+    ]
+
+
+def test_record_batch_crc_detects_corruption():
+    batch = bytearray(encode_record_batch(_sample_records()))
+    batch[-1] ^= 0xFF  # flip a payload byte; crc must catch it
+    with pytest.raises(ValueError, match="CRC32C mismatch"):
+        decode_record_batches(bytes(batch))
+
+
+def test_record_batch_layout_constants():
+    """Pin the fixed header layout (KIP-98): magic byte at offset 16,
+    batchLength covers everything after it."""
+    batch = encode_record_batch([Record(key=b"k", value=b"v")],
+                                base_timestamp_ms=0)
+    base_offset, batch_len = struct.unpack_from(">qi", batch, 0)
+    assert base_offset == 0
+    assert batch_len == len(batch) - 12
+    assert batch[16] == 2  # magic
+
+
+# -- socket E2E against MiniBroker -----------------------------------------
+
+def test_produce_fetch_roundtrip_over_tcp():
+    with MiniBroker(num_partitions=3) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            offsets = prod.send_records(
+                [
+                    ("t1", b"key-a", b"val-a", [("h", b"1")]),
+                    ("t1", b"key-b", b"val-b", []),
+                    ("t1", None, b"val-c", []),
+                ],
+                timestamp_ms=1_700_000_000_000,
+            )
+        assert offsets  # every partition produced reported base offset 0
+        assert all(base == 0 for base in offsets.values())
+
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            got = cons.read_all("t1")
+        key = lambda t: (t[0] is None, t)  # noqa: E731 — None keys sort last
+        assert sorted(
+            ((r.key, r.value, tuple(r.headers)) for r in got), key=key
+        ) == sorted([
+            (b"key-a", b"val-a", (("h", b"1"),)),
+            (b"key-b", b"val-b", ()),
+            (None, b"val-c", ()),
+        ], key=key)
+
+
+def test_keyed_records_land_on_java_partition():
+    with MiniBroker(num_partitions=3) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            prod.send_records([("t", b"abc", b"v", [])])
+        expected = partition_for_key(b"abc", 3)
+        for p in range(3):
+            recs = broker._logs[("t", p)].records
+            assert len(recs) == (1 if p == expected else 0)
+
+
+def test_same_key_same_partition_ordering_contract():
+    """The reference's per-key ordering contract: one key, one partition,
+    arrival order preserved."""
+    with MiniBroker(num_partitions=5) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            for i in range(4):  # separate produce calls, same key
+                prod.send_records([("t", b"pk-42", str(i).encode(), [])])
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            got = cons.read_all("t")
+        assert [r.value for r in got] == [b"0", b"1", b"2", b"3"]
+        assert len({partition_for_key(b"pk-42", 5)}) == 1
+
+
+def test_produce_offsets_accumulate_and_fetch_from_offset():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            o1 = prod.send_records([("t", b"k", b"v0", []), ("t", b"k", b"v1", [])])
+            o2 = prod.send_records([("t", b"k", b"v2", [])])
+        assert o1[("t", 0)] == 0 and o2[("t", 0)] == 2
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            recs, hwm = cons.fetch("t", 0, offset=1)
+        assert hwm == 3
+        assert [r.value for r in recs] == [b"v1", b"v2"]
+        assert [r.offset for r in recs] == [1, 2]
+
+
+def test_acks_zero_fire_and_forget():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap, acks=0) as prod:
+            assert prod.send_records([("t", b"k", b"v", [])]) == {}
+            # connection stays usable for the next (acked) request
+            prod.acks = -1
+            prod.send_records([("t", b"k", b"v2", [])])
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            got = cons.read_all("t")
+        assert [r.value for r in got] == [b"v", b"v2"]
+
+
+def test_broker_rejects_corrupt_batch_like_real_kafka(monkeypatch):
+    """Flip a byte after CRC computation: the broker must answer
+    CORRUPT_MESSAGE, and the producer must surface it."""
+    import go_pq_cdc_kafka_spark.streaming.kafka_wire as kw
+
+    real = kw.encode_record_batch
+
+    def corrupted(*a, **k):
+        b = bytearray(real(*a, **k))
+        b[-1] ^= 0xFF
+        return bytes(b)
+
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            monkeypatch.setattr(kw, "encode_record_batch", corrupted)
+            with pytest.raises(KafkaProtocolError, match="CORRUPT_MESSAGE"):
+                prod.send_records([("t", b"k", b"v", [])])
+        assert broker.topic_records("t") == []
+
+
+def test_gzip_compressed_produce_roundtrip():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, compression=COMPRESSION_GZIP
+        ) as prod:
+            prod.send_records([("t", b"k", b"payload" * 100, [])])
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            got = cons.read_all("t")
+        assert got[0].value == b"payload" * 100
+
+
+def test_api_versions_handshake():
+    with MiniBroker() as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            versions = prod.api_versions()
+        assert versions[0][1] >= 3   # Produce up to v3
+        assert versions[1][1] >= 4   # Fetch up to v4

@@ -1,0 +1,156 @@
+"""CDC pipeline → kafka_wire sink → MiniBroker: the produce path EXECUTING
+end-to-end in-sandbox — real TCP frames, broker-side CRC32C validation,
+Fetch read-back — the closest sandbox analogue of the reference's
+integration tier (integration_test/connector_test.go:24-648), which needs a
+real Redpanda. The jar-backed sink (to_kafka) stays the production path for
+TLS/SASL clusters; this proves the record contract over actual Kafka bytes.
+"""
+
+import json
+
+import pytest
+
+from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+from go_pq_cdc_kafka_spark.sources import changelog as cl
+from go_pq_cdc_kafka_spark.streaming.kafka import (
+    Balancer,
+    Compression,
+    KafkaProducerConfig,
+)
+from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline, write_kafka_wire
+
+
+def _pipeline(spark, path):
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "id int, name string"
+    )
+    log = cl.generate_table_changelog(
+        base, "id", "users", update_mod=2, delete_mod=3
+    )
+    cl.write_changelog(log, path, num_files=2)
+    return CdcPipeline(
+        source=cl.read_changelog_stream(spark, path),
+        routing=RoutingTable({"public.users": "users.test"}),
+        pk_field="id",
+    )
+
+
+def test_streaming_pipeline_to_kafka_wire_e2e(spark, tmp_path):
+    """Same changelog as the fake-broker contract test, but through the wire
+    producer into a broker that validates CRCs — record bytes, headers, and
+    per-key completeness all round-trip."""
+    pipe = _pipeline(spark, str(tmp_path / "log"))
+    with MiniBroker(num_partitions=3) as broker:
+        cfg = KafkaProducerConfig(brokers=[broker.bootstrap])
+        q = pipe.to_kafka_wire(
+            cfg,
+            str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        records = broker.topic_records("users.test")
+
+    assert len(records) == 8  # 3 SNAPSHOT + 3 INSERT + 1 UPDATE + 1 DELETE
+    vals = [json.loads(r.value) for r in records]
+    ops = sorted(v["operation"] for v in vals)
+    assert ops == ["DELETE"] + ["INSERT"] * 3 + ["SNAPSHOT"] * 3 + ["UPDATE"]
+    for r in records:
+        hdr = {k: v for k, v in r.headers}
+        assert hdr["table"] == b"users"
+        assert hdr["operation"].decode() == json.loads(r.value)["operation"]
+    # pk→partition stability: every record for one key sits on one partition
+    with_part = {}
+    for p in range(3):
+        for rec in broker._logs[("users.test", p)].records:
+            with_part.setdefault(bytes(rec.key), set()).add(p)
+    assert all(len(parts) == 1 for parts in with_part.values())
+
+
+def test_strict_order_wire_sink_preserves_wal_order(spark, tmp_path):
+    """strict_order=True + single-partition topic ⇒ the consumer observes
+    exact changelog (LSN) order — the reference's single-threaded listener
+    contract over real wire bytes."""
+    pipe = _pipeline(spark, str(tmp_path / "log"))
+    with MiniBroker(num_partitions=1) as broker:
+        cfg = KafkaProducerConfig(brokers=[broker.bootstrap])
+        q = pipe.to_kafka_wire(
+            cfg,
+            str(tmp_path / "ckpt"),
+            strict_order=True,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        records = broker.topic_records("users.test")
+
+    ops = [json.loads(r.value)["operation"] for r in records]
+    assert ops == ["SNAPSHOT"] * 3 + ["INSERT"] * 3 + ["UPDATE", "DELETE"]
+    snap_keys = [bytes(r.key) for r in records[:3]]
+    assert snap_keys == [b"1", b"2", b"3"]
+    assert [r.offset for r in records] == list(range(8))
+
+
+def test_write_kafka_wire_batch_helper(spark):
+    df = spark.createDataFrame(
+        [("t.batch", b"k1", b"v1"), ("t.batch", b"k2", b"v2")],
+        "topic string, key binary, value binary",
+    )
+    with MiniBroker(num_partitions=2) as broker:
+        cfg = KafkaProducerConfig(
+            brokers=[broker.bootstrap], compression=Compression.GZIP
+        )
+        n = write_kafka_wire(df, cfg)
+        got = sorted(
+            (bytes(r.key), bytes(r.value)) for r in broker.topic_records("t.batch")
+        )
+    assert n == 2
+    assert got == [(b"k1", b"v1"), (b"k2", b"v2")]
+
+
+def test_wire_kwargs_loud_rejections():
+    with pytest.raises(ValueError, match="PLAINTEXT only"):
+        KafkaProducerConfig(brokers=["b:9092"], tls_enabled=True).wire_kwargs()
+    with pytest.raises(ValueError, match="murmur2"):
+        KafkaProducerConfig(
+            brokers=["b:9092"], balancer=Balancer.ROUND_ROBIN
+        ).wire_kwargs()
+    with pytest.raises(ValueError, match="none/gzip"):
+        KafkaProducerConfig(
+            brokers=["b:9092"], compression=Compression.ZSTD
+        ).wire_kwargs()
+
+
+def test_wire_sink_failure_aborts_microbatch_no_commit(spark, tmp_path):
+    """Broker down mid-stream ⇒ foreachBatch raises ⇒ checkpoint does not
+    commit ⇒ restart replays the batch (at-least-once, B4). Then with the
+    broker up, the SAME checkpoint delivers everything exactly once from the
+    broker's point of view here (no prior successful produce to duplicate)."""
+    pipe = _pipeline(spark, str(tmp_path / "log"))
+    broker = MiniBroker(num_partitions=1).start()
+    bootstrap = broker.bootstrap
+    broker.stop()  # port now closed: produce must fail
+
+    cfg = KafkaProducerConfig(brokers=[bootstrap], read_timeout_s=2.0)
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.to_kafka_wire(cfg, ckpt, trigger={"availableNow": True})
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed with broker down")
+    assert q.exception() is not None
+
+    # bring a broker back on the SAME port and resume from the checkpoint
+    host, port = bootstrap.rsplit(":", 1)
+    broker2 = MiniBroker(num_partitions=1, host=host, port=int(port)).start()
+    try:
+        pipe2 = CdcPipeline(
+            source=cl.read_changelog_stream(spark, str(tmp_path / "log")),
+            routing=RoutingTable({"public.users": "users.test"}),
+            pk_field="id",
+        )
+        q2 = pipe2.to_kafka_wire(cfg, ckpt, trigger={"availableNow": True})
+        q2.awaitTermination(120)
+        records = broker2.topic_records("users.test")
+        assert len(records) == 8  # full replay, no loss
+    finally:
+        broker2.stop()
