@@ -183,18 +183,15 @@ class KafkaProducerConfig:
         (kafka_wire.KafkaWireProducer) — the jar-free produce path that can
         execute in environments without the spark-sql-kafka connector.
 
-        Loud rejections instead of silent downgrades: the wire client speaks
-        PLAINTEXT (TLS/SASL stay on the jar-backed sink), places keys with
+        Security maps 1:1 with the reference surface (kafka/client.go:53-125):
+        ``sasl_*`` → SCRAM-SHA-256/512 over SaslHandshake/SaslAuthenticate,
+        ``tls_*`` → verified TLS with rootCA/interCA as file path or inline
+        PEM. Loud rejections instead of silent downgrades: keys place with
         the Java-compatible murmur2 partitioner (HASH/MURMUR2 balancers
-        only), and compresses with gzip or not at all (no pure-Python
+        only), and compression is gzip or none (no pure-Python
         snappy/lz4/zstd in the environment)."""
         from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
 
-        if self.sasl_enabled or self.tls_enabled:
-            raise ValueError(
-                "the kafka_wire produce path speaks PLAINTEXT only; use the "
-                "jar-backed sink (sink_options) for TLS/SASL clusters"
-            )
         if self.balancer not in (Balancer.HASH, Balancer.MURMUR2):
             raise ValueError(
                 f"balancer {self.balancer.value!r} is not available on the "
@@ -209,7 +206,7 @@ class KafkaProducerConfig:
                 f"compression {self.compression.kafka_name!r} has no "
                 "pure-Python codec here; kafka_wire supports none/gzip"
             )
-        return {
+        out = {
             "bootstrap": list(self.brokers),
             "client_id": self.client_id,
             "acks": self.required_acks,
@@ -217,3 +214,15 @@ class KafkaProducerConfig:
             "compression": codec,
             "timeout_s": self.read_timeout_s,
         }
+        if self.sasl_enabled:
+            kw._scram_hash(self.sasl_mechanism)  # validate loudly, not on executors
+            out["sasl"] = (
+                self.sasl_mechanism, self.sasl_username, self.sasl_password
+            )
+        if self.tls_enabled:
+            out["tls"] = {
+                "root_ca_path": self.root_ca_path,
+                "root_ca_pem": self.root_ca_pem,
+                "inter_ca_pem": self.inter_ca_pem,
+            }
+        return out

@@ -30,18 +30,109 @@ from .kafka_wire import (
     API_FETCH,
     API_METADATA,
     API_PRODUCE,
+    API_SASL_AUTHENTICATE,
+    API_SASL_HANDSHAKE,
     API_VERSIONS,
     ERR_CORRUPT_MESSAGE,
+    ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
+    ERR_SASL_AUTHENTICATION_FAILED,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    ERR_UNSUPPORTED_SASL_MECHANISM,
     Record,
     _Reader,
     _bytes,
     _recv_exact,
+    _scram_hash,
     _str,
     decode_record_batches,
     encode_record_batch,
+    scram_salted_password,
 )
+
+
+class _ScramServer:
+    """Server half of one SCRAM conversation (RFC 5802). A real broker
+    stores StoredKey/ServerKey per user; deriving them from the configured
+    plaintext at salt time is equivalent for a conformance fixture."""
+
+    def __init__(self, mechanism: str, credentials: dict[str, str]):
+        import base64
+        import os
+
+        self.hash_name = _scram_hash(mechanism)
+        self.credentials = credentials
+        self.salt = os.urandom(16)
+        self.iterations = 4096
+        self.snonce_extra = base64.b64encode(os.urandom(12)).decode()
+        self._client_first_bare = None
+        self._server_first = None
+        self._username = None
+
+    def server_first(self, client_first: bytes) -> bytes:
+        import base64
+
+        text = client_first.decode("utf-8")
+        if not text.startswith("n,,"):
+            raise ValueError("gs2 header must be n,, (no channel binding)")
+        self._client_first_bare = text[3:]
+        attrs = dict(
+            p.split("=", 1) for p in self._client_first_bare.split(",")
+        )
+        self._username = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+        rnonce = attrs["r"] + self.snonce_extra
+        self._server_first = (
+            f"r={rnonce},s={base64.b64encode(self.salt).decode()},"
+            f"i={self.iterations}"
+        )
+        return self._server_first.encode("utf-8")
+
+    def server_final(self, client_final: bytes) -> bytes | None:
+        """Returns the v=... message on success, None on bad credentials."""
+        import base64
+        import hashlib
+        import hmac
+
+        text = client_final.decode("utf-8")
+        parts = dict(p.split("=", 1) for p in text.split(","))
+        without_proof = text.rsplit(",p=", 1)[0]
+        auth_message = ",".join(
+            [self._client_first_bare, self._server_first, without_proof]
+        ).encode("utf-8")
+        password = self.credentials.get(self._username)
+        if password is None:
+            return None
+        salted = scram_salted_password(
+            password, self.salt, self.iterations, self.hash_name
+        )
+        client_key = hmac.digest(salted, b"Client Key", self.hash_name)
+        stored_key = hashlib.new(self.hash_name, client_key).digest()
+        signature = hmac.digest(stored_key, auth_message, self.hash_name)
+        proof = base64.b64decode(parts["p"])
+        recovered = bytes(a ^ b for a, b in zip(proof, signature))
+        if not hmac.compare_digest(
+            hashlib.new(self.hash_name, recovered).digest(), stored_key
+        ):
+            return None
+        server_key = hmac.digest(salted, b"Server Key", self.hash_name)
+        v = base64.b64encode(
+            hmac.digest(server_key, auth_message, self.hash_name)
+        ).decode()
+        return f"v={v}".encode("utf-8")
+
+
+class _ConnState:
+    """Per-connection SASL progress: None mechanism → handshake pending."""
+
+    def __init__(self, required: bool):
+        self.required = required
+        self.authenticated = not required
+        self.scram: _ScramServer | None = None
+
+
+class _Disconnect(Exception):
+    """Close the connection without replying (pre-auth API on a SASL
+    listener — what a real broker does)."""
 
 
 @dataclass
@@ -67,10 +158,17 @@ class MiniBroker:
     """``with MiniBroker() as b: ... b.bootstrap`` → ``"127.0.0.1:<port>"``."""
 
     def __init__(
-        self, num_partitions: int = 3, host: str = "127.0.0.1", port: int = 0
+        self,
+        num_partitions: int = 3,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        sasl_credentials: dict[str, str] | None = None,
+        ssl_context=None,
     ):
         self.num_partitions = num_partitions
         self.host = host
+        self.sasl_credentials = sasl_credentials
+        self.ssl_context = ssl_context
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: set[str] = set()
         self._lock = threading.Lock()
@@ -80,6 +178,14 @@ class MiniBroker:
             def handle(self):  # one connection, many requests
                 sock = self.request
                 sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                if broker.ssl_context is not None:
+                    try:
+                        sock = broker.ssl_context.wrap_socket(
+                            sock, server_side=True
+                        )
+                    except OSError:
+                        return
+                state = _ConnState(required=broker.sasl_credentials is not None)
                 try:
                     while True:
                         raw = sock.recv(4)
@@ -87,11 +193,13 @@ class MiniBroker:
                             return
                         (size,) = struct.unpack(">i", raw)
                         frame = _recv_exact(sock, size)
-                        resp = broker._dispatch(frame)
+                        resp = broker._dispatch(frame, state)
                         if resp is not None:
                             sock.sendall(struct.pack(">i", len(resp)) + resp)
                 except (ConnectionError, OSError):
                     return
+                except _Disconnect:
+                    return  # real-broker behavior: drop the connection
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -136,26 +244,76 @@ class MiniBroker:
             self._logs.setdefault((topic, p), _PartitionLog())
 
     # -- protocol ---------------------------------------------------------
-    def _dispatch(self, frame: bytes) -> bytes | None:
+    def _dispatch(self, frame: bytes, state: _ConnState) -> bytes | None:
         api_key, api_version, corr = struct.unpack_from(">hhi", frame, 0)
         r = _Reader(frame[8:])
         r.string()  # client_id
-        body = {
-            API_VERSIONS: self._api_versions,
-            API_METADATA: self._metadata,
-            API_PRODUCE: self._produce,
-            API_FETCH: self._fetch,
-        }.get(api_key)
-        if body is None:
-            raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
-        out = body(api_version, r)
+        if api_key == API_SASL_HANDSHAKE:
+            out = self._sasl_handshake(api_version, r, state)
+        elif api_key == API_SASL_AUTHENTICATE:
+            out = self._sasl_authenticate(api_version, r, state)
+        elif api_key == API_VERSIONS:
+            out = self._api_versions(api_version, r)  # allowed pre-auth
+        elif not state.authenticated:
+            # a SASL listener drops clients that skip authentication
+            raise _Disconnect()
+        else:
+            body = {
+                API_VERSIONS: self._api_versions,
+                API_METADATA: self._metadata,
+                API_PRODUCE: self._produce,
+                API_FETCH: self._fetch,
+            }.get(api_key)
+            if body is None:
+                raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
+            out = body(api_version, r)
         if out is None:
             return None
         return struct.pack(">i", corr) + out
 
+    def _sasl_handshake(self, version: int, r: _Reader, state: _ConnState) -> bytes:
+        mechanism = r.string()
+        offered = ["SCRAM-SHA-256", "SCRAM-SHA-512"]
+        if self.sasl_credentials is None:
+            return struct.pack(">hi", ERR_ILLEGAL_SASL_STATE, 0)
+        if mechanism not in offered:
+            out = bytearray(
+                struct.pack(">hi", ERR_UNSUPPORTED_SASL_MECHANISM, len(offered))
+            )
+            for m in offered:
+                out += _str(m)
+            return bytes(out)
+        state.scram = _ScramServer(mechanism, self.sasl_credentials)
+        out = bytearray(struct.pack(">hi", ERR_NONE, len(offered)))
+        for m in offered:
+            out += _str(m)
+        return bytes(out)
+
+    def _sasl_authenticate(self, version: int, r: _Reader, state: _ConnState) -> bytes:
+        auth = r.bytes_() or b""
+
+        def resp(code: int, msg: str | None, payload: bytes) -> bytes:
+            return struct.pack(">h", code) + _str(msg) + _bytes(payload)
+
+        if state.scram is None:
+            return resp(ERR_ILLEGAL_SASL_STATE, "handshake first", b"")
+        try:
+            if state.scram._client_first_bare is None:
+                return resp(ERR_NONE, None, state.scram.server_first(auth))
+            final = state.scram.server_final(auth)
+        except (ValueError, KeyError) as e:
+            return resp(ERR_SASL_AUTHENTICATION_FAILED, str(e), b"")
+        if final is None:
+            return resp(
+                ERR_SASL_AUTHENTICATION_FAILED, "invalid credentials", b""
+            )
+        state.authenticated = True
+        return resp(ERR_NONE, None, final)
+
     def _api_versions(self, version: int, r: _Reader) -> bytes:
         apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
-                (API_METADATA, 0, 1), (API_VERSIONS, 0, 0)]
+                (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
+                (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
         for k, lo, hi in apis:
             out += struct.pack(">hhh", k, lo, hi)

@@ -942,3 +942,111 @@ def test_live_initial_mode_parallel_exported_snapshot_no_gap(spark, tmp_path):
                 pass
         finally:
             admin.close()
+
+
+def test_live_pg_to_kafka_wire_full_loop(spark, tmp_path):
+    """The COMPLETE reference loop executing with real wire protocols on
+    both ends: real PostgreSQL logical replication (pgwire source) →
+    envelope → routing → records → from-scratch Kafka producer
+    (streaming/kafka_wire.py) → broker-validated record batches (CRC32C)
+    → Fetch read-back. The sandbox twin of the reference's
+    Postgres+Redpanda integration stack (integration_test/
+    connector_test.go:24-101)."""
+    import json
+
+    from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+    from go_pq_cdc_kafka_spark.sources import cdc
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        KafkaWireConsumer,
+        partition_for_key,
+    )
+    from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+    from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_kw_{suffix}", f"sg_kwpub_{suffix}", f"sg_kwslot_{suffix}"
+    topic = f"{tbl}.cdc"
+    admin = _conn()
+    admin.simple_query(
+        f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)'
+    )
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    cdc.register(spark)
+    q = None
+    broker = MiniBroker(num_partitions=3).start()
+    try:
+        c2 = _conn()
+        row = c2.create_replication_slot(slot)
+        c2.close()
+        start = wire.parse_lsn(row["consistent_point"]) - 1
+
+        stream = (
+            spark.readStream.format("pgwire")
+            .option("dsn", DSN)
+            .option("slot", slot)
+            .option("publication", pub)
+            .option("startlsn", str(start))
+            .option("pollms", "300")
+            .load()
+        )
+        pipe = CdcPipeline(
+            source=stream,
+            routing=RoutingTable({f"public.{tbl}": topic}),
+            pk_field="id",
+        )
+        cfg = KafkaProducerConfig(brokers=[broker.bootstrap])
+        q = pipe.to_kafka_wire(
+            cfg,
+            str(tmp_path / "ckpt_kw"),
+            trigger={"processingTime": "1 seconds"},
+        )
+
+        admin.simple_query(
+            f"INSERT INTO \"{tbl}\" VALUES (1, 'alpha'), (2, 'beta')"
+        )
+        admin.simple_query(f"UPDATE \"{tbl}\" SET name = 'alpha2' WHERE id = 1")
+        admin.simple_query(f'DELETE FROM "{tbl}" WHERE id = 2')
+
+        deadline = time.monotonic() + 60
+        records = []
+        while time.monotonic() < deadline:
+            records = broker.topic_records(topic)
+            if len(records) >= 4:
+                break
+            time.sleep(0.5)
+        assert len(records) == 4, [r.value for r in records]
+
+        payloads = [json.loads(r.value) for r in records]
+        by_op = {p["operation"]: p for p in payloads}
+        assert set(by_op) == {"INSERT", "UPDATE", "DELETE"}
+        assert by_op["UPDATE"]["name"] == "alpha2"
+        # pre-image rendered for DELETE (pgoutput carries values as text)
+        assert by_op["DELETE"]["id"] == "2"
+        for r in records:
+            hdr = dict(r.headers)
+            assert hdr["table"].decode() == tbl
+            assert hdr["source"] == b"cdc"
+
+        # key→partition placement is the Java-client murmur2 placement,
+        # verified through real Fetch frames rather than broker internals
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            for pid_expected, key in [
+                (partition_for_key(b"1", 3), b"1"),
+                (partition_for_key(b"2", 3), b"2"),
+            ]:
+                recs, _ = cons.fetch(topic, pid_expected, offset=0)
+                assert any(r.key == key for r in recs)
+    finally:
+        try:
+            if q is not None:
+                q.stop()
+            broker.stop()
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            try:
+                admin.drop_replication_slot(slot)
+            except wire.WireError:
+                pass
+        finally:
+            admin.close()

@@ -26,12 +26,33 @@ from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
 # -- primitives -------------------------------------------------------------
 
 def test_crc32c_public_vectors():
-    # RFC 3720 appendix B.4 / common published Castagnoli vectors
-    assert crc32c(b"") == 0
-    assert crc32c(b"a") == 0xC1D04330
-    assert crc32c(b"123456789") == 0xE3069283
-    assert crc32c(b"\x00" * 32) == 0x8A9136AA
-    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import crc32c_py
+
+    # RFC 3720 appendix B.4 / common published Castagnoli vectors, pinned
+    # for BOTH the active implementation (native accelerator when libext2fs
+    # is present) and the portable fallback
+    for impl in (crc32c, crc32c_py):
+        assert impl(b"") == 0
+        assert impl(b"a") == 0xC1D04330
+        assert impl(b"123456789") == 0xE3069283
+        assert impl(b"\x00" * 32) == 0x8A9136AA
+        assert impl(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_crc32c_native_and_fallback_agree_on_random_buffers():
+    import random
+
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        _native_crc32c,
+        crc32c_py,
+    )
+
+    if _native_crc32c is None:
+        pytest.skip("no native crc32c library on this system")
+    rng = random.Random(42)
+    for n in (1, 7, 64, 1023, 65536):
+        buf = bytes(rng.getrandbits(8) for _ in range(n))
+        assert _native_crc32c(buf) == crc32c_py(buf)
 
 
 def test_murmur2_matches_java_client_vectors():
