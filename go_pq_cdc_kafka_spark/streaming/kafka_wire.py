@@ -481,10 +481,15 @@ class ScramConversation:
 
 API_PRODUCE = 0
 API_FETCH = 1
+API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_SASL_AUTHENTICATE = 36
+
+#: ListOffsets sentinel timestamps (public protocol constants)
+TS_LATEST = -1
+TS_EARLIEST = -2
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
@@ -900,6 +905,37 @@ class KafkaWireProducer(KafkaWireClient):
         return offsets
 
 
+def _list_offsets(
+    client: "KafkaWireClient", topic: str, timestamp: int
+) -> dict[int, int]:
+    """ListOffsets v1 for every partition of ``topic``: TS_LATEST → the
+    high watermark (next offset to be assigned), TS_EARLIEST → log start."""
+    meta = client.await_topics([topic])
+    by_leader: dict[int, list[int]] = {}
+    for p in meta.topics[topic]:
+        by_leader.setdefault(p.leader, []).append(p.partition)
+    out: dict[int, int] = {}
+    for leader, pids in by_leader.items():
+        body = bytearray(struct.pack(">i", -1))  # replica_id
+        body += struct.pack(">i", 1)
+        body += _str(topic)
+        body += struct.pack(">i", len(pids))
+        for pid in pids:
+            body += struct.pack(">iq", pid, timestamp)
+        r = client.conn_for(leader, meta).request(API_LIST_OFFSETS, 1, bytes(body))
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _ in range(r.i32()):
+                pid = r.i32()
+                code = r.i16()
+                r.i64()  # timestamp
+                offset = r.i64()
+                if code != ERR_NONE:
+                    raise KafkaProtocolError(code, f"ListOffsets {topic}[{pid}]")
+                out[pid] = offset
+    return out
+
+
 class KafkaWireConsumer(KafkaWireClient):
     """Minimal fetch-based reader — verification / read-back tier, not a
     consumer group (no offsets commit; callers track positions)."""
@@ -945,6 +981,12 @@ class KafkaWireConsumer(KafkaWireClient):
                     raise KafkaProtocolError(code, f"Fetch {topic}[{partition}]")
                 records.extend(decode_record_batches(record_set))
         return [rec for rec in records if rec.offset >= offset], hwm
+
+    def earliest_offsets(self, topic: str) -> dict[int, int]:
+        return _list_offsets(self, topic, TS_EARLIEST)
+
+    def latest_offsets(self, topic: str) -> dict[int, int]:
+        return _list_offsets(self, topic, TS_LATEST)
 
     def read_all(self, topic: str) -> list[Record]:
         """Drain every partition from offset 0 (test-tier convenience)."""

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 
 from .kafka_wire import (
     API_FETCH,
+    API_LIST_OFFSETS,
     API_METADATA,
     API_PRODUCE,
     API_SASL_AUTHENTICATE,
@@ -45,8 +46,8 @@ from .kafka_wire import (
     _recv_exact,
     _scram_hash,
     _str,
+    crc32c,
     decode_record_batches,
-    encode_record_batch,
     scram_salted_password,
 )
 
@@ -137,21 +138,66 @@ class _Disconnect(Exception):
 
 @dataclass
 class _PartitionLog:
-    """Append-only in-memory log: decoded records with assigned offsets."""
+    """Append-only in-memory log of RAW record batches, stored the way a
+    real broker stores them: CRC-validated on append, base-offset field
+    rewritten to the assigned position (legal without re-CRC — baseOffset
+    sits outside the v2 CRC coverage, which is exactly why Kafka moved it
+    there), decoded lazily only when something reads records."""
 
-    records: list[Record] = field(default_factory=list)
+    batches: list[tuple[int, int, bytes]] = field(default_factory=list)
+    next_offset: int = 0
 
     @property
     def high_watermark(self) -> int:
-        return len(self.records)
+        return self.next_offset
 
-    def append(self, batch_bytes: bytes) -> int:
-        base = len(self.records)
-        decoded = decode_record_batches(batch_bytes, verify_crc=True)
-        for i, rec in enumerate(decoded):
-            rec.offset = base + i
-            self.records.append(rec)
+    @property
+    def records(self) -> list[Record]:
+        out: list[Record] = []
+        for _base, _count, raw in self.batches:
+            # CRC verified on append; skip re-verification on read
+            out.extend(decode_record_batches(raw, verify_crc=False))
+        return out
+
+    def append(self, record_set: bytes) -> int:
+        """Validate every batch in the set, assign offsets, store raw.
+        Raises ValueError on CRC mismatch / wrong magic (CORRUPT_MESSAGE)."""
+        base = self.next_offset
+        pos = 0
+        staged: list[tuple[int, int, bytes]] = []
+        nxt = base
+        while pos + 12 <= len(record_set):
+            (batch_len,) = struct.unpack_from(">i", record_set, pos + 8)
+            end = pos + 12 + batch_len
+            if end > len(record_set):
+                raise ValueError("truncated record batch")
+            magic = record_set[pos + 16]
+            if magic != 2:
+                raise ValueError(f"unsupported record batch magic {magic}")
+            (crc,) = struct.unpack_from(">I", record_set, pos + 17)
+            if crc32c(record_set[pos + 21:end]) != crc:
+                raise ValueError("record batch CRC32C mismatch")
+            (count,) = struct.unpack_from(">i", record_set, pos + 57)
+            raw = bytearray(record_set[pos:end])
+            struct.pack_into(">q", raw, 0, nxt)
+            staged.append((nxt, count, bytes(raw)))
+            nxt += count
+            pos = end
+        if pos != len(record_set):
+            raise ValueError("trailing garbage after record batches")
+        self.batches.extend(staged)
+        self.next_offset = nxt
         return base
+
+    def raw_from(self, offset: int) -> bytes:
+        """Concatenated stored batches covering ``offset`` onward (a batch
+        straddling the offset is returned whole — consumers filter by
+        record offset, as real Kafka consumers must)."""
+        return b"".join(
+            raw
+            for base, count, raw in self.batches
+            if base + count > offset
+        )
 
 
 class MiniBroker:
@@ -238,6 +284,15 @@ class MiniBroker:
                 out.extend(self._logs.get((topic, p), _PartitionLog()).records)
             return out
 
+    def topic_count(self, topic: str) -> int:
+        """Record count without decoding (cheap enough for poll loops)."""
+        with self._lock:
+            return sum(
+                log.high_watermark
+                for (t, _p), log in self._logs.items()
+                if t == topic
+            )
+
     def _ensure_topic(self, topic: str) -> None:
         self._topics.add(topic)
         for p in range(self.num_partitions):
@@ -263,6 +318,7 @@ class MiniBroker:
                 API_METADATA: self._metadata,
                 API_PRODUCE: self._produce,
                 API_FETCH: self._fetch,
+                API_LIST_OFFSETS: self._list_offsets,
             }.get(api_key)
             if body is None:
                 raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
@@ -312,6 +368,7 @@ class MiniBroker:
 
     def _api_versions(self, version: int, r: _Reader) -> bytes:
         apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
                 (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
@@ -387,6 +444,47 @@ class MiniBroker:
         out += struct.pack(">i", 0)  # throttle_time_ms
         return bytes(out)
 
+    def _list_offsets(self, version: int, r: _Reader) -> bytes:
+        from .kafka_wire import TS_EARLIEST, TS_LATEST
+
+        r.i32()  # replica_id
+        requests: list[tuple[str, list[tuple[int, int]]]] = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                ts = r.i64()
+                parts.append((pid, ts))
+            requests.append((topic, parts))
+        out = bytearray(struct.pack(">i", len(requests)))
+        with self._lock:
+            for topic, parts in requests:
+                out += _str(topic)
+                out += struct.pack(">i", len(parts))
+                for pid, ts in parts:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        out += struct.pack(
+                            ">ihqq", pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
+                        )
+                        continue
+                    if ts == TS_LATEST:
+                        offset = log.high_watermark
+                    elif ts == TS_EARLIEST:
+                        offset = 0  # nothing is ever truncated here
+                    else:  # first offset with timestamp >= ts
+                        offset = next(
+                            (
+                                rec.offset
+                                for rec in log.records
+                                if rec.timestamp_ms >= ts
+                            ),
+                            log.high_watermark,
+                        )
+                    out += struct.pack(">ihqq", pid, ERR_NONE, -1, offset)
+        return bytes(out)
+
     def _fetch(self, version: int, r: _Reader) -> bytes:
         r.i32()  # replica_id
         r.i32()  # max_wait_ms
@@ -419,12 +517,7 @@ class MiniBroker:
                         out += _bytes(b"")
                         continue
                     hwm = log.high_watermark
-                    tail = log.records[offset:]
-                    record_set = (
-                        encode_record_batch(tail, base_offset=offset)
-                        if tail
-                        else b""
-                    )
+                    record_set = log.raw_from(offset) if offset < hwm else b""
                     out += struct.pack(
                         ">ihqqi", pid, ERR_NONE, hwm, hwm, 0
                     )

@@ -244,3 +244,23 @@ def test_api_versions_handshake():
             versions = prod.api_versions()
         assert versions[0][1] >= 3   # Produce up to v3
         assert versions[1][1] >= 4   # Fetch up to v4
+
+
+def test_broker_rewrites_base_offset_without_breaking_crc():
+    """Offset assignment rewrites only the baseOffset field of the stored
+    raw batch (it sits outside v2 CRC coverage), so the consumer's CRC
+    verification still passes on fetched bytes — the same mechanics a real
+    broker relies on."""
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            prod.send_records([("t", b"k", b"v0", []), ("t", b"k", b"v1", [])])
+            prod.send_records([("t", b"k", b"v2", [])])
+        log = broker._logs[("t", 0)]
+        assert [(b, c) for b, c, _raw in log.batches] == [(0, 2), (2, 1)]
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            recs, hwm = cons.fetch("t", 0, offset=0)  # decode verifies CRC
+        assert hwm == 3
+        assert [(r.offset, r.value) for r in recs] == [
+            (0, b"v0"), (1, b"v1"), (2, b"v2")
+        ]
+        assert broker.topic_count("t") == 3

@@ -109,8 +109,8 @@ def test_write_kafka_wire_batch_helper(spark):
 
 
 def test_wire_kwargs_loud_rejections():
-    with pytest.raises(ValueError, match="PLAINTEXT only"):
-        KafkaProducerConfig(brokers=["b:9092"], tls_enabled=True).wire_kwargs()
+    # TLS/SASL map through (see test_kafka_wire_security); what CANNOT be
+    # expressed on the wire path still rejects loudly:
     with pytest.raises(ValueError, match="murmur2"):
         KafkaProducerConfig(
             brokers=["b:9092"], balancer=Balancer.ROUND_ROBIN

@@ -151,13 +151,16 @@ def main() -> None:
         warm = 10_000
         wave = 100_000
 
-        def run_streaming_tier(query, out_dir, prefix: str) -> float:
+        def run_streaming_tier(query, out_dir, prefix: str, counter=None) -> float:
             """Warm up (batch-0 JVM/codegen cost is not steady state —
             the reference's 2.5-minute number is steady state too), then
-            clock insert → last record durable in the sink."""
+            clock insert → last record durable in the sink. ``counter``
+            overrides the sink-progress probe (default: committed parquet)."""
             nonlocal next_id
 
             def sunk() -> int:
+                if counter is not None:
+                    return counter()
                 try:
                     return SK2.read_committed(spark, out_dir).count()
                 except Exception:
@@ -228,6 +231,56 @@ def main() -> None:
             out["raw_e2e_rows_per_sec"] = round(e2e_n / raw_secs, 1)
         finally:
             q3.stop()
+
+        # tier 2k: the COMPLETE reference loop — PostgreSQL logical
+        # replication → executor decode → records → from-scratch Kafka
+        # wire producer → CRC-validating broker (streaming/minibroker).
+        # This is the number directly comparable to the reference's
+        # published 66.7k rows/s, which also ends at a broker ack.
+        from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+        from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+
+        slot4 = f"{slot}_kw"
+        sc4 = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+        row4 = sc4.create_replication_slot(slot4)
+        sc4.close()
+        kw_start = wire.parse_lsn(row4["consistent_point"]) - 1
+        ck4 = os.path.join(_tf.mkdtemp(prefix="live_kw_"), "ckpt")
+        topic = f"{tbl}.cdc"
+        broker = MiniBroker(num_partitions=8).start()
+        frames4 = (
+            spark.readStream.format("pgwire-raw")
+            .option("dsn", dsn)
+            .option("slot", slot4)
+            .option("publication", pub)
+            .option("startlsn", str(kw_start))
+            .option("maxframesperbatch", "600000")
+            .option("pollms", "500")
+            .option("groups", "64")
+            .load()
+        )
+        pipe4 = CdcPipeline(
+            source=RAW.decode_raw_frames(frames4, groups=64, partitions=16),
+            routing=routing,
+            pk_field="id",
+        )
+        q4 = pipe4.to_kafka_wire(
+            KafkaProducerConfig(
+                brokers=[broker.bootstrap], producer_batch_size=10_000
+            ),
+            ck4,
+            trigger={"processingTime": "1 seconds"},
+        )
+        try:
+            kw_secs = run_streaming_tier(
+                q4, "", "k", counter=lambda: broker.topic_count(topic)
+            )
+            out["kafka_e2e_rows"] = e2e_n
+            out["kafka_e2e_secs"] = round(kw_secs, 3)
+            out["kafka_e2e_rows_per_sec"] = round(e2e_n / kw_secs, 1)
+        finally:
+            q4.stop()
+            broker.stop()
 
         # tier 3: the tier-1 decoded batch through the full Spark record
         # lineage (land as parquet untimed — driver-side materialization —
@@ -306,11 +359,14 @@ def main() -> None:
             out["raw_e2e_rows_per_sec"] / 66_700, 2
         )
         out["e2e_vs_baseline"] = round(out["e2e_rows_per_sec"] / 66_700, 2)
+        out["kafka_e2e_vs_baseline"] = round(
+            out["kafka_e2e_rows_per_sec"] / 66_700, 2
+        )
     finally:
         try:
             admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
             admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
-            for s in (slot, f"{slot}_e2e", f"{slot}_raw"):
+            for s in (slot, f"{slot}_e2e", f"{slot}_raw", f"{slot}_kw"):
                 try:
                     admin.drop_replication_slot(s)
                 except wire.WireError:
