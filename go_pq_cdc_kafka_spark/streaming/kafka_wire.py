@@ -709,6 +709,15 @@ class KafkaWireClient:
             self._conns[node_id] = conn
         return conn
 
+    def _drop_conn(self, node_id: int) -> None:
+        conn = self._conns.pop(node_id, None)
+        if conn is not None:
+            conn.close()
+        # metadata may be stale too (a bounced broker can move leaders)
+        if self._boot is not None:
+            self._boot.close()
+            self._boot = None
+
     def close(self) -> None:
         for c in self._conns.values():
             c.close()
@@ -739,7 +748,15 @@ class KafkaWireClient:
         body = bytearray(struct.pack(">i", len(topics)))
         for t in topics:
             body += _str(t)
-        r = self._bootstrap_conn().request(API_METADATA, 1, bytes(body))
+        try:
+            r = self._bootstrap_conn().request(API_METADATA, 1, bytes(body))
+        except (ConnectionError, OSError):
+            # stale bootstrap connection (broker bounce): one fresh dial —
+            # a still-unreachable cluster raises out of _bootstrap_conn
+            if self._boot is not None:
+                self._boot.close()
+                self._boot = None
+            r = self._bootstrap_conn().request(API_METADATA, 1, bytes(body))
         brokers: dict[int, tuple[str, int]] = {}
         for _ in range(r.i32()):
             node = r.i32()
@@ -868,10 +885,22 @@ class KafkaWireProducer(KafkaWireClient):
                 for pid, batch in parts.items():
                     body += struct.pack(">i", pid)
                     body += _bytes(batch)
-            conn = self.conn_for(leader, meta)
-            r = conn.request(
-                API_PRODUCE, 3, bytes(body), expect_response=self.acks != 0
-            )
+            try:
+                conn = self.conn_for(leader, meta)
+                r = conn.request(
+                    API_PRODUCE, 3, bytes(body), expect_response=self.acks != 0
+                )
+            except (ConnectionError, OSError):
+                # TRANSIENT (reference B5, reponse_handler.go:13-48): a
+                # dropped/reset connection gets a redial + replay of this
+                # leader's batches; dedup is the consumer's job (the same
+                # at-least-once the reference accepts). Fatal protocol
+                # errors below still raise.
+                self._drop_conn(leader)
+                for topic, parts in topic_data.items():
+                    for pid in parts:
+                        retriable[(topic, pid)] = grouped[(topic, pid)]
+                continue
             if r is None:
                 continue  # acks=0 fire-and-forget: no response frame
             for _ in range(r.i32()):

@@ -218,11 +218,14 @@ class MiniBroker:
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: set[str] = set()
         self._lock = threading.Lock()
+        self._active: set[socket.socket] = set()
         broker = self
 
         class _Handler(socketserver.BaseRequestHandler):
             def handle(self):  # one connection, many requests
                 sock = self.request
+                with broker._lock:
+                    broker._active.add(sock)
                 sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 if broker.ssl_context is not None:
                     try:
@@ -246,6 +249,9 @@ class MiniBroker:
                     return
                 except _Disconnect:
                     return  # real-broker behavior: drop the connection
+                finally:
+                    with broker._lock:
+                        broker._active.discard(sock)
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -269,6 +275,17 @@ class MiniBroker:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        with self._lock:  # sever live connections like a real process exit
+            for s in list(self._active):
+                try:
+                    s.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    s.close()
+                except OSError:
+                    pass
+            self._active.clear()
 
     def __enter__(self) -> "MiniBroker":
         return self.start()

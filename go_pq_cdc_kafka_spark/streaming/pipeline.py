@@ -135,17 +135,25 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
                     continue
                 if prod is None:
                     prod = KafkaWireProducer(**wire_kwargs)
-                has_headers = "headers" in pdf.columns
-                for row in pdf.itertuples(index=False):
-                    key = None if row.key is None else bytes(row.key)
-                    value = None if row.value is None else bytes(row.value)
-                    headers = []
-                    if has_headers and row.headers is not None:
-                        headers = [
+                cols = [pdf["topic"].tolist(), pdf["key"].tolist(),
+                        pdf["value"].tolist()]
+                heads = (
+                    pdf["headers"].tolist()
+                    if "headers" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for topic, key, value, hs in zip(*cols, heads):
+                    key = None if key is None else bytes(key)
+                    value = None if value is None else bytes(value)
+                    headers = (
+                        []
+                        if hs is None
+                        else [
                             (h["key"], None if h["value"] is None else bytes(h["value"]))
-                            for h in row.headers
+                            for h in hs
                         ]
-                    pending.append((row.topic, key, value, headers))
+                    )
+                    pending.append((topic, key, value, headers))
                     pending_bytes += len(key or b"") + len(value or b"")
                     if len(pending) >= max_count or pending_bytes >= max_bytes:
                         flush()

@@ -264,3 +264,23 @@ def test_broker_rewrites_base_offset_without_breaking_crc():
             (0, b"v0"), (1, b"v1"), (2, b"v2")
         ]
         assert broker.topic_count("t") == 3
+
+
+def test_producer_redials_after_broker_bounce():
+    """Transient classing (reference B5): a connection dropped by a broker
+    bounce is redialed and the produce replayed; fatal protocol errors
+    still raise (CORRUPT_MESSAGE test above)."""
+    broker = MiniBroker(num_partitions=1).start()
+    host, port = broker.host, broker.port
+    prod = KafkaWireProducer(broker.bootstrap)
+    try:
+        prod.send_records([("t", b"k", b"before", [])])
+        broker.stop()  # kills the producer's cached connection
+        broker2 = MiniBroker(num_partitions=1, host=host, port=port).start()
+        try:
+            prod.send_records([("t", b"k", b"after", [])])
+            assert [r.value for r in broker2.topic_records("t")] == [b"after"]
+        finally:
+            broker2.stop()
+    finally:
+        prod.close()

@@ -269,7 +269,7 @@ def main() -> None:
                 brokers=[broker.bootstrap], producer_batch_size=10_000
             ),
             ck4,
-            trigger={"processingTime": "1 seconds"},
+            trigger={"processingTime": "0 seconds"},  # continuous micro-batches
         )
         try:
             kw_secs = run_streaming_tier(
