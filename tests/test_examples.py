@@ -59,3 +59,20 @@ def test_example_live_tail_against_scripted_walsender(spark, tmp_path):
     rows = spark.sql("select topic, value from live_tail").collect()
     assert len(rows) >= 2
     assert all(r.topic == "users.cdc" for r in rows)
+
+
+def test_example_kafka_loop(spark, tmp_path):
+    import json
+
+    import kafka_loop
+
+    rows = kafka_loop.main(spark, workdir=str(tmp_path / "kloop"))
+    ops = sorted(json.loads(bytes(r.value))["operation"] for r in rows)
+    # 5 SNAPSHOT + 5 INSERT + updates (ids 2,4) + delete (id 5)
+    assert ops.count("SNAPSHOT") == 5 and ops.count("INSERT") == 5
+    assert "UPDATE" in ops and "DELETE" in ops
+    # read-back is offset-ordered within each partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    assert all(offs == sorted(offs) for offs in by_part.values())
