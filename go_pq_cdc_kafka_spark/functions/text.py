@@ -311,3 +311,52 @@ def ngrams_all_sql(c: str, n: int = 2) -> str:
         f"[COALESCE(array_to_string(toks[i:i+{n - 1}], ' '), '') "
         f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))]"
     ).replace("toks", toks)
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality gates (Rae et al. 2021, the rule set
+    most pretraining pipelines start from), restricted to the rules that
+    are well-defined on whitespace text and exactly computable in both
+    engines:
+
+    - ``word_count``         in [50, 100_000]
+    - ``mean_word_len_x100`` in [300, 1000]  (3–10 chars, integer cents:
+      ``(letters_total * 100) div word_count`` — no float division)
+    - ``stop_hits``          ≥ 2 distinct stopword hits (Gopher's
+      "contains ≥ 2 of a small stop set" rule)
+
+    ``passes_gopher`` is the conjunction. Each signal is also returned so
+    downstream curation can re-threshold without recomputation."""
+    toks = tokens(col)
+    word_count = F.size(toks).cast("long")
+    letters_total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_x100 = F.when(word_count > 0, (letters_total * 100) / word_count) \
+        .otherwise(F.lit(None)).cast("long")
+    stop_hits = stopword_count(col)
+    passes = (
+        (word_count >= 50)
+        & (word_count <= 100_000)
+        & (mean_x100 >= 300)
+        & (mean_x100 <= 1000)
+        & (stop_hits >= 2)
+    )
+    return {
+        "word_count": word_count,
+        "mean_word_len_x100": mean_x100,
+        "stop_hits": stop_hits,
+        "passes_gopher": passes,
+    }
+
+
+#: DuckDB twin of :func:`gopher_rules` (``{c}`` = text column). The
+#: mean-word-length cents use integer ``//`` exactly like Spark's
+#: ``div``-through-cast; aggregate over token lengths mirrors F.aggregate.
+GOPHER_SQL = (
+    "CAST(length({toks}) AS BIGINT) AS word_count,\n"
+    "  CAST(list_sum(list_transform({toks}, t -> length(t))) * 100 AS BIGINT)"
+    " // NULLIF(CAST(length({toks}) AS BIGINT), 0) AS mean_word_len_x100,\n"
+    "  CAST(length(regexp_extract_all(" + ascii_lower_sql("{c}") + ", "
+    r"'\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop_hits"
+)

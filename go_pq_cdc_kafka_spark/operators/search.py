@@ -251,3 +251,70 @@ def phrase_match(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("int").alias("first_pos"),
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most DISTINCTIVE terms per document — the tf·idf keyword
+    extraction every corpus-exploration / topic-labeling pass needs.
+
+    Cross-engine exactness (same discipline as BM25 above): idf drops the
+    log and uses the reciprocal document frequency directly — tf/df ranks
+    identically to tf·log(N/df) for fixed tf whenever df varies (both are
+    strictly decreasing in df), and the fixed-point score
+
+        score_fp = (tf * 10^9) div df        (integer division)
+
+    is exact in both engines (tf ≤ doc length ≤ ~10^4 ⇒ products stay far
+    inside int64). Ties break (score DESC, term ASC) so row_number is
+    deterministic.
+
+    Scale: one corpus-sized shuffle for tf, a vocabulary-sized df
+    aggregate joined back on ``term``, one doc-keyed window for the
+    top-k — O(corpus tokens), the plan you'd run at 100 TB."""
+    tf = term_frequencies(docs, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.expr("CAST(tf * 1000000000 AS BIGINT) DIV df").alias("score_fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "score_fp")
+    )
+
+
+def tfidf_topk_terms_sql(k: int = 3) -> str:
+    """DuckDB twin of ``tfidf_topk_terms`` on the ``documents`` view."""
+    toks = T.TOKENS_SQL.format(c="text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * 1000000000 AS BIGINT) // dfreq.df AS score_fp
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score_fp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_fp DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, score_fp
+FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""

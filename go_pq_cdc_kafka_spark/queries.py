@@ -4983,3 +4983,52 @@ def driver_window_order() -> list[str]:
         return 1 if name in checked else 0
 
     return sorted(REGISTRY, key=lambda n: tier(n))
+
+
+# ===========================================================================
+# Round-4 continuation: tf-idf keyword extraction, Gopher quality gates
+# ===========================================================================
+
+@register(
+    "text_tfidf_topk",
+    oracle=SEARCH.tfidf_topk_terms_sql(k=3),
+    category="text-analysis",
+    description="Top-3 most distinctive terms per document (tf·idf with "
+    "reciprocal-df idf — rank-equivalent to tf·log(N/df) and exactly "
+    "computable: score = tf*1e9 div df in both engines). One corpus "
+    "shuffle for tf, vocabulary-sized df join, doc-keyed top-k window.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return SEARCH.tfidf_topk_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+SELECT doc_id,
+  {T.GOPHER_SQL.format(toks=T.TOKENS_SQL.format(c="text"), c="text")},
+  (CAST(length({T.TOKENS_SQL.format(c="text")}) AS BIGINT) BETWEEN 50 AND 100000
+   AND CAST(list_sum(list_transform({T.TOKENS_SQL.format(c="text")}, t -> length(t))) * 100 AS BIGINT)
+       // NULLIF(CAST(length({T.TOKENS_SQL.format(c="text")}) AS BIGINT), 0) BETWEEN 300 AND 1000
+   AND CAST(length(regexp_extract_all({T.ascii_lower_sql('text')},
+       '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) >= 2) AS passes_gopher
+FROM documents
+ORDER BY doc_id
+""",
+    category="quality",
+    description="Gopher-style pretraining quality gates (word count, mean "
+    "word length in integer cents, stopword hits) with the pass/fail "
+    "conjunction — map-only Column exprs, no shuffle; exactly the rule "
+    "evaluation you fan over 100 TB before any dedup pass.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = T.gopher_rules(F.col("text"))
+    return d.select(
+        "doc_id",
+        g["word_count"].alias("word_count"),
+        g["mean_word_len_x100"].alias("mean_word_len_x100"),
+        g["stop_hits"].alias("stop_hits"),
+        g["passes_gopher"].alias("passes_gopher"),
+    ).orderBy("doc_id")

@@ -140,3 +140,55 @@ def test_phrase_match_overlapping_occurrences(spark):
     docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
     got = S.phrase_match(docs, ("a", "a")).collect()
     assert [(r.doc_id, r.n_matches, r.first_pos) for r in got] == [(1, 3, 0)]
+
+
+def test_tfidf_topk_ranks_distinctive_terms_first(spark):
+    from go_pq_cdc_kafka_spark.operators.search import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple common"),
+            (2, "banana common"),
+            (3, "common common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.score_fp)
+        for r in tfidf_topk_terms(docs, k=2).collect()
+    }
+    # df: apple=1, banana=1, cherry=1, common=3
+    assert out[(1, 1)] == ("apple", 2 * 10**9)       # tf=2, df=1
+    assert out[(1, 2)] == ("common", 10**9 // 3)     # tf=1, df=3
+    assert out[(2, 1)] == ("banana", 10**9)
+    # rarity beats frequency: score(cherry)=1e9 > score(common)=2e9//3
+    assert out[(3, 1)] == ("cherry", 10**9)
+    assert out[(3, 2)] == ("common", 2 * 10**9 // 3)
+
+
+def test_gopher_rules_gate_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.functions.text import gopher_rules
+
+    passing = "the quick brown fox jumps over a lazy dog and " * 6  # 60 words
+    too_short = "the tiny a doc"
+    long_words = ("supercalifragilistic " * 60) + "the a of"  # mean len > 10
+    docs = spark.createDataFrame(
+        [(1, passing), (2, too_short), (3, long_words)],
+        "doc_id long, text string",
+    )
+    g = gopher_rules(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            g["word_count"].alias("wc"),
+            g["mean_word_len_x100"].alias("mwl"),
+            g["stop_hits"].alias("sh"),
+            g["passes_gopher"].alias("ok"),
+        ).collect()
+    }
+    assert rows[1].ok and rows[1].wc == 60 and 300 <= rows[1].mwl <= 1000
+    assert not rows[2].ok  # word count < 50
+    assert not rows[3].ok and rows[3].mwl > 1000  # mean word length gate
