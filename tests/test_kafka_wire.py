@@ -284,3 +284,54 @@ def test_producer_redials_after_broker_bounce():
             broker2.stop()
     finally:
         prod.close()
+
+
+# -- property tests -----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_blobs = st.one_of(st.none(), st.binary(max_size=200))
+_headers = st.lists(
+    st.tuples(st.text(max_size=20), st.one_of(st.none(), st.binary(max_size=50))),
+    max_size=4,
+)
+_records = st.lists(
+    st.builds(
+        Record,
+        key=_blobs,
+        value=_blobs,
+        headers=_headers,
+        timestamp_ms=st.integers(min_value=0, max_value=2**41),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(recs=_records, codec=st.sampled_from([0, COMPRESSION_GZIP]),
+       base=st.integers(min_value=0, max_value=2**40))
+def test_record_batch_roundtrip_property(recs, codec, base):
+    """Any record list survives encode→decode bit-exactly: keys, values,
+    headers (order + null vs empty), timestamps, absolute offsets."""
+    out = decode_record_batches(
+        encode_record_batch(recs, compression=codec, base_offset=base)
+    )
+    assert [(r.key, r.value, r.headers, r.timestamp_ms) for r in out] == [
+        (r.key, r.value, r.headers, r.timestamp_ms) for r in recs
+    ]
+    assert [r.offset for r in out] == [base + i for i in range(len(recs))]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_crc32c_implementations_agree_property(buf):
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        _native_crc32c,
+        crc32c_py,
+    )
+
+    if _native_crc32c is None:
+        pytest.skip("no native crc32c library on this system")
+    assert _native_crc32c(buf) == crc32c_py(buf)
