@@ -295,6 +295,7 @@ class CdcPipeline:
         strict_order: bool = False,
         default_topic: str | None = None,
         trigger: dict | None = None,
+        ordering: str | None = None,
     ) -> StreamingQuery:
         """Streaming sink through the from-scratch wire producer
         (streaming/kafka_wire.py) — no spark-sql-kafka jar required.
@@ -304,9 +305,27 @@ class CdcPipeline:
         and produces its Arrow batches; a failed task fails the micro-batch,
         so the checkpoint does not commit and the batch replays — the same
         at-least-once ack contract as ``to_kafka`` (producer_batch.go:141-151).
-        ``strict_order=True`` funnels the batch through one sorted task,
-        mirroring the reference's single-threaded listener ordering."""
-        rec = self.records(carry_cols=("lsn",) if strict_order else ())
+
+        ``ordering`` picks the delivery-order contract:
+
+        - ``None``    — task-parallel, no cross-task order (what the
+          jar-backed sink gives). Within one task records stay in plan
+          order.
+        - ``"key"``   — the REFERENCE'S REAL GUARANTEE (single-threaded
+          listener → kafka-go key hashing, README.md:36-42): all events of
+          one key arrive in WAL order on one Kafka partition. One extra
+          shuffle (repartition by key) + an in-task LSN sort buys it while
+          KEEPING sink-side parallelism — strictly stronger than the
+          jar-backed sink, which cannot sort inside the producer.
+        - ``"total"`` — strict global WAL order through ONE sorted task
+          (the documented single-writer cost; ``strict_order=True`` is the
+          legacy spelling).
+        """
+        if strict_order:
+            ordering = "total"
+        if ordering not in (None, "key", "total"):
+            raise ValueError(f"ordering must be None|'key'|'total', got {ordering!r}")
+        rec = self.records(carry_cols=("lsn",) if ordering else ())
         if default_topic is not None:
             rec = rec.withColumn(
                 "topic", F.coalesce(F.col("topic"), F.lit(default_topic))
@@ -315,7 +334,18 @@ class CdcPipeline:
         batch_caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
 
         def produce_batch(batch_df: DataFrame, _batch_id: int) -> None:
-            df = ordered_records(batch_df) if strict_order else batch_df
+            if ordering == "total":
+                df = ordered_records(batch_df)
+            elif ordering == "key":
+                # same key → same task → same murmur2 partition, LSN-sorted
+                # within the task ⇒ per-key WAL order on the broker
+                df = (
+                    batch_df.repartition(F.col("topic"), F.col("key"))
+                    .sortWithinPartitions("lsn")
+                    .drop("lsn")
+                )
+            else:
+                df = batch_df
             acked = df.mapInPandas(
                 _wire_produce_fn(wire_kwargs, batch_caps),
                 schema="produced long",

@@ -154,3 +154,55 @@ def test_wire_sink_failure_aborts_microbatch_no_commit(spark, tmp_path):
         assert len(records) == 8  # full replay, no loss
     finally:
         broker2.stop()
+
+
+def test_key_ordering_preserves_per_key_wal_order(spark, tmp_path):
+    """ordering='key': every key's events land on ONE Kafka partition in
+    LSN order even though the sink stays task-parallel — the reference's
+    real delivery guarantee (single-threaded listener + key hashing),
+    which the jar-backed sink cannot give across tasks."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.envelope import insert_events, to_dynamic
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import partition_for_key
+
+    # 6 keys x 8 versions, LSNs interleaved across keys, written as 8
+    # files so multiple tasks race on every key without the repartition
+    rows = []
+    lsn = 0
+    for ver in range(8):
+        for k in range(6):
+            lsn += 1
+            rows.append((k, f"v{ver}", lsn))
+    base = spark.createDataFrame(rows, "id int, name string, lsn long")
+    # lsn stays in the after-image (harmless for the assertions below)
+    log = to_dynamic(insert_events(base, "users", lsn=F.col("lsn")))
+    path = str(tmp_path / "log")
+    cl.write_changelog(log, path, num_files=8)
+
+    pipe = CdcPipeline(
+        source=cl.read_changelog_stream(spark, path),
+        routing=RoutingTable({"public.users": "users.keyed"}),
+        pk_field="id",
+    )
+    with MiniBroker(num_partitions=4) as broker:
+        q = pipe.to_kafka_wire(
+            KafkaProducerConfig(brokers=[broker.bootstrap]),
+            str(tmp_path / "ckpt"),
+            ordering="key",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        by_key: dict = {}
+        for p in range(4):
+            for rec in broker._logs[("users.keyed", p)].records:
+                by_key.setdefault(bytes(rec.key), []).append(
+                    (p, json.loads(rec.value)["name"])
+                )
+    assert len(by_key) == 6
+    for key, seq in by_key.items():
+        parts = {p for p, _ in seq}
+        assert parts == {partition_for_key(key, 4)}  # one partition per key
+        assert [v for _, v in seq] == [f"v{i}" for i in range(8)]  # WAL order
