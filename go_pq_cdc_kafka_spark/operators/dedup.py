@@ -564,3 +564,92 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup PAIRS from SimHash fingerprints via banded Hamming LSH —
+    the pairing step on top of :func:`simhash` (which emits per-doc
+    fingerprints only).
+
+    Pigeonhole guarantee: a pair within Hamming distance < ``bands`` must
+    agree exactly on at least one of the ``bands`` contiguous bit-bands,
+    so banding finds every pair with distance <= bands-1 and (beyond that)
+    a useful recall tail; the exact ``bit_count(xor)`` verification then
+    keeps only pairs ``<= max_hamming`` — candidates are pruned, never
+    admitted, so the output is deterministic and threshold-exact.
+
+    Scale shape: fingerprints are one corpus shuffle (see simhash); the
+    band self-join is ONE posexplode equi-join on (band_id, band_key)
+    uniform keys — identical to the MinHash-LSH plan — and verification
+    is a constant-time xor per candidate. No all-pairs stage anywhere."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs_sql(
+    bits: int = 32, bands: int = 4, max_hamming: int = 6
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs` (documents view)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp_sql = simhash_sql(bits).replace("ORDER BY doc_id", "")
+    return f"""
+WITH fp AS ({fp_sql}),
+banded AS (
+  SELECT doc_id, simhash, b AS band_id,
+         (simhash >> (b * {width})) & {mask} AS band_key
+  FROM fp, unnest(generate_series(0, {bands - 1})) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""

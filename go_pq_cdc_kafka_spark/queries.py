@@ -5036,3 +5036,20 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["stop_hits"].alias("stop_hits"),
         g["passes_gopher"].alias("passes_gopher"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=DD.simhash_pairs_sql(bits=32, bands=4, max_hamming=3),
+    category="dedup",
+    description="SimHash near-dup PAIRS via banded Hamming LSH: 4 8-bit "
+    "bands over the 32-bit fingerprints, exact bit_count(xor) <= 3 "
+    "verification on candidates only — at which threshold the pigeonhole "
+    "guarantee makes banding COMPLETE (distance < bands is never missed). "
+    "Same single posexplode band self-join plan as MinHash-LSH.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return DD.simhash_pairs(
+        d, bits=32, bands=4, max_hamming=3
+    ).orderBy("doc_a", "doc_b")

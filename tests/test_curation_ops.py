@@ -287,3 +287,35 @@ def test_triangle_count_triangle_free_graph(spark):
     rows = CL.triangle_count(df).collect()
     assert all(r.triangles == 0 for r in rows)
     assert {r.node for r in rows} == {1, 2, 3, 4, 10, 11, 12, 13}
+
+
+def test_simhash_pairs_banding_complete_below_bands(spark):
+    """Pigeonhole completeness: identical docs pair at hamming 0; docs
+    differing in only a couple of rare tokens stay within the threshold;
+    unrelated docs with distant fingerprints never pair."""
+    from go_pq_cdc_kafka_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup
+            (4, "one two three four five six seven eight nine"),   # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0  # exact dup always found
+    ham_13 = bin(fp[1] ^ fp[3]).count("1")
+    if ham_13 <= 6:  # near-dup within threshold must be found...
+        assert pairs[(1, 3)] == ham_13
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 0
+    # every reported pair satisfies the exact-threshold contract
+    assert all(h <= 6 for h in pairs.values())
+    assert all(
+        bin(fp[a] ^ fp[b]).count("1") == h for (a, b), h in pairs.items()
+    )
