@@ -263,3 +263,62 @@ def to_dynamic(df: DataFrame) -> DataFrame:
     return df.withColumn("before", as_map("before")).withColumn(
         "after", as_map("after")
     )
+
+
+def from_kafka_records(
+    df: DataFrame, default_namespace: str = "public"
+) -> DataFrame:
+    """Kafka record frame → dynamic envelope: the RE-INGEST adapter.
+
+    Input is the schema both Kafka sources emit (``key``/``value`` binary,
+    ``headers`` array<struct<key,value>>, ``offset``, ``timestamp`` — the
+    jar-backed source and sources/kafka_source.py agree); the payload is
+    the convention this engine's sink AND the reference connector write
+    (README.md:183-212): the row image as JSON with an injected
+    ``operation`` field, DELETE carrying the pre-image, op/table repeated
+    in headers. So the relational tier (LWW, SCD2, event counts …) runs
+    DIRECTLY over topics a deployed go-pq-cdc-kafka produces today — the
+    consume half of the migration story.
+
+    Envelope mapping:
+
+    - ``op``          — ``operation`` header, falling back to the injected
+      payload field (headers optional in the reference config)
+    - ``lsn``         — the Kafka offset. Per-key monotone whenever the
+      producer used key partitioning (both engines' default), which is
+      exactly the per-key ordering LWW/SCD2 consumers key on; it is NOT a
+      global WAL position across partitions.
+    - ``event_time``  — the broker/record timestamp
+    - images          — payload minus ``operation``; DELETE → before,
+      everything else → after (inverse of handler.choose_image)
+    """
+    img = F.from_json(
+        F.col("value").cast("string"), "map<string,string>"
+    )
+    hdr = F.map_from_entries(
+        F.transform(
+            F.coalesce(
+                F.col("headers"),
+                F.array().cast("array<struct<key:string,value:binary>>"),
+            ),
+            lambda h: F.struct(
+                h["key"].alias("key"), h["value"].cast("string").alias("value")
+            ),
+        )
+    )
+    op = F.coalesce(
+        F.element_at(hdr, "operation"), F.element_at(img, "operation")
+    )
+    image = F.map_filter(img, lambda k, _v: k != F.lit("operation"))
+    null_map = F.lit(None).cast("map<string,string>")
+    return df.select(
+        op.alias("op"),
+        F.col("timestamp").cast("timestamp").alias("event_time"),
+        F.col("offset").cast("long").alias("lsn"),
+        F.coalesce(
+            F.element_at(hdr, "namespace"), F.lit(default_namespace)
+        ).alias("table_namespace"),
+        F.element_at(hdr, "table").alias("table_name"),
+        F.when(op == OP_DELETE, image).otherwise(null_map).alias("before"),
+        F.when(op == OP_DELETE, null_map).otherwise(image).alias("after"),
+    )

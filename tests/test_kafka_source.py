@@ -199,3 +199,68 @@ def test_produce_consume_loop_cdc_records(spark, broker, tmp_path):
         bytes(dict((h.key, h.value) for h in r.headers)["table"]) for r in back
     }
     assert hdr_tables == {b"users"}
+
+
+def test_reingest_kafka_records_to_envelope_lww(spark, broker, tmp_path):
+    """The full migration loop: CDC changelog → wire produce (per-key WAL
+    order) → kafkawire consume → from_kafka_records envelope → LWW
+    materialization equals the LWW of the ORIGINAL changelog — i.e. the
+    relational tier runs unchanged over topics the reference connector
+    (or this engine) produced."""
+    from go_pq_cdc_kafka_spark.envelope import from_kafka_records
+    from go_pq_cdc_kafka_spark.operators.relational import lww_materialize
+    from go_pq_cdc_kafka_spark.plans.routing import RoutingTable
+    from go_pq_cdc_kafka_spark.sources import changelog as cl
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
+
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D")], "id int, name string"
+    )
+    log = cl.generate_table_changelog(
+        base, "id", "users", update_mod=2, delete_mod=3
+    )
+    cl.write_changelog(log, str(tmp_path / "log"), num_files=2)
+    pipe = CdcPipeline(
+        source=cl.read_changelog_stream(spark, str(tmp_path / "log")),
+        routing=RoutingTable({"public.users": "users.reingest"}),
+        pk_field="id",
+    )
+    q = pipe.to_kafka_wire(
+        KafkaProducerConfig(brokers=[broker.bootstrap]),
+        str(tmp_path / "ckpt"),
+        ordering="key",  # per-key WAL order ⇒ offsets LWW-safe per key
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    KS.register(spark)
+    env = from_kafka_records(
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", "users.reingest")
+        .load()
+    )
+    assert [f.name for f in env.schema.fields] == [
+        "op", "event_time", "lsn", "table_namespace", "table_name",
+        "before", "after",
+    ]
+    rows = env.collect()
+    assert {r.table_name for r in rows} == {"users"}
+    deletes = [r for r in rows if r.op == "DELETE"]
+    assert deletes and all(
+        r.after is None and r.before is not None for r in deletes
+    )
+
+    keyed = env.selectExpr("*", "coalesce(after['id'], before['id']) AS pk")
+    state = {
+        r.k: r.name
+        for r in lww_materialize(keyed, key_cols=["pk"], order_col="lsn")
+        .selectExpr("pk AS k", "after['name'] AS name")
+        .collect()
+    }
+    # changelog semantics: updates touch id%2==0, deletes id%3==0
+    # final state: 1=A, 2=B+upd, 4=D+upd survive; 3 deleted (after=None)
+    assert state.get("3") is None
+    assert state["1"] == "A"
+    assert state["2"].startswith("B") and state["4"].startswith("D")
