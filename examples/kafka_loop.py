@@ -79,6 +79,14 @@ def main(
                 bytes(r.key).decode(),
                 json.loads(bytes(r.value))["operation"],
             )
+
+        # …and straight back into the envelope: the relational tier runs
+        # over consumed topics unchanged (works against topics produced by
+        # the reference connector too)
+        from go_pq_cdc_kafka_spark.envelope import from_kafka_records
+
+        env = from_kafka_records(back)
+        env.groupBy("table_name", "op").count().orderBy("op").show()
         return rows
     finally:
         if own_broker is not None:
