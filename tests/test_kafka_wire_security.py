@@ -194,3 +194,39 @@ def test_plaintext_client_against_tls_listener_fails_cleanly(tmp_path):
         with pytest.raises((ConnectionError, OSError, struct.error)):
             prod = KafkaWireProducer(broker.bootstrap, timeout_s=5.0)
             prod.send_records([("t", b"k", b"v", [])])
+
+
+@needs_openssl
+def test_kafkawire_source_reads_sasl_ssl_broker(spark, tmp_path):
+    """The Spark source's sasl.*/tls.* options drive the same security
+    stack: batch read from a SASL_SSL listener (driver-side planning AND
+    executor-side fetches both authenticate)."""
+    from go_pq_cdc_kafka_spark.sources import kafka_source as KS
+
+    key, crt = _selfsigned(tmp_path)
+    with MiniBroker(
+        num_partitions=2,
+        sasl_credentials=CREDS,
+        ssl_context=_server_ctx(key, crt),
+    ) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap,
+            sasl=("SCRAM-SHA-512", "cdc_user", "cdc_pass"),
+            tls={"root_ca_path": crt},
+        ) as prod:
+            prod.send_records(
+                [("t.sec", b"k1", b"v1", []), ("t.sec", b"k2", b"v2", [])]
+            )
+        KS.register(spark)
+        rows = (
+            spark.read.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t.sec")
+            .option("sasl.mechanism", "SCRAM-SHA-512")
+            .option("sasl.username", "cdc_user")
+            .option("sasl.password", "cdc_pass")
+            .option("tls", "true")
+            .option("tls.rootca", crt)
+            .load()
+        )
+        assert sorted(bytes(r.value) for r in rows.collect()) == [b"v1", b"v2"]
