@@ -150,13 +150,25 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return self._driver_client
 
     def initialOffset(self) -> dict:
-        starting = self.options.get("startingoffsets", "earliest").lower()
+        import json
+
         c = self._client()
-        offs = (
-            c.latest_offsets(self.topic)
-            if starting == "latest"
-            else c.earliest_offsets(self.topic)
-        )
+        ts = self.options.get("startingtimestamp")
+        starting = self.options.get("startingoffsets", "earliest")
+        if ts is not None:
+            # first offset with record timestamp >= ts (epoch millis);
+            # partitions with nothing that recent start at their watermark
+            offs = c.offsets_for_timestamp(self.topic, int(ts))
+        elif starting.lstrip().startswith("{"):
+            # explicit per-partition positions, jar-source style:
+            # {"0": 12, "1": 0, ...}; unlisted partitions start earliest
+            explicit = {int(p): int(o) for p, o in json.loads(starting).items()}
+            offs = c.earliest_offsets(self.topic)
+            offs.update(explicit)
+        elif starting.lower() == "latest":
+            offs = c.latest_offsets(self.topic)
+        else:
+            offs = c.earliest_offsets(self.topic)
         return {str(p): o for p, o in offs.items()}
 
     def latestOffset(self) -> dict:

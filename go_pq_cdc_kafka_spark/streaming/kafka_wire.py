@@ -1017,6 +1017,12 @@ class KafkaWireConsumer(KafkaWireClient):
     def latest_offsets(self, topic: str) -> dict[int, int]:
         return _list_offsets(self, topic, TS_LATEST)
 
+    def offsets_for_timestamp(self, topic: str, ts_ms: int) -> dict[int, int]:
+        """Per partition: the first offset with record timestamp >= ts_ms
+        (the broker's high watermark where no such record exists) —
+        ListOffsets v1 with a concrete timestamp."""
+        return _list_offsets(self, topic, ts_ms)
+
     def read_all(self, topic: str) -> list[Record]:
         """Drain every partition from offset 0 (test-tier convenience)."""
         meta = self.await_topics([topic])

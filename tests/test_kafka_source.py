@@ -264,3 +264,46 @@ def test_reingest_kafka_records_to_envelope_lww(spark, broker, tmp_path):
     assert state.get("3") is None
     assert state["1"] == "A"
     assert state["2"].startswith("B") and state["4"].startswith("D")
+
+
+def test_startingtimestamp_and_explicit_offsets(spark, broker, tmp_path):
+    """Jar-source-parity start positions: startingtimestamp seeks the first
+    record at-or-after an epoch-millis instant (via ListOffsets v1), and a
+    JSON startingoffsets dict pins explicit per-partition positions."""
+    topic = "t.seek"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        for i, ts in enumerate([1_000, 2_000, 3_000, 4_000]):
+            prod.send_records(
+                [(topic, b"k", f"v-{i}".encode(), [])], timestamp_ms=ts
+            )
+    KS.register(spark)
+
+    def read_with(**opts):
+        r = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        name = f"seek_{abs(hash(tuple(sorted(opts.items()))))%10**6}"
+        q = (
+            r.load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ckpt_{name}"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        got = sorted(r.v for r in spark.sql(f"SELECT v FROM {name}").collect())
+        q.stop()
+        return got
+
+    assert read_with(startingtimestamp="3000") == ["v-2", "v-3"]
+    # all 4 records share key b"k" → one partition; pin it to offset 1
+    part = partition_for_key(b"k", 3)
+    assert read_with(startingoffsets='{"%d": 1}' % part) == ["v-1", "v-2", "v-3"]
