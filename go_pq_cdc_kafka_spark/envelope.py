@@ -295,16 +295,21 @@ def from_kafka_records(
     img = F.from_json(
         F.col("value").cast("string"), "map<string,string>"
     )
-    hdr = F.map_from_entries(
-        F.transform(
-            F.coalesce(
-                F.col("headers"),
-                F.array().cast("array<struct<key:string,value:binary>>"),
-            ),
-            lambda h: F.struct(
-                h["key"].alias("key"), h["value"].cast("string").alias("value")
-            ),
-        )
+    # Kafka allows DUPLICATE header keys; map_from_entries would throw
+    # under Spark's default duplicate-key policy (EXCEPTION) on topics from
+    # external producers that repeat one. Fold last-occurrence-wins (the
+    # lookup semantics librdkafka-style clients expose) — header arrays are
+    # a handful of entries, so the per-row fold is O(n·small).
+    hdr = F.aggregate(
+        F.coalesce(
+            F.col("headers"),
+            F.array().cast("array<struct<key:string,value:binary>>"),
+        ),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, h: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != h["key"]),
+            F.create_map(h["key"], h["value"].cast("string")),
+        ),
     )
     op = F.coalesce(
         F.element_at(hdr, "operation"), F.element_at(img, "operation")

@@ -353,8 +353,12 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     letters_total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    mean_x100 = F.when(word_count > 0, (letters_total * 100) / word_count) \
-        .otherwise(F.lit(None)).cast("long")
+    # True integer division (Spark's `div`) — NOT trunc-of-double, which
+    # can diverge from the DuckDB oracle's `//` for large totals and
+    # silently flip passes_gopher at the 300/1000 boundaries.
+    mean_x100 = F.when(
+        word_count > 0, F.call_function("div", letters_total * 100, word_count)
+    ).otherwise(F.lit(None)).cast("long")
     stop_hits = stopword_count(col)
     passes = (
         (word_count >= 50)

@@ -20,10 +20,14 @@ Spark-first shape — this is NOT a driver-side reader:
   other unchanged.
 
 Options: ``bootstrap`` (required), ``topic`` (required),
-``startingoffsets`` = earliest|latest (default earliest),
-``maxoffsetspertrigger``, ``sasl.mechanism``/``sasl.username``/
-``sasl.password``, ``tls`` = true + ``tls.rootca`` (path) /
-``tls.rootcapem`` (inline PEM).
+``startingoffsets`` = earliest|latest|{"part": offset} JSON (default
+earliest; JSON sentinels match the jar source: -1 = that partition's
+latest, -2 = earliest), ``startingtimestamp`` (epoch millis; partitions
+with nothing at-or-after it start at their latest — the broker's -1
+answer is normalized), ``maxoffsetspertrigger`` (honored from batch 0 on
+a fresh query; a restart's WAL-replay batch is Spark's, not ours),
+``sasl.mechanism``/``sasl.username``/``sasl.password``, ``tls`` = true +
+``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
 
 from __future__ import annotations
@@ -149,26 +153,49 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             self._driver_client = KafkaWireConsumer(**self.client_kwargs)
         return self._driver_client
 
-    def initialOffset(self) -> dict:
+    def _starting_offsets(self) -> dict:
+        """The CONFIGURED start position, {partition(int): offset} — shared
+        by initialOffset and the fresh-start rate-limit seed."""
         import json
 
         c = self._client()
         ts = self.options.get("startingtimestamp")
         starting = self.options.get("startingoffsets", "earliest")
         if ts is not None:
-            # first offset with record timestamp >= ts (epoch millis);
-            # partitions with nothing that recent start at their watermark
+            # first offset with record timestamp >= ts (epoch millis).
+            # A REAL broker's ListOffsets v1 answers -1 for partitions with
+            # nothing that recent (MiniBroker conforms) — normalize -1 to
+            # the latest offset so the first fetch never runs at offset -1.
             offs = c.offsets_for_timestamp(self.topic, int(ts))
+            if any(o < 0 for o in offs.values()):
+                latest = c.latest_offsets(self.topic)
+                offs = {p: (latest[p] if o < 0 else o) for p, o in offs.items()}
         elif starting.lstrip().startswith("{"):
             # explicit per-partition positions, jar-source style:
-            # {"0": 12, "1": 0, ...}; unlisted partitions start earliest
+            # {"0": 12, "1": 0, ...}; unlisted partitions start earliest.
+            # Jar-source sentinel semantics: -1 = latest, -2 = earliest.
             explicit = {int(p): int(o) for p, o in json.loads(starting).items()}
             offs = c.earliest_offsets(self.topic)
-            offs.update(explicit)
+            latest = None
+            for p, o in explicit.items():
+                if o == -2:
+                    continue  # earliest — already the default fill
+                if o == -1:
+                    if latest is None:
+                        latest = c.latest_offsets(self.topic)
+                    offs[p] = latest.get(p, 0)
+                else:
+                    offs[p] = o
         elif starting.lower() == "latest":
             offs = c.latest_offsets(self.topic)
         else:
             offs = c.earliest_offsets(self.topic)
+        return offs
+
+    def initialOffset(self) -> dict:
+        offs = self._starting_offsets()
+        if self._position is None:
+            self._position = {str(p): int(o) for p, o in offs.items()}
         return {str(p): o for p, o in offs.items()}
 
     def latestOffset(self) -> dict:
@@ -176,22 +203,30 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         out = {str(p): o for p, o in latest.items()}
         if self.max_per_trigger:
             if self._position is None:
-                # First probe (start OR restart — the Python source API
-                # never surfaces the checkpoint position): seed the clamp
-                # base with the broker's CURRENT latest. A clamped end must
-                # never sit below a restarted query's committed offset —
-                # Spark would regress its offset log and re-read — so the
-                # one catch-up batch runs unclamped and every batch after
-                # it honors the budget (partitions() advances the base).
-                self._position = dict(out)
-            else:
-                budget = max(self.max_per_trigger // max(len(out), 1), 1)
-                for p, o in out.items():
-                    lo = int(self._position.get(p, 0))
-                    out[p] = min(o, lo + budget)
+                # First probe of a FRESH query: the runner asks for the
+                # first batch's end BEFORE calling initialOffset (observed
+                # call order), so clamp from the CONFIGURED start — batch 0
+                # must honor maxoffsetspertrigger too (startingoffsets=
+                # earliest on a big topic otherwise reads the whole log in
+                # one unclamped micro-batch). This cannot regress a
+                # RESTARTED query's offset log: on restart Spark replays
+                # the checkpointed batch through partitions(start, end)
+                # before ever calling latestOffset, which seeds _position
+                # with the checkpoint position (see partitions()).
+                self._position = {
+                    str(p): int(o) for p, o in self._starting_offsets().items()
+                }
+            budget = max(self.max_per_trigger // max(len(out), 1), 1)
+            for p, o in out.items():
+                lo = int(self._position.get(p, 0))
+                out[p] = min(o, lo + budget)
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Doubles as the restart position seed: Spark re-plans the last
+        # checkpointed batch through here before the first post-restart
+        # latestOffset, so the rate-limit clamp base is always the
+        # authoritative WAL end from then on.
         self._position = {p: int(end[p]) for p in end}
         return [
             _RangePartition(

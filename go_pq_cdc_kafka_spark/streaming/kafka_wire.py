@@ -1018,9 +1018,10 @@ class KafkaWireConsumer(KafkaWireClient):
         return _list_offsets(self, topic, TS_LATEST)
 
     def offsets_for_timestamp(self, topic: str, ts_ms: int) -> dict[int, int]:
-        """Per partition: the first offset with record timestamp >= ts_ms
-        (the broker's high watermark where no such record exists) —
-        ListOffsets v1 with a concrete timestamp."""
+        """Per partition: the first offset with record timestamp >= ts_ms —
+        ListOffsets v1 with a concrete timestamp. Where no such record
+        exists the broker answers -1 (real-Kafka semantics; MiniBroker
+        conforms) — callers must normalize, e.g. to latest_offsets()."""
         return _list_offsets(self, topic, ts_ms)
 
     def read_all(self, topic: str) -> list[Record]:

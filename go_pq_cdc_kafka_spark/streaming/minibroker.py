@@ -490,14 +490,16 @@ class MiniBroker:
                         offset = log.high_watermark
                     elif ts == TS_EARLIEST:
                         offset = 0  # nothing is ever truncated here
-                    else:  # first offset with timestamp >= ts
+                    else:  # first offset with timestamp >= ts; a REAL
+                        # broker answers -1 when no such record exists
+                        # (consumers must normalize) — conform to that.
                         offset = next(
                             (
                                 rec.offset
                                 for rec in log.records
                                 if rec.timestamp_ms >= ts
                             ),
-                            log.high_watermark,
+                            -1,
                         )
                     out += struct.pack(">ihqq", pid, ERR_NONE, -1, offset)
         return bytes(out)

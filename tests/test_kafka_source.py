@@ -101,10 +101,10 @@ def test_streaming_read_and_resume(spark, broker, tmp_path):
 
 
 def test_streaming_rate_limit_bounds_each_microbatch(spark, broker, tmp_path):
-    """Steady-state micro-batches honor maxoffsetspertrigger. (The one
-    catch-up batch at start/restart is unclamped by design: the Python
-    source API hides the checkpoint position, and a clamped end below it
-    would regress Spark's offset log — see KafkaWireStreamReader.)"""
+    """Steady-state micro-batches honor maxoffsetspertrigger. (Fresh
+    batch 0 is clamped from the configured start too; only a RESTART's
+    catch-up runs from the replayed WAL position — see
+    KafkaWireStreamReader.latestOffset.)"""
     topic = "t.rate"
     KS.register(spark)
     q = (
@@ -307,3 +307,106 @@ def test_startingtimestamp_and_explicit_offsets(spark, broker, tmp_path):
     # all 4 records share key b"k" → one partition; pin it to offset 1
     part = partition_for_key(b"k", 3)
     assert read_with(startingoffsets='{"%d": 1}' % part) == ["v-1", "v-2", "v-3"]
+    # jar-source sentinels in the explicit JSON: -1 = that partition's
+    # latest (skip its history), -2 = earliest
+    assert read_with(startingoffsets='{"%d": -1}' % part) == []
+    assert read_with(startingoffsets='{"%d": -2}' % part) == [
+        "v-0", "v-1", "v-2", "v-3"
+    ]
+    # timestamp beyond every record: the broker answers -1 for the
+    # populated partition (real-Kafka ListOffsets semantics) and for the
+    # two empty ones; the source must normalize all three to latest and
+    # deliver only post-start records instead of dying on offset -1
+    topic2 = "t.seek.future"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records([(topic2, b"k", b"v-old", [])], timestamp_ms=1_000)
+
+    def read_stream_after(produce_after):
+        q = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic2)
+            .option("startingtimestamp", "9999999")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("memory")
+            .queryName("seek_future")
+            .option("checkpointLocation", str(tmp_path / "ckpt_future"))
+            .start()
+        )
+        q.processAllAvailable()
+        produce_after()
+        q.processAllAvailable()
+        got = sorted(
+            r.v for r in spark.sql("SELECT v FROM seek_future").collect()
+        )
+        q.stop()
+        return got
+
+    def produce_new():
+        with KafkaWireProducer(broker.bootstrap) as prod:
+            prod.send_records([(topic2, b"k", b"v-new", [])],
+                              timestamp_ms=2_000)
+
+    assert read_stream_after(produce_new) == ["v-new"]
+
+
+def test_rate_limit_clamps_fresh_batch_zero(spark, broker, tmp_path):
+    """A FRESH query with startingoffsets=earliest on a pre-populated topic
+    must honor maxoffsetspertrigger from batch 0 — the main scenario the
+    option exists for (initialOffset seeds the clamp base). Only the
+    restart catch-up batch stays unclamped."""
+    topic = "t.rate0"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records(
+            [(topic, b"k", f"v-{i}".encode(), []) for i in range(30)]
+        )
+    KS.register(spark)
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", topic)
+        .option("maxoffsetspertrigger", "9")
+        .load()
+        .writeStream.format("memory")
+        .queryName("kafkawire_rate0")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n = spark.sql("SELECT count(*) c FROM kafkawire_rate0").first().c
+    progress = q.recentProgress
+    q.stop()
+    assert n == 30
+    sizes = [p["numInputRows"] for p in progress if p["numInputRows"]]
+    # every batch — INCLUDING the first — within the per-partition budget
+    assert sizes and max(sizes) <= 9 and len(sizes) >= 4
+
+
+def test_reingest_tolerates_duplicate_header_keys(spark, broker):
+    """Kafka allows duplicate header keys; external producers repeat them.
+    from_kafka_records must fold last-occurrence-wins instead of throwing
+    map_from_entries' duplicate-key error."""
+    import json
+
+    from go_pq_cdc_kafka_spark.envelope import from_kafka_records
+
+    topic = "t.duphdr"
+    payload = json.dumps({"operation": "INSERT", "id": "1"}).encode()
+    _produce(
+        broker.bootstrap,
+        topic,
+        [(b"1", payload,
+          [("trace", b"a"), ("table", b"users"), ("trace", b"b")])],
+    )
+    KS.register(spark)
+    env = from_kafka_records(
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", topic)
+        .load()
+    )
+    rows = env.collect()
+    assert len(rows) == 1
+    assert rows[0].op == "INSERT" and rows[0].table_name == "users"
+    assert rows[0].after["id"] == "1"
