@@ -4932,61 +4932,79 @@ _DRIVER_CHECKED_PRIOR_ROUNDS: set[str] = {
 }
 
 
-def _driver_checked_so_far() -> set[str]:
-    """Every query name any prior round's driver gate already HASH-verified:
+def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
+    """``{query name: most recent driver round that HASH-verified it}`` —
     the hard-coded round-2 set above (minus its rows-only members — they
-    only ever produced ``no_oracle`` records), unioned with every
-    CORRECTNESS_r*.json record whose hash_match is true — so the rotation
-    keeps itself current each round without manual edits, and a query
-    whose oracle contract is new (e.g. a rows-only query later upgraded
-    to an oracle-checkable one) counts as fresh until the driver has
-    actually hash-checked it once."""
+    only ever produced ``no_oracle`` records) at round 2, overlaid with
+    every ``CORRECTNESS_r{N}.json`` record whose hash_match is true at
+    round N — so the rotation keeps itself current each round without
+    manual edits, and a query whose oracle contract is new (e.g. a
+    rows-only query later upgraded to an oracle-checkable one) counts as
+    fresh until the driver has actually hash-checked it once.
+
+    ``root`` overrides the directory scanned for CORRECTNESS files
+    (tests simulate future rounds with it); default is the repo root."""
     import glob
     import json
     import os
+    import re
 
-    checked = set(_DRIVER_CHECKED_PRIOR_ROUNDS) - {
+    checked = {
+        name: 2
+        for name in _DRIVER_CHECKED_PRIOR_ROUNDS
         # in the r2 window but recorded only as no_oracle there
-        "distinct_approx",
-        "sim_ivf_trained_topk",
+        if name not in ("distinct_approx", "sim_ivf_trained_topk")
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as f:
                 records = json.load(f)
         except (OSError, ValueError):
             continue
-        checked.update(
-            name
-            for name, rec in records.items()
-            if isinstance(rec, dict) and rec.get("hash_match") is True
-        )
+        for name, rec in records.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                checked[name] = max(checked.get(name, 0), rnd)
     return checked
 
 
-def driver_window_order() -> list[str]:
+def _driver_checked_so_far() -> set[str]:
+    """Every query name any prior round's driver gate already HASH-verified."""
+    return set(_driver_checked_rounds())
+
+
+def driver_window_order(root: str | None = None) -> list[str]:
     """Registry names ordered for the driver's 50-entry correctness window:
 
     1. oracle-checkable queries NO prior driver round has verified (the
        independent-coverage growth the rotation exists for),
-    2. oracle-checkable queries a prior round already verified
-       (regression re-checks, as window budget allows),
+    2. oracle-checkable queries a prior round already verified, ordered
+       LEAST-RECENTLY-CHECKED first — once every query has been checked
+       (round 4 reached that point), this keeps the 50-entry window
+       cycling through the full registry every ~3 rounds instead of
+       re-checking the same first-50-by-registration forever,
     3. rows-only queries (oracle=None) last — the driver can only report
        ``no_oracle`` for them, so they must never consume a hash-check
        slot.
 
-    Within each tier, registration order (deterministic). Pure function of
-    REGISTRY plus whatever CORRECTNESS_r*.json the driver has dropped in
-    the repo root; the REGISTRY itself is never mutated."""
-    checked = _driver_checked_so_far()
+    Ties (same tier, same last-checked round) fall back to registration
+    order (deterministic). Pure function of REGISTRY plus whatever
+    CORRECTNESS_r*.json the driver has dropped in the repo root (or
+    ``root``); the REGISTRY itself is never mutated."""
+    rounds = _driver_checked_rounds(root)
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
 
-    def tier(name: str) -> int:
+    def key(name: str) -> tuple[int, int, int]:
         if REGISTRY[name].oracle is None:
-            return 2
-        return 1 if name in checked else 0
+            return (2, 0, reg_pos[name])
+        if name not in rounds:
+            return (0, 0, reg_pos[name])
+        return (1, rounds[name], reg_pos[name])
 
-    return sorted(REGISTRY, key=lambda n: tier(n))
+    return sorted(REGISTRY, key=key)
 
 
 # ===========================================================================

@@ -34,10 +34,12 @@ def test_registry_is_hermetic_registration_order():
 def test_driver_window_rotation_invariants():
     """driver_window_order(): every never-driver-checked oracle query sorts
     before every checked one (so the 50-entry driver window grows
-    independent coverage each round), and every rows-only query sorts after
-    ALL oracle-checkable ones (so no window slot reports no_oracle).
-    Registration order is preserved within each tier."""
+    independent coverage each round), checked queries sort
+    least-recently-checked first (so the window keeps cycling once all
+    are checked), and every rows-only query sorts after ALL
+    oracle-checkable ones (so no window slot reports no_oracle)."""
     from go_pq_cdc_kafka_spark.queries import (
+        _driver_checked_rounds,
         _driver_checked_so_far,
         driver_window_order,
     )
@@ -46,6 +48,8 @@ def test_driver_window_rotation_invariants():
     assert sorted(order) == sorted(REGISTRY)
 
     checked = _driver_checked_so_far()
+    rounds = _driver_checked_rounds()
+    assert checked == set(rounds)
     tiers = [
         0 if REGISTRY[n].oracle is not None and n not in checked
         else 1 if REGISTRY[n].oracle is not None
@@ -55,9 +59,65 @@ def test_driver_window_rotation_invariants():
     assert tiers == sorted(tiers), "tier ordering violated"
 
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
-    for t in (0, 1, 2):
+    for t in (0, 2):
         within = [reg_pos[n] for n, tt in zip(order, tiers) if tt == t]
         assert within == sorted(within), f"tier {t} not in registration order"
+    # tier 1: least-recently-checked round first, ties by registration order
+    keys1 = [
+        (rounds[n], reg_pos[n]) for n, tt in zip(order, tiers) if tt == 1
+    ]
+    assert keys1 == sorted(keys1), "tier 1 not least-recently-checked first"
+
+
+def test_driver_window_cycles_full_registry(tmp_path):
+    """Simulate three future driver rounds: each round hash-checks the
+    first 50 names of driver_window_order() and drops a CORRECTNESS file.
+    The windows must (a) be disjoint between consecutive rounds while ≥100
+    checked queries exist (no wasted re-checks), and (b) jointly cover
+    EVERY oracle-checkable query within the three rounds — the property
+    round 4's static ordering lost once all 129 had been checked."""
+    import json
+    import shutil
+    import glob
+    import os
+
+    from go_pq_cdc_kafka_spark.queries import driver_window_order
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    last_round = 0
+    for p in existing:
+        shutil.copy(p, tmp_path / os.path.basename(p))
+        last_round = max(
+            last_round,
+            int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]),
+        )
+
+    oracle_names = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    windows = []
+    for rnd in range(last_round + 1, last_round + 4):
+        order = driver_window_order(root=str(tmp_path))
+        window = order[:50]
+        windows.append(set(window))
+        record = {
+            n: {"hash_match": True}
+            for n in window
+            if REGISTRY[n].oracle is not None
+        }
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(record)
+        )
+    for a, b in zip(windows, windows[1:]):
+        assert not (a & b), "consecutive windows overlap — wasted re-checks"
+    covered = set().union(*windows)
+    assert oracle_names <= covered, sorted(oracle_names - covered)
+    # and the very next round (window 1 of the sim) avoided everything the
+    # real latest round just checked
+    latest_path = os.path.join(root, f"CORRECTNESS_r{last_round:02d}.json")
+    if os.path.exists(latest_path):
+        with open(latest_path, encoding="utf-8") as f:
+            latest_checked = set(json.load(f))
+        assert len(windows[0] & latest_checked) <= 5
 
 
 def test_spark_entry_window_fronts_fresh_queries():
