@@ -12,6 +12,14 @@ from GC/scheduler contention (round-2 finding: same code measured 15.4s
 then 3.99s back-to-back), and the minimum is the standard estimator for
 the compute cost a dedicated cluster would see. The cache is cleared
 between runs so operators that persist() internally are measured cold.
+
+Load guard: pre-existing background load inflates every query uniformly
+(round-4 finding: the driver recorded 11.1 s under load where idle re-runs
+gave 9.5-10.2 s — a phantom 23% "regression"). The JSON therefore stamps
+``load_1m`` (the 1-minute loadavg sampled BEFORE the Spark session starts)
+and ``load_warning: true`` when load_1m/cpus exceeds 0.25, so a recorded
+number taken on a busy box is self-identifying instead of silently
+misleading round-over-round comparisons.
 """
 
 from __future__ import annotations
@@ -39,6 +47,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # sample pre-existing load BEFORE Spark spins up its own threads
+    try:
+        load_1m = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        load_1m = -1.0
+    ncpus = os.cpu_count() or 1
+    load_warning = load_1m / ncpus > 0.25
 
     from go_pq_cdc_kafka_spark.queries import REGISTRY
     from go_pq_cdc_kafka_spark.session import get_spark
@@ -126,6 +142,8 @@ def main() -> None:
                 "cdc_rows": n_rows,
                 "runs_per_query": runs,
                 "runs": all_runs,
+                "load_1m": round(load_1m, 2),
+                "load_warning": load_warning,
             }
         )
     )
