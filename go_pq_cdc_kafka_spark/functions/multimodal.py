@@ -2,12 +2,14 @@
 typed metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
 Decoders are REAL for every format expressible with stdlib+numpy from the
-public specs: BMP (24/32-bit uncompressed), PPM/PGM binary, and PCM WAV —
+public specs: BMP (24/32-bit uncompressed), PPM/PGM binary, PCM WAV, and
+**PNG** (non-interlaced 8-bit gray/RGB/palette/gray-alpha/RGBA — chunk
+CRC-32 verification, stdlib-zlib inflate, all five scanline filters) —
 ``decode_image``/``decode_audio`` parse the actual bytes, ``encode_bmp``/
-``encode_wav`` synthesize them, ``resize_nearest`` resamples with pure
-integer index math, and ``image_stats``/``audio_stats`` run the decoders
-distributed. Compressed codecs (png/jpeg/mp3/mp4) still need a codec
-library that this environment lacks; those paths raise NotImplementedError
+``encode_png``/``encode_wav`` synthesize them, ``resize_nearest``
+resamples with pure integer index math, and ``image_stats``/
+``audio_stats`` run the decoders distributed. Codecs needing an external
+library (jpeg/mp3/mp4/16-bit+interlaced PNG) raise NotImplementedError
 at the documented integration point — never a silent wrong answer. The
 remaining md5-based stages (``extract_features``, ``sample_frames``,
 ``resize_images``) stay codec-agnostic by design: they exercise the
@@ -100,12 +102,16 @@ def decode_image(payload: bytes):
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "png/jpeg need a codec library (e.g. PIL) — plug it in here; "
+            "jpeg needs a codec library (e.g. PIL) — plug it in here; "
             "the surrounding Spark plumbing is decoder-agnostic"
         )
-    raise ValueError("unrecognized image payload (supported: BMP, PPM, PGM)")
+    raise ValueError(
+        "unrecognized image payload (supported: BMP, PPM, PGM, PNG)"
+    )
 
 
 def _decode_bmp(payload: bytes):
@@ -165,6 +171,219 @@ def _decode_pnm(payload: bytes):
     arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
     arr = arr.reshape(height, width, ch)
     return np.repeat(arr, 3, axis=2) if ch == 1 else arr.copy()
+
+
+# --- PNG, implemented from the public spec (RFC 2083 / W3C PNG):
+# chunk framing with CRC-32 verification, zlib (stdlib) inflate of the
+# IDAT stream, and the five scanline filters (None/Sub/Up/Average/Paeth).
+# Non-interlaced, bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+# 4 (gray+alpha), 6 (RGBA). Interlaced (Adam7) and 1/2/4/16-bit images
+# raise loudly — never a silent wrong answer.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying each CRC-32 (over the
+    type + data bytes, per spec)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = _struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = _struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor, verbatim from the spec's reference function."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes):
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+
+    raw = _zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG: IDAT length does not match dimensions")
+
+    # Unfilter scanline by scanline. Up/None vectorize fully; Sub/Average/
+    # Paeth carry a prior-pixel dependency, walked pixel-wise with the
+    # channel vector as the unit (int math mod 256, per spec).
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        else:
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = recon[x - bpp : x] if x else np.zeros(bpp, np.int32)
+                up = prev[x : x + bpp]
+                upleft = prev[x - bpp : x] if x else np.zeros(bpp, np.int32)
+                seg = line[x : x + bpp]
+                if ftype == 1:  # Sub
+                    recon[x : x + bpp] = (seg + left) & 0xFF
+                elif ftype == 3:  # Average
+                    recon[x : x + bpp] = (seg + (left + up) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    recon[x : x + bpp] = (
+                        seg
+                        + np.array(
+                            [
+                                _paeth(int(a), int(b), int(c))
+                                for a, b, c in zip(left, up, upleft)
+                            ],
+                            dtype=np.int32,
+                        )
+                    ) & 0xFF
+                else:
+                    raise ValueError(f"PNG: invalid filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+
+    px = out.reshape(height, width, channels)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 6:
+        return px[:, :, :3].copy()  # alpha dropped, matching BMP-32 handling
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color_type == 3: palette indices → PLTE triples
+    if plte is None or len(plte) % 3:
+        raise ValueError("paletted PNG missing/invalid PLTE")
+    import numpy as _np
+    table = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= table.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return table[idx]
+
+
+def _png_filter_line(ftype: int, line, left_shifted, prev, prev_shifted):
+    """Apply (encode-side) scanline filter ``ftype`` — the inverse of the
+    decoder's reconstruction, used by encode_png to produce fixtures that
+    exercise every filter path."""
+    import numpy as np
+
+    if ftype == 0:
+        return line.copy()
+    if ftype == 1:
+        return (line - left_shifted) & 0xFF
+    if ftype == 2:
+        return (line - prev) & 0xFF
+    if ftype == 3:
+        return (line - (left_shifted + prev) // 2) & 0xFF
+    pred = np.array(
+        [
+            _paeth(int(a), int(b), int(c))
+            for a, b, c in zip(left_shifted, prev, prev_shifted)
+        ],
+        dtype=np.int32,
+    )
+    return (line - pred) & 0xFF
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a non-interlaced 8-bit
+    truecolor PNG (from the public spec; zlib + CRC-32 via stdlib).
+    ``filter_type`` applies that scanline filter to every row — fixture
+    synthesis uses 1/2/3/4 to prove the decoder's unfilter paths against
+    an independent oracle, 0 for plain output."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w, _ = arr.shape
+    stride, bpp = w * 3, 3
+    flat = arr.reshape(h, stride).astype(np.int32)
+    body = bytearray()
+    for y in range(h):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        body.append(filter_type)
+        body.extend(
+            _png_filter_line(filter_type, line, left, prev, upleft)
+            .astype(np.uint8)
+            .tobytes()
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(arr) -> bytes:

@@ -5071,3 +5071,57 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         d, bits=32, bands=4, max_hamming=3
     ).orderBy("doc_a", "doc_b")
+
+
+# ===========================================================================
+# Round-5 continuation: PNG decode, Kafka consumer groups, snappy Avro
+# ===========================================================================
+
+@register(
+    "multimodal_png_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(5 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM((n.n_nationkey*17 + r.i*13 + c.i*5) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((n.n_nationkey*17 + r.i*13 + c.i*5 + 7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((n.n_nationkey*17 + r.i*13 + c.i*5 + 14) % 256) AS BIGINT) AS sum_b
+FROM nation n,
+     (SELECT UNNEST(range(6)) AS i) r,
+     (SELECT UNNEST(range(5)) AS i) c
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL PNG decode on executors (codec implemented from the "
+    "public spec: chunk CRC-32 verification, stdlib-zlib inflate, all five "
+    "scanline filters): 5x6 truecolor PNGs are synthesized per nation key "
+    "inside one mapInPandas stage (pixel (r,c,k) = (key*17+r*13+c*5+k*7) "
+    "mod 256) with the scanline FILTER TYPE varying by key (key mod 5 — "
+    "None/Sub/Up/Average/Paeth all exercised), then a second stage parses "
+    "the actual PNG bytes back (functions/multimodal.decode_image) and "
+    "emits integer-exact per-channel pixel sums. The oracle recomputes the "
+    "sums from the generating formula — any filter-reconstruction, "
+    "inflate-framing or CRC bug in the codec breaks the match. Map-only "
+    "lineage; payloads never leave the task.",
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                r = np.arange(6).reshape(6, 1, 1)
+                c = np.arange(5).reshape(1, 5, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                arr = ((nk * 17 + r * 13 + c * 5 + k * 7) % 256).astype(np.uint8)
+                ids.append(nk)
+                payloads.append(MM.encode_png(arr, filter_type=nk % 5))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.image_stats(media).orderBy("doc_id")

@@ -439,8 +439,101 @@ def test_compressed_formats_raise_loudly():
     from go_pq_cdc_kafka_spark.functions import multimodal as MM
 
     with _pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
     with _pytest.raises(NotImplementedError, match="codec"):
         MM.decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag header
     with _pytest.raises(ValueError, match="unrecognized"):
         MM.decode_image(b"GARBAGE!")
+    # PNG decodes for real now; a signature with garbage chunks is a
+    # loud structural error, not silence
+    with _pytest.raises(ValueError):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+# --- PNG codec, from the public spec ----------------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    for ftype in range(5):
+        payload = MM.encode_png(arr, filter_type=ftype)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        back = MM.decode_image(payload)
+        assert back.shape == (5, 7, 3)
+        assert (back == arr).all(), f"filter {ftype} round-trip mismatch"
+
+
+def test_png_gray_palette_and_alpha_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def png(w, h, color_type, scanlines, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+    # grayscale (type 0): replicated to 3 channels
+    gray = png(2, 2, 0, bytes([0, 10, 20, 0, 30, 40]))
+    g = MM.decode_image(gray)
+    assert g.shape == (2, 2, 3) and g[1, 1].tolist() == [40, 40, 40]
+
+    # palette (type 3): indices resolve through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    pal = png(3, 1, 3, bytes([0, 0, 1, 2]), plte=plte)
+    p = MM.decode_image(pal)
+    assert p[0, 0].tolist() == [255, 0, 0]
+    assert p[0, 1].tolist() == [0, 255, 0]
+    assert p[0, 2].tolist() == [0, 0, 255]
+
+    # gray+alpha (type 4) and RGBA (type 6): alpha dropped
+    ga = png(1, 1, 4, bytes([0, 77, 128]))
+    assert MM.decode_image(ga)[0, 0].tolist() == [77, 77, 77]
+    rgba = png(1, 1, 6, bytes([0, 1, 2, 3, 200]))
+    assert MM.decode_image(rgba)[0, 0].tolist() == [1, 2, 3]
+
+
+def test_png_corruption_and_unsupported_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    ok = MM.encode_png(arr)
+    # flip one IDAT byte: CRC check must catch it
+    bad = bytearray(ok)
+    idat_pos = ok.index(b"IDAT") + 4
+    bad[idat_pos] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        MM.decode_image(bytes(bad))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 16-bit depth and Adam7 interlacing are loud NotImplementedError
+    for depth, interlace, err in ((16, 0, "8-bit"), (8, 1, "interlaced")):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+                   + chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError, match=err):
+            MM.decode_image(payload)
