@@ -5125,3 +5125,48 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey")
     media = n.mapInPandas(synth, "doc_id long, payload binary")
     return MM.image_stats(media).orderBy("doc_id")
+
+
+@register(
+    "scan_avro_snappy_roundtrip",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    category="scan",
+    description="Avro scan under the SNAPPY codec, both halves from the "
+    "public specs (sources/avro.py): customer is re-written as snappy "
+    "container files executor-side — blocks compressed by the from-spec "
+    "pure-Python snappy emitter (varint preamble, literal/copy tags) with "
+    "Avro's big-endian CRC32-of-uncompressed suffix — then read back "
+    "through binaryFile + the from-spec snappy DEcompressor (overlapping-"
+    "copy run repetition, preamble length check, CRC validation) and "
+    "aggregated. The oracle reads the same rows from parquet: every key "
+    "and cent must survive compress→decompress exactly. Same file-level "
+    "parallelism as the deflate path.",
+)
+def scan_avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from go_pq_cdc_kafka_spark.sources.avro import read_avro, write_avro
+
+    c = load_table(spark, sf_dir, "customer")
+    base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_snappy_"), "customer")
+    write_avro(c, base, codec="snappy")
+    back = read_avro(spark, base)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

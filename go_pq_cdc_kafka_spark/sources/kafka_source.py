@@ -20,14 +20,19 @@ Spark-first shape — this is NOT a driver-side reader:
   other unchanged.
 
 Options: ``bootstrap`` (required), ``topic`` (required),
-``startingoffsets`` = earliest|latest|{"part": offset} JSON (default
-earliest; JSON sentinels match the jar source: -1 = that partition's
-latest, -2 = earliest), ``startingtimestamp`` (epoch millis; partitions
-with nothing at-or-after it start at their latest — the broker's -1
-answer is normalized), ``maxoffsetspertrigger`` (honored from batch 0 on
-a fresh query; a restart's WAL-replay batch is Spark's, not ours),
-``sasl.mechanism``/``sasl.username``/``sasl.password``, ``tls`` = true +
-``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
+``startingoffsets`` = earliest|latest|committed|{"part": offset} JSON
+(default earliest; JSON sentinels match the jar source: -1 = that
+partition's latest, -2 = earliest; ``committed`` resumes from the
+group's broker-stored OffsetCommit positions — checkpoint-free restart —
+and requires ``group.id``), ``group.id`` (commit each batch's end
+offsets broker-side via OffsetCommit, for lag monitoring and
+``committed`` resume), ``auto.offset.reset`` = earliest|latest (fallback
+for partitions the group never committed), ``startingtimestamp`` (epoch
+millis; partitions with nothing at-or-after it start at their latest —
+the broker's -1 answer is normalized), ``maxoffsetspertrigger`` (honored
+from batch 0 on a fresh query; a restart's WAL-replay batch is Spark's,
+not ours), ``sasl.mechanism``/``sasl.username``/``sasl.password``,
+``tls`` = true + ``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
 
 from __future__ import annotations
@@ -143,6 +148,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.topic = options["topic"]
         self.client_kwargs = _client_kwargs(options)
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
+        self.group_id = options.get("group.id")
         self._driver_client = None
         self._position: dict | None = None  # last planned end (rate limiting)
 
@@ -161,6 +167,28 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         c = self._client()
         ts = self.options.get("startingtimestamp")
         starting = self.options.get("startingoffsets", "earliest")
+        if starting.lower() == "committed":
+            # resume from the group's broker-stored commits (OffsetFetch):
+            # checkpoint-free restart, the consumer-group migration shape.
+            # Partitions the group never committed fall back to
+            # auto.offset.reset (earliest default, like the jar source).
+            if not self.group_id:
+                raise ValueError(
+                    'startingoffsets="committed" requires the group.id option'
+                )
+            reset = self.options.get("auto.offset.reset", "earliest").lower()
+            offs = (
+                c.latest_offsets(self.topic)
+                if reset == "latest"
+                else c.earliest_offsets(self.topic)
+            )
+            committed = c.fetch_committed(
+                self.group_id, self.topic, sorted(offs)
+            )
+            for p, o in committed.items():
+                if o >= 0:
+                    offs[p] = o
+            return offs
         if ts is not None:
             # first offset with record timestamp >= ts (epoch millis).
             # A REAL broker's ListOffsets v1 answers -1 for partitions with
@@ -240,7 +268,24 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return _read_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # positions live in the Spark checkpoint, nowhere else
+        # Positions live in the Spark checkpoint; with group.id set they
+        # are ALSO committed broker-side, so external monitoring sees lag
+        # and startingoffsets="committed" can resume without the
+        # checkpoint. Spark delivers commit(N) only when batch N+1 is
+        # planned, so broker commits lag one batch and the final batch
+        # before a stop is never committed — committed-resume is
+        # AT-LEAST-ONCE (re-reads that tail), the same contract a plain
+        # Kafka consumer group gives. Commit failure must not fail the
+        # query — the checkpoint stays authoritative.
+        if self.group_id:
+            try:
+                self._client().commit_offsets(
+                    self.group_id,
+                    self.topic,
+                    {int(p): int(o) for p, o in end.items()},
+                )
+            except Exception:
+                pass
 
     def stop(self) -> None:
         if self._driver_client is not None:

@@ -483,6 +483,9 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_SASL_AUTHENTICATE = 36
@@ -966,8 +969,10 @@ def _list_offsets(
 
 
 class KafkaWireConsumer(KafkaWireClient):
-    """Minimal fetch-based reader — verification / read-back tier, not a
-    consumer group (no offsets commit; callers track positions)."""
+    """Fetch-based reader with broker-stored offset commits (OffsetCommit/
+    OffsetFetch via FindCoordinator). No group MEMBERSHIP protocol —
+    partitions are caller-assigned, like the jar source's manual-assignment
+    mode; the broker only stores per-group positions."""
 
     def fetch(
         self,
@@ -1023,6 +1028,85 @@ class KafkaWireConsumer(KafkaWireClient):
         exists the broker answers -1 (real-Kafka semantics; MiniBroker
         conforms) — callers must normalize, e.g. to latest_offsets()."""
         return _list_offsets(self, topic, ts_ms)
+
+    # --- broker-stored consumer-group offsets (no group membership /
+    # rebalance protocol — Spark and the batch reader assign partitions
+    # themselves, exactly like the jar source's "group.id with manual
+    # assignment" mode; only OffsetCommit/OffsetFetch are needed) -------
+
+    def _coordinator_conn(self, group: str) -> "BrokerConnection":
+        """FindCoordinator v0 → a connection to the group's coordinator."""
+        body = _str(group)
+        r = self._bootstrap_conn().request(API_FIND_COORDINATOR, 0, body)
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, f"FindCoordinator {group}")
+        node_id = r.i32()
+        host = r.string()
+        port = r.i32()
+        return self._dial(host, port)
+
+    def commit_offsets(
+        self, group: str, topic: str, offsets: dict[int, int]
+    ) -> None:
+        """OffsetCommit v2 (broker-stored, retention = broker default):
+        ``offsets`` maps partition → NEXT offset to read (Kafka's commit
+        convention, same as Spark's checkpoint positions)."""
+        body = bytearray(_str(group))
+        body += struct.pack(">i", -1)  # generation_id: manual assignment
+        body += _str("")               # member_id
+        body += struct.pack(">q", -1)  # retention_time_ms: broker default
+        body += struct.pack(">i", 1)
+        body += _str(topic)
+        body += struct.pack(">i", len(offsets))
+        for pid, off in sorted(offsets.items()):
+            body += struct.pack(">iq", pid, off)
+            body += _str(None)  # metadata
+        conn = self._coordinator_conn(group)
+        try:
+            r = conn.request(API_OFFSET_COMMIT, 2, bytes(body))
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    code = r.i16()
+                    if code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"OffsetCommit {group}/{topic}[{pid}]"
+                        )
+        finally:
+            conn.close()
+
+    def fetch_committed(
+        self, group: str, topic: str, partitions: list[int]
+    ) -> dict[int, int]:
+        """OffsetFetch v1 (broker-stored): partition → committed offset,
+        -1 where the group has no commit for that partition."""
+        body = bytearray(_str(group))
+        body += struct.pack(">i", 1)
+        body += _str(topic)
+        body += struct.pack(">i", len(partitions))
+        for pid in partitions:
+            body += struct.pack(">i", pid)
+        conn = self._coordinator_conn(group)
+        try:
+            r = conn.request(API_OFFSET_FETCH, 1, bytes(body))
+            out: dict[int, int] = {}
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    off = r.i64()
+                    r.string()  # metadata
+                    code = r.i16()
+                    if code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"OffsetFetch {group}/{topic}[{pid}]"
+                        )
+                    out[pid] = off
+            return out
+        finally:
+            conn.close()
 
     def read_all(self, topic: str) -> list[Record]:
         """Drain every partition from offset 0 (test-tier convenience)."""

@@ -15,7 +15,9 @@ read back travels through real Fetch frames, so a client bug in varint
 zigzag, CRC coverage, or batch layout fails loudly instead of round-
 tripping through shared in-memory objects.
 
-APIs served: ApiVersions v0, Metadata v0-v1, Produce v3, Fetch v4.
+APIs served: ApiVersions v0, Metadata v0-v1, Produce v3, Fetch v4,
+ListOffsets v1, FindCoordinator v0, OffsetCommit v2, OffsetFetch v1
+(broker-stored group offsets; no group-membership/rebalance protocol).
 """
 
 from __future__ import annotations
@@ -28,8 +30,11 @@ from dataclasses import dataclass, field
 
 from .kafka_wire import (
     API_FETCH,
+    API_FIND_COORDINATOR,
     API_LIST_OFFSETS,
     API_METADATA,
+    API_OFFSET_COMMIT,
+    API_OFFSET_FETCH,
     API_PRODUCE,
     API_SASL_AUTHENTICATE,
     API_SASL_HANDSHAKE,
@@ -217,6 +222,8 @@ class MiniBroker:
         self.ssl_context = ssl_context
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: set[str] = set()
+        # broker-stored consumer-group offsets: (group, topic, part) -> off
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
         self._active: set[socket.socket] = set()
         broker = self
@@ -336,6 +343,9 @@ class MiniBroker:
                 API_PRODUCE: self._produce,
                 API_FETCH: self._fetch,
                 API_LIST_OFFSETS: self._list_offsets,
+                API_FIND_COORDINATOR: self._find_coordinator,
+                API_OFFSET_COMMIT: self._offset_commit,
+                API_OFFSET_FETCH: self._offset_fetch,
             }.get(api_key)
             if body is None:
                 raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
@@ -387,6 +397,8 @@ class MiniBroker:
         apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
                 (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
+                (API_FIND_COORDINATOR, 0, 0), (API_OFFSET_COMMIT, 2, 2),
+                (API_OFFSET_FETCH, 1, 1),
                 (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
         for k, lo, hi in apis:
@@ -502,6 +514,51 @@ class MiniBroker:
                             -1,
                         )
                     out += struct.pack(">ihqq", pid, ERR_NONE, -1, offset)
+        return bytes(out)
+
+    def _find_coordinator(self, version: int, r: _Reader) -> bytes:
+        r.string()  # coordinator key (group id) — single node IS the
+        # coordinator for every group
+        return (struct.pack(">hi", ERR_NONE, 0) + _str(self.host)
+                + struct.pack(">i", self.port))
+
+    def _offset_commit(self, version: int, r: _Reader) -> bytes:
+        group = r.string()
+        r.i32()     # generation_id (-1: manual assignment)
+        r.string()  # member_id
+        r.i64()     # retention_time_ms
+        out = bytearray()
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                out += _str(topic) + struct.pack(">i", n_parts)
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    off = r.i64()
+                    r.string()  # metadata
+                    self._group_offsets[(group, topic, pid)] = off
+                    out += struct.pack(">ih", pid, ERR_NONE)
+        return bytes(out)
+
+    def _offset_fetch(self, version: int, r: _Reader) -> bytes:
+        group = r.string()
+        out = bytearray()
+        n_topics = r.i32()
+        out += struct.pack(">i", n_topics)
+        with self._lock:
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                out += _str(topic) + struct.pack(">i", n_parts)
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    off = self._group_offsets.get((group, topic, pid), -1)
+                    out += struct.pack(">iq", pid, off)
+                    out += _str(None)  # metadata
+                    out += struct.pack(">h", ERR_NONE)
         return bytes(out)
 
     def _fetch(self, version: int, r: _Reader) -> bytes:

@@ -122,13 +122,53 @@ FULL_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_roundtrip_all_types_multiblock(codec):
     path = os.path.join(tempfile.mkdtemp(), "t.avro")
     # block_rows=1 forces one block per row: exercises multi-block reads
     assert A.write_ocf(path, FULL_SCHEMA, iter(FULL_ROWS), codec, block_rows=1) == 2
     with open(path, "rb") as f:
         assert list(A.read_ocf(f.read())) == FULL_ROWS
+
+
+def test_snappy_known_answer_and_overlapping_copy():
+    """Decompressor validated against a HAND-BUILT spec stream (not our own
+    compressor): literal 'abc' + a 9-byte copy at offset 3 — the
+    overlapping-copy run-repetition case — must yield 'abcabcabcabc'."""
+    # varint(12), literal len 3 (tag (3-1)<<2), copy-1-byte-offset tag:
+    # len=4+5, offset=3 -> tag 0b000_101_01 = 0x15, offset byte 3
+    stream = bytes([12, (3 - 1) << 2]) + b"abc" + bytes([0x15, 3])
+    assert A._snappy_decompress(stream) == b"abcabcabcabc"
+
+    # compressor output survives our decompressor on adversarial shapes:
+    # high repetition, incompressible bytes, long literals (>60, >256)
+    import random
+
+    rng = random.Random(5)
+    cases = [
+        b"",
+        b"x",
+        b"ab" * 5000,
+        bytes(rng.randrange(256) for _ in range(70)),
+        bytes(rng.randrange(256) for _ in range(300)),
+        (b"the quick brown fox " * 40) + bytes(rng.randrange(256) for _ in range(1000)),
+    ]
+    for data in cases:
+        packed = A._snappy_compress(data)
+        assert A._snappy_decompress(packed) == data
+        if len(data) > 500 and data[:20] * 3 in data:
+            assert len(packed) < len(data)  # repetitive input compresses
+
+
+def test_snappy_avro_block_crc_validated():
+    comp, decomp = A._codec_pair("snappy")
+    block = comp(b"payload bytes here")
+    assert decomp(block) == b"payload bytes here"
+    bad = block[:-1] + bytes([block[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC32"):
+        decomp(bad)
+    with pytest.raises(ValueError, match="truncated|offset|preamble"):
+        A._snappy_decompress(b"\x0a\xfc")  # 4-byte-len literal, no bytes
 
 
 def test_corrupt_sync_marker_detected():
@@ -144,8 +184,8 @@ def test_corrupt_sync_marker_detected():
 def test_bad_magic_and_unknown_codec_raise_loudly():
     with pytest.raises(ValueError, match="magic"):
         A.read_ocf_header(b"PAR1" + b"\x00" * 32)
-    with pytest.raises(ValueError, match="snappy"):
-        A._codec_pair("snappy")
+    with pytest.raises(ValueError, match="zstandard"):
+        A._codec_pair("zstandard")
     with pytest.raises(ValueError, match="unsupported"):
         A.parse_schema({"type": "record", "name": "r", "fields": [{"name": "u", "type": "uuid5"}]})
 
@@ -210,7 +250,7 @@ _prop_schema = A.parse_schema(
         ),
         max_size=25,
     ),
-    codec=st.sampled_from(["null", "deflate"]),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
     block_rows=st.sampled_from([1, 3, 4096]),
 )
 def test_property_ocf_roundtrip(rows, codec, block_rows):

@@ -383,6 +383,76 @@ def test_rate_limit_clamps_fresh_batch_zero(spark, broker, tmp_path):
     assert sizes and max(sizes) <= 9 and len(sizes) >= 4
 
 
+def test_offset_commit_fetch_wire_roundtrip(broker):
+    """OffsetCommit v2 / OffsetFetch v1 through FindCoordinator against the
+    conformance broker: commits store per (group, topic, partition),
+    fetches return -1 for never-committed partitions and are isolated
+    between groups."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
+
+    _produce(broker.bootstrap, "t.groups", [(b"k", b"v", [])])
+    with KafkaWireConsumer(broker.bootstrap) as c:
+        assert c.fetch_committed("g1", "t.groups", [0, 1, 2]) == {
+            0: -1, 1: -1, 2: -1
+        }
+        c.commit_offsets("g1", "t.groups", {0: 5, 2: 9})
+        assert c.fetch_committed("g1", "t.groups", [0, 1, 2]) == {
+            0: 5, 1: -1, 2: 9
+        }
+        c.commit_offsets("g1", "t.groups", {0: 7})  # re-commit advances
+        assert c.fetch_committed("g1", "t.groups", [0]) == {0: 7}
+        # other groups see nothing
+        assert c.fetch_committed("g2", "t.groups", [0]) == {0: -1}
+
+
+def test_startingoffsets_committed_checkpoint_free_restart(spark, broker,
+                                                           tmp_path):
+    """The consumer-group migration shape: a query with group.id commits
+    batch end offsets broker-side; a RESTART with a FRESH Spark checkpoint
+    and startingoffsets=committed resumes from the group's position — no
+    Spark checkpoint carried over. Spark delivers commit(N) only when
+    batch N+1 is planned, so the final pre-stop batch is re-read on
+    committed-resume: AT-LEAST-ONCE, the plain-consumer-group contract
+    (see KafkaWireStreamReader.commit). Each run here processes a second
+    batch so the first batch's commit lands before the stop."""
+    topic = "t.committed"
+    KS.register(spark)
+    _produce(broker.bootstrap, topic,
+             [(b"a", b"v-0", []), (b"b", b"v-1", [])])
+
+    def run_query(name, ckpt, produce_mid):
+        q = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic)
+            .option("group.id", "mig")
+            .option("startingoffsets", "committed")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()  # batch 0: everything since the commits
+        _produce(broker.bootstrap, topic, produce_mid)
+        q.processAllAvailable()  # batch 1: lands batch 0's broker commit
+        q.stop()
+        return sorted(r.v for r in spark.sql(f"SELECT v FROM {name}").collect())
+
+    # no commits yet -> auto.offset.reset default (earliest): reads all
+    assert run_query("committed_run1", "ckpt1",
+                     [(b"c", b"v-2", [])]) == ["v-0", "v-1", "v-2"]
+    # FRESH checkpoint: the broker-stored group position (end of run 1's
+    # batch 0) resumes the query — v-2 re-read (uncommitted tail), v-0/v-1
+    # never re-read, v-3 new
+    assert run_query("committed_run2", "ckpt2",
+                     [(b"d", b"v-3", [])]) == ["v-2", "v-3"]
+    # and again: run 2's batch-0 commit covers v-2 and v-3
+    assert run_query("committed_run3", "ckpt3",
+                     [(b"e", b"v-4", [])]) == ["v-3", "v-4"]
+
+
 def test_reingest_tolerates_duplicate_header_keys(spark, broker):
     """Kafka allows duplicate header keys; external producers repeat them.
     from_kafka_records must fold last-occurrence-wins instead of throwing
