@@ -40,7 +40,9 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
 
 def enable_runtime_bloom_filters(
-    spark: SparkSession, application_side_threshold: str = "10GB"
+    spark: SparkSession,
+    application_side_threshold: str = "10GB",
+    creation_side_threshold: str | None = None,
 ) -> SparkSession:
     """Turn on Spark's injected runtime Bloom filters for shuffle joins.
 
@@ -62,12 +64,24 @@ def enable_runtime_bloom_filters(
     column — computed keys (e.g. exploded shingles) don't qualify, so
     sketch-prefilter those joins by reducing with a broadcast semi-join
     instead.
+
+    ``creation_side_threshold`` raises the BUILD-side size gate
+    (``creationSideThreshold``, Spark default 10MB): past roughly sf1 a
+    selectively-filtered dimension's estimate exceeds 10MB and Spark
+    silently declines to build the sketch — the round-5 sf1 scale step
+    caught exactly that flip. Size it to what one executor can afford to
+    aggregate (the sketch is numBits/8 bytes, not build-side bytes).
     """
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         application_side_threshold,
     )
+    if creation_side_threshold is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            creation_side_threshold,
+        )
     return spark
 
 

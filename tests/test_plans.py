@@ -7,11 +7,16 @@ aggregates run partial+final, and nothing degenerates into a cartesian
 product. A regression here is a performance bug even when results stay
 correct."""
 
+import os
+
 import pytest
 
 from go_pq_cdc_kafka_spark.queries import REGISTRY
 
-SF = "/root/testdata/sf0.001"
+# Overridable so the same assertions run at larger scale steps (e.g. the
+# round-5 sf1 check: SPARK_GRAFT_PLAN_SF_DIR=/tmp/spark_graft_sf1 catches
+# plan shapes that only flip past broadcast thresholds / AQE switches).
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
 
 
 def plan_of(spark, name: str) -> str:
@@ -349,8 +354,20 @@ def test_runtime_bloom_filter_injection_on_shuffle_join(spark):
             "spark.sql.autoBroadcastJoinThreshold",
         )
     }
+    saved[
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    ] = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", None
+    )
     try:
-        enable_runtime_bloom_filters(spark, application_side_threshold="0")
+        # creation_side_threshold: at sf1+ the filtered orders estimate
+        # crosses Spark's default 10MB build-side gate and injection is
+        # silently declined (found by the round-5 sf1 scale step)
+        enable_runtime_bloom_filters(
+            spark,
+            application_side_threshold="0",
+            creation_side_threshold="1GB",
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         li = spark.read.parquet(f"{SF}/lineitem.parquet")
         o = spark.read.parquet(f"{SF}/orders.parquet").filter(
