@@ -25,12 +25,13 @@ the logical types date, timestamp-micros/millis, local-timestamp-micros,
 and decimal (bytes or fixed). Unsupported constructs raise loudly — no
 silent coercion.
 
-Codecs: ``null``, ``deflate`` (raw RFC-1951, per the spec), and ``snappy``
-— a from-spec pure-Python implementation of the public snappy format
+Codecs: ``null``, ``deflate`` (raw RFC-1951, per the spec), ``snappy`` —
+a from-spec pure-Python implementation of the public snappy format
 (varint preamble, literal/copy tags, overlapping-copy run repetition) with
 Avro's 4-byte big-endian CRC32-of-uncompressed block suffix, both
 directions, so the most common real-world Avro files read without any
-C library.
+C library — plus the spec's optional ``bzip2`` and ``xz`` codecs via the
+stdlib. Only ``zstandard`` remains library-gated.
 
 Spec: https://avro.apache.org/docs/1.11.1/specification/ (public).
 """
@@ -805,8 +806,20 @@ def _codec_pair(codec: str):
             return out
 
         return comp, decomp
+    if codec == "bzip2":  # standard .bz2 stream per spec ("Optional Codecs")
+        import bz2
+
+        return bz2.compress, bz2.decompress
+    if codec == "xz":  # standard .xz stream per spec ("Optional Codecs")
+        import lzma
+
+        return (
+            lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
+            lzma.decompress,
+        )
     raise ValueError(
-        f"unsupported Avro codec {codec!r} (supported: null, deflate, snappy)"
+        f"unsupported Avro codec {codec!r} "
+        "(supported: null, deflate, snappy, bzip2, xz)"
     )
 
 

@@ -122,7 +122,7 @@ FULL_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_roundtrip_all_types_multiblock(codec):
     path = os.path.join(tempfile.mkdtemp(), "t.avro")
     # block_rows=1 forces one block per row: exercises multi-block reads
