@@ -2,15 +2,18 @@
 typed metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
 Decoders are REAL for every format expressible with stdlib+numpy from the
-public specs: BMP (24/32-bit uncompressed), PPM/PGM binary, PCM WAV, and
+public specs: BMP (24/32-bit uncompressed), PPM/PGM binary, PCM WAV,
 **PNG** (non-interlaced 8-bit gray/RGB/palette/gray-alpha/RGBA — chunk
-CRC-32 verification, stdlib-zlib inflate, all five scanline filters) —
-``decode_image``/``decode_audio`` parse the actual bytes, ``encode_bmp``/
-``encode_png``/``encode_wav`` synthesize them, ``resize_nearest``
-resamples with pure integer index math, and ``image_stats``/
-``audio_stats`` run the decoders distributed. Codecs needing an external
-library (jpeg/mp3/mp4/16-bit+interlaced PNG) raise NotImplementedError
-at the documented integration point — never a silent wrong answer. The
+CRC-32 verification, stdlib-zlib inflate, all five scanline filters), and
+**baseline JPEG** (ITU T.81: Huffman entropy decode, dequant+IDCT,
+4:2:0/4:2:2 upsampling, restart markers — functions/jpeg.py, encoder
+included) — ``decode_image``/``decode_audio`` parse the actual bytes,
+``encode_bmp``/``encode_png``/``encode_jpeg``/``encode_wav`` synthesize
+them, ``resize_nearest`` resamples with pure integer index math, and
+``image_stats``/``audio_stats`` run the decoders distributed. Codecs
+needing an external library (progressive JPEG, mp3/mp4, 16-bit/interlaced
+PNG) raise NotImplementedError at the documented integration point —
+never a silent wrong answer. The
 remaining md5-based stages (``extract_features``, ``sample_frames``,
 ``resize_images``) stay codec-agnostic by design: they exercise the
 payload plumbing for formats the environment cannot decode.
@@ -91,10 +94,12 @@ def decode_image(payload: bytes):
       bottom-up or top-down row order, 4-byte row padding, BGR(A) order)
     - **PPM** binary (``P6``, maxval 255)
     - **PGM** binary (``P5``, maxval 255 — replicated to 3 channels)
+    - **PNG** (non-interlaced 8-bit; see ``_decode_png``)
+    - **baseline JPEG** (ITU T.81; see functions/jpeg.py)
 
-    Compressed formats (png/jpeg/webp/...) need a codec library and raise
-    NotImplementedError with the integration point documented — never a
-    silent wrong answer.
+    Formats needing an external codec (webp, progressive JPEG, ...) raise
+    NotImplementedError/ValueError with the integration point documented —
+    never a silent wrong answer.
     """
     import numpy as np
 
@@ -105,12 +110,11 @@ def decode_image(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "jpeg needs a codec library (e.g. PIL) — plug it in here; "
-            "the surrounding Spark plumbing is decoder-agnostic"
-        )
+        from go_pq_cdc_kafka_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
-        "unrecognized image payload (supported: BMP, PPM, PGM, PNG)"
+        "unrecognized image payload (supported: BMP, PPM, PGM, PNG, JPEG)"
     )
 
 

@@ -5170,3 +5170,60 @@ def scan_avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "multimodal_jpeg_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(20 AS INT) AS width, CAST(12 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(240 * ((n.n_nationkey*41 + 7) % 256) AS BIGINT) AS sum_r,
+       CAST(240 * ((n.n_nationkey*41 + 7) % 256) AS BIGINT) AS sum_g,
+       CAST(240 * ((n.n_nationkey*41 + 7) % 256) AS BIGINT) AS sum_b
+FROM nation n
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL baseline-JPEG decode on executors (codec implemented "
+    "from the public ITU T.81 spec: marker parsing, canonical Huffman "
+    "entropy decode with byte-unstuffing, DC prediction, dequant + IDCT, "
+    "chroma upsampling, YCbCr->RGB): solid-gray 20x12 JPEGs are "
+    "synthesized per nation key with the STRUCTURE varying by key — "
+    "grayscale, 4:4:4 color, or 4:2:0 subsampled (key mod 3), restart "
+    "markers every 2 MCUs on odd keys — and decoded distributed. A solid "
+    "block is DC-only, and with a DC quant step of 8 quantization is "
+    "lossless, so the lossy codec becomes BIT-EXACT on these fixtures: "
+    "the oracle's closed-form pixel sums (w*h*gray per channel) pin "
+    "Huffman tables, EXTEND sign recovery, restart resync, partial-MCU "
+    "cropping and the color conversion exactly. Map-only lineage.",
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from go_pq_cdc_kafka_spark.functions.jpeg import encode_jpeg
+
+    def synth(batches):
+        q8 = np.full((8, 8), 8, np.int32)
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                g = (nk * 41 + 7) % 256
+                arr = np.full((12, 20, 3), g, np.uint8)
+                kw = dict(luma_qtable=q8, chroma_qtable=q8,
+                          restart_interval=2 if nk % 2 else 0)
+                if nk % 3 == 0:
+                    payload = encode_jpeg(arr, grayscale=True, **kw)
+                elif nk % 3 == 1:
+                    payload = encode_jpeg(arr, **kw)
+                else:
+                    payload = encode_jpeg(arr, subsample=True, **kw)
+                ids.append(nk)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.image_stats(media).orderBy("doc_id")

@@ -439,15 +439,15 @@ def test_compressed_formats_raise_loudly():
     from go_pq_cdc_kafka_spark.functions import multimodal as MM
 
     with _pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
-    with _pytest.raises(NotImplementedError, match="codec"):
         MM.decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3 tag header
     with _pytest.raises(ValueError, match="unrecognized"):
         MM.decode_image(b"GARBAGE!")
-    # PNG decodes for real now; a signature with garbage chunks is a
-    # loud structural error, not silence
+    # PNG and JPEG decode for real now; a signature followed by garbage is
+    # a loud structural error, not silence
     with _pytest.raises(ValueError):
         MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with _pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 # --- PNG codec, from the public spec ----------------------------------------
@@ -537,3 +537,77 @@ def test_png_corruption_and_unsupported_raise():
                    + chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError, match=err):
             MM.decode_image(payload)
+
+
+# --- JPEG codec, from the public ITU T.81 spec ------------------------------
+
+
+def test_jpeg_solid_gray_bitexact_every_path():
+    """Solid blocks are DC-only; with a DC quant step of 8 the pipeline is
+    lossless, so decode(encode(solid)) must be BIT-exact through every
+    structural path: grayscale, 4:4:4 color, 4:2:0 subsampling, restart
+    markers, and partial-MCU edge crops."""
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+    from go_pq_cdc_kafka_spark.functions.jpeg import encode_jpeg
+
+    q8 = np.full((8, 8), 8, np.int32)
+    for g in (0, 17, 128, 254):
+        arr = np.full((12, 20, 3), g, np.uint8)
+        variants = [
+            encode_jpeg(arr, grayscale=True, luma_qtable=q8),
+            encode_jpeg(arr, luma_qtable=q8, chroma_qtable=q8),
+            encode_jpeg(arr, subsample=True, luma_qtable=q8, chroma_qtable=q8),
+            encode_jpeg(arr, luma_qtable=q8, chroma_qtable=q8,
+                        restart_interval=2),
+        ]
+        for payload in variants:
+            assert payload[:2] == b"\xff\xd8"
+            out = MM.decode_image(payload)  # dispatches on the SOI marker
+            assert out.shape == (12, 20, 3)
+            assert (out == g).all()
+
+
+def test_jpeg_lossy_roundtrip_error_bounded():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    grad = np.repeat(
+        np.repeat((np.arange(32).reshape(32, 1) * 6 + 20).astype(np.uint8),
+                  32, 1)[:, :, None], 3, 2)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(grad, quality=95)).astype(int) - grad
+    ).mean() < 3.0
+    noise = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(noise, quality=98)).astype(int) - noise
+    ).mean() < 12.0
+    # 4:2:0 chroma loss stays bounded on smooth content
+    assert np.abs(
+        decode_jpeg(encode_jpeg(grad, quality=90, subsample=True)).astype(int)
+        - grad
+    ).mean() < 6.0
+
+
+def test_jpeg_unsupported_and_corrupt_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from go_pq_cdc_kafka_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"GARBAGE!")
+    # progressive (SOF2) is a loud NotImplementedError
+    arr = np.zeros((8, 8, 3), np.uint8)
+    payload = bytearray(encode_jpeg(arr))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(payload))
+    # truncated entropy stream is loud
+    good = encode_jpeg(arr)
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
