@@ -113,8 +113,12 @@ def decode_image(payload: bytes):
         from go_pq_cdc_kafka_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from go_pq_cdc_kafka_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(
-        "unrecognized image payload (supported: BMP, PPM, PGM, PNG, JPEG)"
+        "unrecognized image payload (supported: BMP, PPM, PGM, PNG, JPEG, GIF)"
     )
 
 

@@ -5227,3 +5227,63 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey")
     media = n.mapInPandas(synth, "doc_id long, payload binary")
     return MM.image_stats(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_gif_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(17 AS INT) AS width, CAST(11 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM((((r.i*31 + c.i*7 + n.n_nationkey) % 8) * 37
+                 + n.n_nationkey*5) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((((r.i*31 + c.i*7 + n.n_nationkey) % 8) * 59
+                 + n.n_nationkey*11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((((r.i*31 + c.i*7 + n.n_nationkey) % 8) * 83
+                 + n.n_nationkey*17) % 256) AS BIGINT) AS sum_b
+FROM nation n,
+     (SELECT UNNEST(range(11)) AS i) r,
+     (SELECT UNNEST(range(17)) AS i) c
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL GIF decode on executors (codec implemented from the "
+    "public GIF89a spec: variable-width LSB-first LZW with CLEAR/EOI and "
+    "dictionary growth, color-table lookup, 4-pass interlace reordering): "
+    "17x11 8-color GIFs are synthesized per nation key — palette AND "
+    "pixel pattern both closed-form in the key, interlaced on odd keys — "
+    "then parsed back through functions/gif.decode_gif distributed and "
+    "reduced to per-channel pixel sums. The oracle recomputes the sums "
+    "from the generating formulas, pinning LZW decode and palette "
+    "resolution exactly (row-order bugs are pinned separately by the "
+    "full-array unit test, since sums are permutation-invariant). "
+    "Map-only lineage; payloads never leave the task.",
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from go_pq_cdc_kafka_spark.functions.gif import encode_gif
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                i = np.arange(8)
+                pal = np.stack(
+                    [(i * 37 + nk * 5) % 256, (i * 59 + nk * 11) % 256,
+                     (i * 83 + nk * 17) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                r = np.arange(11).reshape(11, 1)
+                c = np.arange(17).reshape(1, 17)
+                idx = ((r * 31 + c * 7 + nk) % 8).astype(np.uint8)
+                ids.append(nk)
+                payloads.append(encode_gif(idx, pal, interlace=bool(nk % 2)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.image_stats(media).orderBy("doc_id")

@@ -611,3 +611,54 @@ def test_jpeg_unsupported_and_corrupt_raise():
     good = encode_jpeg(arr)
     with _pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
+
+
+# --- GIF codec, from the public GIF89a spec ---------------------------------
+
+
+def test_gif_roundtrip_palette_interlace_and_dict_growth():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+    from go_pq_cdc_kafka_spark.functions.gif import encode_gif
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (23, 31)).astype(np.uint8)
+    for interlace in (False, True):
+        out = MM.decode_image(encode_gif(idx, pal, interlace=interlace))
+        assert out.shape == (23, 31, 3)
+        # interlace bugs PERMUTE rows; full-array equality pins the order
+        assert (out == pal[idx]).all()
+
+    # 256-color random content: LZW dictionary grows through every code
+    # width to 4096 and resets via CLEAR
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+    idx = rng.randint(0, 256, (100, 120)).astype(np.uint8)
+    assert (MM.decode_image(encode_gif(idx, pal)) == pal[idx]).all()
+
+    # repetitive content actually compresses (and hits the KwKwK case)
+    idx = (np.add.outer(np.arange(64), np.arange(64)) % 4).astype(np.uint8)
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    payload = encode_gif(idx, pal4)
+    assert len(payload) < 64 * 64 // 4
+    assert (MM.decode_image(payload) == pal4[idx]).all()
+
+
+def test_gif_corrupt_and_invalid_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from go_pq_cdc_kafka_spark.functions.gif import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF!")
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.zeros((4, 4), np.uint8)
+    good = encode_gif(idx, pal)
+    with _pytest.raises(ValueError):
+        decode_gif(good[:20])  # truncated mid-stream
+    with _pytest.raises(ValueError, match="power of two"):
+        encode_gif(idx, np.zeros((3, 3), np.uint8))
