@@ -184,9 +184,11 @@ def _decode_pnm(payload: bytes):
 # --- PNG, implemented from the public spec (RFC 2083 / W3C PNG):
 # chunk framing with CRC-32 verification, zlib (stdlib) inflate of the
 # IDAT stream, and the five scanline filters (None/Sub/Up/Average/Paeth).
-# Non-interlaced, bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-# 4 (gray+alpha), 6 (RGBA). Interlaced (Adam7) and 1/2/4/16-bit images
-# raise loudly — never a silent wrong answer.
+# Bit depths 8 and 16 (16-bit reduced to 8 via the high byte), color types
+# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+# non-interlaced and Adam7-interlaced streams (seven independently
+# filtered sub-images scattered by the spec's pass layout). 1/2/4-bit
+# images raise loudly — never a silent wrong answer.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -224,51 +226,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _decode_png(payload: bytes):
-    import struct as _struct
-    import zlib as _zlib
-
+def _png_unfilter(raw, offset, width, height, bpp):
+    """Unfilter one (sub)image of ``height`` scanlines of ``width*bpp``
+    bytes each, starting at ``offset`` in the decompressed stream. Returns
+    (rows uint8 (height, width*bpp), bytes consumed). Up/None vectorize
+    fully; Sub/Average/Paeth carry a prior-pixel dependency, walked
+    pixel-wise with the pixel byte-vector as the unit (int math mod 256,
+    per spec)."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            ihdr = _struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.extend(data)
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    width, height, depth, color_type, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"PNG: invalid color type {color_type}")
-
-    raw = _zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    stride = width * bpp
+    need = (stride + 1) * height
+    if offset + need > len(raw):
         raise ValueError("PNG: IDAT length does not match dimensions")
-
-    # Unfilter scanline by scanline. Up/None vectorize fully; Sub/Average/
-    # Paeth carry a prior-pixel dependency, walked pixel-wise with the
-    # channel vector as the unit (int math mod 256, per spec).
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ftype == 0:  # None
@@ -300,8 +276,80 @@ def _decode_png(payload: bytes):
                 else:
                     raise ValueError(f"PNG: invalid filter type {ftype}")
         out[y] = recon.astype(np.uint8)
+    return out, need
 
-    px = out.reshape(height, width, channels)
+
+#: Adam7 pass layout: (x_start, x_step, y_start, y_step), per the spec
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png(payload: bytes):
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PNG supported (depth={depth})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+    if color_type == 3 and depth != 8:
+        raise NotImplementedError("paletted PNG requires depth 8 here")
+
+    raw = _zlib.decompress(bytes(idat))
+    bpp = channels * (depth // 8)
+    flat = np.zeros((height, width * bpp), dtype=np.uint8)
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, width, height, bpp)
+        if used != len(raw):
+            raise ValueError("PNG: IDAT length does not match dimensions")
+        flat = rows
+    elif interlace == 1:  # Adam7: seven independently-filtered sub-images
+        offset = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass on small images
+            rows, used = _png_unfilter(raw, offset, pw, ph, bpp)
+            offset += used
+            sub = rows.reshape(ph, pw, bpp)
+            flat.reshape(height, width, bpp)[y0::ys, x0::xs] = sub
+        if offset != len(raw):
+            raise ValueError("PNG: IDAT length does not match pass layout")
+    else:
+        raise ValueError(f"PNG: invalid interlace method {interlace}")
+
+    if depth == 16:
+        # big-endian 16-bit samples reduced to 8-bit (high byte, the
+        # spec-sanctioned approximation of v*255/65535)
+        px16 = flat.reshape(height, width, channels, 2)
+        px = px16[:, :, :, 0].copy()
+    else:
+        px = flat.reshape(height, width, channels)
     if color_type == 2:
         return px.copy()
     if color_type == 6:
@@ -310,11 +358,10 @@ def _decode_png(payload: bytes):
         return np.repeat(px, 3, axis=2)
     if color_type == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
-    # color_type == 3: palette indices → PLTE triples
+    # color_type == 3: palette indices -> PLTE triples
     if plte is None or len(plte) % 3:
         raise ValueError("paletted PNG missing/invalid PLTE")
-    import numpy as _np
-    table = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idx = px[:, :, 0]
     if int(idx.max(initial=0)) >= table.shape[0]:
         raise ValueError("PNG palette index out of range")
@@ -345,12 +392,13 @@ def _png_filter_line(ftype: int, line, left_shifted, prev, prev_shifted):
     return (line - pred) & 0xFF
 
 
-def encode_png(arr, filter_type: int = 0) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a non-interlaced 8-bit
-    truecolor PNG (from the public spec; zlib + CRC-32 via stdlib).
-    ``filter_type`` applies that scanline filter to every row — fixture
-    synthesis uses 1/2/3/4 to prove the decoder's unfilter paths against
-    an independent oracle, 0 for plain output."""
+def encode_png(arr, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (from the public spec; zlib + CRC-32 via stdlib). ``filter_type``
+    applies that scanline filter to every row — fixture synthesis uses
+    1/2/3/4 to prove the decoder's unfilter paths against an independent
+    oracle, 0 for plain output. ``interlace`` writes the Adam7 pass
+    layout (each pass filtered independently, per spec)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -362,20 +410,34 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError("filter_type must be 0..4")
     h, w, _ = arr.shape
-    stride, bpp = w * 3, 3
-    flat = arr.reshape(h, stride).astype(np.int32)
+    bpp = 3
+
+    def filter_image(img) -> bytearray:
+        ph, pw = img.shape[:2]
+        stride = pw * bpp
+        flat = img.reshape(ph, stride).astype(np.int32)
+        body = bytearray()
+        for y in range(ph):
+            line = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            body.append(filter_type)
+            body.extend(
+                _png_filter_line(filter_type, line, left, prev, upleft)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        return body
+
     body = bytearray()
-    for y in range(h):
-        line = flat[y]
-        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
-        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
-        body.append(filter_type)
-        body.extend(
-            _png_filter_line(filter_type, line, left, prev, upleft)
-            .astype(np.uint8)
-            .tobytes()
-        )
+    if interlace:
+        for x0, xs, y0, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                body += filter_image(sub)
+    else:
+        body = filter_image(arr)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -385,7 +447,7 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
             + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -529,14 +529,64 @@ def test_png_corruption_and_unsupported_raise():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    # 16-bit depth and Adam7 interlacing are loud NotImplementedError
-    for depth, interlace, err in ((16, 0, "8-bit"), (8, 1, "interlaced")):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
-        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
-                   + chunk(b"IEND", b""))
-        with _pytest.raises(NotImplementedError, match=err):
-            MM.decode_image(payload)
+    # sub-byte depths stay a loud NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+               + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="8/16-bit"):
+        MM.decode_image(payload)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered sub-images scattered by the
+    spec's pass layout. Odd dimensions exercise empty and partial passes;
+    full-array equality pins the scatter positions exactly."""
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    rng = np.random.RandomState(4)
+    for shape in [(5, 7), (1, 1), (2, 3), (16, 16), (9, 10)]:
+        arr = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        for ft in range(5):
+            payload = MM.encode_png(arr, filter_type=ft, interlace=True)
+            assert (MM.decode_image(payload) == arr).all(), (shape, ft)
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit samples (big-endian) reduce to their high byte; filtering
+    at depth 16 operates on 2-byte-per-sample units (bpp doubles)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    rng = np.random.RandomState(6)
+    # 16-bit gray with the Sub filter: left neighbor sits bpp=2 bytes back
+    w, h = 4, 3
+    vals = rng.randint(0, 65536, (h, w))
+    scan = bytearray()
+    for y in range(h):
+        row = b"".join(struct.pack(">H", v) for v in vals[y])
+        scan.append(1)  # Sub
+        scan += bytes(
+            (b - (row[i - 2] if i >= 2 else 0)) & 0xFF
+            for i, b in enumerate(row)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + chunk(b"IEND", b""))
+    back = MM.decode_image(png)
+    assert back.shape == (h, w, 3)
+    assert (back[:, :, 0] == (vals >> 8)).all()
 
 
 # --- JPEG codec, from the public ITU T.81 spec ------------------------------
