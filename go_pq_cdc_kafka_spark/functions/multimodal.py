@@ -487,12 +487,47 @@ def resize_nearest(arr, out_w: int, out_h: int):
     return arr[rows][:, cols]
 
 
+def _g711_mulaw_table():
+    """256-entry μ-law → 16-bit linear expansion (ITU-T G.711, the
+    standard table audioop/sox produce)."""
+    import numpy as np
+
+    out = np.zeros(256, np.int32)
+    for code in range(256):
+        u = ~code & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        out[code] = -mag if u & 0x80 else mag
+    return out
+
+
+def _g711_alaw_table():
+    """256-entry A-law → 16-bit linear expansion (ITU-T G.711)."""
+    import numpy as np
+
+    out = np.zeros(256, np.int32)
+    for code in range(256):
+        a = code ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0xF
+        if exp:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            mag = (mant << 4) + 8
+        out[code] = mag if a & 0x80 else -mag
+    return out
+
+
 def decode_audio(payload: bytes):
     """Decode a WAV payload → (samples int32 ndarray [n, channels],
-    sample_rate). Real decoder via the stdlib ``wave`` module (PCM 8/16/
-    32-bit). Compressed audio (mp3/ogg/flac) raises NotImplementedError —
-    the codec-library integration point."""
+    sample_rate). Real decoders: PCM 8/16/32-bit via the stdlib ``wave``
+    module, plus ITU-T G.711 μ-law (format tag 7) and A-law (tag 6)
+    expanded through the spec's segment tables (telephony corpora ship as
+    G.711 WAV). Compressed audio (mp3/ogg/flac) raises
+    NotImplementedError — the codec-library integration point."""
     import io as _io
+    import struct as _struct
     import wave as _wave
 
     import numpy as np
@@ -502,10 +537,42 @@ def decode_audio(payload: bytes):
             "only RIFF/WAVE payloads decode here; compressed audio needs a "
             "codec library — plug it in at this integration point"
         )
-    with _wave.open(_io.BytesIO(payload), "rb") as wf:
-        n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
-        rate = wf.getframerate()
-        raw = wf.readframes(n)
+    try:
+        with _wave.open(_io.BytesIO(payload), "rb") as wf:
+            n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(n)
+    except _wave.Error:
+        # non-PCM: walk the RIFF chunks ourselves (fmt tag 6 = A-law,
+        # 7 = μ-law; anything else stays loud)
+        fmt = None
+        data = None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid, ln = payload[pos : pos + 4], _struct.unpack_from(
+                "<I", payload, pos + 4
+            )[0]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt ":
+                fmt = _struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)  # chunks pad to even
+        if fmt is None or data is None:
+            raise ValueError("WAV: missing fmt/data chunk")
+        tag, ch, rate = fmt[0], fmt[1], fmt[2]
+        if tag == 7:
+            table = _g711_mulaw_table()
+        elif tag == 6:
+            table = _g711_alaw_table()
+        else:
+            raise NotImplementedError(
+                f"WAV format tag {tag} needs a codec library (supported: "
+                "PCM, G.711 A-law/mu-law)"
+            )
+        codes = np.frombuffer(data, dtype=np.uint8)
+        samples = table[codes].reshape(-1, ch).astype(np.int64)
+        return samples, rate
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dtype is None:
         raise NotImplementedError(f"unsupported PCM sample width {sw}")

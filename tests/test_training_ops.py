@@ -712,3 +712,58 @@ def test_gif_corrupt_and_invalid_raise():
         decode_gif(good[:20])  # truncated mid-stream
     with _pytest.raises(ValueError, match="power of two"):
         encode_gif(idx, np.zeros((3, 3), np.uint8))
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 WAV (format tags 7/6): expansion matches the spec tables —
+    anchors (mu 0xFF -> 0, A 0x55 -> -8, full-scale extremes), sign
+    symmetry, and encode->decode round-trip within one quantization step."""
+    import struct
+
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+
+    def g711_wav(tag, codes, rate=8000, ch=1):
+        data = bytes(codes)
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+    mu = MM._g711_mulaw_table()
+    al = MM._g711_alaw_table()
+    # spec anchors (the standard 16-bit expansion values)
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert mu[0x80] == 32124 and mu[0x00] == -32124  # full scale
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256  # full scale
+    # sign symmetry: flipping the sign bit negates (except mu zero codes)
+    for c in range(0x81, 0x100):
+        assert mu[c] == -mu[c - 0x80]
+    for c in range(0x80):
+        assert al[c] == -al[c | 0x80]
+
+    # decode through the WAV path
+    samples, rate = MM.decode_audio(g711_wav(7, [0xFF, 0x80, 0x00]))
+    assert rate == 8000 and samples[:, 0].tolist() == [0, 32124, -32124]
+    samples, _ = MM.decode_audio(g711_wav(6, [0x55, 0xAA], ch=2))
+    assert samples.shape == (1, 2) and samples[0].tolist() == [-8, 32256]
+
+    # round-trip: spec-side encoder (segment search) -> our decoder lands
+    # within the segment's quantization step
+    def mulaw_encode(x):
+        BIAS = 0x84
+        sign = 0x80 if x < 0 else 0
+        mag = min(abs(x), 32635) + BIAS
+        exp = min(max(mag.bit_length() - 8, 0), 7)
+        mant = (mag >> (exp + 3)) & 0xF
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    rng = np.random.RandomState(12)
+    xs = rng.randint(-30000, 30000, 200)
+    codes = [mulaw_encode(int(x)) for x in xs]
+    dec, _ = MM.decode_audio(g711_wav(7, codes))
+    err = np.abs(dec[:, 0] - xs)
+    step = np.maximum(np.abs(xs) // 16, 8)  # segment step grows with |x|
+    assert (err <= step * 2).all()
