@@ -1108,6 +1108,19 @@ class KafkaWireConsumer(KafkaWireClient):
         finally:
             conn.close()
 
+    def group_lag(self, group: str, topic: str) -> dict[int, int]:
+        """Per-partition consumer lag: high watermark minus the group's
+        committed offset (committed -1 counts the whole partition — the
+        number a lag exporter reports for a group that never consumed).
+        The monitoring half of the group-offset tier: with the source's
+        ``group.id`` option set, external dashboards see progress without
+        reaching into Spark's checkpoint."""
+        latest = self.latest_offsets(topic)
+        committed = self.fetch_committed(group, topic, sorted(latest))
+        return {
+            p: latest[p] - max(committed.get(p, -1), 0) for p in sorted(latest)
+        }
+
     def read_all(self, topic: str) -> list[Record]:
         """Drain every partition from offset 0 (test-tier convenience)."""
         meta = self.await_topics([topic])

@@ -403,6 +403,14 @@ def test_offset_commit_fetch_wire_roundtrip(broker):
         assert c.fetch_committed("g1", "t.groups", [0]) == {0: 7}
         # other groups see nothing
         assert c.fetch_committed("g2", "t.groups", [0]) == {0: -1}
+        # lag = watermark - committed; never-consumed partitions count whole
+        latest = c.latest_offsets("t.groups")
+        lag = c.group_lag("g1", "t.groups")
+        assert set(lag) == set(latest)
+        assert all(
+            lag[p] == latest[p] - {0: 7, 2: 9}.get(p, 0) for p in lag
+        )
+        assert c.group_lag("gnone", "t.groups") == latest
 
 
 def test_startingoffsets_committed_checkpoint_free_restart(spark, broker,
