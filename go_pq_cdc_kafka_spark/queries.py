@@ -5287,3 +5287,163 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey")
     media = n.mapInPandas(synth, "doc_id long, payload binary")
     return MM.image_stats(media).orderBy("doc_id")
+
+
+@register(
+    "composite_order_count_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    category="composite",
+    description="TPC-H Q13 shape (customer distribution): LEFT OUTER join "
+    "with an ON-clause residual predicate (urgent orders excluded INSIDE "
+    "the join, so excluded-only customers still appear with count 0 — the "
+    "semantics a WHERE clause would silently break), per-customer "
+    "COUNT(join key) counting matches only, then a second aggregation "
+    "into the count-of-counts histogram. Two shuffles, both partial+final "
+    "hash aggregates; integer-exact.",
+)
+def composite_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "composite_top_revenue_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    category="composite",
+    description="TPC-H Q15 shape (top supplier): a revenue CTE aggregated "
+    "once and consumed TWICE — as the join input and inside the scalar "
+    "MAX subquery — the classic view-reuse pattern. Catalyst plans the "
+    "scalar max as a 1-row broadcast against the re-aggregated subtree; "
+    "revenue is integer cents (round-then-sum) so the max comparison is "
+    "exact cross-engine, and ties return every maximal supplier in both "
+    "engines identically.",
+)
+def composite_top_revenue_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("total_rev_cents")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev_cents").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_rev_cents") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "composite_small_quantity_revenue",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_qty
+  FROM lineitem
+  GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS BIGINT) * 5 * a.n_qty < a.sum_qty
+""",
+    category="composite",
+    description="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated per-part scalar (l_quantity < 0.2 * avg over the same "
+    "part) decorrelated into one per-part aggregate joined back to the "
+    "fact — one extra shuffle instead of a rescan per row. The 20%-of-"
+    "average threshold is algebraically cleared of division "
+    "(5*q*count < sum, all BIGINT on the integral fixture quantities) so "
+    "the boundary can never flip on float rounding cross-engine. Single "
+    "global aggregate output.",
+)
+def composite_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_qty"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("n_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
