@@ -117,8 +117,13 @@ def decode_image(payload: bytes):
         from go_pq_cdc_kafka_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from go_pq_cdc_kafka_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise ValueError(
-        "unrecognized image payload (supported: BMP, PPM, PGM, PNG, JPEG, GIF)"
+        "unrecognized image payload "
+        "(supported: BMP, PPM, PGM, PNG, JPEG, GIF, TIFF)"
     )
 
 

@@ -5447,3 +5447,66 @@ def composite_small_quantity_revenue(
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "multimodal_tiff_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(14 AS INT) AS width, CAST(10 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3
+                 + CASE WHEN n.n_nationkey % 3 = 0 THEN 0 ELSE 5 END) % 256)
+            AS BIGINT) AS sum_g,
+       CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3
+                 + CASE WHEN n.n_nationkey % 3 = 0 THEN 0 ELSE 10 END) % 256)
+            AS BIGINT) AS sum_b
+FROM nation n,
+     (SELECT UNNEST(range(10)) AS i) r,
+     (SELECT UNNEST(range(14)) AS i) c
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL TIFF decode on executors (codec implemented from the "
+    "public TIFF 6.0 spec: IFD parsing with inline-vs-offset values, "
+    "strip assembly, PackBits RLE, photometric handling): 14x10 TIFFs are "
+    "synthesized per nation key with the LAYOUT varying by key — "
+    "grayscale (replicated channels, key%3=0) vs RGB, PackBits "
+    "compression on odd keys, 3-row multi-strip layout on key%3=2 — then "
+    "parsed back through functions/tiff.decode_tiff distributed and "
+    "reduced to per-channel pixel sums. The oracle recomputes from the "
+    "generating formula with a CASE on the gray keys, pinning IFD "
+    "layout, strip offsets/counts, RLE runs and channel order exactly. "
+    "Map-only lineage.",
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from go_pq_cdc_kafka_spark.functions.tiff import encode_tiff
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                r = np.arange(10).reshape(10, 1, 1)
+                c = np.arange(14).reshape(1, 14, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                arr = ((nk * 19 + r * 11 + c * 3 + k * 5) % 256).astype(np.uint8)
+                pb = bool(nk % 2)
+                if nk % 3 == 0:
+                    payload = encode_tiff(arr, grayscale=True, packbits=pb)
+                elif nk % 3 == 1:
+                    payload = encode_tiff(arr, packbits=pb)
+                else:
+                    payload = encode_tiff(arr, packbits=pb, rows_per_strip=3)
+                ids.append(nk)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.image_stats(media).orderBy("doc_id")

@@ -767,3 +767,121 @@ def test_wav_g711_mulaw_alaw_decode():
     err = np.abs(dec[:, 0] - xs)
     step = np.maximum(np.abs(xs) // 16, 8)  # segment step grows with |x|
     assert (err <= step * 2).all()
+
+
+# --- TIFF codec, from the public TIFF 6.0 spec ------------------------------
+
+
+def test_tiff_roundtrip_strips_packbits_and_gray():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+    from go_pq_cdc_kafka_spark.functions.tiff import encode_tiff
+
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    for pb in (False, True):
+        for rps in (None, 4):  # single- and multi-strip layouts
+            payload = encode_tiff(arr, packbits=pb, rows_per_strip=rps)
+            assert payload[:4] == b"II*\x00"
+            assert (MM.decode_image(payload) == arr).all(), (pb, rps)
+    gray = encode_tiff(arr, grayscale=True, packbits=True, rows_per_strip=3)
+    assert (MM.decode_image(gray) == np.repeat(arr[:, :, :1], 3, 2)).all()
+
+
+def test_tiff_packbits_spec_example_and_long_runs():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # spec-style mix: short run, literals, short run
+    data = bytes([0xAA] * 3 + [0x80, 0x00] + [0x2A] * 4)
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+    # -128 no-op byte is skipped
+    assert _packbits_decode(b"\x80\x00\x41", 1) == b"A"
+    # runs > 128 and literals > 128 split into multiple packets
+    rng = np.random.RandomState(2)
+    data = bytes([7] * 300) + bytes(rng.randint(0, 256, 200).tolist())
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+def test_tiff_bigendian_palette_and_whitezero():
+    import struct
+
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions.tiff import decode_tiff, encode_tiff
+
+    # hand-built big-endian paletted file: MM byte order + 16-bit ColorMap
+    w, h = 4, 2
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    cmap = []
+    for c in range(3):
+        cmap += [((i * 40 + c * 10) % 256) << 8 for i in range(4)]
+    entries = [
+        (256, 3, 1, struct.pack(">HH", w, 0)),
+        (257, 3, 1, struct.pack(">HH", h, 0)),
+        (258, 3, 1, struct.pack(">HH", 8, 0)),
+        (259, 3, 1, struct.pack(">HH", 1, 0)),
+        (262, 3, 1, struct.pack(">HH", 3, 0)),
+        (277, 3, 1, struct.pack(">HH", 1, 0)),
+        (278, 4, 1, struct.pack(">I", h)),
+    ]
+    n = len(entries) + 3
+    cmap_off = 8 + 2 + n * 12 + 4
+    data_off = cmap_off + len(cmap) * 2
+    entries += [
+        (273, 4, 1, struct.pack(">I", data_off)),
+        (279, 4, 1, struct.pack(">I", len(idx))),
+        (320, 3, len(cmap), struct.pack(">I", cmap_off)),
+    ]
+    entries.sort(key=lambda e: e[0])
+    payload = b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", n)
+    for tag, typ, count, val in entries:
+        payload += struct.pack(">HHI", tag, typ, count) + val
+    payload += struct.pack(">I", 0)
+    payload += struct.pack(f">{len(cmap)}H", *cmap)
+    payload += idx
+    out = decode_tiff(payload)
+    assert out.shape == (h, w, 3)
+    assert out[0, 1].tolist() == [(40 + c * 10) % 256 for c in range(3)]
+
+    # WhiteIsZero (photometric 0) inverts grayscale
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    g = bytearray(encode_tiff(arr, grayscale=True))
+    ne = struct.unpack_from("<H", g, 8)[0]
+    for i in range(ne):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", g, base)[0] == 262:
+            struct.pack_into("<H", g, base + 8, 0)
+    out = decode_tiff(bytes(g))
+    assert (out[:, :, 0] == 255 - arr[:, :, 0]).all()
+
+
+def test_tiff_unsupported_and_corrupt_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from go_pq_cdc_kafka_spark.functions.tiff import decode_tiff, encode_tiff
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XXXX1234")
+    arr = np.zeros((4, 4, 3), np.uint8)
+    good = encode_tiff(arr)
+    with _pytest.raises(ValueError):
+        decode_tiff(good[:30])
+    # LZW compression (5) stays a loud NotImplementedError
+    import struct
+
+    g = bytearray(good)
+    ne = struct.unpack_from("<H", g, 8)[0]
+    for i in range(ne):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", g, base)[0] == 259:
+            struct.pack_into("<H", g, base + 8, 5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(g))
