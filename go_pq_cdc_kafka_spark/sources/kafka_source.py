@@ -30,8 +30,10 @@ offsets broker-side via OffsetCommit, for lag monitoring and
 for partitions the group never committed), ``startingtimestamp`` (epoch
 millis; partitions with nothing at-or-after it start at their latest —
 the broker's -1 answer is normalized), ``maxoffsetspertrigger`` (honored
-from batch 0 on a fresh query; a restart's WAL-replay batch is Spark's,
-not ours), ``sasl.mechanism``/``sasl.username``/``sasl.password``,
+from batch 0 on a fresh query, distributed across partitions
+proportionally to their lag like the jar source; a restart's WAL-replay
+batch is Spark's, not ours),
+``sasl.mechanism``/``sasl.username``/``sasl.password``,
 ``tls`` = true + ``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
 
@@ -244,10 +246,24 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 self._position = {
                     str(p): int(o) for p, o in self._starting_offsets().items()
                 }
-            budget = max(self.max_per_trigger // max(len(out), 1), 1)
-            for p, o in out.items():
-                lo = int(self._position.get(p, 0))
-                out[p] = min(o, lo + budget)
+            # distribute the trigger budget PROPORTIONALLY to each
+            # partition's lag (jar-source semantics) — an even split
+            # starves the laggy partition while idle partitions waste
+            # their share. Every lagging partition advances by >= 1 so
+            # none can be starved entirely by rounding.
+            lags = {
+                p: max(o - int(self._position.get(p, 0)), 0)
+                for p, o in out.items()
+            }
+            total_lag = sum(lags.values())
+            if total_lag > self.max_per_trigger:
+                for p, o in out.items():
+                    if lags[p] == 0:
+                        continue
+                    share = max(
+                        lags[p] * self.max_per_trigger // total_lag, 1
+                    )
+                    out[p] = min(o, int(self._position.get(p, 0)) + share)
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

@@ -129,9 +129,54 @@ def test_streaming_rate_limit_bounds_each_microbatch(spark, broker, tmp_path):
     q.stop()
     assert n == 30  # everything arrives...
     # ...but no micro-batch exceeded the trigger budget (all 30 records sit
-    # on ONE partition — same key — so the per-partition clamp is the cap)
+    # on ONE partition — same key — so the lag-proportional split gives it
+    # the whole budget)
     sizes = [p["numInputRows"] for p in progress if p["numInputRows"]]
     assert sizes and max(sizes) <= 9 and len(sizes) >= 4
+
+
+def test_rate_limit_budget_follows_lag(spark, broker, tmp_path):
+    """maxoffsetspertrigger distributes proportionally to per-partition
+    lag (jar-source semantics): a partition holding ~5x the backlog gets
+    ~5x the budget, and no batch exceeds the total budget (+rounding
+    floor of 1 per lagging partition)."""
+    topic = "t.ratelag"
+    # find keys landing on two different partitions
+    keys = {}
+    for cand in (b"a", b"b", b"c", b"d", b"e", b"f"):
+        keys.setdefault(partition_for_key(cand, 3), cand)
+        if len(keys) >= 2:
+            break
+    (pa, ka), (pb, kb) = sorted(keys.items())[:2]
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records(
+            [(topic, ka, f"a-{i}".encode(), []) for i in range(25)]
+            + [(topic, kb, f"b-{i}".encode(), []) for i in range(5)]
+        )
+    KS.register(spark)
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", topic)
+        .option("maxoffsetspertrigger", "6")
+        .load()
+        .selectExpr("partition", "offset")
+        .writeStream.format("memory")
+        .queryName("kafkawire_ratelag")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT partition, count(*) c FROM kafkawire_ratelag GROUP BY 1"
+    ).collect()
+    progress = q.recentProgress
+    q.stop()
+    assert {r.partition: r.c for r in rows} == {pa: 25, pb: 5}
+    sizes = [p["numInputRows"] for p in progress if p["numInputRows"]]
+    # total budget honored (+1 rounding floor headroom), and the laggier
+    # partition forced multiple batches
+    assert sizes and max(sizes) <= 7 and len(sizes) >= 5
 
 
 def test_startingoffsets_latest_skips_history(spark, broker, tmp_path):
