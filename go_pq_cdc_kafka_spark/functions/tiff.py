@@ -4,14 +4,18 @@ ship in.
 
 Decoder: both byte orders (II/MM), first-IFD parsing with inline-vs-
 offset value resolution, strip assembly (StripOffsets/StripByteCounts/
-RowsPerStrip), Compression 1 (none) and 32773 (PackBits RLE, spec
-section 9), PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
-inverted), 2 (RGB, extra samples dropped), 3 (palette via the 16-bit
-ColorMap, high byte), 8-bit samples, PlanarConfiguration 1 (chunky).
-LZW/JPEG-in-TIFF, 16-bit samples and planar layout raise loudly.
+RowsPerStrip), Compression 1 (none), 5 (the spec's LZW variant —
+MSB-first codes with the EARLY width change at 511/1023/2047) and 32773
+(PackBits RLE, spec section 9), Predictor 2 (horizontal differencing,
+the pairing real LZW writers default to), PhotometricInterpretation 0/1
+(grayscale, WhiteIsZero inverted), 2 (RGB, extra samples dropped), 3
+(palette via the 16-bit ColorMap, high byte), 8-bit samples,
+PlanarConfiguration 1 (chunky). JPEG-in-TIFF, 16-bit samples and planar
+layout raise loudly.
 
-Encoder: single-IFD little-endian writer (gray or RGB, optional PackBits,
-configurable RowsPerStrip) — fixture synthesis and thumbnail writes.
+Encoder: single-IFD little-endian writer (gray or RGB; none/PackBits/LZW
+compression, optional predictor, configurable RowsPerStrip) — fixture
+synthesis and thumbnail writes.
 """
 
 from __future__ import annotations
@@ -75,6 +79,102 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 section 13 LZW: MSB-first bit packing, 256=Clear 257=EOI,
+    table growth from 258 with the spec's EARLY code-width change (9→10
+    at table length 511, not 512 — one earlier than GIF's variant)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    code_size = 9
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("tiff: LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= code_size
+        code = (acc >> nbits) & ((1 << code_size) - 1)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = fresh()
+            code_size = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff: invalid first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"tiff: invalid LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    if len(out) < expected:
+        raise ValueError("tiff: LZW output short of strip size")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder half of the same variant (early change mirrored: widen after
+    assigning entry 2^size - 1; Clear re-emitted before the table could
+    reach 12-bit overflow)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    code_size = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR, code_size)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        if next_code == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code >= 4093:  # reset well inside the 12-bit ceiling
+            emit(CLEAR, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(EOI, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """First IFD of a TIFF → (H, W, 3) uint8 RGB."""
     if payload[:4] == b"II*\x00":
@@ -133,11 +233,14 @@ def _decode_tiff_body(payload: bytes, endian: str) -> np.ndarray:
         raise NotImplementedError(f"tiff: only 8-bit samples (bits={bits})")
     if planar != 1:
         raise NotImplementedError("tiff: planar configuration 2 not supported")
-    if compression not in (1, 32773):
+    predictor = one(317, 1)
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"tiff: compression {compression} needs a codec (supported: "
-            "none, PackBits)"
+            "none, LZW, PackBits)"
         )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {predictor} not supported")
 
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -154,6 +257,8 @@ def _decode_tiff_body(payload: bytes, endian: str) -> np.ndarray:
             raise ValueError("tiff: strip runs past payload")
         if compression == 32773:
             raw = _packbits_decode(raw, strip_rows * row_bytes)
+        elif compression == 5:
+            raw = _tiff_lzw_decode(raw, strip_rows * row_bytes)
         data += raw
         remaining_rows -= strip_rows
     if len(data) < height * row_bytes:
@@ -161,6 +266,8 @@ def _decode_tiff_body(payload: bytes, endian: str) -> np.ndarray:
     px = np.frombuffer(bytes(data), np.uint8, height * row_bytes).reshape(
         height, width, spp
     )
+    if predictor == 2:  # horizontal differencing: undo by per-row cumsum
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
 
     if photometric in (0, 1):  # grayscale (0 = WhiteIsZero, inverted)
         g = px[:, :, 0]
@@ -188,21 +295,31 @@ def _decode_tiff_body(payload: bytes, endian: str) -> np.ndarray:
 
 def encode_tiff(
     arr: np.ndarray, packbits: bool = False, rows_per_strip: int | None = None,
-    grayscale: bool = False,
+    grayscale: bool = False, lzw: bool = False, predictor: bool = False,
 ) -> bytes:
     """Encode (H, W, 3) uint8 RGB (or its R channel with ``grayscale``)
-    as a little-endian single-IFD TIFF, optionally PackBits-compressed
-    with ``rows_per_strip``-row strips."""
+    as a little-endian single-IFD TIFF: uncompressed, ``packbits``, or
+    ``lzw`` (optionally with the horizontal-differencing ``predictor``,
+    the pairing real writers default to), in ``rows_per_strip``-row
+    strips."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_tiff expects (H, W, 3) RGB")
+    if packbits and lzw:
+        raise ValueError("choose one compression")
+    if predictor and not lzw:
+        raise ValueError("predictor is only written with lzw here")
     h, w = arr.shape[:2]
     if grayscale:
-        plane = arr[:, :, 0]
+        plane = arr[:, :, 0][:, :, None]
         spp, photometric = 1, 1
     else:
         plane = arr
         spp, photometric = 3, 2
+    if predictor:
+        diffed = plane.astype(np.int32)
+        diffed[:, 1:] = diffed[:, 1:] - diffed[:, :-1]
+        plane = (diffed & 0xFF).astype(np.uint8)
     rps = rows_per_strip or h
     row_bytes = w * spp
     flat = plane.reshape(h, row_bytes)
@@ -210,7 +327,11 @@ def encode_tiff(
     strips: list[bytes] = []
     for y0 in range(0, h, rps):
         chunk = flat[y0 : y0 + rps].tobytes()
-        strips.append(_packbits_encode(chunk) if packbits else chunk)
+        if packbits:
+            chunk = _packbits_encode(chunk)
+        elif lzw:
+            chunk = _tiff_lzw_encode(chunk)
+        strips.append(chunk)
 
     entries = []  # (tag, type, count, value-or-bytes)
 
@@ -220,11 +341,13 @@ def encode_tiff(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [8] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])
     entry(278, 4, [rps])
     entry(279, 4, [len(s) for s in strips])
+    if predictor:
+        entry(317, 3, [2])
     # 273 (StripOffsets) filled after layout below
 
     # layout: header(8) + IFD + value overflow area + strip data

@@ -5457,10 +5457,10 @@ SELECT n.n_nationkey AS doc_id,
        CAST(3 AS INT) AS channels,
        CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3) % 256) AS BIGINT) AS sum_r,
        CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3
-                 + CASE WHEN n.n_nationkey % 3 = 0 THEN 0 ELSE 5 END) % 256)
+                 + CASE WHEN n.n_nationkey % 4 = 0 THEN 0 ELSE 5 END) % 256)
             AS BIGINT) AS sum_g,
        CAST(SUM((n.n_nationkey*19 + r.i*11 + c.i*3
-                 + CASE WHEN n.n_nationkey % 3 = 0 THEN 0 ELSE 10 END) % 256)
+                 + CASE WHEN n.n_nationkey % 4 = 0 THEN 0 ELSE 10 END) % 256)
             AS BIGINT) AS sum_b
 FROM nation n,
      (SELECT UNNEST(range(10)) AS i) r,
@@ -5473,13 +5473,15 @@ ORDER BY doc_id
     "public TIFF 6.0 spec: IFD parsing with inline-vs-offset values, "
     "strip assembly, PackBits RLE, photometric handling): 14x10 TIFFs are "
     "synthesized per nation key with the LAYOUT varying by key — "
-    "grayscale (replicated channels, key%3=0) vs RGB, PackBits "
-    "compression on odd keys, 3-row multi-strip layout on key%3=2 — then "
-    "parsed back through functions/tiff.decode_tiff distributed and "
-    "reduced to per-channel pixel sums. The oracle recomputes from the "
-    "generating formula with a CASE on the gray keys, pinning IFD "
-    "layout, strip offsets/counts, RLE runs and channel order exactly. "
-    "Map-only lineage.",
+    "grayscale (replicated channels, key%4=0) vs RGB, compression "
+    "cycling none/PackBits/LZW-with-horizontal-predictor (key%3; the "
+    "spec's early-width-change LZW variant), 3-row multi-strip layout on "
+    "even LZW keys — then parsed back through functions/tiff.decode_tiff "
+    "distributed and reduced to per-channel pixel sums. The oracle "
+    "recomputes from the generating formula with a CASE on the gray "
+    "keys, pinning IFD layout, strip offsets/counts, RLE runs, LZW "
+    "code-width changes, predictor undifferencing and channel order "
+    "exactly. Map-only lineage.",
 )
 def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -5496,13 +5498,15 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = np.arange(14).reshape(1, 14, 1)
                 k = np.arange(3).reshape(1, 1, 3)
                 arr = ((nk * 19 + r * 11 + c * 3 + k * 5) % 256).astype(np.uint8)
-                pb = bool(nk % 2)
-                if nk % 3 == 0:
-                    payload = encode_tiff(arr, grayscale=True, packbits=pb)
-                elif nk % 3 == 1:
-                    payload = encode_tiff(arr, packbits=pb)
-                else:
-                    payload = encode_tiff(arr, packbits=pb, rows_per_strip=3)
+                kw = dict(grayscale=(nk % 4 == 0))
+                if nk % 3 == 1:
+                    kw["packbits"] = True
+                elif nk % 3 == 2:
+                    kw["lzw"] = True
+                    kw["predictor"] = bool(nk % 2)
+                    if nk % 2 == 0:
+                        kw["rows_per_strip"] = 3
+                payload = encode_tiff(arr, **kw)
                 ids.append(nk)
                 payloads.append(payload)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -5510,3 +5514,64 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey")
     media = n.mapInPandas(synth, "doc_id long, payload binary")
     return MM.image_stats(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_g711_stats",
+    oracle="""
+WITH decoded AS (
+  SELECT n.n_nationkey AS doc_id,
+         (CASE WHEN (255 - ((n.n_nationkey*7 + i.i*3) % 256)) >= 128
+               THEN -1 ELSE 1 END)
+         * ((((255 - ((n.n_nationkey*7 + i.i*3) % 256)) % 16) * 8 + 132)
+            * CAST(POWER(2, ((255 - ((n.n_nationkey*7 + i.i*3) % 256)) // 16) % 8)
+                   AS BIGINT)
+            - 132) AS sample
+  FROM nation n, (SELECT UNNEST(range(600)) AS i) i
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(600 AS BIGINT) AS n_samples,
+       CAST(1 AS INT) AS channels,
+       CAST(75 AS BIGINT) AS duration_ms,
+       CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs,
+       CAST(SUM(sample * sample) AS BIGINT) AS sum_sq
+FROM decoded
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="REAL G.711 mu-law decode on executors: per nation key a "
+    "600-code 8 kHz mu-law WAV (RIFF fmt tag 7, code_i = (key*7+i*3) mod "
+    "256) is synthesized and expanded through the ITU-T segment table "
+    "(functions/multimodal.decode_audio walks the RIFF chunks itself — "
+    "the stdlib wave module rejects non-PCM). The oracle re-derives the "
+    "expansion IN SQL from the spec's closed form — sign from the "
+    "complemented code's top bit, magnitude ((mant*8+132)*2^exp)-132 — "
+    "so every one of the 256 code mappings that appears is value-checked "
+    "against an independent derivation, not against the same table. "
+    "Map-only lineage.",
+)
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                codes = bytes((nk * 7 + i * 3) % 256 for i in range(600))
+                fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(codes)) + codes)
+                ids.append(nk)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    media = n.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.audio_stats(media).orderBy("doc_id")

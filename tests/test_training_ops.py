@@ -874,7 +874,7 @@ def test_tiff_unsupported_and_corrupt_raise():
     good = encode_tiff(arr)
     with _pytest.raises(ValueError):
         decode_tiff(good[:30])
-    # LZW compression (5) stays a loud NotImplementedError
+    # an unknown compression scheme stays a loud NotImplementedError
     import struct
 
     g = bytearray(good)
@@ -882,6 +882,39 @@ def test_tiff_unsupported_and_corrupt_raise():
     for i in range(ne):
         base = 10 + i * 12
         if struct.unpack_from("<H", g, base)[0] == 259:
-            struct.pack_into("<H", g, base + 8, 5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+            struct.pack_into("<H", g, base + 8, 7)  # JPEG-in-TIFF
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(g))
+
+
+def test_tiff_lzw_predictor_roundtrip_and_early_change():
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions import multimodal as MM
+    from go_pq_cdc_kafka_spark.functions.tiff import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(21)
+    # 20k random bytes push the code width through 9->10->11->12 and over
+    # the 4093-entry Clear reset; repetitive data exercises string reuse
+    for data in (b"", b"x", bytes([5]) * 4000,
+                 bytes(rng.randint(0, 256, 20000).tolist()),
+                 (b"abcd" * 2000) + bytes(rng.randint(0, 256, 9000).tolist())):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    arr = rng.randint(0, 256, (21, 13, 3)).astype(np.uint8)
+    for pred in (False, True):
+        for rps in (None, 5):
+            payload = encode_tiff(arr, lzw=True, predictor=pred,
+                                  rows_per_strip=rps)
+            assert (MM.decode_image(payload) == arr).all(), (pred, rps)
+
+    # predictor + LZW actually compresses smooth content
+    grad = np.repeat(
+        np.repeat((np.arange(64, dtype=np.uint8) * 2).reshape(64, 1), 64, 1)
+        [:, :, None], 3, 2)
+    assert len(encode_tiff(grad, lzw=True, predictor=True)) \
+        < len(encode_tiff(grad)) // 4
