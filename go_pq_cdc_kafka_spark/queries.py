@@ -5575,3 +5575,66 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey")
     media = n.mapInPandas(synth, "doc_id long, payload binary")
     return MM.audio_stats(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+SELECT n.n_nationkey AS doc_id,
+       CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+       CAST(SUM((n.n_nationkey*13 + ((r.i*12)//5)*7 + ((c.i*20)//7)*5) % 256)
+            AS BIGINT) AS sum_r,
+       CAST(SUM((n.n_nationkey*13 + ((r.i*12)//5)*7 + ((c.i*20)//7)*5 + 3) % 256)
+            AS BIGINT) AS sum_g,
+       CAST(SUM((n.n_nationkey*13 + ((r.i*12)//5)*7 + ((c.i*20)//7)*5 + 6) % 256)
+            AS BIGINT) AS sum_b
+FROM nation n,
+     (SELECT UNNEST(range(5)) AS i) r,
+     (SELECT UNNEST(range(7)) AS i) c
+GROUP BY n.n_nationkey
+ORDER BY doc_id
+""",
+    category="multimodal",
+    description="Thumbnailing with a value-checked resample: per nation "
+    "key a 20x12 BMP (pixel (r,c,k) = (key*13+r*7+c*5+k*3) mod 256) is "
+    "decoded and resized to 7x5 by functions/multimodal.resize_nearest — "
+    "deterministic FLOOR index mapping src=(dst*in)//out, pure integer "
+    "arithmetic — inside one mapInPandas stage, then reduced to "
+    "per-channel sums. The oracle reproduces the exact index math with "
+    "SQL integer division, so any off-by-one or rounding-mode drift in "
+    "the resampler (the classic source of silent train/serve skew in "
+    "image pipelines) breaks the hash. Map-only lineage.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth_resize(batches):
+        for pdf in batches:
+            rows = []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                r = np.arange(12).reshape(12, 1, 1)
+                c = np.arange(20).reshape(1, 20, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                arr = ((nk * 13 + r * 7 + c * 5 + k * 3) % 256).astype(np.uint8)
+                small = MM.resize_nearest(
+                    MM.decode_image(MM.encode_bmp(arr)), out_w=7, out_h=5
+                )
+                sums = small.astype("int64").sum(axis=(0, 1))
+                rows.append(
+                    {"doc_id": nk, "width": small.shape[1],
+                     "height": small.shape[0], "sum_r": int(sums[0]),
+                     "sum_g": int(sums[1]), "sum_b": int(sums[2])}
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b"]
+            )
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    return n.mapInPandas(
+        synth_resize,
+        "doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id")
