@@ -310,23 +310,53 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
 
 class KafkaWireBatchReader(DataSourceReader):
-    """Batch read: a consistent earliest→latest snapshot taken at plan
-    time, fetched executor-parallel."""
+    """Batch read: a consistent snapshot taken at plan time, fetched
+    executor-parallel. ``startingoffsets``/``endingoffsets`` bound the
+    range like the jar source's batch mode: earliest|latest|
+    {"part": offset} JSON with the -1/-2 sentinels, default
+    earliest→latest."""
 
     def __init__(self, options: dict):
         self.topic = options["topic"]
+        self.options = dict(options)
         self.client_kwargs = _client_kwargs(options)
 
     def partitions(self) -> Sequence[InputPartition]:
+        import json
+
         from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
 
         with KafkaWireConsumer(**self.client_kwargs) as c:
             earliest = c.earliest_offsets(self.topic)
             latest = c.latest_offsets(self.topic)
+
+            def resolve(opt: str, default: dict) -> dict:
+                spec = self.options.get(opt)
+                if spec is None:
+                    return dict(default)
+                if spec.lstrip().startswith("{"):
+                    out = dict(default)
+                    for p, o in json.loads(spec).items():
+                        p, o = int(p), int(o)
+                        if o == -2:
+                            out[p] = earliest.get(p, 0)
+                        elif o == -1:
+                            out[p] = latest.get(p, 0)
+                        else:
+                            out[p] = o
+                    return out
+                if spec.lower() == "latest":
+                    return dict(latest)
+                if spec.lower() == "earliest":
+                    return dict(earliest)
+                raise ValueError(f"invalid {opt}: {spec!r}")
+
+            start = resolve("startingoffsets", earliest)
+            end = resolve("endingoffsets", latest)
         return [
-            _RangePartition(self.topic, p, earliest.get(p, 0), latest[p],
+            _RangePartition(self.topic, p, start.get(p, 0), end[p],
                             self.client_kwargs)
-            for p in sorted(latest)
+            for p in sorted(end)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

@@ -533,3 +533,37 @@ def test_reingest_tolerates_duplicate_header_keys(spark, broker):
     assert len(rows) == 1
     assert rows[0].op == "INSERT" and rows[0].table_name == "users"
     assert rows[0].after["id"] == "1"
+
+
+def test_batch_read_bounded_offsets(spark, broker):
+    """Batch mode honors startingoffsets/endingoffsets (jar-source batch
+    parity): explicit JSON bounds with -1/-2 sentinels slice the log."""
+    topic = "t.batch.bounds"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records(
+            [(topic, b"k", f"v-{i}".encode(), []) for i in range(6)]
+        )
+    part = partition_for_key(b"k", 3)
+    KS.register(spark)
+
+    def read(**opts):
+        r = (
+            spark.read.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(
+            row.v for row in
+            r.load().selectExpr("CAST(value AS STRING) v").collect()
+        )
+
+    assert read() == [f"v-{i}" for i in range(6)]
+    assert read(startingoffsets='{"%d": 2}' % part) == [
+        "v-2", "v-3", "v-4", "v-5"
+    ]
+    assert read(startingoffsets='{"%d": 1}' % part,
+                endingoffsets='{"%d": 4}' % part) == ["v-1", "v-2", "v-3"]
+    assert read(endingoffsets='{"%d": -2}' % part) == []  # earliest sentinel
+    assert read(startingoffsets="latest") == []
