@@ -76,3 +76,16 @@ def test_example_kafka_loop(spark, tmp_path):
     for r in rows:
         by_part.setdefault(r.partition, []).append(r.offset)
     assert all(offs == sorted(offs) for offs in by_part.values())
+
+
+def test_example_media_curation(spark):
+    import media_curation
+
+    stages = media_curation.main(spark)
+    assert stages["input"] == 60
+    assert stages["after_quality"] == 60  # synthetic corpus is clean
+    # each of the 10 pattern families collapses its BMP/PNG/TIFF encodings
+    # into ONE survivor by decoded-content digest; lossy JPEG, paletted
+    # GIF, and audio stay distinct: 10 * (1 + 3) = 40
+    assert stages["after_dedup"] == 40
+    assert stages["thumbnails"] == 30  # image survivors only
