@@ -19,7 +19,10 @@ Spark-first shape — this is NOT a driver-side reader:
   offset, timestamp, headers), so pipelines written against one run on the
   other unchanged.
 
-Options: ``bootstrap`` (required), ``topic`` (required),
+Options: ``bootstrap`` (required), ``topic`` (required — a single topic
+or a comma list; ``subscribe`` is an accepted alias, and with several
+topics the stream's offset keys become ``topic/partition`` while explicit
+offset JSON nests per topic, jar-source style),
 ``startingoffsets`` = earliest|latest|committed|{"part": offset} JSON
 (default earliest; JSON sentinels match the jar source: -1 = that
 partition's latest, -2 = earliest; ``committed`` resumes from the
@@ -144,15 +147,37 @@ def _read_range(part: _RangePartition) -> Iterator[tuple]:
             pos = max(r.offset for r in recs) + 1
 
 
+def _parse_topics(options: dict) -> list[str]:
+    spec = options.get("subscribe") or options.get("topic")
+    if not spec:
+        raise ValueError("kafkawire requires a topic (or subscribe) option")
+    topics = [t.strip() for t in spec.split(",") if t.strip()]
+    if not topics:
+        raise ValueError("no topics in topic/subscribe option")
+    return topics
+
+
 class KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.topic = options["topic"]
+        self.topics = _parse_topics(options)
         self.client_kwargs = _client_kwargs(options)
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
         self.group_id = options.get("group.id")
         self._driver_client = None
         self._position: dict | None = None  # last planned end (rate limiting)
+
+    # Offset-dict keys: bare partition numbers for a single topic (stable
+    # with pre-multi-topic checkpoints), "topic/partition" when subscribed
+    # to several ('/' is not a legal Kafka topic character).
+    def _okey(self, topic: str, p: int) -> str:
+        return str(p) if len(self.topics) == 1 else f"{topic}/{p}"
+
+    def _parse_okey(self, key: str) -> tuple[str, int]:
+        if len(self.topics) == 1:
+            return self.topics[0], int(key)
+        topic, _, p = key.rpartition("/")
+        return topic, int(p)
 
     def _client(self):
         from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
@@ -162,75 +187,111 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return self._driver_client
 
     def _starting_offsets(self) -> dict:
-        """The CONFIGURED start position, {partition(int): offset} — shared
-        by initialOffset and the fresh-start rate-limit seed."""
+        """The CONFIGURED start position, {offset key: offset} — shared by
+        initialOffset and the fresh-start rate-limit seed."""
         import json
 
         c = self._client()
         ts = self.options.get("startingtimestamp")
         starting = self.options.get("startingoffsets", "earliest")
-        if starting.lower() == "committed":
-            # resume from the group's broker-stored commits (OffsetFetch):
-            # checkpoint-free restart, the consumer-group migration shape.
-            # Partitions the group never committed fall back to
-            # auto.offset.reset (earliest default, like the jar source).
-            if not self.group_id:
+        explicit_by_topic: dict | None = None
+        if starting.lstrip().startswith("{"):
+            parsed = json.loads(starting)
+            if parsed and all(isinstance(v, dict) for v in parsed.values()):
+                explicit_by_topic = {
+                    t: {int(p): int(o) for p, o in per.items()}
+                    for t, per in parsed.items()
+                }
+            elif len(self.topics) == 1:
+                # flat {"part": off} shorthand for the single-topic case
+                explicit_by_topic = {
+                    self.topics[0]: {int(p): int(o) for p, o in parsed.items()}
+                }
+            else:
                 raise ValueError(
-                    'startingoffsets="committed" requires the group.id option'
+                    "multi-topic startingoffsets JSON must be nested "
+                    '{"topic": {"part": offset}}'
                 )
-            reset = self.options.get("auto.offset.reset", "earliest").lower()
-            offs = (
-                c.latest_offsets(self.topic)
-                if reset == "latest"
-                else c.earliest_offsets(self.topic)
-            )
-            committed = c.fetch_committed(
-                self.group_id, self.topic, sorted(offs)
-            )
-            for p, o in committed.items():
-                if o >= 0:
-                    offs[p] = o
-            return offs
-        if ts is not None:
-            # first offset with record timestamp >= ts (epoch millis).
-            # A REAL broker's ListOffsets v1 answers -1 for partitions with
-            # nothing that recent (MiniBroker conforms) — normalize -1 to
-            # the latest offset so the first fetch never runs at offset -1.
-            offs = c.offsets_for_timestamp(self.topic, int(ts))
-            if any(o < 0 for o in offs.values()):
-                latest = c.latest_offsets(self.topic)
-                offs = {p: (latest[p] if o < 0 else o) for p, o in offs.items()}
-        elif starting.lstrip().startswith("{"):
-            # explicit per-partition positions, jar-source style:
-            # {"0": 12, "1": 0, ...}; unlisted partitions start earliest.
-            # Jar-source sentinel semantics: -1 = latest, -2 = earliest.
-            explicit = {int(p): int(o) for p, o in json.loads(starting).items()}
-            offs = c.earliest_offsets(self.topic)
-            latest = None
-            for p, o in explicit.items():
-                if o == -2:
-                    continue  # earliest — already the default fill
-                if o == -1:
-                    if latest is None:
-                        latest = c.latest_offsets(self.topic)
-                    offs[p] = latest.get(p, 0)
-                else:
-                    offs[p] = o
-        elif starting.lower() == "latest":
-            offs = c.latest_offsets(self.topic)
-        else:
-            offs = c.earliest_offsets(self.topic)
-        return offs
+
+        out: dict[str, int] = {}
+        for topic in self.topics:
+            if starting.lower() == "committed":
+                # resume from the group's broker-stored commits
+                # (OffsetFetch): checkpoint-free restart, the
+                # consumer-group migration shape. Partitions the group
+                # never committed fall back to auto.offset.reset
+                # (earliest default, like the jar source).
+                if not self.group_id:
+                    raise ValueError(
+                        'startingoffsets="committed" requires the group.id '
+                        "option"
+                    )
+                reset = self.options.get(
+                    "auto.offset.reset", "earliest"
+                ).lower()
+                offs = (
+                    c.latest_offsets(topic)
+                    if reset == "latest"
+                    else c.earliest_offsets(topic)
+                )
+                committed = c.fetch_committed(
+                    self.group_id, topic, sorted(offs)
+                )
+                for pp, o in committed.items():
+                    if o >= 0:
+                        offs[pp] = o
+            elif ts is not None:
+                # first offset with record timestamp >= ts (epoch millis).
+                # A REAL broker's ListOffsets v1 answers -1 for partitions
+                # with nothing that recent (MiniBroker conforms) —
+                # normalize -1 to the latest offset so the first fetch
+                # never runs at offset -1.
+                offs = c.offsets_for_timestamp(topic, int(ts))
+                if any(o < 0 for o in offs.values()):
+                    latest = c.latest_offsets(topic)
+                    offs = {
+                        pp: (latest[pp] if o < 0 else o)
+                        for pp, o in offs.items()
+                    }
+            elif explicit_by_topic is not None:
+                # explicit per-partition positions, jar-source style;
+                # unlisted partitions start earliest. Sentinels: -1 =
+                # latest, -2 = earliest.
+                offs = c.earliest_offsets(topic)
+                latest = None
+                for pp, o in explicit_by_topic.get(topic, {}).items():
+                    if o == -2:
+                        continue  # earliest — already the default fill
+                    if o == -1:
+                        if latest is None:
+                            latest = c.latest_offsets(topic)
+                        offs[pp] = latest.get(pp, 0)
+                    else:
+                        offs[pp] = o
+            elif starting.lower() == "latest":
+                offs = c.latest_offsets(topic)
+            else:
+                offs = c.earliest_offsets(topic)
+            for pp, o in offs.items():
+                out[self._okey(topic, pp)] = int(o)
+        return out
+
+    def _latest_all(self) -> dict:
+        c = self._client()
+        return {
+            self._okey(t, p): o
+            for t in self.topics
+            for p, o in c.latest_offsets(t).items()
+        }
 
     def initialOffset(self) -> dict:
         offs = self._starting_offsets()
         if self._position is None:
-            self._position = {str(p): int(o) for p, o in offs.items()}
-        return {str(p): o for p, o in offs.items()}
+            self._position = dict(offs)
+        return offs
 
     def latestOffset(self) -> dict:
-        latest = self._client().latest_offsets(self.topic)
-        out = {str(p): o for p, o in latest.items()}
+        out = self._latest_all()
         if self.max_per_trigger:
             if self._position is None:
                 # First probe of a FRESH query: the runner asks for the
@@ -243,27 +304,25 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 # the checkpointed batch through partitions(start, end)
                 # before ever calling latestOffset, which seeds _position
                 # with the checkpoint position (see partitions()).
-                self._position = {
-                    str(p): int(o) for p, o in self._starting_offsets().items()
-                }
+                self._position = self._starting_offsets()
             # distribute the trigger budget PROPORTIONALLY to each
             # partition's lag (jar-source semantics) — an even split
             # starves the laggy partition while idle partitions waste
             # their share. Every lagging partition advances by >= 1 so
             # none can be starved entirely by rounding.
             lags = {
-                p: max(o - int(self._position.get(p, 0)), 0)
-                for p, o in out.items()
+                k: max(o - int(self._position.get(k, 0)), 0)
+                for k, o in out.items()
             }
             total_lag = sum(lags.values())
             if total_lag > self.max_per_trigger:
-                for p, o in out.items():
-                    if lags[p] == 0:
+                for k, o in out.items():
+                    if lags[k] == 0:
                         continue
                     share = max(
-                        lags[p] * self.max_per_trigger // total_lag, 1
+                        lags[k] * self.max_per_trigger // total_lag, 1
                     )
-                    out[p] = min(o, int(self._position.get(p, 0)) + share)
+                    out[k] = min(o, int(self._position.get(k, 0)) + share)
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -271,14 +330,17 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # checkpointed batch through here before the first post-restart
         # latestOffset, so the rate-limit clamp base is always the
         # authoritative WAL end from then on.
-        self._position = {p: int(end[p]) for p in end}
-        return [
-            _RangePartition(
-                self.topic, int(p), int(start.get(p, 0)), int(end[p]),
-                self.client_kwargs,
+        self._position = {k: int(end[k]) for k in end}
+        out = []
+        for k in sorted(end):
+            topic, p = self._parse_okey(k)
+            out.append(
+                _RangePartition(
+                    topic, p, int(start.get(k, 0)), int(end[k]),
+                    self.client_kwargs,
+                )
             )
-            for p in sorted(end, key=int)
-        ]
+        return out
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)
@@ -294,14 +356,17 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # Kafka consumer group gives. Commit failure must not fail the
         # query — the checkpoint stays authoritative.
         if self.group_id:
-            try:
-                self._client().commit_offsets(
-                    self.group_id,
-                    self.topic,
-                    {int(p): int(o) for p, o in end.items()},
-                )
-            except Exception:
-                pass
+            by_topic: dict[str, dict[int, int]] = {}
+            for k, o in end.items():
+                topic, p = self._parse_okey(k)
+                by_topic.setdefault(topic, {})[p] = int(o)
+            for topic, offs in by_topic.items():
+                try:
+                    self._client().commit_offsets(
+                        self.group_id, topic, offs
+                    )
+                except Exception:
+                    pass
 
     def stop(self) -> None:
         if self._driver_client is not None:
@@ -311,13 +376,14 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
 class KafkaWireBatchReader(DataSourceReader):
     """Batch read: a consistent snapshot taken at plan time, fetched
-    executor-parallel. ``startingoffsets``/``endingoffsets`` bound the
-    range like the jar source's batch mode: earliest|latest|
-    {"part": offset} JSON with the -1/-2 sentinels, default
-    earliest→latest."""
+    executor-parallel, across one or many topics (comma list / the
+    ``subscribe`` alias). ``startingoffsets``/``endingoffsets`` bound the
+    range like the jar source's batch mode: earliest|latest|explicit JSON
+    with the -1/-2 sentinels ({"part": off} for one topic,
+    {"topic": {"part": off}} for several), default earliest→latest."""
 
     def __init__(self, options: dict):
-        self.topic = options["topic"]
+        self.topics = _parse_topics(options)
         self.options = dict(options)
         self.client_kwargs = _client_kwargs(options)
 
@@ -326,38 +392,66 @@ class KafkaWireBatchReader(DataSourceReader):
 
         from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
 
+        out: list[_RangePartition] = []
         with KafkaWireConsumer(**self.client_kwargs) as c:
-            earliest = c.earliest_offsets(self.topic)
-            latest = c.latest_offsets(self.topic)
-
-            def resolve(opt: str, default: dict) -> dict:
+            specs = {}
+            for opt in ("startingoffsets", "endingoffsets"):
                 spec = self.options.get(opt)
-                if spec is None:
-                    return dict(default)
-                if spec.lstrip().startswith("{"):
-                    out = dict(default)
-                    for p, o in json.loads(spec).items():
-                        p, o = int(p), int(o)
-                        if o == -2:
-                            out[p] = earliest.get(p, 0)
-                        elif o == -1:
-                            out[p] = latest.get(p, 0)
-                        else:
-                            out[p] = o
-                    return out
-                if spec.lower() == "latest":
-                    return dict(latest)
-                if spec.lower() == "earliest":
-                    return dict(earliest)
-                raise ValueError(f"invalid {opt}: {spec!r}")
+                if spec is not None and spec.lstrip().startswith("{"):
+                    parsed = json.loads(spec)
+                    if parsed and all(
+                        isinstance(v, dict) for v in parsed.values()
+                    ):
+                        specs[opt] = {
+                            t: {int(pp): int(o) for pp, o in per.items()}
+                            for t, per in parsed.items()
+                        }
+                    elif len(self.topics) == 1:
+                        specs[opt] = {
+                            self.topics[0]: {
+                                int(pp): int(o) for pp, o in parsed.items()
+                            }
+                        }
+                    else:
+                        raise ValueError(
+                            f"multi-topic {opt} JSON must be nested "
+                            '{"topic": {"part": offset}}'
+                        )
+                else:
+                    specs[opt] = spec  # None / "earliest" / "latest"
 
-            start = resolve("startingoffsets", earliest)
-            end = resolve("endingoffsets", latest)
-        return [
-            _RangePartition(self.topic, p, start.get(p, 0), end[p],
-                            self.client_kwargs)
-            for p in sorted(end)
-        ]
+            for topic in self.topics:
+                earliest = c.earliest_offsets(topic)
+                latest = c.latest_offsets(topic)
+
+                def resolve(opt: str, default: dict) -> dict:
+                    spec = specs[opt]
+                    if spec is None:
+                        return dict(default)
+                    if isinstance(spec, dict):
+                        res = dict(default)
+                        for pp, o in spec.get(topic, {}).items():
+                            if o == -2:
+                                res[pp] = earliest.get(pp, 0)
+                            elif o == -1:
+                                res[pp] = latest.get(pp, 0)
+                            else:
+                                res[pp] = o
+                        return res
+                    if spec.lower() == "latest":
+                        return dict(latest)
+                    if spec.lower() == "earliest":
+                        return dict(earliest)
+                    raise ValueError(f"invalid {opt}: {spec!r}")
+
+                start = resolve("startingoffsets", earliest)
+                end = resolve("endingoffsets", latest)
+                out.extend(
+                    _RangePartition(topic, pp, start.get(pp, 0), end[pp],
+                                    self.client_kwargs)
+                    for pp in sorted(end)
+                )
+        return out
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)

@@ -567,3 +567,68 @@ def test_batch_read_bounded_offsets(spark, broker):
                 endingoffsets='{"%d": 4}' % part) == ["v-1", "v-2", "v-3"]
     assert read(endingoffsets='{"%d": -2}' % part) == []  # earliest sentinel
     assert read(startingoffsets="latest") == []
+
+
+def test_multi_topic_subscribe_stream_and_batch(spark, broker, tmp_path):
+    """One stream over several topics (the shape a consumer of the
+    reference's per-table topics needs): records interleave with their
+    topic column intact, checkpointed resume works across topics, and the
+    batch reader accepts nested per-topic offset JSON."""
+    ta, tb = "t.multi.users", "t.multi.books"
+    _produce(broker.bootstrap, ta, [(b"u1", b"ua", [])])
+    _produce(broker.bootstrap, tb, [(b"b1", b"ba", []), (b"b2", b"bb", [])])
+    KS.register(spark)
+
+    out = str(tmp_path / "out")
+
+    def start_query():
+        return (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("subscribe", f"{ta}, {tb}")
+            .load()
+            .selectExpr("topic", "CAST(value AS STRING) AS v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start_query()
+    q.processAllAvailable()
+    _produce(broker.bootstrap, ta, [(b"u2", b"ub", [])])
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.topic, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(ta, "ua"), (ta, "ub"), (tb, "ba"), (tb, "bb")}
+
+    # restart from the checkpoint: the while-down record arrives exactly
+    # once, nothing re-read across either topic
+    _produce(broker.bootstrap, tb, [(b"b3", b"bc", [])])
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = [(r.topic, r.v) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == sorted(
+        [(ta, "ua"), (ta, "ub"), (tb, "ba"), (tb, "bb"), (tb, "bc")]
+    )
+
+    # batch across both topics, with a nested per-topic offset bound
+    pa = partition_for_key(b"b1", 3)
+    rows = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", f"{ta},{tb}")
+        .option("endingoffsets",
+                '{"%s": {"%d": -1}, "%s": {"%d": 0}}' % (ta, 0, tb, pa))
+        .load()
+        .selectExpr("topic", "CAST(value AS STRING) v")
+        .collect()
+    )
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, set()).add(r.v)
+    # ta fully read (-1 = latest sentinel on its partition 0 plus
+    # defaults), tb partition pa truncated to nothing
+    assert by_topic.get(ta) == {"ua", "ub"}
+    assert "ba" not in by_topic.get(tb, set())
