@@ -19,10 +19,12 @@ Spark-first shape — this is NOT a driver-side reader:
   offset, timestamp, headers), so pipelines written against one run on the
   other unchanged.
 
-Options: ``bootstrap`` (required), ``topic`` (required — a single topic
-or a comma list; ``subscribe`` is an accepted alias, and with several
-topics the stream's offset keys become ``topic/partition`` while explicit
-offset JSON nests per topic, jar-source style),
+Options: ``bootstrap`` (required), ``topic`` (required unless
+``subscribe``/``assign`` given — a single topic or a comma list;
+``subscribe`` is an accepted alias; ``assign`` = jar-style explicit
+assignment JSON {"topic": [0, 2]} reading only the listed partitions;
+with several topics the stream's offset keys become ``topic/partition``
+while explicit offset JSON nests per topic, jar-source style),
 ``startingoffsets`` = earliest|latest|committed|{"part": offset} JSON
 (default earliest; JSON sentinels match the jar source: -1 = that
 partition's latest, -2 = earliest; ``committed`` resumes from the
@@ -148,19 +150,38 @@ def _read_range(part: _RangePartition) -> Iterator[tuple]:
 
 
 def _parse_topics(options: dict) -> list[str]:
+    assign = options.get("assign")
+    if assign:
+        import json
+
+        return sorted(json.loads(assign))
     spec = options.get("subscribe") or options.get("topic")
     if not spec:
-        raise ValueError("kafkawire requires a topic (or subscribe) option")
+        raise ValueError(
+            "kafkawire requires a topic, subscribe, or assign option"
+        )
     topics = [t.strip() for t in spec.split(",") if t.strip()]
     if not topics:
         raise ValueError("no topics in topic/subscribe option")
     return topics
 
 
+def _parse_assignment(options: dict) -> dict | None:
+    """``assign`` = jar-style explicit assignment JSON
+    {"topic": [0, 2], ...}: only the listed partitions are read."""
+    assign = options.get("assign")
+    if not assign:
+        return None
+    import json
+
+    return {t: set(int(p) for p in ps) for t, ps in json.loads(assign).items()}
+
+
 class KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
         self.topics = _parse_topics(options)
+        self.assignment = _parse_assignment(options)
         self.client_kwargs = _client_kwargs(options)
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
         self.group_id = options.get("group.id")
@@ -272,17 +293,23 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 offs = c.latest_offsets(topic)
             else:
                 offs = c.earliest_offsets(topic)
+            allowed = (
+                self.assignment.get(topic) if self.assignment else None
+            )
             for pp, o in offs.items():
-                out[self._okey(topic, pp)] = int(o)
+                if allowed is None or pp in allowed:
+                    out[self._okey(topic, pp)] = int(o)
         return out
 
     def _latest_all(self) -> dict:
         c = self._client()
-        return {
-            self._okey(t, p): o
-            for t in self.topics
-            for p, o in c.latest_offsets(t).items()
-        }
+        out = {}
+        for t in self.topics:
+            allowed = self.assignment.get(t) if self.assignment else None
+            for p, o in c.latest_offsets(t).items():
+                if allowed is None or p in allowed:
+                    out[self._okey(t, p)] = o
+        return out
 
     def initialOffset(self) -> dict:
         offs = self._starting_offsets()
@@ -384,6 +411,7 @@ class KafkaWireBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.topics = _parse_topics(options)
+        self.assignment = _parse_assignment(options)
         self.options = dict(options)
         self.client_kwargs = _client_kwargs(options)
 
@@ -446,10 +474,14 @@ class KafkaWireBatchReader(DataSourceReader):
 
                 start = resolve("startingoffsets", earliest)
                 end = resolve("endingoffsets", latest)
+                allowed = (
+                    self.assignment.get(topic) if self.assignment else None
+                )
                 out.extend(
                     _RangePartition(topic, pp, start.get(pp, 0), end[pp],
                                     self.client_kwargs)
                     for pp in sorted(end)
+                    if allowed is None or pp in allowed
                 )
         return out
 

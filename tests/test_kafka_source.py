@@ -632,3 +632,49 @@ def test_multi_topic_subscribe_stream_and_batch(spark, broker, tmp_path):
     # defaults), tb partition pa truncated to nothing
     assert by_topic.get(ta) == {"ua", "ub"}
     assert "ba" not in by_topic.get(tb, set())
+
+
+def test_assign_reads_only_listed_partitions(spark, broker, tmp_path):
+    """assign = jar-style explicit topic-partition assignment: only the
+    listed partitions are planned, in streaming and batch alike."""
+    topic = "t.assign"
+    # land records on two different partitions
+    keys = {}
+    for cand in (b"a", b"b", b"c", b"d", b"e", b"f"):
+        keys.setdefault(partition_for_key(cand, 3), cand)
+        if len(keys) >= 2:
+            break
+    (pa, ka), (pb, kb) = sorted(keys.items())[:2]
+    _produce(broker.bootstrap, topic,
+             [(ka, b"va", []), (kb, b"vb", [])])
+    KS.register(spark)
+    assign = '{"%s": [%d]}' % (topic, pa)
+
+    rows = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("assign", assign)
+        .load()
+        .selectExpr("partition", "CAST(value AS STRING) v")
+        .collect()
+    )
+    assert {(r.partition, r.v) for r in rows} == {(pa, "va")}
+
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("assign", assign)
+        .load()
+        .selectExpr("partition", "CAST(value AS STRING) v")
+        .writeStream.format("memory")
+        .queryName("kafkawire_assign")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r.partition, r.v)
+        for r in spark.sql("SELECT * FROM kafkawire_assign").collect()
+    }
+    q.stop()
+    assert got == {(pa, "va")}
