@@ -25,6 +25,9 @@ Options: ``bootstrap`` (required), ``topic`` (required unless
 assignment JSON {"topic": [0, 2]} reading only the listed partitions;
 with several topics the stream's offset keys become ``topic/partition``
 while explicit offset JSON nests per topic, jar-source style),
+``minpartitions`` (split offset ranges into at least this many input
+partitions, decoupling read parallelism from the topic's partition
+count),
 ``startingoffsets`` = earliest|latest|committed|{"part": offset} JSON
 (default earliest; JSON sentinels match the jar source: -1 = that
 partition's latest, -2 = earliest; ``committed`` resumes from the
@@ -107,6 +110,38 @@ def _client_kwargs(options: dict) -> dict:
     return kw
 
 
+def _split_ranges(parts: list, min_partitions: int | None) -> list:
+    """Split offset ranges so at least ``min_partitions`` non-empty input
+    partitions exist (jar-source minPartitions semantics): read
+    parallelism stops being capped by the TOPIC's partition count — the
+    knob that matters when 3 Kafka partitions hold a backlog a
+    1000-core cluster should scan. Ranges split proportionally to their
+    size; every split is a contiguous offset slice, so per-range fetches
+    stay sequential."""
+    if not min_partitions or len(parts) >= min_partitions:
+        return parts
+    sized = [(pt, pt.end - pt.start) for pt in parts]
+    total = sum(n for _, n in sized)
+    if total <= 0:
+        return parts
+    out = []
+    for pt, n in sized:
+        if n <= 0:
+            out.append(pt)
+            continue
+        pieces = max(1, min(round(n * min_partitions / total), n))
+        step = (n + pieces - 1) // pieces
+        pos = pt.start
+        while pos < pt.end:
+            hi = min(pos + step, pt.end)
+            out.append(
+                _RangePartition(pt.topic, pt.partition, pos, hi,
+                                pt.client_kwargs)
+            )
+            pos = hi
+    return out
+
+
 class _RangePartition(InputPartition):
     def __init__(self, topic: str, partition: int, start: int, end: int,
                  client_kwargs: dict):
@@ -183,6 +218,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.topics = _parse_topics(options)
         self.assignment = _parse_assignment(options)
         self.client_kwargs = _client_kwargs(options)
+        self.min_partitions = int(options.get("minpartitions", 0)) or None
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
         self.group_id = options.get("group.id")
         self._driver_client = None
@@ -367,7 +403,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     self.client_kwargs,
                 )
             )
-        return out
+        return _split_ranges(out, self.min_partitions)
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)
@@ -414,6 +450,7 @@ class KafkaWireBatchReader(DataSourceReader):
         self.assignment = _parse_assignment(options)
         self.options = dict(options)
         self.client_kwargs = _client_kwargs(options)
+        self.min_partitions = int(options.get("minpartitions", 0)) or None
 
     def partitions(self) -> Sequence[InputPartition]:
         import json
@@ -483,7 +520,7 @@ class KafkaWireBatchReader(DataSourceReader):
                     for pp in sorted(end)
                     if allowed is None or pp in allowed
                 )
-        return out
+        return _split_ranges(out, self.min_partitions)
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)

@@ -678,3 +678,44 @@ def test_assign_reads_only_listed_partitions(spark, broker, tmp_path):
     }
     q.stop()
     assert got == {(pa, "va")}
+
+
+def test_minpartitions_splits_ranges(spark, broker, tmp_path):
+    """minpartitions decouples read parallelism from the topic's partition
+    count: a 3-partition topic reads with >= 8 input partitions, data
+    complete and duplicate-free, in batch and streaming alike."""
+    topic = "t.minparts"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records(
+            [(topic, f"k{i}".encode(), f"v-{i}".encode(), [])
+             for i in range(60)]
+        )
+    KS.register(spark)
+    df = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", topic)
+        .option("minpartitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 8
+    rows = df.selectExpr("CAST(value AS STRING) v").collect()
+    assert sorted(r.v for r in rows) == sorted(f"v-{i}" for i in range(60))
+
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", topic)
+        .option("minpartitions", "8")
+        .load()
+        .selectExpr("partition", "offset", "CAST(value AS STRING) v")
+        .writeStream.format("memory")
+        .queryName("kafkawire_minparts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT * FROM kafkawire_minparts").collect()
+    q.stop()
+    assert sorted(r.v for r in got) == sorted(f"v-{i}" for i in range(60))
+    assert len({(r.partition, r.offset) for r in got}) == 60  # no dupes
