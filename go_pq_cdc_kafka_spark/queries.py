@@ -3501,6 +3501,10 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges_spark(spark, sf_dir)
     scores = CL.pagerank_fixed(edges, iterations=3)
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # Unpartitioned window is deliberate and scale-safe: it runs strictly
+    # AFTER .limit(20), so the single partition the WindowExec warning
+    # complains about holds 20 rows at any data scale (TakeOrderedAndProject
+    # does the distributed top-k; the window only numbers the survivors).
     wr = Window.orderBy(F.desc("score"), F.asc("node"))
     top = (
         scores.orderBy(F.desc("score"), F.asc("node"))
