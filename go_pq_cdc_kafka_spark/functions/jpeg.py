@@ -240,6 +240,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF fill
+        # bytes — skip them so the byte after the run is the marker code.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: standalone

@@ -40,7 +40,11 @@ millis; partitions with nothing at-or-after it start at their latest —
 the broker's -1 answer is normalized), ``maxoffsetspertrigger`` (honored
 from batch 0 on a fresh query, distributed across partitions
 proportionally to their lag like the jar source; a restart's WAL-replay
-batch is Spark's, not ours),
+batch is Spark's, not ours; with ``availableNow`` triggers the clamped
+first answer becomes the run's END TARGET — the Python DataSource API
+has no ReadLimit channel, so an availableNow run processes ONE
+trigger's worth, not the whole backlog; use a processingTime trigger
+for rate-limited backlog drains),
 ``sasl.mechanism``/``sasl.username``/``sasl.password``,
 ``tls`` = true + ``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
@@ -251,6 +255,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         c = self._client()
         ts = self.options.get("startingtimestamp")
         starting = self.options.get("startingoffsets", "earliest")
+        if ts is not None and starting.lower() != "earliest":
+            # the jar source rejects conflicting start-position options;
+            # silently preferring one would surprise whoever set both.
+            raise ValueError(
+                "startingtimestamp cannot be combined with a non-default "
+                f"startingoffsets (got startingoffsets={starting!r})"
+            )
         explicit_by_topic: dict | None = None
         if starting.lstrip().startswith("{"):
             parsed = json.loads(starting)
@@ -363,11 +374,38 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 # must honor maxoffsetspertrigger too (startingoffsets=
                 # earliest on a big topic otherwise reads the whole log in
                 # one unclamped micro-batch). This cannot regress a
-                # RESTARTED query's offset log: on restart Spark replays
-                # the checkpointed batch through partitions(start, end)
-                # before ever calling latestOffset, which seeds _position
-                # with the checkpoint position (see partitions()).
-                self._position = self._starting_offsets()
+                # RESTARTED query's offset log: on restart (probed on
+                # Spark 4.1.2 for BOTH processingTime and availableNow
+                # triggers, committed AND uncommitted final batches) Spark
+                # replays the checkpointed batch through
+                # partitions(start, end) before ever calling latestOffset,
+                # which seeds _position with the checkpoint position (see
+                # partitions(); locked in by
+                # test_restart_rate_limit_no_duplicates). Belt-and-braces
+                # for any future planner that skips that replay: with
+                # group.id set, lift the seed to the group's broker
+                # commits, so a clamped end can lag the checkpoint by at
+                # most the one never-committed final batch instead of the
+                # whole log.
+                seed = self._starting_offsets()
+                if self.group_id:
+                    for topic in self.topics:
+                        parts = sorted(
+                            self._parse_okey(k)[1]
+                            for k in seed
+                            if self._parse_okey(k)[0] == topic
+                        )
+                        try:
+                            committed = self._client().fetch_committed(
+                                self.group_id, topic, parts
+                            )
+                        except Exception:
+                            committed = {}
+                        for pp, o in committed.items():
+                            k = self._okey(topic, pp)
+                            if k in seed and o > seed[k]:
+                                seed[k] = int(o)
+                self._position = seed
             # distribute the trigger budget PROPORTIONALLY to each
             # partition's lag (jar-source semantics) — an even split
             # starves the laggy partition while idle partitions waste
@@ -417,7 +455,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # before a stop is never committed — committed-resume is
         # AT-LEAST-ONCE (re-reads that tail), the same contract a plain
         # Kafka consumer group gives. Commit failure must not fail the
-        # query — the checkpoint stays authoritative.
+        # query — the checkpoint stays authoritative — but silent failure
+        # leaves lag dashboards and committed-resume positions stale with
+        # no trace, so log a warning (rate-limited to one per minute).
         if self.group_id:
             by_topic: dict[str, dict[int, int]] = {}
             for k, o in end.items():
@@ -428,8 +468,20 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     self._client().commit_offsets(
                         self.group_id, topic, offs
                     )
-                except Exception:
-                    pass
+                except Exception as exc:
+                    import logging
+                    import time
+
+                    now = time.monotonic()
+                    if now - getattr(self, "_commit_warn_ts", 0.0) >= 60.0:
+                        self._commit_warn_ts = now
+                        logging.getLogger(__name__).warning(
+                            "broker OffsetCommit failed for group %r topic "
+                            "%r (query unaffected; checkpoint is "
+                            "authoritative, but broker-side lag/committed "
+                            "positions are stale): %s",
+                            self.group_id, topic, exc,
+                        )
 
     def stop(self) -> None:
         if self._driver_client is not None:

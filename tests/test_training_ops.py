@@ -918,3 +918,36 @@ def test_tiff_lzw_predictor_roundtrip_and_early_change():
         [:, :, None], 3, 2)
     assert len(encode_tiff(grad, lzw=True, predictor=True)) \
         < len(encode_tiff(grad)) // 4
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 allows any marker to be preceded by optional 0xFF fill
+    bytes; real-world encoders emit them for alignment. Insert fill runs
+    before every header marker and the decode must be unchanged."""
+    import numpy as np
+
+    from go_pq_cdc_kafka_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    q8 = np.full((8, 8), 8, np.int32)
+    arr = np.full((12, 20, 3), 77, np.uint8)
+    payload = encode_jpeg(arr, luma_qtable=q8, chroma_qtable=q8)
+    # re-assemble the header with 1-3 fill bytes before each marker
+    # (skip SOI; stop padding once the SOS entropy stream begins)
+    out = bytearray(payload[:2])
+    pos, fills = 2, 0
+    while pos + 1 < len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        fills += 1
+        out += b"\xff" * (1 + fills % 3) + payload[pos : pos + 2]
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += payload[pos + 2 :]
+            break
+        import struct as _struct
+
+        (seglen,) = _struct.unpack_from(">H", payload, pos + 2)
+        out += payload[pos + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert fills >= 4  # DQT x2, SOF, DHT x4, SOS at least
+    decoded = decode_jpeg(bytes(out))
+    assert decoded.shape == (12, 20, 3) and (decoded == 77).all()
