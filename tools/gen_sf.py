@@ -96,10 +96,23 @@ def generate(src: str, out: str, mult: int) -> None:
     }
 
     def replicas(name: str, fn):
-        parts = [fn(tables[name], i) for i in range(mult)]
-        combined = pa.concat_tables(parts).combine_chunks()
-        pq.write_table(combined, os.path.join(out, f"{name}.parquet"))
-        return combined.num_rows
+        # stream one replica at a time: peak memory stays ~1 source table
+        # regardless of mult (mult=100 for sf10 would otherwise hold the
+        # whole 60M-row lineitem in RAM before the write)
+        path = os.path.join(out, f"{name}.parquet")
+        writer = None
+        n = 0
+        try:
+            for i in range(mult):
+                part = fn(tables[name], i).combine_chunks()
+                if writer is None:
+                    writer = pq.ParquetWriter(path, part.schema)
+                writer.write_table(part)
+                n += part.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return n
 
     n = replicas("customer", lambda t, i: _offset(t, "c_custkey", i * bases["cust"]))
     print(f"customer: {n}")
@@ -151,7 +164,22 @@ def generate(src: str, out: str, mult: int) -> None:
             return t
         emb = t.column("embedding").combine_chunks()
         arrs = emb.to_pylist()
-        rolled = [np.roll(np.asarray(a, dtype=np.float32), i).tolist() for a in arrs]
+        dim = len(arrs[0]) if arrs else 0
+        # roll wraps at dim, so replicas i and i+dim would be EXACT
+        # duplicates past mult=dim (sf10 = 100 replicas > dim 64): add a
+        # norm-preserving per-replica sign-flip mask (deterministic integer
+        # hash of (replica, element), no RNG) so every replica's
+        # neighborhood is distinct while norms/distributions are unchanged.
+        m = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        m ^= m >> 29  # avalanche so low bits differ per replica too
+        flips = np.where(
+            [(m >> (k % 64)) & 1 for k in range(dim)], -1.0, 1.0
+        ).astype(np.float32)
+        rolled = [
+            (np.roll(np.asarray(a, dtype=np.float32), i % max(dim, 1)) * flips)
+            .tolist()
+            for a in arrs
+        ]
         ei = t.schema.get_field_index("embedding")
         return t.set_column(
             ei, t.schema.field(ei), pa.array(rolled, t.schema.field(ei).type)
