@@ -243,6 +243,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     blow-up a popular hub would cause in the naive wedge join cannot
     happen, which is the 100-TB posture. Three shuffles total (degree
     agg, wedge join, closing join), all on uniform keys.
+
+    Fully LAZY: no persist, no eager checkpoint. The shared subtrees
+    (canon feeds both the wedge source and the closing join; oriented
+    self-joins) dedup at runtime via AQE exchange reuse instead of
+    caches, so building or explaining the DataFrame never executes —
+    the round-6 sf10 step caught the previous eager localCheckpoint
+    enumerating ~2e9 wedges (the dense co-purchase fixture graph) at
+    plan-construction time and filling the sandbox disk. On a dense
+    multigraph the wedge set is Θ(Σ d_out²) rows at the shuffle layer —
+    executor-spill-bound, which is Spark's normal operating mode — and
+    the enumeration only runs when an action actually asks for results.
     """
     canon = (
         edges.select(
@@ -251,7 +262,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         canon.select(F.col("lo").alias("node"))
@@ -272,7 +282,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = oriented.alias("a"), oriented.alias("b")
     wedges = a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))).select(
         F.col("a.u").alias("apex"),
@@ -291,18 +301,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
-    out = deg.join(per_node, "node", "left").select(
+    return deg.join(per_node, "node", "left").select(
         "node",
         "deg",
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
     )
-    # materialize while canon/oriented caches are hot, then release them —
-    # the checkpointed result owns result-sized storage, so repeated calls
-    # don't leak cached subtrees (same discipline as semantic_dedup)
-    out = out.localCheckpoint(eager=True)
-    canon.unpersist()
-    oriented.unpersist()
-    return out
 
 
 def cluster_survivors(members: DataFrame) -> DataFrame:

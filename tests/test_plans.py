@@ -26,6 +26,16 @@ def plan_of(spark, name: str) -> str:
     return qe.explainString(mode)
 
 
+def op_count(plan: str, op: str) -> int:
+    """Count physical operator NODES via their '(N) Op' detail headers.
+    ``plan.count(op)`` double-counts (formatted explain lists every node in
+    the tree AND a details section) — found when the sf10 scale step made
+    'at most one sort-merge join' assertions fail on exactly one."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}", plan))
+
+
 def test_scan_pushdown_and_pruning(spark):
     plan = plan_of(spark, "scan_filter_project")
     assert "PushedFilters: [" in plan
@@ -50,11 +60,20 @@ def test_partition_pruning_reaches_the_scan(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    for name in ("join_equi_broadcast", "join_multiway_fact"):
-        plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, name
-        assert "SortMergeJoin" not in plan, name
-        assert "CartesianProduct" not in plan, name
+    # join_equi_broadcast is all hinted dim joins: zero shuffle joins at
+    # ANY scale. join_multiway_fact keeps its hinted dims broadcast at any
+    # scale, while the lineitem⋈orders fact-fact edge auto-broadcasts at
+    # tiny SF and becomes THE single sort-merge shuffle at scale steps
+    # (surfaced by the sf10 run — broadcasting a scaling fact would be the
+    # actual 100 TB bug).
+    plan = plan_of(spark, "join_equi_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert op_count(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    plan = plan_of(spark, "join_multiway_fact")
+    assert op_count(plan, "BroadcastHashJoin") >= 2  # customer, nation
+    assert op_count(plan, "SortMergeJoin") <= 1      # lineitem⋈orders only
+    assert "CartesianProduct" not in plan
 
 
 def test_composites_broadcast_dims_single_fact_shuffle(spark):
@@ -68,7 +87,7 @@ def test_composites_broadcast_dims_single_fact_shuffle(spark):
         assert "CartesianProduct" not in plan, name
         # the only sort-merge-eligible join is orders⋈lineitem; everything
         # dimension-shaped must broadcast, never shuffle
-        assert plan.count("SortMergeJoin") <= 1, name
+        assert op_count(plan, "SortMergeJoin") <= 1, name
 
 
 def test_agg_partial_final(spark):
@@ -214,7 +233,7 @@ def test_composite_batch2_broadcast_dims(spark):
         assert "CartesianProduct" not in plan, name
         # dims (nation-chains, part, the 1-row scalar aggregate) broadcast;
         # at most the one fact-fact join may sort-merge
-        assert plan.count("SortMergeJoin") <= 1, name
+        assert op_count(plan, "SortMergeJoin") <= 1, name
 
 
 def test_brand_disjunction_pushes_single_side_residues(spark):
