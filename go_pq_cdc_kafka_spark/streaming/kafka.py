@@ -112,6 +112,10 @@ class KafkaProducerConfig:
     write_timeout_s: float = 30.0
     compression: Compression = Compression.NONE
     balancer: Balancer = Balancer.HASH
+    # KIP-98 idempotent produce: broker-side dedup of replayed batches —
+    # stronger than the reference's at-least-once replay
+    # (producer_batch.go:141-151); requires acks=all semantics
+    idempotent: bool = False
     metadata_ttl_s: float = 60.0
     metadata_topics: list[str] = field(default_factory=list)
     allow_auto_topic_creation: bool = False
@@ -141,6 +145,7 @@ class KafkaProducerConfig:
             "kafka.max.request.size": str(parse_size(self.producer_batch_bytes)),
             "kafka.metadata.max.age.ms": str(int(self.metadata_ttl_s * 1000)),
             "kafka.allow.auto.create.topics": str(self.allow_auto_topic_creation).lower(),
+            "kafka.enable.idempotence": str(self.idempotent).lower(),
             "kafka.client.id": self.client_id,
             "includeHeaders": "true",
             "checkpointLocation": checkpoint_location,
@@ -188,8 +193,10 @@ class KafkaProducerConfig:
         ``tls_*`` → verified TLS with rootCA/interCA as file path or inline
         PEM. Loud rejections instead of silent downgrades: keys place with
         the Java-compatible murmur2 partitioner (HASH/MURMUR2 balancers
-        only), and compression is gzip or none (no pure-Python
-        snappy/lz4/zstd in the environment)."""
+        only), and compression is none/gzip/snappy/lz4 (snappy via the
+        from-spec block codec + xerial stream framing, lz4 via the
+        from-spec block+frame codec; no pure-Python zstd in the
+        environment)."""
         from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
 
         if self.balancer not in (Balancer.HASH, Balancer.MURMUR2):
@@ -200,11 +207,14 @@ class KafkaProducerConfig:
         codec = {
             Compression.NONE: kw.COMPRESSION_NONE,
             Compression.GZIP: kw.COMPRESSION_GZIP,
+            Compression.SNAPPY: kw.COMPRESSION_SNAPPY,
+            Compression.LZ4: kw.COMPRESSION_LZ4,
         }.get(self.compression)
         if codec is None:
             raise ValueError(
                 f"compression {self.compression.kafka_name!r} has no "
-                "pure-Python codec here; kafka_wire supports none/gzip"
+                "pure-Python codec here; kafka_wire supports "
+                "none/gzip/snappy/lz4"
             )
         out = {
             "bootstrap": list(self.brokers),
@@ -213,6 +223,7 @@ class KafkaProducerConfig:
             "timeout_ms": int(self.write_timeout_s * 1000),
             "compression": codec,
             "timeout_s": self.read_timeout_s,
+            "idempotent": self.idempotent,
         }
         if self.sasl_enabled:
             kw._scram_hash(self.sasl_mechanism)  # validate loudly, not on executors

@@ -234,7 +234,49 @@ class _Reader:
 
 COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
+COMPRESSION_SNAPPY = 2
+COMPRESSION_LZ4 = 3
 _CODEC_BITS = 0x07
+
+# Kafka's snappy is xerial/snappy-java STREAM framing, not a bare block
+# (kafka clients/common/compress since 0.8): 8-byte magic, two int32
+# version fields, then repeated [int32 BE block length][raw snappy block].
+# The raw block codec itself is the from-spec implementation shared with
+# the Avro OCF path (sources/avro.py, google/snappy format_description.txt).
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+_XERIAL_BLOCK = 32 * 1024  # snappy-java default block size
+
+
+def _snappy_xerial_compress(data: bytes) -> bytes:
+    from go_pq_cdc_kafka_spark.sources.avro import _snappy_compress
+
+    out = bytearray(_XERIAL_MAGIC)
+    out += struct.pack(">ii", 1, 1)  # version, compat-version
+    for i in range(0, len(data), _XERIAL_BLOCK):
+        block = _snappy_compress(data[i : i + _XERIAL_BLOCK])
+        out += struct.pack(">i", len(block))
+        out += block
+    return bytes(out)
+
+
+def _snappy_xerial_decompress(data: bytes) -> bytes:
+    from go_pq_cdc_kafka_spark.sources.avro import _snappy_decompress
+
+    if not data.startswith(_XERIAL_MAGIC):
+        # some non-java clients ship a bare snappy block — accept it
+        return _snappy_decompress(data)
+    pos = len(_XERIAL_MAGIC) + 8
+    out = bytearray()
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("snappy: truncated xerial block header")
+        (blen,) = struct.unpack_from(">i", data, pos)
+        pos += 4
+        if blen < 0 or pos + blen > len(data):
+            raise ValueError("snappy: truncated xerial block")
+        out += _snappy_decompress(data[pos : pos + blen])
+        pos += blen
+    return bytes(out)
 
 
 @dataclass
@@ -282,10 +324,15 @@ def encode_record_batch(
     base_timestamp_ms: int | None = None,
     compression: int = COMPRESSION_NONE,
     base_offset: int = 0,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """Encode one record batch (magic=2). CRC32C covers everything after the
     crc field, computed over the (possibly compressed) payload — the layout
-    a real broker validates before accepting the batch."""
+    a real broker validates before accepting the batch. producer_id/epoch/
+    base_sequence carry the idempotent-produce identity (KIP-98): brokers
+    dedup replayed batches per (producerId, partition, sequence)."""
     if not records:
         raise ValueError("empty record batch")
     if base_timestamp_ms is None:
@@ -302,10 +349,18 @@ def encode_record_batch(
     payload_bytes = bytes(payload)
     if compression == COMPRESSION_GZIP:
         payload_bytes = gzip.compress(payload_bytes, mtime=0)
+    elif compression == COMPRESSION_SNAPPY:
+        payload_bytes = _snappy_xerial_compress(payload_bytes)
+    elif compression == COMPRESSION_LZ4:
+        from go_pq_cdc_kafka_spark.streaming.lz4frame import (
+            lz4_frame_compress,
+        )
+
+        payload_bytes = lz4_frame_compress(payload_bytes)
     elif compression != COMPRESSION_NONE:
         raise ValueError(
             f"compression codec {compression} not implemented in pure Python "
-            "(gzip only); use the jar-backed sink for snappy/lz4/zstd"
+            "(gzip/snappy/lz4 only); use the jar-backed sink for zstd"
         )
 
     attributes = compression & _CODEC_BITS
@@ -316,9 +371,9 @@ def encode_record_batch(
             len(records) - 1,          # lastOffsetDelta
             base_timestamp_ms,
             max_ts,
-            -1,                        # producerId
-            -1,                        # producerEpoch
-            -1,                        # baseSequence
+            producer_id,
+            producer_epoch,
+            base_sequence,
             len(records),
         )
         + payload_bytes
@@ -358,6 +413,14 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
         codec = attributes & _CODEC_BITS
         if codec == COMPRESSION_GZIP:
             payload = gzip.decompress(payload)
+        elif codec == COMPRESSION_SNAPPY:
+            payload = _snappy_xerial_decompress(payload)
+        elif codec == COMPRESSION_LZ4:
+            from go_pq_cdc_kafka_spark.streaming.lz4frame import (
+                lz4_frame_decompress,
+            )
+
+            payload = lz4_frame_decompress(payload)
         elif codec != COMPRESSION_NONE:
             raise ValueError(f"compression codec {codec} not implemented")
         ppos = 0
@@ -486,8 +549,13 @@ API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
 API_SASL_AUTHENTICATE = 36
 
 #: ListOffsets sentinel timestamps (public protocol constants)
@@ -498,8 +566,13 @@ ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
 ERR_NOT_LEADER = 6
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
+ERR_OUT_OF_ORDER_SEQUENCE_NUMBER = 45
+ERR_DUPLICATE_SEQUENCE_NUMBER = 46
 ERR_SASL_AUTHENTICATION_FAILED = 58
 
 ERROR_NAMES = {
@@ -818,7 +891,15 @@ class KafkaWireProducer(KafkaWireClient):
     Produce request per leader broker, and raises on any partition error —
     so a foreachBatch caller fails the micro-batch and Spark's checkpoint
     redelivers (the reference's at-least-once ack contract,
-    producer_batch.go:141-151)."""
+    producer_batch.go:141-151).
+
+    ``idempotent=True`` upgrades the connection-retry story (KIP-98):
+    the producer acquires a (producerId, epoch) via InitProducerId and
+    stamps every batch with a per-partition sequence number; a replay of
+    an already-appended batch (connection dropped between append and ack)
+    is deduplicated broker-side instead of duplicating records. Stronger
+    than the reference's own contract — its replay path is plain
+    at-least-once (producer_batch.go:141-151)."""
 
     def __init__(
         self,
@@ -831,6 +912,7 @@ class KafkaWireProducer(KafkaWireClient):
         ssl_context=None,
         sasl: tuple[str, str, str] | None = None,
         tls: dict | None = None,
+        idempotent: bool = False,
     ):
         super().__init__(bootstrap, client_id, timeout_s,
                          ssl_context=ssl_context, sasl=sasl, tls=tls)
@@ -838,6 +920,27 @@ class KafkaWireProducer(KafkaWireClient):
         self.timeout_ms = timeout_ms
         self.compression = compression
         self._round_robin = 0
+        self.idempotent = idempotent
+        if idempotent and acks == 0:
+            raise ValueError("idempotent produce requires acks != 0")
+        self._producer_id = -1
+        self._producer_epoch = -1
+        self._sequences: dict[tuple[str, int], int] = {}
+
+    def _ensure_producer_id(self) -> None:
+        """InitProducerId v0: acquire the (producerId, epoch) the broker
+        will dedup sequences under. Null transactional_id = idempotence
+        only, no transactions."""
+        if self._producer_id >= 0:
+            return
+        body = _str(None) + struct.pack(">i", self.timeout_ms)
+        r = self._bootstrap_conn().request(API_INIT_PRODUCER_ID, 0, body)
+        r.i32()  # throttle_time_ms
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, "InitProducerId")
+        self._producer_id = r.i64()
+        self._producer_epoch = r.i16()
 
     def send_records(
         self,
@@ -867,12 +970,27 @@ class KafkaWireProducer(KafkaWireClient):
         meta: ClusterMeta,
         retries: int = 3,
     ) -> dict[tuple[str, int], int]:
+        if self.idempotent:
+            self._ensure_producer_id()
         by_leader: dict[int, dict[str, dict[int, bytes]]] = {}
         for (topic, pid), recs in grouped.items():
             leader = next(
                 p.leader for p in meta.topics[topic] if p.partition == pid
             )
-            batch = encode_record_batch(recs, compression=self.compression)
+            # sequences advance only on acked success (see below), so a
+            # retried partition re-encodes with the SAME baseSequence —
+            # exactly what lets the broker recognize the replay.
+            batch = encode_record_batch(
+                recs,
+                compression=self.compression,
+                producer_id=self._producer_id if self.idempotent else -1,
+                producer_epoch=self._producer_epoch if self.idempotent else -1,
+                base_sequence=(
+                    self._sequences.get((topic, pid), 0)
+                    if self.idempotent
+                    else -1
+                ),
+            )
             by_leader.setdefault(leader, {}).setdefault(topic, {})[pid] = batch
 
         offsets: dict[tuple[str, int], int] = {}
@@ -915,12 +1033,27 @@ class KafkaWireProducer(KafkaWireClient):
                     r.i64()  # log_append_time
                     if code in (ERR_NOT_LEADER, ERR_UNKNOWN_TOPIC_OR_PARTITION):
                         retriable[(topic, pid)] = grouped[(topic, pid)]
+                    elif code == ERR_DUPLICATE_SEQUENCE_NUMBER:
+                        # replay of a batch the broker already appended but
+                        # whose ack we never saw: a SUCCESS for delivery
+                        # purposes (KIP-98 semantics) — advance the
+                        # sequence and report the broker's offset.
+                        offsets[(topic, pid)] = base_offset
+                        self._sequences[(topic, pid)] = (
+                            self._sequences.get((topic, pid), 0)
+                            + len(grouped[(topic, pid)])
+                        )
                     elif code != ERR_NONE:
                         raise KafkaProtocolError(
                             code, f"Produce {topic}[{pid}]"
                         )
                     else:
                         offsets[(topic, pid)] = base_offset
+                        if self.idempotent:
+                            self._sequences[(topic, pid)] = (
+                                self._sequences.get((topic, pid), 0)
+                                + len(grouped[(topic, pid)])
+                            )
             r.i32()  # throttle_time_ms
 
         if retriable:
@@ -1134,3 +1267,211 @@ class KafkaWireConsumer(KafkaWireClient):
                 if pos >= hwm or not recs:
                     break
         return out
+
+
+# ---------------------------------------------------------------------------
+# consumer-group MEMBERSHIP (classic protocol: JoinGroup/SyncGroup/
+# Heartbeat/LeaveGroup v0, "consumer" protocol type, range assignor) —
+# lets several cooperating readers split a topic's partitions and lets a
+# survivor take over a dead peer's share, the dynamic half of the
+# group-offset tier (commit_offsets/fetch_committed cover the static half)
+# ---------------------------------------------------------------------------
+
+
+def encode_consumer_subscription(topics: list[str]) -> bytes:
+    """ConsumerProtocolSubscription v0: version, topics, user_data."""
+    out = bytearray(struct.pack(">hi", 0, len(topics)))
+    for t in topics:
+        out += _str(t)
+    out += _bytes(b"")
+    return bytes(out)
+
+
+def decode_consumer_subscription(buf: bytes) -> list[str]:
+    r = _Reader(buf)
+    r.i16()  # version
+    return [r.string() for _ in range(r.i32())]
+
+
+def encode_consumer_assignment(assignment: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocolAssignment v0: version, [topic, [partition]],
+    user_data."""
+    out = bytearray(struct.pack(">hi", 0, len(assignment)))
+    for topic in sorted(assignment):
+        out += _str(topic)
+        parts = assignment[topic]
+        out += struct.pack(">i", len(parts))
+        for p in sorted(parts):
+            out += struct.pack(">i", p)
+    out += _bytes(b"")
+    return bytes(out)
+
+
+def decode_consumer_assignment(buf: bytes) -> dict[str, list[int]]:
+    r = _Reader(buf)
+    r.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        out[topic] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(
+    subscriptions: dict[str, list[str]], partitions: dict[str, int]
+) -> dict[str, dict[str, list[int]]]:
+    """Kafka's RangeAssignor: per topic, subscribers sorted by member id
+    split the partition range contiguously; the first
+    ``n_parts % n_members`` members take one extra partition."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in subscriptions}
+    by_topic: dict[str, list[str]] = {}
+    for member, topics in subscriptions.items():
+        for t in topics:
+            by_topic.setdefault(t, []).append(member)
+    for topic, members in by_topic.items():
+        members.sort()
+        nparts = partitions.get(topic, 0)
+        base, extra = divmod(nparts, len(members))
+        pos = 0
+        for i, m in enumerate(members):
+            n = base + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = list(range(pos, pos + n))
+            pos += n
+    return out
+
+
+class KafkaGroupMember:
+    """One member of a classic consumer group. ``join()`` runs the
+    JoinGroup→SyncGroup handshake (computing the range assignment when
+    elected leader) and returns this member's {topic: [partition]};
+    ``heartbeat()`` keeps the membership alive and reports when a
+    rebalance requires re-joining; ``leave()`` exits cleanly so peers
+    rebalance immediately instead of waiting out the session timeout.
+
+    All coordinator traffic runs on ONE persistent connection per member,
+    like real clients — the coordinator correlates liveness per member,
+    not per connection."""
+
+    def __init__(
+        self,
+        consumer: KafkaWireConsumer,
+        group: str,
+        topics: list[str],
+        session_timeout_ms: int = 10000,
+    ):
+        self._consumer = consumer
+        self.group = group
+        self.topics = sorted(topics)
+        self.session_timeout_ms = session_timeout_ms
+        self.member_id = ""
+        self.generation = -1
+        self.is_leader = False
+        self.assignment: dict[str, list[int]] = {}
+        self._conn: BrokerConnection | None = None
+
+    def _coordinator(self) -> BrokerConnection:
+        if self._conn is None:
+            self._conn = self._consumer._coordinator_conn(self.group)
+        return self._conn
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def join(self, max_attempts: int = 10) -> dict[str, list[int]]:
+        last: KafkaProtocolError | None = None
+        for _ in range(max_attempts):
+            try:
+                return self._join_once()
+            except KafkaProtocolError as e:
+                last = e
+                if e.code in (
+                    ERR_REBALANCE_IN_PROGRESS,
+                    ERR_ILLEGAL_GENERATION,
+                ):
+                    time.sleep(0.05)
+                    continue
+                if e.code == ERR_UNKNOWN_MEMBER_ID:
+                    self.member_id = ""  # coordinator forgot us: fresh id
+                    continue
+                raise
+        raise last  # type: ignore[misc]
+
+    def _join_once(self) -> dict[str, list[int]]:
+        body = bytearray(_str(self.group))
+        body += struct.pack(">i", self.session_timeout_ms)
+        body += _str(self.member_id)
+        body += _str("consumer")
+        body += struct.pack(">i", 1)
+        body += _str("range")
+        body += _bytes(encode_consumer_subscription(self.topics))
+        r = self._coordinator().request(API_JOIN_GROUP, 0, bytes(body))
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, f"JoinGroup {self.group}")
+        self.generation = r.i32()
+        r.string()  # protocol ("range")
+        leader_id = r.string()
+        self.member_id = r.string()
+        members: dict[str, list[str]] = {}
+        for _ in range(r.i32()):
+            mid = r.string()
+            meta = r.bytes_() or b""
+            members[mid] = decode_consumer_subscription(meta)
+        self.is_leader = leader_id == self.member_id
+
+        sync = bytearray(_str(self.group))
+        sync += struct.pack(">i", self.generation)
+        sync += _str(self.member_id)
+        if self.is_leader:
+            all_topics = sorted({t for ts in members.values() for t in ts})
+            meta = self._consumer.await_topics(all_topics)
+            counts = {t: len(meta.topics[t]) for t in all_topics}
+            assignments = range_assign(members, counts)
+            sync += struct.pack(">i", len(assignments))
+            for mid in sorted(assignments):
+                sync += _str(mid)
+                sync += _bytes(encode_consumer_assignment(assignments[mid]))
+        else:
+            sync += struct.pack(">i", 0)
+        r = self._coordinator().request(API_SYNC_GROUP, 0, bytes(sync))
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, f"SyncGroup {self.group}")
+        self.assignment = decode_consumer_assignment(r.bytes_() or b"")
+        return self.assignment
+
+    def heartbeat(self) -> bool:
+        """True = membership stable; False = the group is rebalancing (or
+        forgot us) — call join() again. Fatal codes raise."""
+        body = bytearray(_str(self.group))
+        body += struct.pack(">i", self.generation)
+        body += _str(self.member_id)
+        r = self._coordinator().request(API_HEARTBEAT, 0, bytes(body))
+        code = r.i16()
+        if code == ERR_NONE:
+            return True
+        if code in (
+            ERR_REBALANCE_IN_PROGRESS,
+            ERR_ILLEGAL_GENERATION,
+        ):
+            return False
+        if code == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+            return False
+        raise KafkaProtocolError(code, f"Heartbeat {self.group}")
+
+    def leave(self) -> None:
+        if not self.member_id:
+            return
+        body = bytearray(_str(self.group))
+        body += _str(self.member_id)
+        r = self._coordinator().request(API_LEAVE_GROUP, 0, bytes(body))
+        code = r.i16()
+        if code not in (ERR_NONE, ERR_UNKNOWN_MEMBER_ID):
+            raise KafkaProtocolError(code, f"LeaveGroup {self.group}")
+        self.member_id = ""
+        self.assignment = {}
+        self.close()

@@ -26,11 +26,16 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from dataclasses import dataclass, field
 
 from .kafka_wire import (
     API_FETCH,
     API_FIND_COORDINATOR,
+    API_HEARTBEAT,
+    API_INIT_PRODUCER_ID,
+    API_JOIN_GROUP,
+    API_LEAVE_GROUP,
     API_LIST_OFFSETS,
     API_METADATA,
     API_OFFSET_COMMIT,
@@ -38,10 +43,16 @@ from .kafka_wire import (
     API_PRODUCE,
     API_SASL_AUTHENTICATE,
     API_SASL_HANDSHAKE,
+    API_SYNC_GROUP,
     API_VERSIONS,
     ERR_CORRUPT_MESSAGE,
+    ERR_DUPLICATE_SEQUENCE_NUMBER,
+    ERR_ILLEGAL_GENERATION,
     ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
+    ERR_REBALANCE_IN_PROGRESS,
+    ERR_UNKNOWN_MEMBER_ID,
+    ERR_OUT_OF_ORDER_SEQUENCE_NUMBER,
     ERR_SASL_AUTHENTICATION_FAILED,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
     ERR_UNSUPPORTED_SASL_MECHANISM,
@@ -205,6 +216,32 @@ class _PartitionLog:
         )
 
 
+class _GroupState:
+    """Classic-protocol group coordination state (one per group id).
+
+    States: Empty → Joining (a rebalance round is collecting JoinGroups)
+    → AwaitingSync (generation bumped, leader must SyncGroup) → Stable.
+    Blocking happens on this object's own condition — never on the
+    broker-wide lock — because JoinGroup/SyncGroup handlers park their
+    connection thread until the round completes, like a real coordinator.
+    """
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.state = "Empty"
+        self.generation = 0
+        # member_id -> {"meta": subscription bytes, "hb": monotonic,
+        #               "timeout": session seconds}
+        self.members: dict[str, dict] = {}
+        self.pending: set[str] = set()   # members re-joined this round
+        self.deadline = 0.0
+        self.initial_round = True        # empty-group join waits the full
+        self.leader: str | None = None   # initial-delay window for peers
+        self.assignments: dict[str, bytes] = {}
+        self.next_member = 1
+
+
 class MiniBroker:
     """``with MiniBroker() as b: ... b.bootstrap`` → ``"127.0.0.1:<port>"``."""
 
@@ -224,6 +261,20 @@ class MiniBroker:
         self._topics: set[str] = set()
         # broker-stored consumer-group offsets: (group, topic, part) -> off
         self._group_offsets: dict[tuple[str, str, int], int] = {}
+        # idempotent-produce state (KIP-98): monotonically assigned
+        # producer ids, and per (producerId, topic, partition) the next
+        # expected sequence plus a cache of the last 5 appended batches'
+        # (baseSequence -> baseOffset) for replay dedup — the same window
+        # a real broker keeps (ProducerStateManager).
+        self._next_producer_id = 1000
+        self._producer_state: dict[
+            tuple[int, str, int], tuple[int, dict[int, int]]
+        ] = {}
+        # classic-protocol group membership; initial_rebalance_delay_s is
+        # the empty-group join window (group.initial.rebalance.delay.ms)
+        self._groups: dict[str, _GroupState] = {}
+        self.initial_rebalance_delay_s = 0.3
+        self.rebalance_timeout_s = 3.0
         self._lock = threading.Lock()
         self._active: set[socket.socket] = set()
         broker = self
@@ -346,6 +397,11 @@ class MiniBroker:
                 API_FIND_COORDINATOR: self._find_coordinator,
                 API_OFFSET_COMMIT: self._offset_commit,
                 API_OFFSET_FETCH: self._offset_fetch,
+                API_INIT_PRODUCER_ID: self._init_producer_id,
+                API_JOIN_GROUP: self._join_group,
+                API_SYNC_GROUP: self._sync_group,
+                API_HEARTBEAT: self._heartbeat,
+                API_LEAVE_GROUP: self._leave_group,
             }.get(api_key)
             if body is None:
                 raise ValueError(f"MiniBroker: unsupported api_key {api_key}")
@@ -398,7 +454,9 @@ class MiniBroker:
                 (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
                 (API_FIND_COORDINATOR, 0, 0), (API_OFFSET_COMMIT, 2, 2),
-                (API_OFFSET_FETCH, 1, 1),
+                (API_OFFSET_FETCH, 1, 1), (API_INIT_PRODUCER_ID, 0, 0),
+                (API_JOIN_GROUP, 0, 0), (API_SYNC_GROUP, 0, 0),
+                (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
                 (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
         for k, lo, hi in apis:
@@ -438,6 +496,205 @@ class MiniBroker:
                     out += struct.pack(">ii", 1, 0)  # isr: [0]
         return bytes(out)
 
+    @staticmethod
+    def _parse_producer_seq(record_set: bytes) -> tuple[int, int, int] | None:
+        """(producerId, baseSequence, recordCount) of a single-batch record
+        set, or None for non-idempotent batches. Offsets per the v2 batch
+        layout: producerId at +43, baseSequence at +53, count at +57."""
+        if len(record_set) < 61:
+            return None
+        (prod_id,) = struct.unpack_from(">q", record_set, 43)
+        if prod_id < 0:
+            return None
+        (base_seq,) = struct.unpack_from(">i", record_set, 53)
+        (count,) = struct.unpack_from(">i", record_set, 57)
+        if base_seq < 0:
+            return None
+        return prod_id, base_seq, count
+
+    def _init_producer_id(self, version: int, r: _Reader) -> bytes:
+        r.string()  # transactional_id (null = idempotence only)
+        r.i32()     # transaction_timeout_ms
+        with self._lock:
+            pid = self._next_producer_id
+            self._next_producer_id += 1
+        return struct.pack(">ihqh", 0, ERR_NONE, pid, 0)
+
+    # -- classic-protocol group membership --------------------------------
+
+    def _group(self, gid: str) -> _GroupState:
+        with self._lock:
+            g = self._groups.get(gid)
+            if g is None:
+                g = self._groups[gid] = _GroupState()
+            return g
+
+    @staticmethod
+    def _purge_expired(g: _GroupState, now: float) -> bool:
+        """g.lock held: drop members whose session timed out."""
+        dead = [
+            m for m, st in g.members.items() if now - st["hb"] > st["timeout"]
+        ]
+        for m in dead:
+            del g.members[m]
+            g.pending.discard(m)
+            g.assignments.pop(m, None)
+        return bool(dead)
+
+    def _begin_rebalance(
+        self, g: _GroupState, now: float, initial: bool = False
+    ) -> None:
+        """g.lock held: open a new join round. An empty-group round waits
+        the full initial delay (group.initial.rebalance.delay.ms) so
+        concurrently-starting peers land in one generation; a re-join
+        round completes as soon as every known member re-joined."""
+        g.state = "Joining"
+        g.pending = set()
+        g.initial_round = initial
+        g.deadline = now + (
+            self.initial_rebalance_delay_s if initial
+            else self.rebalance_timeout_s
+        )
+        g.cond.notify_all()
+
+    @staticmethod
+    def _join_error(code: int) -> bytes:
+        return (
+            struct.pack(">hi", code, -1)
+            + _str("") + _str("") + _str("")
+            + struct.pack(">i", 0)
+        )
+
+    def _join_group(self, version: int, r: _Reader) -> bytes:
+        gid = r.string()
+        session_ms = r.i32()
+        member_id = r.string() or ""
+        r.string()  # protocol_type ("consumer")
+        meta = b""
+        for _ in range(r.i32()):
+            name = r.string()
+            m = r.bytes_() or b""
+            if name == "range" or not meta:
+                meta = m
+        g = self._group(gid)
+        with g.lock:
+            now = time.monotonic()
+            if self._purge_expired(g, now) and g.state == "Stable":
+                self._begin_rebalance(g, now)
+            if member_id == "":
+                member_id = f"{gid}-member-{g.next_member}"
+                g.next_member += 1
+            elif member_id not in g.members:
+                # an id from a generation the coordinator already dropped
+                return self._join_error(ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id] = {
+                "meta": meta, "hb": now, "timeout": session_ms / 1000.0
+            }
+            if g.state in ("Empty", "Stable", "AwaitingSync"):
+                self._begin_rebalance(g, now, initial=g.state == "Empty")
+            g.pending.add(member_id)
+            g.cond.notify_all()
+            while g.state == "Joining":
+                now = time.monotonic()
+                done = (
+                    now >= g.deadline
+                    if g.initial_round
+                    else (g.pending >= set(g.members) or now >= g.deadline)
+                )
+                if done:  # first waker finalizes the round
+                    g.members = {
+                        m: st for m, st in g.members.items() if m in g.pending
+                    }
+                    g.generation += 1
+                    g.leader = min(g.members) if g.members else None
+                    g.assignments = {}
+                    g.state = "AwaitingSync" if g.members else "Empty"
+                    g.cond.notify_all()
+                    break
+                g.cond.wait(timeout=max(g.deadline - now, 0.01))
+            if member_id not in g.members:
+                return self._join_error(ERR_UNKNOWN_MEMBER_ID)
+            out = bytearray(struct.pack(">hi", ERR_NONE, g.generation))
+            out += _str("range")
+            out += _str(g.leader or "")
+            out += _str(member_id)
+            if member_id == g.leader:
+                out += struct.pack(">i", len(g.members))
+                for mid in sorted(g.members):
+                    out += _str(mid)
+                    out += _bytes(g.members[mid]["meta"])
+            else:
+                out += struct.pack(">i", 0)
+            return bytes(out)
+
+    def _sync_group(self, version: int, r: _Reader) -> bytes:
+        gid = r.string()
+        gen = r.i32()
+        member_id = r.string() or ""
+        provided: dict[str, bytes] = {}
+        for _ in range(r.i32()):
+            mid = r.string()
+            provided[mid] = r.bytes_() or b""
+        g = self._group(gid)
+        with g.lock:
+            if member_id not in g.members:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID) + _bytes(b"")
+            if gen != g.generation:
+                return struct.pack(">h", ERR_ILLEGAL_GENERATION) + _bytes(b"")
+            if provided and member_id == g.leader:
+                g.assignments = provided
+                g.state = "Stable"
+                g.cond.notify_all()
+            deadline = time.monotonic() + self.rebalance_timeout_s
+            while g.state == "AwaitingSync" and g.generation == gen:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                g.cond.wait(timeout=min(remaining, 0.05))
+            if g.generation != gen or g.state != "Stable":
+                return (
+                    struct.pack(">h", ERR_REBALANCE_IN_PROGRESS) + _bytes(b"")
+                )
+            g.members[member_id]["hb"] = time.monotonic()
+            return struct.pack(">h", ERR_NONE) + _bytes(
+                g.assignments.get(member_id, b"")
+            )
+
+    def _heartbeat(self, version: int, r: _Reader) -> bytes:
+        gid = r.string()
+        gen = r.i32()
+        member_id = r.string() or ""
+        g = self._group(gid)
+        with g.lock:
+            now = time.monotonic()
+            if self._purge_expired(g, now) and g.state == "Stable":
+                self._begin_rebalance(g, now)
+            if member_id not in g.members:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id]["hb"] = now
+            if gen != g.generation:
+                return struct.pack(">h", ERR_ILLEGAL_GENERATION)
+            if g.state != "Stable":
+                return struct.pack(">h", ERR_REBALANCE_IN_PROGRESS)
+            return struct.pack(">h", ERR_NONE)
+
+    def _leave_group(self, version: int, r: _Reader) -> bytes:
+        gid = r.string()
+        member_id = r.string() or ""
+        g = self._group(gid)
+        with g.lock:
+            if member_id not in g.members:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            del g.members[member_id]
+            g.pending.discard(member_id)
+            g.assignments.pop(member_id, None)
+            if not g.members:
+                g.state = "Empty"
+            elif g.state in ("Stable", "AwaitingSync"):
+                self._begin_rebalance(g, time.monotonic())
+            g.cond.notify_all()
+            return struct.pack(">h", ERR_NONE)
+
     def _produce(self, version: int, r: _Reader) -> bytes | None:
         r.string()  # transactional_id
         acks = r.i16()
@@ -456,11 +713,46 @@ class MiniBroker:
                     if log is None:
                         parts.append((pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
                         continue
+                    # idempotence (KIP-98): batches carrying a producerId
+                    # are validated against the per-partition sequence
+                    # state BEFORE appending — replays dedup to the
+                    # original offset instead of appending twice.
+                    seq_info = self._parse_producer_seq(record_set)
+                    if seq_info is not None:
+                        prod_id, base_seq, count = seq_info
+                        key = (prod_id, topic, pid)
+                        next_seq, cache = self._producer_state.get(
+                            key, (0, {})
+                        )
+                        if base_seq in cache:
+                            # replayed batch still in the 5-batch window:
+                            # ack with the ORIGINAL offset, no append
+                            parts.append((pid, ERR_NONE, cache[base_seq]))
+                            continue
+                        if base_seq < next_seq:
+                            # duplicate older than the cache window
+                            parts.append(
+                                (pid, ERR_DUPLICATE_SEQUENCE_NUMBER, -1)
+                            )
+                            continue
+                        if base_seq > next_seq:
+                            # gap: a prior batch was lost — fatal for the
+                            # producer's ordering guarantee
+                            parts.append(
+                                (pid, ERR_OUT_OF_ORDER_SEQUENCE_NUMBER, -1)
+                            )
+                            continue
                     try:
                         base = log.append(record_set)
                         parts.append((pid, ERR_NONE, base))
                     except ValueError:  # CRC mismatch / undecodable batch
                         parts.append((pid, ERR_CORRUPT_MESSAGE, -1))
+                        continue
+                    if seq_info is not None:
+                        cache[base_seq] = base
+                        while len(cache) > 5:  # real broker keeps last 5
+                            cache.pop(min(cache))
+                        self._producer_state[key] = (base_seq + count, cache)
                 results.append((topic, parts))
         if acks == 0:
             return None

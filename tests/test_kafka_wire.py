@@ -8,6 +8,8 @@ import pytest
 
 from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
     COMPRESSION_GZIP,
+    COMPRESSION_LZ4,
+    COMPRESSION_SNAPPY,
     KafkaProtocolError,
     KafkaWireConsumer,
     KafkaWireProducer,
@@ -310,7 +312,9 @@ _records = st.lists(
 
 
 @settings(max_examples=60, deadline=None)
-@given(recs=_records, codec=st.sampled_from([0, COMPRESSION_GZIP]),
+@given(recs=_records,
+       codec=st.sampled_from(
+           [0, COMPRESSION_GZIP, COMPRESSION_SNAPPY, COMPRESSION_LZ4]),
        base=st.integers(min_value=0, max_value=2**40))
 def test_record_batch_roundtrip_property(recs, codec, base):
     """Any record list survives encode→decode bit-exactly: keys, values,
@@ -335,3 +339,98 @@ def test_crc32c_implementations_agree_property(buf):
     if _native_crc32c is None:
         pytest.skip("no native crc32c library on this system")
     assert _native_crc32c(buf) == crc32c_py(buf)
+
+
+class _AckLossBroker(MiniBroker):
+    """Conformance broker that APPENDS a produce but drops the connection
+    before acking, for the first ``drop_acks`` produce requests — the
+    exact window where a retrying producer duplicates records unless the
+    broker dedups by (producerId, sequence)."""
+
+    def __init__(self, drop_acks: int = 1, **kw):
+        super().__init__(**kw)
+        self.drop_acks = drop_acks
+
+    def _produce(self, version, r):
+        from go_pq_cdc_kafka_spark.streaming.minibroker import _Disconnect
+
+        resp = super()._produce(version, r)
+        if self.drop_acks > 0:
+            self.drop_acks -= 1
+            raise _Disconnect()
+        return resp
+
+
+def test_idempotent_produce_dedups_ack_lost_replay():
+    """Kill-and-retry: the broker appends, the ack is lost, the producer
+    replays the same batch — with idempotent=True the replay resolves to
+    the ORIGINAL offsets and no duplicate records exist; sequences keep
+    advancing so later produces append normally."""
+    with _AckLossBroker(drop_acks=1, num_partitions=1) as b:
+        with KafkaWireProducer(b.bootstrap, idempotent=True) as prod:
+            offs = prod.send_records(
+                [("t.idem", b"k", b"v-%d" % i, []) for i in range(4)],
+                timestamp_ms=1_700_000_000_000,
+            )
+            assert offs == {("t.idem", 0): 0}
+            # follow-up batch: sequence advanced past the replayed batch
+            offs2 = prod.send_records(
+                [("t.idem", b"k", b"w-%d" % i, []) for i in range(2)],
+                timestamp_ms=1_700_000_000_000,
+            )
+            assert offs2 == {("t.idem", 0): 4}
+        values = [bytes(r.value) for r in b.topic_records("t.idem")]
+    assert values == [b"v-0", b"v-1", b"v-2", b"v-3", b"w-0", b"w-1"]
+
+
+def test_non_idempotent_replay_duplicates_control():
+    """The same ack-loss scenario WITHOUT idempotence duplicates the batch
+    (the reference's at-least-once contract) — proving the dedup above is
+    the producer-id/sequence machinery, not an accident of the broker."""
+    with _AckLossBroker(drop_acks=1, num_partitions=1) as b:
+        with KafkaWireProducer(b.bootstrap) as prod:
+            prod.send_records(
+                [("t.dup", b"k", b"v-%d" % i, []) for i in range(3)],
+                timestamp_ms=1_700_000_000_000,
+            )
+        values = [bytes(r.value) for r in b.topic_records("t.dup")]
+    assert values == [b"v-0", b"v-1", b"v-2"] * 2  # appended twice
+
+
+def test_idempotent_sequence_gap_is_fatal():
+    """A sequence jump (a batch the broker never saw) is
+    OUT_OF_ORDER_SEQUENCE_NUMBER — raised loudly, never silently
+    reordered."""
+    with MiniBroker(num_partitions=1) as b:
+        with KafkaWireProducer(b.bootstrap, idempotent=True) as prod:
+            prod.send_records([("t.gap", b"k", b"v", [])])
+            prod._sequences[("t.gap", 0)] = 99  # simulate a lost batch
+            with pytest.raises(KafkaProtocolError) as ei:
+                prod.send_records([("t.gap", b"k", b"v2", [])])
+            assert ei.value.code == 45
+
+
+def test_idempotent_requires_acks():
+    with pytest.raises(ValueError, match="acks"):
+        KafkaWireProducer("b:9092", idempotent=True, acks=0)
+
+
+def test_duplicate_sequence_error_treated_as_success():
+    """A replay that fell out of the broker's 5-batch cache answers
+    DUPLICATE_SEQUENCE_NUMBER — the producer treats it as delivered
+    (KIP-98 client semantics), not as a query-failing error."""
+    with MiniBroker(num_partitions=1) as b:
+        with KafkaWireProducer(b.bootstrap, idempotent=True) as prod:
+            prod.send_records([("t.oldseq", b"k", b"v", [])])
+            # rewind the producer's sequence below the broker's window
+            prod._sequences[("t.oldseq", 0)] = 0
+            # broker state: next_seq=1, cache={0: 0} — seq 0 IS cached, so
+            # force it out by pushing 5 more batches through
+            for i in range(5):
+                prod._sequences[("t.oldseq", 0)] = i + 1
+                prod.send_records([("t.oldseq", b"k", b"f-%d" % i, [])])
+            prod._sequences[("t.oldseq", 0)] = 0  # now out of the window
+            offs = prod.send_records([("t.oldseq", b"k", b"late", [])])
+            assert offs == {("t.oldseq", 0): -1}  # no offset info, no raise
+        vals = [bytes(r.value) for r in b.topic_records("t.oldseq")]
+    assert vals == [b"v"] + [b"f-%d" % i for i in range(5)]  # no re-append
