@@ -5642,3 +5642,124 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, "
         "sum_r long, sum_g long, sum_b long",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_perplexity_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {T.TOKENS_SQL.format(c="text")} AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                   for i in generate_series(1, len(t) - 1)]) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+train AS (SELECT * FROM pairs WHERE doc_id % 7 = 0),
+ctx AS (SELECT w1, COUNT(*) AS ctx_n FROM train GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS big_n FROM train GROUP BY w1, w2),
+voc AS (
+  SELECT COUNT(*) AS v
+  FROM (SELECT w1 FROM train UNION SELECT w2 FROM train)
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(COALESCE(c.ctx_n, 0) + (SELECT v FROM voc)) AS BIGINT)
+         AS surprise,
+       CAST(SUM(COALESCE(b.big_n, 0) + 1) AS BIGINT) AS evidence,
+       CAST(SUM(COALESCE(c.ctx_n, 0) + (SELECT v FROM voc)) AS DOUBLE)
+         / CAST(SUM(COALESCE(b.big_n, 0) + 1) AS DOUBLE) AS ppx_score
+FROM pairs p
+LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+LEFT JOIN ctx c ON p.w1 = c.w1
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""",
+    category="text-analysis",
+    description="CCNet-style n-gram LM scoring: add-one-smoothed bigram "
+    "model trained on a deterministic corpus slice, every document scored "
+    "against it. Model tables (bigram/context counts + vocab size) "
+    "broadcast; scoring is one map-side join pass over the corpus — "
+    "O(corpus bigrams), no shuffle of the corpus itself.",
+)
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprise scoring (what CCNet uses KenLM perplexity for:
+    rank documents by how unlike a reference corpus they read).
+
+    Cross-engine determinism: probabilities stay RATIONAL — per-bigram
+    inverse probability (ctx+V)/(big+1) is aggregated as ratio-of-SUMS
+    (integer sums, one final correctly-rounded double division) instead of
+    float log-space, which no two engines round identically. The train
+    slice is doc_id % 7 == 0 (deterministic, ~14%).
+
+    Scale: the trained model is the SMALL side by construction (vocab-
+    bounded, like CCNet's fixed LM) — broadcast to every executor; the
+    corpus-side pass is explode + two broadcast left joins + one
+    groupBy(doc_id), so the only corpus shuffle is the final per-doc
+    aggregation. A model too big to broadcast degrades gracefully: drop
+    the broadcast hints and Catalyst plans shuffle joins instead."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # tokens bound in their own projection first (Catalyst does not CSE
+    # lambda arguments — see text.shingles_from_tokens)
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.w1", "u.w2")
+    )
+    train = pairs.where(F.col("doc_id") % 7 == 0)
+    # Context counts and vocabulary derive from the bigram-count table
+    # (ctx(w1) = Σ big(w1, ·); vocab = distinct tokens of big) instead of
+    # re-aggregating the training slice per model table; AQE's exchange
+    # reuse then shares big's shuffle across consumers at runtime
+    # (verified: ReusedExchange in the executed plan). Production would
+    # persist the model once and only ever run the scoring pass.
+    big = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("big_n")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("big_n").cast("long").alias("ctx_n"))
+    voc = (
+        big.select("w1")
+        .union(big.select(F.col("w2").alias("w1")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(voc), "_k")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("ctx_n"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("surprise"),
+            F.sum(F.coalesce(F.col("big_n"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("evidence"),
+        )
+        .withColumn(
+            "ppx_score",
+            F.col("surprise").cast("double") / F.col("evidence").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
