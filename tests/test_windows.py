@@ -441,3 +441,59 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         assert (2, None) in got, got
     finally:
         q.stop()
+
+
+def test_stateful_running_counts_rocksdb_provider(spark, tmp_path):
+    """applyInPandasWithState on the RocksDBStateStoreProvider — the state
+    backend transformWithState requires. The TWS API itself stays
+    env-skipped (its state server needs google.protobuf, absent here);
+    this proves the RocksDB state tier and the same running-count
+    semantics execute in this environment, so the only missing piece is
+    the TWS wire protocol, not the state store or the operator."""
+    schema = "table_name string, op string"
+    b1 = [("users", "INSERT"), ("users", "INSERT"), ("users", "UPDATE")]
+    b2 = [("users", "INSERT"), ("books", "DELETE")]
+    path = str(tmp_path / "ops")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            W.running_counts_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("rocksdb_state_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("select * from rocksdb_state_sink").collect()
+    final = {}
+    for r in rows:
+        key = (r.table_name, r.op)
+        if key not in final or r.batches >= final[key].batches:
+            final[key] = r
+    assert final[("users", "INSERT")].events == 3
+    assert final[("users", "UPDATE")].events == 1
+    assert final[("books", "DELETE")].events == 1
