@@ -10,7 +10,9 @@ and run::
     SPARK_GRAFT_LIVE_KAFKA="localhost:19092" \
       python -m pytest tests/live -q
 
-Environment status (re-confirmed each round; last: round 5): PostgreSQL
+Environment status (re-confirmed each round; last: round 6 — ``docker
+info`` still fails with no ``/var/run/docker.sock``, no dockerd/podman/
+redpanda/kafka binaries on PATH): PostgreSQL
 binaries are installed, so the PG half runs WITHOUT docker via
 ``bash tools/live_pg.sh`` — 17/17 green this round. No docker daemon and
 no Kafka/Redpanda broker binary exist in the sandbox (client-only docker
