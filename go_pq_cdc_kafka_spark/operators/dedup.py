@@ -105,7 +105,18 @@ def ngram_jaccard_pairs(
     frequency removes those stop-shingles from the VOCABULARY (index and
     sizes both): Jaccard is then exact over the capped shingle space —
     the discriminative shingles — and pairs overlapping only in
-    boilerplate never surface, which is the point."""
+    boilerplate never surface, which is the point.
+
+    Every join here carries an explicit ``merge`` hint. Catalyst's static
+    size estimate does not model explode fan-out: the shingle index (docs
+    x ~hundreds of shingles) inherits the PRE-explode projection estimate,
+    lands under autoBroadcastJoinThreshold, and gets picked as a hash-join
+    BUILD side — the round-6 sf10 run (500k docs, ~100M index rows) died
+    broadcasting the index into its own self-join
+    (notEnoughMemoryToBuildAndBroadcastTableError). Since the index, the
+    pair aggregate, and the size table all scale with the corpus, none may
+    ever broadcast; the hints make the shuffle-everywhere plan a contract
+    instead of an estimate."""
     sh = shingle_index(df, text_col, id_col, n)
     if max_df is not None:
         rare = (
@@ -117,7 +128,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(rare, "shingle")  # shuffle on shingle, reused by the self-join
     sh = _pin(sh, persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.alias("a"), sh.hint("merge").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -126,8 +137,12 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # shuffle_hash (not merge): doc-id keys are uniform so no AQE
+        # skew-split is needed, and skipping the sort matters at small SF;
+        # the build side is the per-partition slice of the size table —
+        # bounded as long as shuffle partitions scale with the corpus
+        shared.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -139,12 +154,24 @@ def ngram_jaccard_pairs(
     return out
 
 
-def ngram_jaccard_pairs_sql(threshold: float = 0.5, n: int = 3) -> str:
+def ngram_jaccard_pairs_sql(
+    threshold: float = 0.5, n: int = 3, max_df: int | None = None
+) -> str:
     sh = T.shingles_sql("text", n)
-    return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+    cap = (
+        f""",
+raw AS (SELECT doc_id, shingle FROM sh0),
+rare AS (
+  SELECT shingle FROM raw GROUP BY shingle HAVING COUNT(*) <= {max_df}
 ),
+sh AS (SELECT doc_id, raw.shingle AS shingle FROM raw JOIN rare ON raw.shingle = rare.shingle)"""
+        if max_df is not None
+        else ",\nsh AS (SELECT doc_id, shingle FROM sh0)"
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+){cap},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
@@ -228,7 +255,15 @@ def minhash_lsh_pairs(
 
     The shingle index feeds the signatures AND the verification joins, and
     the banded signatures feed both self-join sides — both are pinned (see
-    ``_pin``) so tokenization/signature cost is paid once."""
+    ``_pin``) so tokenization/signature cost is paid once.
+
+    Every join carries an explicit ``merge`` hint — same rationale as
+    :func:`ngram_jaccard_pairs`: Catalyst's static stats don't model
+    explode fan-out, so the shingle index / banded signatures / pair and
+    size aggregates all inherit tiny estimates and get picked as hash-join
+    build sides. The round-6 sf10 step caught the verification join
+    broadcasting the ~100M-row shingle index. All of these relations scale
+    with the corpus, so none may ever broadcast, at this or any scale."""
     r = num_perms // bands
     sh = _pin(shingle_index(df, text_col, id_col, n), persist)
     sig = _signatures_from_index(sh, num_perms)
@@ -249,7 +284,7 @@ def minhash_lsh_pairs(
     cand = (
         banded.alias("a")
         .join(
-            banded.alias("b"),
+            banded.hint("merge").alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -264,15 +299,37 @@ def minhash_lsh_pairs(
     # docs' shingle sets restricted to candidate pairs — reusing the pinned
     # index, not a second tokenization pass.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # shuffle_hash on the candidate side: doc-id join keys are uniform
+    # (no skew-split needed) and the build side is the per-partition
+    # slice of the candidate set — LSH-bounded and far smaller than the
+    # index it probes; SMJ would pay two corpus-index sorts here
     shared = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        cand.hint("shuffle_hash")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+            "doc_a",
+        )
+        .hint("shuffle_hash")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
     return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -611,7 +668,9 @@ def simhash_pairs(
     cand = (
         banded.alias("a")
         .join(
-            banded.alias("b"),
+            # merge hint: corpus-sized banded self-join must never
+            # broadcast — same rationale as minhash_lsh_pairs
+            banded.hint("merge").alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -1053,6 +1053,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_maxdf",
+    oracle=DD.ngram_jaccard_pairs_sql(threshold=0.5, max_df=64),
+    category="dedup",
+    description="Capped-vocabulary n-gram Jaccard: the max_df valve drops "
+    "shingles shared by >64 docs BEFORE the self-join, bounding pair work "
+    "to Sum(df<=64 squared) regardless of boilerplate mass — the scale "
+    "path of dedup_ngram_jaccard (a shingle in k docs alone contributes "
+    "k^2 candidate rows; one phrase in 10^6 docs is 10^12 rows unvalved). "
+    "Jaccard is exact over the capped shingle space, so pairs overlapping "
+    "only in boilerplate never surface.",
+)
+def dedup_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 sf10 evidence: the exact variant is Θ(Σ df²) by design and
+    ran past 10 minutes at 500k docs (every fixture shingle appears in
+    ~100 replicas — pure boilerplate mass); this valved variant finishes
+    in seconds at the same SF because the capped vocabulary removes the
+    quadratic stop-shingle work before it is ever materialized."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return DD.ngram_jaccard_pairs(d, threshold=0.5, max_df=64).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=DD.minhash_lsh_pairs_sql(num_perms=16, bands=4, threshold=0.5),
     category="dedup",

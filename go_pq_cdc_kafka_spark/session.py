@@ -146,6 +146,20 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # AQE's runtime broadcast-conversion threshold compares COMPRESSED
+        # shuffle bytes, but the driver must build the UNCOMPRESSED in-JVM
+        # hash relation — ~10x larger for string-keyed relations. Sizing
+        # rule: threshold x expansion x concurrent-builds must fit in the
+        # driver/executor memory headroom, so this stays well below the
+        # static threshold above (static estimates are conservative
+        # OVER-estimates; runtime compressed sizes are under-estimates of
+        # build cost). The round-6 sf10 step caught AQE converting the
+        # MinHash banded self-join (2M rows, <64 MB compressed) into a
+        # broadcast whose ~0.5 GB hash relation OOMed the 8 GB driver; at
+        # 8 MB the conversion still fires for genuinely small runtime
+        # sides (keeps small-SF latency) but can never ask for a build
+        # beyond ~80 MB in-memory.
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     }
     if extra_conf:
         conf.update(extra_conf)
