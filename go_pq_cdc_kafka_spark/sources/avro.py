@@ -817,9 +817,16 @@ def _codec_pair(codec: str):
             lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
             lzma.decompress,
         )
+    if codec == "zstandard":  # spec "Optional Codecs": raw zstd frames
+        from go_pq_cdc_kafka_spark.streaming.zstdframe import (
+            zstd_compress,
+            zstd_decompress,
+        )
+
+        return zstd_compress, zstd_decompress
     raise ValueError(
         f"unsupported Avro codec {codec!r} "
-        "(supported: null, deflate, snappy, bzip2, xz)"
+        "(supported: null, deflate, snappy, bzip2, xz, zstandard)"
     )
 
 

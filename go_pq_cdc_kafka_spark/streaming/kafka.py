@@ -193,10 +193,11 @@ class KafkaProducerConfig:
         ``tls_*`` → verified TLS with rootCA/interCA as file path or inline
         PEM. Loud rejections instead of silent downgrades: keys place with
         the Java-compatible murmur2 partitioner (HASH/MURMUR2 balancers
-        only), and compression is none/gzip/snappy/lz4 (snappy via the
-        from-spec block codec + xerial stream framing, lz4 via the
-        from-spec block+frame codec; no pure-Python zstd in the
-        environment)."""
+        only), and compression covers the full reference surface
+        none/gzip/snappy/lz4/zstd (snappy via the from-spec block codec +
+        xerial stream framing, lz4 via the from-spec block+frame codec,
+        zstd via the from-spec RFC 8878 frame codec — raw-block frames on
+        produce, full entropy decode on fetch)."""
         from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
 
         if self.balancer not in (Balancer.HASH, Balancer.MURMUR2):
@@ -209,12 +210,13 @@ class KafkaProducerConfig:
             Compression.GZIP: kw.COMPRESSION_GZIP,
             Compression.SNAPPY: kw.COMPRESSION_SNAPPY,
             Compression.LZ4: kw.COMPRESSION_LZ4,
+            Compression.ZSTD: kw.COMPRESSION_ZSTD,
         }.get(self.compression)
         if codec is None:
             raise ValueError(
                 f"compression {self.compression.kafka_name!r} has no "
                 "pure-Python codec here; kafka_wire supports "
-                "none/gzip/snappy/lz4"
+                "none/gzip/snappy/lz4/zstd"
             )
         out = {
             "bootstrap": list(self.brokers),

@@ -236,6 +236,7 @@ COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
 COMPRESSION_SNAPPY = 2
 COMPRESSION_LZ4 = 3
+COMPRESSION_ZSTD = 4
 _CODEC_BITS = 0x07
 
 # Kafka's snappy is xerial/snappy-java STREAM framing, not a bare block
@@ -357,10 +358,14 @@ def encode_record_batch(
         )
 
         payload_bytes = lz4_frame_compress(payload_bytes)
+    elif compression == COMPRESSION_ZSTD:
+        from go_pq_cdc_kafka_spark.streaming.zstdframe import zstd_compress
+
+        payload_bytes = zstd_compress(payload_bytes)
     elif compression != COMPRESSION_NONE:
         raise ValueError(
             f"compression codec {compression} not implemented in pure Python "
-            "(gzip/snappy/lz4 only); use the jar-backed sink for zstd"
+            "(gzip/snappy/lz4/zstd only)"
         )
 
     attributes = compression & _CODEC_BITS
@@ -421,6 +426,12 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
             )
 
             payload = lz4_frame_decompress(payload)
+        elif codec == COMPRESSION_ZSTD:
+            from go_pq_cdc_kafka_spark.streaming.zstdframe import (
+                zstd_decompress,
+            )
+
+            payload = zstd_decompress(payload)
         elif codec != COMPRESSION_NONE:
             raise ValueError(f"compression codec {codec} not implemented")
         ppos = 0

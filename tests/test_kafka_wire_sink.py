@@ -115,10 +115,15 @@ def test_wire_kwargs_loud_rejections():
         KafkaProducerConfig(
             brokers=["b:9092"], balancer=Balancer.ROUND_ROBIN
         ).wire_kwargs()
-    with pytest.raises(ValueError, match="none/gzip"):
+    # the full reference codec surface now maps through (zstd was the last)
+    from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
+
+    assert (
         KafkaProducerConfig(
             brokers=["b:9092"], compression=Compression.ZSTD
-        ).wire_kwargs()
+        ).wire_kwargs()["compression"]
+        == kw.COMPRESSION_ZSTD
+    )
 
 
 def test_wire_sink_failure_aborts_microbatch_no_commit(spark, tmp_path):
@@ -271,6 +276,32 @@ def test_write_kafka_wire_lz4_e2e(spark):
         got = sorted(
             (bytes(r.key), bytes(r.value))
             for r in broker.topic_records("t.lz4")
+        )
+    assert n == 3
+    assert got == sorted((b"k%d" % i, v) for i, v in enumerate(big))
+
+
+def test_write_kafka_wire_zstd_e2e(spark):
+    """compression=zstd through the from-spec RFC 8878 frame codec
+    (raw-block frames + XXH64 checksum on produce; the broker's decode
+    path handles any conforming frame), attributes bits 0x4. Closes the
+    last wire-path codec gap vs the reference's config surface
+    (config/config.go:59-64)."""
+    import os as _os
+
+    big = (b"zstdzstd" * 6000, _os.urandom(30000), b"tail-%d" % 4)
+    df = spark.createDataFrame(
+        [("t.zst", b"k%d" % i, v) for i, v in enumerate(big)],
+        "topic string, key binary, value binary",
+    )
+    with MiniBroker(num_partitions=1) as broker:
+        cfg = KafkaProducerConfig(
+            brokers=[broker.bootstrap], compression=Compression.ZSTD
+        )
+        n = write_kafka_wire(df, cfg)
+        got = sorted(
+            (bytes(r.key), bytes(r.value))
+            for r in broker.topic_records("t.zst")
         )
     assert n == 3
     assert got == sorted((b"k%d" % i, v) for i, v in enumerate(big))

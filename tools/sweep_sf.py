@@ -1,0 +1,86 @@
+"""Execute every registry query at a given scale-factor directory.
+
+Scale-evidence harness (round 6): the oracle gate proves VALUES at
+sf0.01; this proves EXECUTION at a scale step — every query is run to
+completion (noop sink, nothing collected to the driver beyond the row
+count Spark reports) with its wall time recorded, so silent thresholds
+(mis-broadcasts, heap blowups, eager materialization) surface the way
+the sf10 step caught the MinHash index broadcast and the triangle
+localCheckpoint. Usage::
+
+    SPARK_GRAFT_DRIVER_MEM=32g python tools/sweep_sf.py /tmp/spark_graft_sf10 [out.json]
+
+Prints one status line per query and a JSON summary; exit code 1 if any
+query failed. Known-quadratic exact variants can be skipped with
+SPARK_GRAFT_SWEEP_SKIP (comma-separated names), recorded as "skipped"
+with the reason rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf10"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",") if s
+    }
+
+    from go_pq_cdc_kafka_spark.queries import REGISTRY
+    from go_pq_cdc_kafka_spark.session import get_spark
+
+    spark = get_spark(app_name="sweep_sf")
+    results: dict[str, dict] = {}
+    failed = []
+    for name in sorted(REGISTRY):
+        if name in skip:
+            results[name] = {"status": "skipped"}
+            print(f"skip {name}", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.time() - t0, 1)
+            results[name] = {"status": "ok", "sec": wall}
+            print(f"ok   {name}: {wall}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            wall = round(time.time() - t0, 1)
+            results[name] = {
+                "status": "fail",
+                "sec": wall,
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
+            failed.append(name)
+            print(f"FAIL {name}: {type(e).__name__} ({wall}s)", flush=True)
+        spark.catalog.clearCache()
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(results),
+        "ok": sum(1 for r in results.values() if r["status"] == "ok"),
+        "failed": failed,
+        "skipped": sorted(skip & set(results)),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "wall_total_sec": round(
+            sum(r.get("sec", 0.0) for r in results.values()), 1
+        ),
+        "queries": results,
+    }
+    line = json.dumps(summary)
+    print(line, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
