@@ -5787,3 +5787,143 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sampling_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {T.TOKENS_SQL.format(c="text")} AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, lang, u AS bgr
+  FROM (
+    SELECT doc_id, lang,
+           unnest([t[i] || ' ' || t[i + 1]
+                   for i in generate_series(1, len(t) - 1)]) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+feats AS (
+  SELECT doc_id, lang, {T.hash64_sql("bgr")} % 256 AS bucket FROM pairs
+),
+docfeat AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, bucket
+),
+raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_n FROM feats GROUP BY bucket),
+tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_n
+  FROM feats WHERE lang = 'en' GROUP BY bucket
+),
+model AS (
+  SELECT r.bucket, r.r_n, COALESCE(g.t_n, 0) AS t_n
+  FROM raw r LEFT JOIN tgt g ON r.bucket = g.bucket
+),
+tot AS (
+  SELECT CAST(SUM(r_n) AS BIGINT) AS r_tot, CAST(SUM(t_n) AS BIGINT) AS t_tot
+  FROM model
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c) AS BIGINT) AS n_feats,
+         CAST(SUM(d.c * (m.t_n + 1)) AS BIGINT) AS num,
+         CAST(SUM(d.c * (m.r_n + 1)) AS BIGINT) AS den
+  FROM docfeat d JOIN model m ON d.bucket = m.bucket
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_feats, num, den,
+       (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         * (CAST((SELECT r_tot FROM tot) + 256 AS DOUBLE)
+            / CAST((SELECT t_tot FROM tot) + 256 AS DOUBLE)) AS dsir_score
+FROM agg
+ORDER BY doc_id
+""",
+    category="sampling",
+    description="DSIR-style importance score: hashed-bigram features (256 "
+    "buckets), add-one-smoothed target (lang='en') vs raw unigram-of-"
+    "feature models; score >1 means the doc reads more target-like than "
+    "the corpus average. The model is EXACTLY 256 rows at any corpus size "
+    "(feature hashing), so it broadcasts; scoring is one map-side join "
+    "over per-doc feature counts.",
+)
+def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed n-gram variant):
+    rank raw documents by how much their hashed-bigram distribution looks
+    like a target slice. Weights stay RATIONAL for cross-engine oracle
+    exactness — per-feature smoothed likelihoods are aggregated as
+    ratio-of-integer-sums, with the two exact-integer divisions and one
+    multiply done in double at the very end (correctly-rounded IEEE ops
+    in the same order in both engines; same discipline as
+    text_perplexity_score).
+
+    Scale: feature hashing bounds BOTH model tables at exactly 256 rows
+    regardless of corpus size — the broadcast can never outgrow an
+    executor, unlike vocabulary-keyed models. The corpus-side work is one
+    explode + one (doc_id, bucket) aggregation + a broadcast join + one
+    final per-doc aggregation; the only corpus shuffles are the two
+    doc-keyed groupBys."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("t"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            ).alias("bgr"),
+        )
+    )
+    feats = pairs.select(
+        "doc_id", "lang", (T.hash64(F.col("bgr")) % 256).alias("bucket")
+    )
+    docfeat = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    raw = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_n")
+    )
+    tgt = (
+        feats.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_n"))
+    )
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket", "r_n", F.coalesce(F.col("t_n"), F.lit(0)).alias("t_n")
+    )
+    tot = (
+        model.agg(
+            F.sum("r_n").cast("long").alias("r_tot"),
+            F.sum("t_n").cast("long").alias("t_tot"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        docfeat.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * (F.col("t_n") + 1)).cast("long").alias("num"),
+            F.sum(F.col("c") * (F.col("r_n") + 1)).cast("long").alias("den"),
+        )
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .withColumn(
+            "dsir_score",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            * (
+                (F.col("r_tot") + 256).cast("double")
+                / (F.col("t_tot") + 256).cast("double")
+            ),
+        )
+        .select("doc_id", "n_feats", "num", "den", "dsir_score")
+        .orderBy("doc_id")
+    )
