@@ -144,6 +144,10 @@ def main() -> None:
                 "runs": all_runs,
                 "load_1m": round(load_1m, 2),
                 "load_warning": load_warning,
+                # provenance for scale steps: larger SFs are run with
+                # SPARK_GRAFT_DRIVER_MEM sized to the data (the 8g default
+                # is tuned for sf<=1 on this box)
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             }
         )
     )
