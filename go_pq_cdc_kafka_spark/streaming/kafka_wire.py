@@ -37,6 +37,7 @@ import struct
 import threading
 import time
 from dataclasses import dataclass, field
+from typing import Iterator
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +239,10 @@ COMPRESSION_SNAPPY = 2
 COMPRESSION_LZ4 = 3
 COMPRESSION_ZSTD = 4
 _CODEC_BITS = 0x07
+# record-batch attribute bits beyond the codec (KIP-98): bit 4 marks a
+# transactional batch, bit 5 a control batch (commit/abort marker)
+_TRANSACTIONAL_BIT = 0x10
+_CONTROL_BIT = 0x20
 
 # Kafka's snappy is xerial/snappy-java STREAM framing, not a bare block
 # (kafka clients/common/compress since 0.8): 8-byte magic, two int32
@@ -328,6 +333,8 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """Encode one record batch (magic=2). CRC32C covers everything after the
     crc field, computed over the (possibly compressed) payload — the layout
@@ -369,6 +376,10 @@ def encode_record_batch(
         )
 
     attributes = compression & _CODEC_BITS
+    if transactional:
+        attributes |= _TRANSACTIONAL_BIT
+    if control:
+        attributes |= _CONTROL_BIT
     after_crc = (
         struct.pack(
             ">hiqqqhii",
@@ -388,10 +399,31 @@ def encode_record_batch(
     return struct.pack(">qi", base_offset, len(batch_tail)) + batch_tail
 
 
-def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
-    """Decode a concatenation of record batches into absolute-offset records.
+@dataclass
+class BatchMeta:
+    """Batch-level fields a transactional consumer filters on."""
+
+    base_offset: int
+    attributes: int
+    producer_id: int
+    record_count: int
+
+    @property
+    def is_control(self) -> bool:
+        return bool(self.attributes & _CONTROL_BIT)
+
+    @property
+    def is_transactional(self) -> bool:
+        return bool(self.attributes & _TRANSACTIONAL_BIT)
+
+
+def iter_record_batches(
+    buf: bytes, verify_crc: bool = True
+) -> "Iterator[tuple[BatchMeta, list[Record]]]":
+    """Decode a concatenation of record batches, one (meta, records) pair
+    per batch, control batches included — the read_committed fetch path
+    needs batch-level producerId/attributes to apply abort filtering.
     Raises on CRC mismatch (what a broker does: CORRUPT_MESSAGE)."""
-    out: list[Record] = []
     pos = 0
     while pos + 12 <= len(buf):
         base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
@@ -410,7 +442,7 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
         r.i32()  # lastOffsetDelta
         base_ts = r.i64()
         r.i64()  # maxTimestamp
-        r.i64()  # producerId
+        producer_id = r.i64()
         r.i16()  # producerEpoch
         r.i32()  # baseSequence
         count = r.i32()
@@ -434,6 +466,7 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
             payload = zstd_decompress(payload)
         elif codec != COMPRESSION_NONE:
             raise ValueError(f"compression codec {codec} not implemented")
+        batch_records: list[Record] = []
         ppos = 0
         for _ in range(count):
             rec_len, ppos = read_varint(payload, ppos)
@@ -458,7 +491,7 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
                 ppos += max(hvlen, 0)
                 headers.append((hk, hv))
             assert ppos == rec_end, "record length mismatch"
-            out.append(
+            batch_records.append(
                 Record(
                     key=key,
                     value=value,
@@ -467,7 +500,59 @@ def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
                     offset=base_offset + off_delta,
                 )
             )
+        yield (
+            BatchMeta(
+                base_offset=base_offset,
+                attributes=attributes,
+                producer_id=producer_id,
+                record_count=count,
+            ),
+            batch_records,
+        )
         pos = end
+
+
+def decode_record_batches(buf: bytes, verify_crc: bool = True) -> list[Record]:
+    """Flatten record batches into absolute-offset records, skipping
+    control batches (commit/abort markers are broker bookkeeping, never
+    application data — real consumers drop them in every isolation
+    level)."""
+    out: list[Record] = []
+    for meta, records in iter_record_batches(buf, verify_crc):
+        if not meta.is_control:
+            out.extend(records)
+    return out
+
+
+_CTRL_ABORT, _CTRL_COMMIT = 0, 1
+
+
+def _filter_aborted(
+    record_set: bytes, aborted: list[tuple[int, int]]
+) -> list[Record]:
+    """read_committed filtering (the Java client's algorithm): walk
+    batches in offset order keeping a set of producers currently inside
+    an aborted transaction — a producer enters it when the fetch
+    response's aborted list says its transaction started at or before
+    this batch, and leaves it at its ABORT control marker. Data batches
+    of active aborted producers are dropped; control batches are never
+    surfaced."""
+    pending = sorted(aborted, key=lambda a: a[1])  # (pid, first_offset)
+    active: set[int] = set()
+    out: list[Record] = []
+    for meta, records in iter_record_batches(record_set):
+        while pending and pending[0][1] <= meta.base_offset:
+            active.add(pending.pop(0)[0])
+        if meta.is_control:
+            for rec in records:
+                if rec.key and len(rec.key) >= 4:
+                    ctrl_type = struct.unpack_from(">h", rec.key, 2)[0]
+                    if ctrl_type == _CTRL_ABORT:
+                        active.discard(meta.producer_id)
+            continue
+        if meta.is_transactional and meta.producer_id in active:
+            continue
+        out.extend(records)
     return out
 
 
@@ -567,6 +652,8 @@ API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
 API_SASL_AUTHENTICATE = 36
 
 #: ListOffsets sentinel timestamps (public protocol constants)
@@ -584,6 +671,8 @@ ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_OUT_OF_ORDER_SEQUENCE_NUMBER = 45
 ERR_DUPLICATE_SEQUENCE_NUMBER = 46
+ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
 ERR_SASL_AUTHENTICATION_FAILED = 58
 
 ERROR_NAMES = {
@@ -910,7 +999,16 @@ class KafkaWireProducer(KafkaWireClient):
     an already-appended batch (connection dropped between append and ack)
     is deduplicated broker-side instead of duplicating records. Stronger
     than the reference's own contract — its replay path is plain
-    at-least-once (producer_batch.go:141-151)."""
+    at-least-once (producer_batch.go:141-151).
+
+    ``transactional_id=...`` adds KIP-98 transactions on top of
+    idempotence (which it implies): records produced between
+    :meth:`begin_transaction` and :meth:`commit_transaction` become
+    visible atomically to ``read_committed`` consumers; an
+    :meth:`abort_transaction` (or producer death — a later InitProducerId
+    with the same id fences the epoch) makes them invisible forever.
+    Partitions are registered with the coordinator on first use inside
+    the transaction (AddPartitionsToTxn), exactly like the Java client."""
 
     def __init__(
         self,
@@ -924,6 +1022,7 @@ class KafkaWireProducer(KafkaWireClient):
         sasl: tuple[str, str, str] | None = None,
         tls: dict | None = None,
         idempotent: bool = False,
+        transactional_id: str | None = None,
     ):
         super().__init__(bootstrap, client_id, timeout_s,
                          ssl_context=ssl_context, sasl=sasl, tls=tls)
@@ -931,20 +1030,25 @@ class KafkaWireProducer(KafkaWireClient):
         self.timeout_ms = timeout_ms
         self.compression = compression
         self._round_robin = 0
-        self.idempotent = idempotent
-        if idempotent and acks == 0:
+        self.transactional_id = transactional_id
+        self.idempotent = idempotent or transactional_id is not None
+        if self.idempotent and acks == 0:
             raise ValueError("idempotent produce requires acks != 0")
         self._producer_id = -1
         self._producer_epoch = -1
         self._sequences: dict[tuple[str, int], int] = {}
+        self._in_txn = False
+        self._txn_partitions: set[tuple[str, int]] = set()
 
     def _ensure_producer_id(self) -> None:
         """InitProducerId v0: acquire the (producerId, epoch) the broker
         will dedup sequences under. Null transactional_id = idempotence
-        only, no transactions."""
+        only; a non-null one registers with the transaction coordinator
+        and BUMPS THE EPOCH, fencing any earlier producer instance still
+        using the same transactional id."""
         if self._producer_id >= 0:
             return
-        body = _str(None) + struct.pack(">i", self.timeout_ms)
+        body = _str(self.transactional_id) + struct.pack(">i", self.timeout_ms)
         r = self._bootstrap_conn().request(API_INIT_PRODUCER_ID, 0, body)
         r.i32()  # throttle_time_ms
         code = r.i16()
@@ -952,6 +1056,75 @@ class KafkaWireProducer(KafkaWireClient):
             raise KafkaProtocolError(code, "InitProducerId")
         self._producer_id = r.i64()
         self._producer_epoch = r.i16()
+
+    # -- KIP-98 transactions ------------------------------------------
+
+    def begin_transaction(self) -> None:
+        if self.transactional_id is None:
+            raise ValueError("begin_transaction requires transactional_id")
+        if self._in_txn:
+            raise ValueError("a transaction is already in progress")
+        self._ensure_producer_id()
+        self._in_txn = True
+        self._txn_partitions.clear()
+
+    def _add_partitions_to_txn(self, parts: set[tuple[str, int]]) -> None:
+        new = parts - self._txn_partitions
+        if not new:
+            return
+        by_topic: dict[str, list[int]] = {}
+        for topic, pid in sorted(new):
+            by_topic.setdefault(topic, []).append(pid)
+        body = bytearray(_str(self.transactional_id))
+        body += struct.pack(">qh", self._producer_id, self._producer_epoch)
+        body += struct.pack(">i", len(by_topic))
+        for topic, pids in by_topic.items():
+            body += _str(topic)
+            body += struct.pack(">i", len(pids))
+            for pid in pids:
+                body += struct.pack(">i", pid)
+        r = self._bootstrap_conn().request(
+            API_ADD_PARTITIONS_TO_TXN, 0, bytes(body)
+        )
+        r.i32()  # throttle_time_ms
+        for _ in range(r.i32()):
+            topic = r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                code = r.i16()
+                if code != ERR_NONE:
+                    raise KafkaProtocolError(
+                        code, f"AddPartitionsToTxn {topic}[{pid}]"
+                    )
+        self._txn_partitions |= new
+
+    def _end_txn(self, committed: bool) -> None:
+        if not self._in_txn:
+            raise ValueError("no transaction in progress")
+        if not self._txn_partitions:
+            # empty transaction: nothing was produced, so no partition was
+            # registered with the coordinator and there is no marker to
+            # write — complete locally (the Java client short-circuits the
+            # same way)
+            self._in_txn = False
+            return
+        body = _str(self.transactional_id) + struct.pack(
+            ">qhb", self._producer_id, self._producer_epoch,
+            1 if committed else 0,
+        )
+        r = self._bootstrap_conn().request(API_END_TXN, 0, body)
+        r.i32()  # throttle_time_ms
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, "EndTxn")
+        self._in_txn = False
+        self._txn_partitions.clear()
+
+    def commit_transaction(self) -> None:
+        self._end_txn(committed=True)
+
+    def abort_transaction(self) -> None:
+        self._end_txn(committed=False)
 
     def send_records(
         self,
@@ -983,6 +1156,8 @@ class KafkaWireProducer(KafkaWireClient):
     ) -> dict[tuple[str, int], int]:
         if self.idempotent:
             self._ensure_producer_id()
+        if self._in_txn:
+            self._add_partitions_to_txn(set(grouped))
         by_leader: dict[int, dict[str, dict[int, bytes]]] = {}
         for (topic, pid), recs in grouped.items():
             leader = next(
@@ -1001,6 +1176,7 @@ class KafkaWireProducer(KafkaWireClient):
                     if self.idempotent
                     else -1
                 ),
+                transactional=self._in_txn,
             )
             by_leader.setdefault(leader, {}).setdefault(topic, {})[pid] = batch
 
@@ -1008,7 +1184,7 @@ class KafkaWireProducer(KafkaWireClient):
         retriable: dict[tuple[str, int], list[Record]] = {}
         for leader, topic_data in by_leader.items():
             body = bytearray()
-            body += _str(None)  # transactional_id
+            body += _str(self.transactional_id if self._in_txn else None)
             body += struct.pack(">hi", self.acks, self.timeout_ms)
             body += struct.pack(">i", len(topic_data))
             for topic, parts in topic_data.items():
@@ -1125,15 +1301,23 @@ class KafkaWireConsumer(KafkaWireClient):
         offset: int = 0,
         max_bytes: int = 1 << 20,
         max_wait_ms: int = 500,
+        isolation_level: int = 0,
     ) -> tuple[list[Record], int]:
-        """Returns (records from ``offset`` on, high_watermark)."""
+        """Returns (records from ``offset`` on, high_watermark).
+
+        ``isolation_level=1`` (read_committed, KIP-98): the broker caps
+        the response at the last stable offset and reports the aborted
+        transactions overlapping the window; this client then drops
+        every transactional data batch whose (producerId, offset range)
+        falls inside an aborted transaction — commit/abort markers
+        themselves are never surfaced in either level."""
         meta = self.await_topics([topic])
         leader = next(
             p.leader for p in meta.topics[topic] if p.partition == partition
         )
         body = bytearray()
         body += struct.pack(">iiii", -1, max_wait_ms, 0, max_bytes)
-        body += struct.pack(">b", 0)  # isolation_level: read_uncommitted
+        body += struct.pack(">b", isolation_level)
         body += struct.pack(">i", 1)
         body += _str(topic)
         body += struct.pack(">i", 1)
@@ -1151,13 +1335,20 @@ class KafkaWireConsumer(KafkaWireClient):
                 hwm = r.i64()
                 r.i64()  # last_stable_offset
                 n_aborted = r.i32()
+                aborted: list[tuple[int, int]] = []
                 for _ in range(max(n_aborted, 0)):
-                    r.i64()
-                    r.i64()
+                    a_pid = r.i64()
+                    a_first = r.i64()
+                    aborted.append((a_pid, a_first))
                 record_set = r.bytes_() or b""
                 if code != ERR_NONE:
                     raise KafkaProtocolError(code, f"Fetch {topic}[{partition}]")
-                records.extend(decode_record_batches(record_set))
+                if isolation_level == 1 and aborted:
+                    records.extend(
+                        _filter_aborted(record_set, aborted)
+                    )
+                else:
+                    records.extend(decode_record_batches(record_set))
         return [rec for rec in records if rec.offset >= offset], hwm
 
     def earliest_offsets(self, topic: str) -> dict[int, int]:

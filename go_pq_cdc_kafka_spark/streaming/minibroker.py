@@ -30,6 +30,8 @@ import time
 from dataclasses import dataclass, field
 
 from .kafka_wire import (
+    API_ADD_PARTITIONS_TO_TXN,
+    API_END_TXN,
     API_FETCH,
     API_FIND_COORDINATOR,
     API_HEARTBEAT,
@@ -52,6 +54,8 @@ from .kafka_wire import (
     ERR_NONE,
     ERR_REBALANCE_IN_PROGRESS,
     ERR_UNKNOWN_MEMBER_ID,
+    ERR_INVALID_PRODUCER_EPOCH,
+    ERR_INVALID_TXN_STATE,
     ERR_OUT_OF_ORDER_SEQUENCE_NUMBER,
     ERR_SASL_AUTHENTICATION_FAILED,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
@@ -64,6 +68,7 @@ from .kafka_wire import (
     _str,
     crc32c,
     decode_record_batches,
+    encode_record_batch,
     scram_salted_password,
 )
 
@@ -205,14 +210,16 @@ class _PartitionLog:
         self.next_offset = nxt
         return base
 
-    def raw_from(self, offset: int) -> bytes:
+    def raw_from(self, offset: int, end: int | None = None) -> bytes:
         """Concatenated stored batches covering ``offset`` onward (a batch
         straddling the offset is returned whole — consumers filter by
-        record offset, as real Kafka consumers must)."""
+        record offset, as real Kafka consumers must). ``end`` caps the
+        window at the last stable offset for read_committed fetches:
+        batches starting at or past it are withheld."""
         return b"".join(
             raw
             for base, count, raw in self.batches
-            if base + count > offset
+            if base + count > offset and (end is None or base < end)
         )
 
 
@@ -267,9 +274,19 @@ class MiniBroker:
         # (baseSequence -> baseOffset) for replay dedup — the same window
         # a real broker keeps (ProducerStateManager).
         self._next_producer_id = 1000
+        # value: (next expected sequence, {baseSequence -> baseOffset}
+        # replay cache, last seen producer epoch — a bump resets both)
         self._producer_state: dict[
-            tuple[int, str, int], tuple[int, dict[int, int]]
+            tuple[int, str, int], tuple[int, dict[int, int], int]
         ] = {}
+        # transactions (KIP-98): a transactional id maps to a STABLE
+        # producer id whose epoch bumps on every InitProducerId (fencing
+        # earlier instances); an open transaction tracks its partitions
+        # and the first offset it wrote to each (the aborted-txn index
+        # entry read_committed consumers filter on)
+        self._txn_producers: dict[str, tuple[int, int]] = {}
+        self._txns: dict[int, dict] = {}  # pid -> open-txn state
+        self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
         # classic-protocol group membership; initial_rebalance_delay_s is
         # the empty-group join window (group.initial.rebalance.delay.ms)
         self._groups: dict[str, _GroupState] = {}
@@ -398,6 +415,8 @@ class MiniBroker:
                 API_OFFSET_COMMIT: self._offset_commit,
                 API_OFFSET_FETCH: self._offset_fetch,
                 API_INIT_PRODUCER_ID: self._init_producer_id,
+                API_ADD_PARTITIONS_TO_TXN: self._add_partitions_to_txn,
+                API_END_TXN: self._end_txn,
                 API_JOIN_GROUP: self._join_group,
                 API_SYNC_GROUP: self._sync_group,
                 API_HEARTBEAT: self._heartbeat,
@@ -497,28 +516,124 @@ class MiniBroker:
         return bytes(out)
 
     @staticmethod
-    def _parse_producer_seq(record_set: bytes) -> tuple[int, int, int] | None:
-        """(producerId, baseSequence, recordCount) of a single-batch record
-        set, or None for non-idempotent batches. Offsets per the v2 batch
-        layout: producerId at +43, baseSequence at +53, count at +57."""
+    def _parse_producer_seq(
+        record_set: bytes,
+    ) -> tuple[int, int, int, int] | None:
+        """(producerId, epoch, baseSequence, recordCount) of a single-batch
+        record set, or None for non-idempotent batches. Offsets per the v2
+        batch layout: producerId at +43, epoch at +51, baseSequence at
+        +53, count at +57."""
         if len(record_set) < 61:
             return None
         (prod_id,) = struct.unpack_from(">q", record_set, 43)
         if prod_id < 0:
             return None
+        (epoch,) = struct.unpack_from(">h", record_set, 51)
         (base_seq,) = struct.unpack_from(">i", record_set, 53)
         (count,) = struct.unpack_from(">i", record_set, 57)
         if base_seq < 0:
             return None
-        return prod_id, base_seq, count
+        return prod_id, epoch, base_seq, count
 
     def _init_producer_id(self, version: int, r: _Reader) -> bytes:
-        r.string()  # transactional_id (null = idempotence only)
-        r.i32()     # transaction_timeout_ms
+        txn_id = r.string()  # null = idempotence only
+        r.i32()              # transaction_timeout_ms
         with self._lock:
-            pid = self._next_producer_id
-            self._next_producer_id += 1
-        return struct.pack(">ihqh", 0, ERR_NONE, pid, 0)
+            if txn_id is None:
+                pid = self._next_producer_id
+                self._next_producer_id += 1
+                return struct.pack(">ihqh", 0, ERR_NONE, pid, 0)
+            # transactional: stable pid per transactional id, epoch BUMP
+            # fences earlier instances (KIP-98); a still-open transaction
+            # from the fenced instance is aborted coordinator-side
+            if txn_id in self._txn_producers:
+                pid, epoch = self._txn_producers[txn_id]
+                epoch += 1
+            else:
+                pid = self._next_producer_id
+                self._next_producer_id += 1
+                epoch = 0
+            self._txn_producers[txn_id] = (pid, epoch)
+            if pid in self._txns:
+                self._finish_txn_locked(pid, committed=False)
+        return struct.pack(">ihqh", 0, ERR_NONE, pid, epoch)
+
+    def _check_txn_epoch(self, txn_id: str | None, pid: int, epoch: int) -> int:
+        """ERR code for a transactional request's (id, pid, epoch) triple."""
+        known = self._txn_producers.get(txn_id or "")
+        if known is None or known[0] != pid:
+            return ERR_INVALID_TXN_STATE
+        if known[1] != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        return ERR_NONE
+
+    def _add_partitions_to_txn(self, version: int, r: _Reader) -> bytes:
+        txn_id = r.string()
+        pid = r.i64()
+        epoch = r.i16()
+        topics: list[tuple[str, list[int]]] = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = [r.i32() for _ in range(r.i32())]
+            topics.append((topic, parts))
+        with self._lock:
+            code = self._check_txn_epoch(txn_id, pid, epoch)
+            if code == ERR_NONE:
+                txn = self._txns.setdefault(
+                    pid,
+                    {"txn_id": txn_id, "epoch": epoch,
+                     "partitions": set(), "first_offsets": {}},
+                )
+                for topic, parts in topics:
+                    self._ensure_topic(topic)
+                    for p in parts:
+                        txn["partitions"].add((topic, p))
+        out = bytearray(struct.pack(">ii", 0, len(topics)))
+        for topic, parts in topics:
+            out += _str(topic)
+            out += struct.pack(">i", len(parts))
+            for p in parts:
+                out += struct.pack(">ih", p, code)
+        return bytes(out)
+
+    def _finish_txn_locked(self, pid: int, committed: bool) -> None:
+        """Write commit/abort control markers to every partition of the
+        open transaction and (on abort) extend the aborted-txn index.
+        Caller holds self._lock."""
+        txn = self._txns.pop(pid, None)
+        if txn is None:
+            return
+        key = struct.pack(">hh", 0, 1 if committed else 0)  # version, type
+        value = struct.pack(">hi", 0, 0)  # version, coordinator_epoch
+        for topic, p in sorted(txn["partitions"]):
+            log = self._logs.get((topic, p))
+            if log is None:
+                continue
+            marker = encode_record_batch(
+                [Record(key=key, value=value)],
+                producer_id=pid,
+                producer_epoch=txn["epoch"],
+                transactional=True,
+                control=True,
+            )
+            log.append(marker)
+            if not committed and (topic, p) in txn["first_offsets"]:
+                self._aborted.setdefault((topic, p), []).append(
+                    (pid, txn["first_offsets"][(topic, p)])
+                )
+
+    def _end_txn(self, version: int, r: _Reader) -> bytes:
+        txn_id = r.string()
+        pid = r.i64()
+        epoch = r.i16()
+        committed = r.i8() != 0
+        with self._lock:
+            code = self._check_txn_epoch(txn_id, pid, epoch)
+            if code == ERR_NONE and pid not in self._txns:
+                code = ERR_INVALID_TXN_STATE  # EndTxn with nothing open
+            if code == ERR_NONE:
+                self._finish_txn_locked(pid, committed)
+        return struct.pack(">ih", 0, code)
 
     # -- classic-protocol group membership --------------------------------
 
@@ -719,11 +834,23 @@ class MiniBroker:
                     # original offset instead of appending twice.
                     seq_info = self._parse_producer_seq(record_set)
                     if seq_info is not None:
-                        prod_id, base_seq, count = seq_info
+                        prod_id, p_epoch, base_seq, count = seq_info
                         key = (prod_id, topic, pid)
-                        next_seq, cache = self._producer_state.get(
-                            key, (0, {})
+                        next_seq, cache, known_epoch = self._producer_state.get(
+                            key, (0, {}, p_epoch)
                         )
+                        if p_epoch > known_epoch:
+                            # epoch bump (KIP-98 fencing): the new producer
+                            # instance starts its sequences from 0 — drop
+                            # the fenced instance's dedup state entirely
+                            next_seq, cache, known_epoch = 0, {}, p_epoch
+                        elif p_epoch < known_epoch:
+                            # a fenced (zombie) instance writing after its
+                            # successor registered — reject, never append
+                            parts.append(
+                                (pid, ERR_INVALID_PRODUCER_EPOCH, -1)
+                            )
+                            continue
                         if base_seq in cache:
                             # replayed batch still in the 5-batch window:
                             # ack with the ORIGINAL offset, no append
@@ -748,11 +875,21 @@ class MiniBroker:
                     except ValueError:  # CRC mismatch / undecodable batch
                         parts.append((pid, ERR_CORRUPT_MESSAGE, -1))
                         continue
+                    # transactional append: remember the txn's FIRST offset
+                    # in this partition — the aborted-txn index entry
+                    if seq_info is not None and seq_info[0] in self._txns:
+                        txn = self._txns[seq_info[0]]
+                        if (topic, pid) in txn["partitions"]:
+                            txn["first_offsets"].setdefault(
+                                (topic, pid), base
+                            )
                     if seq_info is not None:
                         cache[base_seq] = base
                         while len(cache) > 5:  # real broker keeps last 5
                             cache.pop(min(cache))
-                        self._producer_state[key] = (base_seq + count, cache)
+                        self._producer_state[key] = (
+                            base_seq + count, cache, known_epoch
+                        )
                 results.append((topic, parts))
         if acks == 0:
             return None
@@ -858,7 +995,7 @@ class MiniBroker:
         r.i32()  # max_wait_ms
         r.i32()  # min_bytes
         r.i32()  # max_bytes
-        r.i8()   # isolation_level
+        isolation = r.i8()  # 0 read_uncommitted, 1 read_committed
         requests: list[tuple[str, list[tuple[int, int]]]] = []
         for _ in range(r.i32()):
             topic = r.string()
@@ -885,9 +1022,26 @@ class MiniBroker:
                         out += _bytes(b"")
                         continue
                     hwm = log.high_watermark
-                    record_set = log.raw_from(offset) if offset < hwm else b""
-                    out += struct.pack(
-                        ">ihqqi", pid, ERR_NONE, hwm, hwm, 0
+                    # LSO = first offset still inside an OPEN transaction
+                    # (KIP-98); read_committed fetches stop there
+                    lso = hwm
+                    for txn in self._txns.values():
+                        first = txn["first_offsets"].get((topic, pid))
+                        if first is not None:
+                            lso = min(lso, first)
+                    end = lso if isolation == 1 else hwm
+                    record_set = (
+                        log.raw_from(offset, end) if offset < end else b""
                     )
+                    aborted = (
+                        self._aborted.get((topic, pid), [])
+                        if isolation == 1
+                        else []
+                    )
+                    out += struct.pack(
+                        ">ihqqi", pid, ERR_NONE, hwm, lso, len(aborted)
+                    )
+                    for a_pid, a_first in aborted:
+                        out += struct.pack(">qq", a_pid, a_first)
                     out += _bytes(record_set)
         return bytes(out)

@@ -1,0 +1,154 @@
+"""KIP-98 transactions on the wire tier: transactional produce with
+commit/abort markers (control batches), epoch fencing, last-stable-offset
+gating, and read_committed consumer filtering — exercised end-to-end
+against the conformance broker. Completes the exactly-once story on top
+of idempotent produce; the reference's own delivery contract stops at
+at-least-once (producer_batch.go:141-151)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+    KafkaProtocolError,
+    KafkaWireConsumer,
+    KafkaWireProducer,
+)
+from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+
+
+def _values(records):
+    return [bytes(r.value) for r in records]
+
+
+def _send(producer, topic, *values):
+    producer.send_records([(topic, b"k", v, []) for v in values])
+
+
+def test_committed_txn_visible_and_marker_hidden():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="txn-app-1"
+        ) as p:
+            p.begin_transaction()
+            _send(p, "t.txn", b"a", b"b")
+            p.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            committed, _ = c.fetch("t.txn", 0, isolation_level=1)
+            uncommitted, _ = c.fetch("t.txn", 0, isolation_level=0)
+        assert _values(committed) == [b"a", b"b"]
+        # the commit marker occupies an offset (hwm=3) but is never
+        # surfaced as a record
+        assert _values(uncommitted) == [b"a", b"b"]
+        assert broker.topic_count("t.txn") == 3  # 2 data + 1 marker offset
+        assert len(broker.topic_records("t.txn")) == 2
+
+
+def test_aborted_txn_invisible_read_committed():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="txn-app-2"
+        ) as p:
+            p.begin_transaction()
+            _send(p, "t.ab", b"doomed-1", b"doomed-2")
+            p.abort_transaction()
+            p.begin_transaction()
+            _send(p, "t.ab", b"kept")
+            p.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            committed, _ = c.fetch("t.ab", 0, isolation_level=1)
+            uncommitted, _ = c.fetch("t.ab", 0, isolation_level=0)
+        # read_committed: aborted data filtered via the aborted-txn index
+        assert _values(committed) == [b"kept"]
+        # read_uncommitted sees aborted data too (Kafka's contract)
+        assert _values(uncommitted) == [b"doomed-1", b"doomed-2", b"kept"]
+
+
+def test_open_txn_gates_last_stable_offset():
+    with MiniBroker(num_partitions=1) as broker:
+        p = KafkaWireProducer(broker.bootstrap, transactional_id="txn-lso")
+        p.begin_transaction()
+        _send(p, "t.lso", b"pending")
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            before, hwm = c.fetch("t.lso", 0, isolation_level=1)
+            # data exists (hwm advanced) but is not yet stable
+            assert hwm == 1
+            assert before == []
+            # read_uncommitted sees it immediately
+            dirty, _ = c.fetch("t.lso", 0, isolation_level=0)
+            assert _values(dirty) == [b"pending"]
+            p.commit_transaction()
+            after, _ = c.fetch("t.lso", 0, isolation_level=1)
+            assert _values(after) == [b"pending"]
+        p.close()
+
+
+def test_interleaved_nontxn_records_survive_abort():
+    with MiniBroker(num_partitions=1) as broker:
+        plain = KafkaWireProducer(broker.bootstrap, idempotent=True)
+        txn = KafkaWireProducer(broker.bootstrap, transactional_id="txn-mix")
+        _send(plain, "t.mix", b"n1")
+        txn.begin_transaction()
+        _send(txn, "t.mix", b"t1")
+        _send(plain, "t.mix", b"n2")
+        _send(txn, "t.mix", b"t2")
+        txn.abort_transaction()
+        _send(plain, "t.mix", b"n3")
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            committed, _ = c.fetch("t.mix", 0, isolation_level=1)
+        assert _values(committed) == [b"n1", b"n2", b"n3"]
+        plain.close()
+        txn.close()
+
+
+def test_epoch_fencing_rejects_zombie_producer():
+    with MiniBroker(num_partitions=1) as broker:
+        old = KafkaWireProducer(broker.bootstrap, transactional_id="txn-z")
+        old.begin_transaction()
+        _send(old, "t.z", b"zombie-write")
+        # a NEW instance with the same transactional id bumps the epoch,
+        # fencing `old` and aborting its open transaction
+        new = KafkaWireProducer(broker.bootstrap, transactional_id="txn-z")
+        new.begin_transaction()
+        _send(new, "t.z", b"fresh")
+        new.commit_transaction()
+        with pytest.raises(KafkaProtocolError):
+            old.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            committed, _ = c.fetch("t.z", 0, isolation_level=1)
+        assert _values(committed) == [b"fresh"]
+        old.close()
+        new.close()
+
+
+def test_txn_with_compression_roundtrip():
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import COMPRESSION_ZSTD
+
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap,
+            transactional_id="txn-zstd",
+            compression=COMPRESSION_ZSTD,
+        ) as p:
+            p.begin_transaction()
+            _send(p, "t.cz", b"zz" * 5000, b"tail")
+            p.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            committed, _ = c.fetch("t.cz", 0, isolation_level=1)
+        assert _values(committed) == [b"zz" * 5000, b"tail"]
+
+
+def test_txn_api_misuse_rejected():
+    with MiniBroker(num_partitions=1) as broker:
+        plain = KafkaWireProducer(broker.bootstrap)
+        with pytest.raises(ValueError, match="transactional_id"):
+            plain.begin_transaction()
+        plain.close()
+        p = KafkaWireProducer(broker.bootstrap, transactional_id="txn-m")
+        with pytest.raises(ValueError, match="no transaction"):
+            p.commit_transaction()
+        p.begin_transaction()
+        with pytest.raises(ValueError, match="already in progress"):
+            p.begin_transaction()
+        p.abort_transaction()
+        p.close()
