@@ -2890,7 +2890,7 @@ from go_pq_cdc_kafka_spark.operators import sampling as SA  # noqa: E402
     "dedup_cluster_resolve",
     oracle=f"""
 WITH RECURSIVE pairs AS (
-{DD.ngram_jaccard_pairs_sql(threshold=0.5)}
+{DD.ngram_jaccard_pairs_sql(threshold=0.5, max_df=64)}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2907,13 +2907,18 @@ FROM reach GROUP BY id ORDER BY doc_id
 """,
     category="dedup",
     description="Duplicate-cluster resolution: near-dup pairs (word-3-gram "
-    "Jaccard ≥ 0.5) resolved to connected components by iterative min-label "
-    "propagation — A~B, B~C collapse into one group even when A~C was never "
-    "scored. Oracle is the transitive closure as a recursive CTE.",
+    "Jaccard ≥ 0.5 over the max_df-capped shingle space) resolved to "
+    "connected components by iterative min-label propagation — A~B, B~C "
+    "collapse into one group even when A~C was never scored. Oracle is the "
+    "transitive closure as a recursive CTE. Candidate generation uses the "
+    "capped-vocabulary pair operator: the round-6 sf10 sweep caught the "
+    "exact variant feeding this query spilling ~70 GB of Theta(Sum df^2) "
+    "stop-shingle pairs before failing — at scale the valve is not "
+    "optional for a pair-graph consumer.",
 )
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5, max_df=64)
     return CL.connected_components(pairs).orderBy("doc_id")
 
 
@@ -3345,7 +3350,7 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_bfs_hops",
     oracle=f"""
 WITH RECURSIVE pairs AS (
-{DD.ngram_jaccard_pairs_sql(threshold=0.5)}
+{DD.ngram_jaccard_pairs_sql(threshold=0.5, max_df=64)}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3378,7 +3383,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the frontier loop references the pair edges once per BFS
     # level, and without a pin each level would re-run the whole
     # candidate+verify pipeline that produces the pairs
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5).persist()
+    # capped-vocabulary pairs: same sf10 rationale as dedup_cluster_resolve
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5, max_df=64).persist()
     seeds = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
