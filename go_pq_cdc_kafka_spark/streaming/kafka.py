@@ -116,6 +116,13 @@ class KafkaProducerConfig:
     # stronger than the reference's at-least-once replay
     # (producer_batch.go:141-151); requires acks=all semantics
     idempotent: bool = False
+    # KIP-98 transactions on the wire path: a non-None PREFIX makes every
+    # produce task run inside its own transaction (id = prefix-<task
+    # partition>), so a failed/retried task never leaks partial writes to
+    # read_committed consumers — the retry's InitProducerId fences and
+    # aborts the stale attempt. Wire path only: the jar sink has no
+    # transaction support to map onto.
+    transactional_id: str | None = None
     metadata_ttl_s: float = 60.0
     metadata_topics: list[str] = field(default_factory=list)
     allow_auto_topic_creation: bool = False
@@ -226,6 +233,7 @@ class KafkaProducerConfig:
             "compression": codec,
             "timeout_s": self.read_timeout_s,
             "idempotent": self.idempotent,
+            "transactional_id": self.transactional_id,
         }
         if self.sasl_enabled:
             kw._scram_hash(self.sasl_mechanism)  # validate loudly, not on executors

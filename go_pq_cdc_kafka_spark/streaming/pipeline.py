@@ -116,10 +116,25 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
 
         from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireProducer
 
+        kwargs = dict(wire_kwargs)
+        txn_prefix = kwargs.pop("transactional_id", None)
+        if txn_prefix is not None:
+            # one transaction per task, id = prefix-<task partition>: a
+            # failed task's retry re-uses the id, so its InitProducerId
+            # fences the stale attempt and aborts its open transaction —
+            # read_committed consumers never see partial task output
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            kwargs["transactional_id"] = (
+                f"{txn_prefix}-{ctx.partitionId() if ctx else 0}"
+            )
+
         prod = None
         total = 0
         pending: list = []
         pending_bytes = 0
+        committed = False
 
         def flush():
             nonlocal pending, pending_bytes, total
@@ -134,7 +149,9 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
                 if len(pdf) == 0:
                     continue
                 if prod is None:
-                    prod = KafkaWireProducer(**wire_kwargs)
+                    prod = KafkaWireProducer(**kwargs)
+                    if kwargs.get("transactional_id") is not None:
+                        prod.begin_transaction()
                 cols = [pdf["topic"].tolist(), pdf["key"].tolist(),
                         pdf["value"].tolist()]
                 heads = (
@@ -159,8 +176,16 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
                         flush()
             if prod is not None:
                 flush()
+                if kwargs.get("transactional_id") is not None:
+                    prod.commit_transaction()
+            committed = True
         finally:
             if prod is not None:
+                if not committed and kwargs.get("transactional_id") is not None:
+                    try:
+                        prod.abort_transaction()
+                    except Exception:
+                        pass  # fencing by the retry also cleans this up
                 prod.close()
         yield pd.DataFrame({"produced": [total]})
 

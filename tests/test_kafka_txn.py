@@ -138,6 +138,33 @@ def test_txn_with_compression_roundtrip():
         assert _values(committed) == [b"zz" * 5000, b"tail"]
 
 
+def test_sink_transactional_tasks_commit_per_partition(spark):
+    """write_kafka_wire with a transactional-id prefix: every produce task
+    runs inside its own transaction, so the whole micro-batch is visible
+    to read_committed consumers only through committed markers."""
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import write_kafka_wire
+
+    rows = [("t.sink", b"k%d" % i, b"v%d" % i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "topic string, key binary, value binary"
+    ).repartition(4)
+    with MiniBroker(num_partitions=2) as broker:
+        cfg = KafkaProducerConfig(
+            brokers=[broker.bootstrap], transactional_id="sink-app"
+        )
+        n = write_kafka_wire(df, cfg)
+        assert n == 40
+        got = set()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            for p in (0, 1):
+                recs, _ = c.fetch("t.sink", p, isolation_level=1)
+                got |= {bytes(r.value) for r in recs}
+        assert got == {b"v%d" % i for i in range(40)}
+        # commit markers were written (offsets beyond the 40 data records)
+        assert broker.topic_count("t.sink") > 40
+
+
 def test_txn_api_misuse_rejected():
     with MiniBroker(num_partitions=1) as broker:
         plain = KafkaWireProducer(broker.bootstrap)
