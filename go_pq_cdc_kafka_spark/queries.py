@@ -1394,18 +1394,38 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _cosine_planes(n: int) -> int:
+    """Hyperplane count scaled to the corpus: 2^planes buckets should keep
+    the expected bucket near ~60 vectors so the bucketed self-join stays
+    ~C(60,2) x buckets instead of quadratic. planes=2 exactly at n<=500 (the
+    sf0.01 oracle gate, where the static SQL twin uses planes=2). The
+    round-6 sf10 sweep caught the constant-planes version: 2 planes = 4
+    buckets at ANY size, so 500k vectors made ~N^2/4 candidate pairs and
+    filled the sandbox disk with ~70 GB of spill. Capped at 16 (65k
+    buckets) — beyond that an IVF/PQ index (operators/similarity.py) is
+    the right tool, not bucketed exact scoring."""
+    q = max(1, (n + 499) // 500)
+    planes = 2 + (q - 1).bit_length() + (1 if q > 1 else 0)
+    return min(16, planes)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=SIM.cosine_dedup_pairs_sql(dim=64, threshold=0.4, planes=2),
     category="dedup",
     description="Embedding-cosine near-dup pairs, LSH-bucketed self-join "
-    "(never all-|N|^2 pairs).",
+    "(never all-|N|^2 pairs); hyperplane count scales with corpus size so "
+    "bucket population stays bounded (planes=2 at the sf0.01 oracle gate, "
+    "matching the static SQL twin).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_dedup_pairs(e, dim=64, threshold=0.4, planes=2).orderBy(
-        "vec_a", "vec_b"
-    )
+    # bounded scalar action (one row-count job over parquet metadata) —
+    # the same class of driver-side scalar the IVF centroid table uses
+    planes = _cosine_planes(e.count())
+    return SIM.cosine_dedup_pairs(
+        e, dim=64, threshold=0.4, planes=planes
+    ).orderBy("vec_a", "vec_b")
 
 
 @register(
