@@ -97,6 +97,18 @@ def kafka_record_schema() -> StructType:
     )
 
 
+def _isolation(options: dict) -> int:
+    """0 = read_uncommitted (default), 1 = read_committed — same values
+    and semantics as the jar source's ``kafka.isolation.level``."""
+    level = options.get("isolationlevel", "read_uncommitted").lower()
+    if level not in ("read_uncommitted", "read_committed"):
+        raise ValueError(
+            f"invalid isolationlevel {level!r} "
+            "(read_uncommitted or read_committed)"
+        )
+    return 1 if level == "read_committed" else 0
+
+
 def _client_kwargs(options: dict) -> dict:
     kw: dict = {"bootstrap": options["bootstrap"]}
     mech = options.get("sasl.mechanism")
@@ -140,7 +152,7 @@ def _split_ranges(parts: list, min_partitions: int | None) -> list:
             hi = min(pos + step, pt.end)
             out.append(
                 _RangePartition(pt.topic, pt.partition, pos, hi,
-                                pt.client_kwargs)
+                                pt.client_kwargs, pt.isolation)
             )
             pos = hi
     return out
@@ -148,12 +160,13 @@ def _split_ranges(parts: list, min_partitions: int | None) -> list:
 
 class _RangePartition(InputPartition):
     def __init__(self, topic: str, partition: int, start: int, end: int,
-                 client_kwargs: dict):
+                 client_kwargs: dict, isolation: int = 0):
         self.topic = topic
         self.partition = partition
         self.start = start
         self.end = end
         self.client_kwargs = client_kwargs
+        self.isolation = isolation
 
 
 def _read_range(part: _RangePartition) -> Iterator[tuple]:
@@ -165,8 +178,17 @@ def _read_range(part: _RangePartition) -> Iterator[tuple]:
     with KafkaWireConsumer(**part.client_kwargs) as cons:
         pos = part.start
         while pos < part.end:
-            recs, hwm = cons.fetch(part.topic, part.partition, pos)
+            recs, hwm = cons.fetch(
+                part.topic, part.partition, pos,
+                isolation_level=part.isolation,
+            )
             if not recs:
+                nxt = cons._fetch_next_offset
+                if nxt is not None and nxt > pos:
+                    # the window held only control markers / filtered
+                    # aborted batches — advance past them, don't refetch
+                    pos = nxt
+                    continue
                 if hwm <= pos:
                     break  # range ran past a shrunk log: emit what exists
                 continue
@@ -223,6 +245,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.assignment = _parse_assignment(options)
         self.client_kwargs = _client_kwargs(options)
         self.min_partitions = int(options.get("minpartitions", 0)) or None
+        self.isolation = _isolation(options)
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
         self.group_id = options.get("group.id")
         self._driver_client = None
@@ -349,11 +372,14 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return out
 
     def _latest_all(self) -> dict:
+        # read_committed planning asks for the LAST STABLE OFFSET
+        # (ListOffsets v2 isolation), so a batch end never lands inside
+        # an open transaction the fetch would then withhold forever
         c = self._client()
         out = {}
         for t in self.topics:
             allowed = self.assignment.get(t) if self.assignment else None
-            for p, o in c.latest_offsets(t).items():
+            for p, o in c.latest_offsets(t, self.isolation).items():
                 if allowed is None or p in allowed:
                     out[self._okey(t, p)] = o
         return out
@@ -438,7 +464,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             out.append(
                 _RangePartition(
                     topic, p, int(start.get(k, 0)), int(end[k]),
-                    self.client_kwargs,
+                    self.client_kwargs, self.isolation,
                 )
             )
         return _split_ranges(out, self.min_partitions)
@@ -503,6 +529,7 @@ class KafkaWireBatchReader(DataSourceReader):
         self.options = dict(options)
         self.client_kwargs = _client_kwargs(options)
         self.min_partitions = int(options.get("minpartitions", 0)) or None
+        self.isolation = _isolation(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         import json
@@ -539,7 +566,7 @@ class KafkaWireBatchReader(DataSourceReader):
 
             for topic in self.topics:
                 earliest = c.earliest_offsets(topic)
-                latest = c.latest_offsets(topic)
+                latest = c.latest_offsets(topic, self.isolation)
 
                 def resolve(opt: str, default: dict) -> dict:
                     spec = specs[opt]
@@ -568,7 +595,7 @@ class KafkaWireBatchReader(DataSourceReader):
                 )
                 out.extend(
                     _RangePartition(topic, pp, start.get(pp, 0), end[pp],
-                                    self.client_kwargs)
+                                    self.client_kwargs, self.isolation)
                     for pp in sorted(end)
                     if allowed is None or pp in allowed
                 )

@@ -1258,23 +1258,27 @@ class KafkaWireProducer(KafkaWireClient):
 
 
 def _list_offsets(
-    client: "KafkaWireClient", topic: str, timestamp: int
+    client: "KafkaWireClient", topic: str, timestamp: int,
+    isolation_level: int = 0,
 ) -> dict[int, int]:
-    """ListOffsets v1 for every partition of ``topic``: TS_LATEST → the
-    high watermark (next offset to be assigned), TS_EARLIEST → log start."""
+    """ListOffsets v2 for every partition of ``topic``: TS_LATEST → the
+    high watermark (next offset to be assigned) — or the LAST STABLE
+    OFFSET under ``isolation_level=1``, so read_committed planners never
+    chase offsets an open transaction is still holding back —
+    TS_EARLIEST → log start."""
     meta = client.await_topics([topic])
     by_leader: dict[int, list[int]] = {}
     for p in meta.topics[topic]:
         by_leader.setdefault(p.leader, []).append(p.partition)
     out: dict[int, int] = {}
     for leader, pids in by_leader.items():
-        body = bytearray(struct.pack(">i", -1))  # replica_id
+        body = bytearray(struct.pack(">ib", -1, isolation_level))
         body += struct.pack(">i", 1)
         body += _str(topic)
         body += struct.pack(">i", len(pids))
         for pid in pids:
             body += struct.pack(">iq", pid, timestamp)
-        r = client.conn_for(leader, meta).request(API_LIST_OFFSETS, 1, bytes(body))
+        r = client.conn_for(leader, meta).request(API_LIST_OFFSETS, 2, bytes(body))
         for _ in range(r.i32()):
             r.string()  # topic
             for _ in range(r.i32()):
@@ -1293,6 +1297,10 @@ class KafkaWireConsumer(KafkaWireClient):
     OffsetFetch via FindCoordinator). No group MEMBERSHIP protocol —
     partitions are caller-assigned, like the jar source's manual-assignment
     mode; the broker only stores per-group positions."""
+
+    #: end offset of the highest RAW batch in the last fetch response
+    #: (set even when every batch filtered to nothing — see fetch())
+    _fetch_next_offset: int | None = None
 
     def fetch(
         self,
@@ -1343,6 +1351,17 @@ class KafkaWireConsumer(KafkaWireClient):
                 record_set = r.bytes_() or b""
                 if code != ERR_NONE:
                     raise KafkaProtocolError(code, f"Fetch {topic}[{partition}]")
+                # position tracking the way real clients do it: advance
+                # past EVERY raw batch in the response (control markers
+                # and aborted batches included), so a window that decodes
+                # to zero records still moves the cursor forward instead
+                # of refetching the same filtered batches forever
+                next_off = None
+                for bmeta, _ in iter_record_batches(record_set):
+                    end_off = bmeta.base_offset + bmeta.record_count
+                    if next_off is None or end_off > next_off:
+                        next_off = end_off
+                self._fetch_next_offset = next_off
                 if isolation_level == 1 and aborted:
                     records.extend(
                         _filter_aborted(record_set, aborted)
@@ -1354,8 +1373,10 @@ class KafkaWireConsumer(KafkaWireClient):
     def earliest_offsets(self, topic: str) -> dict[int, int]:
         return _list_offsets(self, topic, TS_EARLIEST)
 
-    def latest_offsets(self, topic: str) -> dict[int, int]:
-        return _list_offsets(self, topic, TS_LATEST)
+    def latest_offsets(
+        self, topic: str, isolation_level: int = 0
+    ) -> dict[int, int]:
+        return _list_offsets(self, topic, TS_LATEST, isolation_level)
 
     def offsets_for_timestamp(self, topic: str, ts_ms: int) -> dict[int, int]:
         """Per partition: the first offset with record timestamp >= ts_ms —
@@ -1465,8 +1486,12 @@ class KafkaWireConsumer(KafkaWireClient):
             while True:
                 recs, hwm = self.fetch(topic, p.partition, pos)
                 out.extend(recs)
-                pos = max((r.offset for r in recs), default=pos - 1) + 1
-                if pos >= hwm or not recs:
+                nxt = self._fetch_next_offset
+                pos = max(
+                    max((r.offset for r in recs), default=pos - 1) + 1,
+                    nxt if nxt is not None else 0,
+                )
+                if pos >= hwm or (not recs and nxt is None):
                     break
         return out
 

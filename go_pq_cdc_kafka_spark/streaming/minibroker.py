@@ -906,6 +906,7 @@ class MiniBroker:
         from .kafka_wire import TS_EARLIEST, TS_LATEST
 
         r.i32()  # replica_id
+        isolation = r.i8() if version >= 2 else 0
         requests: list[tuple[str, list[tuple[int, int]]]] = []
         for _ in range(r.i32()):
             topic = r.string()
@@ -929,6 +930,15 @@ class MiniBroker:
                         continue
                     if ts == TS_LATEST:
                         offset = log.high_watermark
+                        if isolation == 1:
+                            # read_committed: answer the LAST STABLE
+                            # OFFSET so planners stop at open txns
+                            for txn in self._txns.values():
+                                first = txn["first_offsets"].get(
+                                    (topic, pid)
+                                )
+                                if first is not None:
+                                    offset = min(offset, first)
                     elif ts == TS_EARLIEST:
                         offset = 0  # nothing is ever truncated here
                     else:  # first offset with timestamp >= ts; a REAL

@@ -829,3 +829,41 @@ def test_offset_commit_failure_logs_warning(broker, caplog):
         assert "g.warn" in warns[0].getMessage()
     finally:
         reader._driver_client = None
+
+
+def test_batch_read_committed_isolation(spark, broker):
+    """isolationlevel=read_committed (the jar source's
+    kafka.isolation.level): aborted-transaction records are filtered,
+    control markers never surface, and the planned end offsets come from
+    ListOffsets v2's LAST STABLE OFFSET — an open transaction caps the
+    batch instead of hanging the fetch loop."""
+    txn = KafkaWireProducer(broker.bootstrap, transactional_id="src-iso")
+    txn.begin_transaction()
+    txn.send_records([("t.iso", b"a", b"aborted", [])])
+    txn.abort_transaction()
+    _produce(broker.bootstrap, "t.iso", [(b"k", b"committed", [])])
+    txn.begin_transaction()
+    txn.send_records([("t.iso", b"o", b"open-txn", [])])  # never ended
+
+    KS.register(spark)
+
+    def read(level):
+        return (
+            spark.read.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t.iso")
+            .option("isolationlevel", level)
+            .load()
+            .collect()
+        )
+
+    committed = read("read_committed")
+    assert sorted(bytes(r.value) for r in committed) == [b"committed"]
+    dirty = read("read_uncommitted")
+    assert sorted(bytes(r.value) for r in dirty) == [
+        b"aborted", b"committed", b"open-txn"
+    ]
+    txn.abort_transaction()
+    txn.close()
+    with pytest.raises(Exception, match="isolationlevel"):
+        read("dirty_read")
