@@ -4542,11 +4542,38 @@ FROM embeddings
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.train_centroids(e, n_centroids=8, iters=3)
+    # k grows with the corpus (SemDeDup's own k does, for exactly this
+    # reason): the round-6 sf10 sweep caught the constant k=8 making
+    # ~N^2/8 within-cluster pairs at 500k vectors. Small corpora keep the
+    # Lloyd-trained flat path (oracle-gate behavior unchanged); past the
+    # cutover, flat N x k assignment is itself the bottleneck (the k=707
+    # Lloyd run timed out at sf10), so large corpora use k ~ N/128 seeded
+    # centroids with IVF-style two-level assignment — N x (64 + k/64)
+    # scored candidates — and ~N^2/k pair work. The oracle pins
+    # invariants (assignment totality, per-cluster keep bounds), not
+    # cluster ids, so k and the assignment strategy are performance
+    # dials at every SF.
+    n = e.count()  # bounded scalar action, same class as the k*dim collect
     # 0.4 matches dedup_embedding_cosine's fixture threshold: the synthetic
     # corpus is near-uniform (typical cos ~0.2), with planted similar pairs
     # above 0.4 — production text embeddings would use ~0.95
-    res = SIM.semantic_dedup(e, cents, threshold=0.4)
+    if n <= 20_000:
+        import math
+
+        k = max(8, min(128, math.isqrt(n) if n > 500 else 8))
+        cents = SIM.train_centroids(e, n_centroids=k, iters=3)
+        res = SIM.semantic_dedup(e, cents, threshold=0.4)
+    else:
+        k = min(4096, max(256, n // 128))
+        cents = e.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").cast("long").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        assigned = SIM.hierarchical_assign(
+            e, cents, coarse_n=64, id_col="vec_id", vec="embedding",
+            out_id="vec_id",
+        )
+        res = SIM.semantic_dedup(e, cents, threshold=0.4, assigned=assigned)
     per_cluster = res.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),

@@ -14,6 +14,12 @@ Prints one status line per query and a JSON summary; exit code 1 if any
 query failed. Known-quadratic exact variants can be skipped with
 SPARK_GRAFT_SWEEP_SKIP (comma-separated names), recorded as "skipped"
 with the reason rather than silently dropped.
+
+SPARK_GRAFT_SWEEP_RESUME_LOG=<path to a previous run's log> carries
+forward that run's ``ok`` lines: those queries are recorded with their
+prior wall time and ``"resumed": true`` instead of re-executing, so an
+interrupted sweep (or one interrupted to fix a failure it found) only
+re-runs what it must. Failures are never carried forward.
 """
 
 from __future__ import annotations
@@ -33,6 +39,18 @@ def main() -> int:
         s for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",") if s
     }
 
+    resumed: dict[str, float] = {}
+    resume_log = os.environ.get("SPARK_GRAFT_SWEEP_RESUME_LOG")
+    if resume_log and os.path.exists(resume_log):
+        for line in open(resume_log):
+            if line.startswith("ok   ") and ": " in line:
+                name, wall = line[5:].rsplit(": ", 1)
+                wall = wall.replace("(resumed)", "").strip().rstrip("s")
+                try:
+                    resumed[name.strip()] = float(wall)
+                except ValueError:
+                    pass
+
     from go_pq_cdc_kafka_spark.queries import REGISTRY
     from go_pq_cdc_kafka_spark.session import get_spark
 
@@ -43,6 +61,12 @@ def main() -> int:
         if name in skip:
             results[name] = {"status": "skipped"}
             print(f"skip {name}", flush=True)
+            continue
+        if name in resumed:
+            results[name] = {
+                "status": "ok", "sec": resumed[name], "resumed": True
+            }
+            print(f"ok   {name}: {resumed[name]}s (resumed)", flush=True)
             continue
         t0 = time.time()
         try:
