@@ -653,7 +653,9 @@ API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
+API_ADD_OFFSETS_TO_TXN = 25
 API_END_TXN = 26
+API_TXN_OFFSET_COMMIT = 28
 API_SASL_AUTHENTICATE = 36
 
 #: ListOffsets sentinel timestamps (public protocol constants)
@@ -1039,6 +1041,7 @@ class KafkaWireProducer(KafkaWireClient):
         self._sequences: dict[tuple[str, int], int] = {}
         self._in_txn = False
         self._txn_partitions: set[tuple[str, int]] = set()
+        self._txn_offsets_sent = False
 
     def _ensure_producer_id(self) -> None:
         """InitProducerId v0: acquire the (producerId, epoch) the broker
@@ -1067,6 +1070,7 @@ class KafkaWireProducer(KafkaWireClient):
         self._ensure_producer_id()
         self._in_txn = True
         self._txn_partitions.clear()
+        self._txn_offsets_sent = False
 
     def _add_partitions_to_txn(self, parts: set[tuple[str, int]]) -> None:
         new = parts - self._txn_partitions
@@ -1098,10 +1102,62 @@ class KafkaWireProducer(KafkaWireClient):
                     )
         self._txn_partitions |= new
 
+    def send_offsets_to_transaction(
+        self, group_id: str, topic: str, offsets: dict[int, int]
+    ) -> None:
+        """Stage consumer-group offsets inside the open transaction
+        (KIP-98 consume-transform-produce): AddOffsetsToTxn v0 registers
+        the group with the transaction coordinator, then TxnOffsetCommit
+        v0 hands it the offsets, which become visible to OffsetFetch
+        atomically with the produced records at commit — and are
+        discarded on abort. ``offsets`` maps partition → NEXT offset to
+        read (the same convention as :meth:`KafkaWireConsumer.
+        commit_offsets`). This is the exactly-once upgrade over the
+        reference's ack-after-publish loop (consumer.go:141-157 commits
+        source positions only after the produce succeeds, which is
+        at-least-once across a crash between the two)."""
+        if not self._in_txn:
+            raise ValueError(
+                "send_offsets_to_transaction requires an open transaction"
+            )
+        body = _str(self.transactional_id)
+        body += struct.pack(">qh", self._producer_id, self._producer_epoch)
+        body += _str(group_id)
+        r = self._bootstrap_conn().request(
+            API_ADD_OFFSETS_TO_TXN, 0, bytes(body)
+        )
+        r.i32()  # throttle_time_ms
+        code = r.i16()
+        if code != ERR_NONE:
+            raise KafkaProtocolError(code, f"AddOffsetsToTxn {group_id}")
+        body = bytearray(_str(self.transactional_id))
+        body += _str(group_id)
+        body += struct.pack(">qh", self._producer_id, self._producer_epoch)
+        body += struct.pack(">i", 1)
+        body += _str(topic)
+        body += struct.pack(">i", len(offsets))
+        for pid, off in sorted(offsets.items()):
+            body += struct.pack(">iq", pid, off)
+            body += _str(None)  # metadata
+        r = self._bootstrap_conn().request(
+            API_TXN_OFFSET_COMMIT, 0, bytes(body)
+        )
+        r.i32()  # throttle_time_ms
+        for _ in range(r.i32()):
+            t = r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                code = r.i16()
+                if code != ERR_NONE:
+                    raise KafkaProtocolError(
+                        code, f"TxnOffsetCommit {group_id}/{t}[{pid}]"
+                    )
+        self._txn_offsets_sent = True
+
     def _end_txn(self, committed: bool) -> None:
         if not self._in_txn:
             raise ValueError("no transaction in progress")
-        if not self._txn_partitions:
+        if not self._txn_partitions and not self._txn_offsets_sent:
             # empty transaction: nothing was produced, so no partition was
             # registered with the coordinator and there is no marker to
             # write — complete locally (the Java client short-circuits the
@@ -1119,6 +1175,7 @@ class KafkaWireProducer(KafkaWireClient):
             raise KafkaProtocolError(code, "EndTxn")
         self._in_txn = False
         self._txn_partitions.clear()
+        self._txn_offsets_sent = False
 
     def commit_transaction(self) -> None:
         self._end_txn(committed=True)

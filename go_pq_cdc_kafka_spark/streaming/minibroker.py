@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass, field
 
 from .kafka_wire import (
+    API_ADD_OFFSETS_TO_TXN,
     API_ADD_PARTITIONS_TO_TXN,
     API_END_TXN,
     API_FETCH,
@@ -46,6 +47,7 @@ from .kafka_wire import (
     API_SASL_AUTHENTICATE,
     API_SASL_HANDSHAKE,
     API_SYNC_GROUP,
+    API_TXN_OFFSET_COMMIT,
     API_VERSIONS,
     ERR_CORRUPT_MESSAGE,
     ERR_DUPLICATE_SEQUENCE_NUMBER,
@@ -416,6 +418,8 @@ class MiniBroker:
                 API_OFFSET_FETCH: self._offset_fetch,
                 API_INIT_PRODUCER_ID: self._init_producer_id,
                 API_ADD_PARTITIONS_TO_TXN: self._add_partitions_to_txn,
+                API_ADD_OFFSETS_TO_TXN: self._add_offsets_to_txn,
+                API_TXN_OFFSET_COMMIT: self._txn_offset_commit,
                 API_END_TXN: self._end_txn,
                 API_JOIN_GROUP: self._join_group,
                 API_SYNC_GROUP: self._sync_group,
@@ -476,7 +480,9 @@ class MiniBroker:
                 (API_OFFSET_FETCH, 1, 1), (API_INIT_PRODUCER_ID, 0, 0),
                 (API_JOIN_GROUP, 0, 0), (API_SYNC_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
-                (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0)]
+                (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0),
+                (API_ADD_OFFSETS_TO_TXN, 0, 0),
+                (API_TXN_OFFSET_COMMIT, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
         for k, lo, hi in apis:
             out += struct.pack(">hhh", k, lo, hi)
@@ -582,7 +588,8 @@ class MiniBroker:
                 txn = self._txns.setdefault(
                     pid,
                     {"txn_id": txn_id, "epoch": epoch,
-                     "partitions": set(), "first_offsets": {}},
+                     "partitions": set(), "first_offsets": {},
+                     "pending_offsets": {}},
                 )
                 for topic, parts in topics:
                     self._ensure_topic(topic)
@@ -596,13 +603,74 @@ class MiniBroker:
                 out += struct.pack(">ih", p, code)
         return bytes(out)
 
+    def _add_offsets_to_txn(self, version: int, r: _Reader) -> bytes:
+        """AddOffsetsToTxn v0: register a consumer group with the open
+        transaction so a later TxnOffsetCommit may stage offsets into it
+        (KIP-98 consume-transform-produce)."""
+        txn_id = r.string()
+        pid = r.i64()
+        epoch = r.i16()
+        r.string()  # group_id — single-node broker coordinates every group
+        with self._lock:
+            code = self._check_txn_epoch(txn_id, pid, epoch)
+            if code == ERR_NONE:
+                self._txns.setdefault(
+                    pid,
+                    {"txn_id": txn_id, "epoch": epoch,
+                     "partitions": set(), "first_offsets": {},
+                     "pending_offsets": {}},
+                )
+        return struct.pack(">ih", 0, code)
+
+    def _txn_offset_commit(self, version: int, r: _Reader) -> bytes:
+        """TxnOffsetCommit v0: stage group offsets inside the open
+        transaction. They reach the group-offsets store only when
+        _finish_txn_locked commits; an abort (or epoch fence) drops them."""
+        txn_id = r.string()
+        group = r.string()
+        pid = r.i64()
+        epoch = r.i16()
+        requests: list[tuple[str, list[tuple[int, int]]]] = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                p = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                parts.append((p, off))
+            requests.append((topic, parts))
+        with self._lock:
+            code = self._check_txn_epoch(txn_id, pid, epoch)
+            txn = self._txns.get(pid)
+            if code == ERR_NONE and txn is None:
+                # TxnOffsetCommit without a preceding AddOffsetsToTxn —
+                # the coordinator never opened this transaction for the
+                # group (real brokers answer INVALID_TXN_STATE)
+                code = ERR_INVALID_TXN_STATE
+            if code == ERR_NONE:
+                for topic, parts in requests:
+                    for p, off in parts:
+                        txn["pending_offsets"][(group, topic, p)] = off
+        out = bytearray(struct.pack(">ii", 0, len(requests)))
+        for topic, parts in requests:
+            out += _str(topic)
+            out += struct.pack(">i", len(parts))
+            for p, _off in parts:
+                out += struct.pack(">ih", p, code)
+        return bytes(out)
+
     def _finish_txn_locked(self, pid: int, committed: bool) -> None:
         """Write commit/abort control markers to every partition of the
-        open transaction and (on abort) extend the aborted-txn index.
-        Caller holds self._lock."""
+        open transaction, apply offsets staged by TxnOffsetCommit (commit
+        only — aborts drop them), and (on abort) extend the aborted-txn
+        index. Caller holds self._lock."""
         txn = self._txns.pop(pid, None)
         if txn is None:
             return
+        if committed:
+            for key, off in txn.get("pending_offsets", {}).items():
+                self._group_offsets[key] = off
         key = struct.pack(">hh", 0, 1 if committed else 0)  # version, type
         value = struct.pack(">hi", 0, 0)  # version, coordinator_epoch
         for topic, p in sorted(txn["partitions"]):

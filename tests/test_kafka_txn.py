@@ -179,3 +179,94 @@ def test_txn_api_misuse_rejected():
             p.begin_transaction()
         p.abort_transaction()
         p.close()
+
+
+def test_send_offsets_commits_atomically_with_records():
+    """KIP-98 consume-transform-produce: the group's source offsets and
+    the transformed output become visible in the SAME transaction commit,
+    so a crash between them can never split read-position from output
+    (the reference's publish-then-ack loop, consumer.go:141-157, is
+    at-least-once across that window)."""
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, "t.in", b"1", b"2", b"3")
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            assert c.fetch_committed("eos-g", "t.in", [0]) == {0: -1}
+            records, _ = c.fetch("t.in", 0, isolation_level=1)
+            with KafkaWireProducer(
+                broker.bootstrap, transactional_id="txn-eos"
+            ) as p:
+                p.begin_transaction()
+                for r in records:
+                    _send(p, "t.out", b"x" + bytes(r.value))
+                p.send_offsets_to_transaction(
+                    "eos-g", "t.in", {0: len(records)}
+                )
+                # staged, not yet visible: OffsetFetch still sees no commit
+                assert c.fetch_committed("eos-g", "t.in", [0]) == {0: -1}
+                p.commit_transaction()
+            assert c.fetch_committed("eos-g", "t.in", [0]) == {0: 3}
+            out, _ = c.fetch("t.out", 0, isolation_level=1)
+            assert _values(out) == [b"x1", b"x2", b"x3"]
+
+
+def test_send_offsets_discarded_on_abort():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, "t.in2", b"a")
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="txn-eos2"
+        ) as p:
+            p.begin_transaction()
+            _send(p, "t.out2", b"doomed")
+            p.send_offsets_to_transaction("eos-g2", "t.in2", {0: 1})
+            p.abort_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            assert c.fetch_committed("eos-g2", "t.in2", [0]) == {0: -1}
+            out, _ = c.fetch("t.out2", 0, isolation_level=1)
+        assert out == []
+
+
+def test_offsets_only_txn_reaches_broker():
+    """A transaction that stages offsets but produces nothing must still
+    EndTxn through the coordinator (the empty-txn local short-circuit
+    only applies when neither records nor offsets were registered)."""
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="txn-oo"
+        ) as p:
+            p.begin_transaction()
+            p.send_offsets_to_transaction("oo-g", "t.any", {0: 7})
+            p.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            assert c.fetch_committed("oo-g", "t.any", [0]) == {0: 7}
+
+
+def test_zombie_cannot_stage_offsets():
+    """Epoch fencing covers the offsets path too: once a new instance
+    bumps the epoch, the old producer's TxnOffsetCommit is rejected and
+    nothing it staged survives."""
+    with MiniBroker(num_partitions=1) as broker:
+        old = KafkaWireProducer(broker.bootstrap, transactional_id="txn-zo")
+        old.begin_transaction()
+        old.send_offsets_to_transaction("zo-g", "t.zo", {0: 5})
+        new = KafkaWireProducer(broker.bootstrap, transactional_id="txn-zo")
+        new.begin_transaction()
+        with pytest.raises(KafkaProtocolError):
+            old.send_offsets_to_transaction("zo-g", "t.zo", {0: 9})
+        with pytest.raises(KafkaProtocolError):
+            old.commit_transaction()
+        new.abort_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            assert c.fetch_committed("zo-g", "t.zo", [0]) == {0: -1}
+        old.close()
+        new.close()
+
+
+def test_send_offsets_requires_open_txn():
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="txn-req"
+        ) as p:
+            with pytest.raises(ValueError, match="open transaction"):
+                p.send_offsets_to_transaction("g", "t", {0: 1})
