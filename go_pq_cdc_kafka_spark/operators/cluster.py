@@ -254,6 +254,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     multigraph the wedge set is Θ(Σ d_out²) rows at the shuffle layer —
     executor-spill-bound, which is Spark's normal operating mode — and
     the enumeration only runs when an action actually asks for results.
+
+    Cost envelope, measured at sf10: the co-purchase graph there is ~45M
+    canonical edges over 100k nodes (average degree ~900), making the
+    exact wedge mass ≈ 2e10 rows / ~500 GB of shuffle — a many-node
+    cluster workload by construction, not a single-box one (it exhausted
+    the 250 GB sandbox disk). For single-box scale steps or denser
+    graphs, pre-sample the EDGE LIST deterministically and run this
+    operator exactly on the subgraph (DOULION, Tsourakakis et al.
+    KDD'09; see queries.graph_triangle_sampled) — uniform edge sampling
+    at keep-rate p cuts wedge mass ~1/p² and unbiases the global count
+    via total/p³.
     """
     canon = (
         edges.select(

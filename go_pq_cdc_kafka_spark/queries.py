@@ -3493,6 +3493,64 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.triangle_count(edges).orderBy("node")
 
 
+@register(
+    "graph_triangle_sampled",
+    oracle=f"""
+WITH e0 AS ({_COPURCHASE_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+),
+samp AS (
+  SELECT lo, hi FROM canon
+  WHERE (CAST(lo AS BIGINT) * 1000003 + hi) % 10 = 0
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM samp UNION ALL SELECT hi FROM samp
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM samp e1
+  JOIN samp e2 ON e2.lo = e1.hi
+  JOIN samp e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+ORDER BY d.node
+""",
+    category="graph",
+    description="Triangle counting on a DOULION-style uniform edge sample "
+    "(Tsourakakis et al., KDD'09): canonical edges are kept when a "
+    "deterministic LCG mix of the endpoint pair lands in 1/10 of the "
+    "residue space, then the degree-ordered wedge join runs exactly on "
+    "the sampled subgraph (global triangle estimate = total/p^3 with "
+    "p=0.1). This is the SCALE PATH twin of graph_triangle_suppliers: "
+    "the dense co-purchase fixture graph at sf10 has ~45M edges and "
+    "average degree ~900, so exact enumeration is Θ(Σd_out²) ≈ 2e10 "
+    "wedge rows — a many-node-cluster workload by construction; p=0.1 "
+    "cuts the wedge mass ~100× (sampling is the standard practice at "
+    "that density). The hash is an arithmetic mix both engines compute "
+    "identically, so the DuckDB oracle reproduces the exact same "
+    "subgraph and the gate stays exact-match.",
+)
+def graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    lo = F.least(F.col("src"), F.col("dst")).cast("long")
+    hi = F.greatest(F.col("src"), F.col("dst")).cast("long")
+    sampled = edges.filter((lo * F.lit(1000003) + hi) % 10 == 0)
+    return CL.triangle_count(sampled).orderBy("node")
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
                          scale: int = 1_000_000_000_000) -> str:
     """Unrolled-CTE DuckDB twin of operators/cluster.pagerank_fixed —

@@ -521,7 +521,12 @@ class KafkaWireBatchReader(DataSourceReader):
     ``subscribe`` alias). ``startingoffsets``/``endingoffsets`` bound the
     range like the jar source's batch mode: earliest|latest|explicit JSON
     with the -1/-2 sentinels ({"part": off} for one topic,
-    {"topic": {"part": off}} for several), default earliest→latest."""
+    {"topic": {"part": off}} for several), default earliest→latest.
+    ``startingoffsets="committed"`` (with ``group.id``) resumes from the
+    group's broker-stored positions — the batch leg of the exactly-once
+    consume-transform-produce loop (pipeline.write_kafka_wire_eos), where
+    each produce transaction advances those positions atomically with its
+    output."""
 
     def __init__(self, options: dict):
         self.topics = _parse_topics(options)
@@ -586,6 +591,30 @@ class KafkaWireBatchReader(DataSourceReader):
                         return dict(latest)
                     if spec.lower() == "earliest":
                         return dict(earliest)
+                    if (
+                        spec.lower() == "committed"
+                        and opt == "startingoffsets"
+                    ):
+                        # group's broker-stored positions (stream-reader
+                        # parity); partitions the group never committed
+                        # fall back to auto.offset.reset
+                        group = self.options.get("group.id")
+                        if not group:
+                            raise ValueError(
+                                'startingoffsets="committed" requires the '
+                                "group.id option"
+                            )
+                        reset = self.options.get(
+                            "auto.offset.reset", "earliest"
+                        ).lower()
+                        fallback = latest if reset == "latest" else earliest
+                        res = dict(fallback)
+                        for pp, o in c.fetch_committed(
+                            group, topic, sorted(latest)
+                        ).items():
+                            if o >= 0:
+                                res[pp] = o
+                        return res
                     raise ValueError(f"invalid {opt}: {spec!r}")
 
                 start = resolve("startingoffsets", earliest)

@@ -104,11 +104,22 @@ def _guarded_start(
     return query
 
 
-def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
+def _wire_produce_fn(
+    wire_kwargs: dict,
+    batch_caps: tuple[int, int],
+    eos_group: str | None = None,
+):
     """Executor-side produce closure for ``mapInPandas`` over the record
     frame ``(topic, key, value[, headers])``. Flushes a produce request at
     the reference's B2 caps (producer_batch.go:73-104): ≥ ``max_count``
-    records OR ≥ ``max_bytes`` accumulated key+value bytes."""
+    records OR ≥ ``max_bytes`` accumulated key+value bytes.
+
+    With ``eos_group`` set, rows additionally carry their source lineage
+    (``src_topic``, ``src_partition``, ``src_offset``) and the task stages
+    ``max(src_offset)+1`` per source partition into its transaction via
+    TxnOffsetCommit before committing — the consume-transform-produce
+    exactly-once shape (KIP-98): source positions and output become
+    visible atomically, or neither does."""
     max_count, max_bytes = batch_caps
 
     def produce(iterator):
@@ -135,6 +146,7 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
         pending: list = []
         pending_bytes = 0
         committed = False
+        nexts: dict[tuple[str, int], int] = {}  # eos: (src topic, part) → next
 
         def flush():
             nonlocal pending, pending_bytes, total
@@ -152,6 +164,16 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
                     prod = KafkaWireProducer(**kwargs)
                     if kwargs.get("transactional_id") is not None:
                         prod.begin_transaction()
+                if eos_group is not None:
+                    for st, sp, so in zip(
+                        pdf["src_topic"].tolist(),
+                        pdf["src_partition"].tolist(),
+                        pdf["src_offset"].tolist(),
+                    ):
+                        k = (st, int(sp))
+                        nxt = int(so) + 1
+                        if nxt > nexts.get(k, 0):
+                            nexts[k] = nxt
                 cols = [pdf["topic"].tolist(), pdf["key"].tolist(),
                         pdf["value"].tolist()]
                 heads = (
@@ -176,6 +198,12 @@ def _wire_produce_fn(wire_kwargs: dict, batch_caps: tuple[int, int]):
                         flush()
             if prod is not None:
                 flush()
+                if eos_group is not None:
+                    by_topic: dict[str, dict[int, int]] = {}
+                    for (st, sp), nxt in nexts.items():
+                        by_topic.setdefault(st, {})[sp] = nxt
+                    for st, offs in sorted(by_topic.items()):
+                        prod.send_offsets_to_transaction(eos_group, st, offs)
                 if kwargs.get("transactional_id") is not None:
                     prod.commit_transaction()
             committed = True
@@ -206,6 +234,55 @@ def write_kafka_wire(
     wire_kwargs = cfg.wire_kwargs()
     caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
     acked = df.mapInPandas(_wire_produce_fn(wire_kwargs, caps), schema="produced long")
+    row = acked.agg(F.sum("produced").alias("n")).first()
+    return int(row["n"] or 0)
+
+
+def write_kafka_wire_eos(
+    records_df: DataFrame,
+    cfg: KafkaProducerConfig,
+    group: str,
+) -> int:
+    """Exactly-once consume-transform-produce (KIP-98): batch produce of a
+    record frame that also carries its source lineage — ``src_topic``,
+    ``src_partition``, ``src_offset`` (rename the ``kafkawire`` source's
+    ``topic``/``partition``/``offset`` before adding output columns). Each
+    task produces inside one transaction and stages ``max(src_offset)+1``
+    per source partition into it, so the group's read positions and the
+    output commit atomically: re-running the loop (with the source reading
+    ``startingoffsets="committed"``, same ``group``) reprocesses nothing a
+    committed transaction covered, and an aborted task's offsets never
+    advance. This upgrades the reference's publish-then-ack loop
+    (consumer.go:141-157 — at-least-once across a crash between publish
+    and ack) to exactly-once.
+
+    Contract (the Kafka Streams EOS topology shape): the transform between
+    source and this sink must be narrow — no shuffle may split one source
+    partition's rows across tasks, because each task commits its own
+    transaction and a partition's offsets must ride exactly one of them.
+    The ``kafkawire`` source plans one task per source partition, so any
+    chain of map-side ops preserves the contract. Rows filtered out by
+    the transform don't advance offsets (their range is re-read next run
+    and filtered again — idempotent, never duplicated)."""
+    if cfg.transactional_id is None:
+        raise ValueError(
+            "write_kafka_wire_eos requires cfg.transactional_id — offsets "
+            "can only be staged inside a transaction"
+        )
+    missing = {"src_topic", "src_partition", "src_offset"} - set(
+        records_df.columns
+    )
+    if missing:
+        raise ValueError(
+            f"records_df lacks source lineage columns {sorted(missing)}; "
+            "rename the kafkawire source's topic/partition/offset columns"
+        )
+    wire_kwargs = cfg.wire_kwargs()
+    caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
+    acked = records_df.mapInPandas(
+        _wire_produce_fn(wire_kwargs, caps, eos_group=group),
+        schema="produced long",
+    )
     row = acked.agg(F.sum("produced").alias("n")).first()
     return int(row["n"] or 0)
 

@@ -6,6 +6,7 @@ import pytest
 
 from go_pq_cdc_kafka_spark.sources import kafka_source as KS
 from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+    KafkaWireConsumer,
     KafkaWireProducer,
     partition_for_key,
 )
@@ -867,3 +868,46 @@ def test_batch_read_committed_isolation(spark, broker):
     txn.close()
     with pytest.raises(Exception, match="isolationlevel"):
         read("dirty_read")
+
+
+def test_batch_read_committed_resume(spark, broker):
+    """Batch mode resumes from the group's broker-stored positions with
+    startingoffsets="committed" (stream-reader parity; the batch leg of
+    the write_kafka_wire_eos loop). Uncommitted partitions fall back to
+    auto.offset.reset; group.id is required."""
+    import pytest as _pytest
+
+    topic = "t.batch.committed"
+    with KafkaWireProducer(broker.bootstrap) as prod:
+        prod.send_records(
+            [(topic, b"k", f"c-{i}".encode(), []) for i in range(5)]
+        )
+    part = partition_for_key(b"k", 3)
+    KS.register(spark)
+
+    def read(**opts):
+        r = (
+            spark.read.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(
+            row.v for row in
+            r.load().selectExpr("CAST(value AS STRING) v").collect()
+        )
+
+    # nothing committed yet: earliest fallback reads all, latest none
+    assert read(**{"startingoffsets": "committed", "group.id": "bg"}) == [
+        f"c-{i}" for i in range(5)
+    ]
+    assert read(**{"startingoffsets": "committed", "group.id": "bg",
+                   "auto.offset.reset": "latest"}) == []
+    with KafkaWireConsumer(broker.bootstrap) as c:
+        c.commit_offsets("bg", topic, {part: 3})
+    assert read(**{"startingoffsets": "committed", "group.id": "bg"}) == [
+        "c-3", "c-4"
+    ]
+    with _pytest.raises(Exception, match="group.id"):
+        read(startingoffsets="committed")

@@ -270,3 +270,119 @@ def test_send_offsets_requires_open_txn():
         ) as p:
             with pytest.raises(ValueError, match="open transaction"):
                 p.send_offsets_to_transaction("g", "t", {0: 1})
+
+
+def test_eos_loop_spark_exactly_once(spark):
+    """End-to-end exactly-once consume-transform-produce through Spark:
+    kafkawire source (committed resume) → narrow transform →
+    write_kafka_wire_eos. Each source partition's offsets commit inside
+    the same transaction as its transformed output, so re-running the
+    loop never reprocesses covered input and never duplicates output."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_kafka_spark.sources import kafka_source as KS
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import write_kafka_wire_eos
+
+    KS.register(spark)
+    with MiniBroker(num_partitions=2) as broker:
+        cfg = KafkaProducerConfig(
+            brokers=[broker.bootstrap], transactional_id="eos-loop-app"
+        )
+
+        def run_loop() -> int:
+            src = (
+                spark.read.format("kafkawire")
+                .option("bootstrap", broker.bootstrap)
+                .option("topic", "t.eos.in")
+                .option("group.id", "eos-loop")
+                .option("startingoffsets", "committed")
+                .option("auto.offset.reset", "earliest")
+                .load()
+            )
+            rec = src.select(
+                F.col("topic").alias("src_topic"),
+                F.col("partition").alias("src_partition"),
+                F.col("offset").alias("src_offset"),
+                F.lit("t.eos.out").alias("topic"),
+                F.col("key"),
+                F.upper(F.col("value").cast("string"))
+                .cast("binary")
+                .alias("value"),
+            )
+            return write_kafka_wire_eos(rec, cfg, "eos-loop")
+
+        def out_values() -> list[bytes]:
+            vals = []
+            with KafkaWireConsumer(broker.bootstrap) as c:
+                for p in (0, 1):
+                    recs, _ = c.fetch("t.eos.out", p, isolation_level=1)
+                    vals += [bytes(r.value) for r in recs]
+            return sorted(vals)
+
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, "t.eos.in", *[b"m%d" % i for i in range(10)])
+        assert run_loop() == 10
+        assert out_values() == sorted(b"M%d" % i for i in range(10))
+        # second pass: everything is covered by committed transactions
+        assert run_loop() == 0
+        assert out_values() == sorted(b"M%d" % i for i in range(10))
+        # incremental input: only the delta is processed
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, "t.eos.in", b"x1", b"x2", b"x3")
+        assert run_loop() == 3
+        assert out_values() == sorted(
+            [b"M%d" % i for i in range(10)] + [b"X1", b"X2", b"X3"]
+        )
+
+
+def test_eos_task_failure_advances_nothing():
+    """The produce closure run to a mid-stream failure aborts its
+    transaction: neither the records it already flushed nor the offsets
+    it tracked become visible, so a Spark task retry (same inputs) is a
+    clean exactly-once redo."""
+    import pandas as pd
+
+    from go_pq_cdc_kafka_spark.streaming.pipeline import _wire_produce_fn
+
+    with MiniBroker(num_partitions=1) as broker:
+        fn = _wire_produce_fn(
+            {"bootstrap": broker.bootstrap,
+             "transactional_id": "eos-fail"},
+            (1, 1 << 20),  # flush every record: data reaches the broker
+            eos_group="eos-fail-g",
+        )
+
+        def frames():
+            yield pd.DataFrame({
+                "topic": ["t.ef.out"], "key": [b"k"], "value": [b"v"],
+                "src_topic": ["t.ef.in"], "src_partition": [0],
+                "src_offset": [4],
+            })
+            raise RuntimeError("executor died mid-task")
+
+        with pytest.raises(RuntimeError, match="mid-task"):
+            list(fn(frames()))
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            recs, _ = c.fetch("t.ef.out", 0, isolation_level=1)
+            assert recs == []  # flushed but aborted — invisible
+            assert c.fetch_committed("eos-fail-g", "t.ef.in", [0]) == {0: -1}
+
+
+def test_eos_requires_txn_and_lineage(spark):
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import write_kafka_wire_eos
+
+    df = spark.createDataFrame(
+        [("t", b"k", b"v")], "topic string, key binary, value binary"
+    )
+    with pytest.raises(ValueError, match="transactional_id"):
+        write_kafka_wire_eos(
+            df, KafkaProducerConfig(brokers=["x:1"]), "g"
+        )
+    with pytest.raises(ValueError, match="lineage"):
+        write_kafka_wire_eos(
+            df,
+            KafkaProducerConfig(brokers=["x:1"], transactional_id="t"),
+            "g",
+        )
