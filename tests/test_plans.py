@@ -457,5 +457,22 @@ def test_graph_queries_avoid_cartesian_products(spark):
     """pagerank + triangle counting: every join is key-equi (scores⋈edges,
     wedge⋈edges); a cartesian product would be the classic graph-join
     scale-killer."""
-    for q in ("graph_pagerank_suppliers", "graph_triangle_suppliers"):
+    for q in ("graph_pagerank_suppliers", "graph_triangle_suppliers",
+              "graph_triangle_sampled"):
         assert "Cartesian" not in plan_of(spark, q), q
+
+
+def test_triangle_sample_filter_is_map_side(spark):
+    """graph_triangle_sampled: the DOULION edge-sample predicate runs as a
+    plain Filter before the first exchange — sampling that only applied
+    after a shuffle would pay the full exact-variant wedge cost."""
+    plan = plan_of(spark, "graph_triangle_sampled")
+    # Catalyst must fuse the LCG-mix predicate into the edge filter that
+    # sits directly on the lag-window output (condition references prev#),
+    # i.e. rows drop before the distinct shuffle and every join — not in
+    # some post-join residual
+    fused = [
+        c for c in plan.split("Condition : ")
+        if "1000003" in c.split("\n")[0] and "prev#" in c.split("\n")[0]
+    ]
+    assert fused, "sample predicate not fused into the pre-shuffle filter"
