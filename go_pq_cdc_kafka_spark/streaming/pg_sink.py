@@ -82,6 +82,25 @@ def build_upsert_sql(
     )
 
 
+def build_insert_sql(
+    schema: str,
+    table: str,
+    columns: Sequence[str],
+    rows: Sequence[Sequence],
+) -> str:
+    """One plain multi-row INSERT (append-only path: no conflict target)."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    cols_sql = ", ".join(_quote_ident(c) for c in columns)
+    values = ", ".join(
+        "(" + ", ".join(quote_literal(v) for v in row) + ")" for row in rows
+    )
+    return (
+        f"INSERT INTO {_quote_ident(schema)}.{_quote_ident(table)} "
+        f"({cols_sql}) VALUES {values}"
+    )
+
+
 def build_delete_sql(
     schema: str,
     table: str,
@@ -259,6 +278,150 @@ def foreach_batch_pg_upsert(
             yield pd.DataFrame({"rows": [n]})
 
         # count() forces every partition exactly once (write_avro pattern)
+        df.mapInPandas(part, "rows long").count()
+
+    return fn
+
+
+def ensure_ledger(conn, schema: str, ledger_table: str) -> None:
+    """Create the applied-batches ledger if absent. Concurrent tasks can
+    race CREATE TABLE IF NOT EXISTS onto the same catalog row (a known
+    Postgres quirk — IF NOT EXISTS checks then inserts without a lock);
+    the loser's duplicate-key error is identical in effect to success."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+    from go_pq_cdc_kafka_spark.sources.wire import WireError
+
+    try:
+        conn.simple_query(
+            f"CREATE TABLE IF NOT EXISTS "
+            f"{_quote_ident(schema)}.{_quote_ident(ledger_table)} ("
+            "target text NOT NULL, batch_id bigint NOT NULL, "
+            "part_id int NOT NULL, applied_at timestamptz DEFAULT now(), "
+            "PRIMARY KEY (target, batch_id, part_id))"
+        )
+    except WireError as e:
+        if "already exists" not in str(e) and "duplicate key" not in str(e):
+            raise
+
+
+def foreach_batch_pg_append_eos(
+    dsn: str,
+    table: str,
+    schema: str = "public",
+    ledger_table: str = "spark_applied_batches",
+    chunk_rows: int = 500,
+    use_copy: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function appending each micro-batch into
+    ``schema.table`` EXACTLY ONCE — the keyless twin of
+    :func:`foreach_batch_pg_upsert` for event/audit streams with no
+    natural primary key, where ON CONFLICT idempotence has nothing to
+    hang off.
+
+    Each task runs ONE server-side transaction: it first claims the
+    ``(target, batch_id, partition_id)`` row in the ledger table with
+    ``INSERT .. ON CONFLICT DO NOTHING RETURNING 1``; an empty RETURNING
+    means an earlier attempt of this (batch, partition) already
+    committed, so the task rolls back and writes nothing. Otherwise the
+    data rows go in (multi-row INSERT literals, or ``COPY`` straight
+    into the target with ``use_copy`` — append needs no temp stage) and
+    the claim commits ATOMICALLY with them. Every failure mode lands on
+    the right side: a crash before COMMIT leaves neither claim nor rows
+    (server aborts the transaction on disconnect, Spark retries clean);
+    a network failure after COMMIT makes the retry see the claim and
+    skip; a concurrent speculative attempt blocks on the claim's unique
+    index until the winner commits, then reads conflict → skip. Same
+    contract as ``sinks.foreach_batch_idempotent_parquet``, with the
+    ledger playing the manifest's role. Micro-batch replays from a
+    checkpoint re-plan the same source offsets into the same partitions,
+    which is what makes (batch_id, partition_id) a stable claim key."""
+    from go_pq_cdc_kafka_spark.sources.snapshot import _quote_ident
+
+    target_literal = quote_literal(f"{schema}.{table}")
+
+    def fn(df: DataFrame, batch_id: int) -> None:
+        import pandas as pd  # noqa: F401 — mapInPandas contract
+
+        data_cols = list(df.columns)
+
+        def part(iterator):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            from go_pq_cdc_kafka_spark.sources import wire
+
+            ctx = TaskContext.get()
+            part_id = ctx.partitionId() if ctx else 0
+            conn = None
+            n = 0
+            claimed = False
+            try:
+                for pdf in iterator:
+                    if not len(pdf):
+                        continue
+                    if conn is None:
+                        conn = wire.ReplicationConnection(
+                            **wire.parse_dsn(dsn)
+                        ).connect()
+                        ensure_ledger(conn, schema, ledger_table)
+                        conn.simple_query("BEGIN")
+                        got = conn.simple_query(
+                            f"INSERT INTO {_quote_ident(schema)}."
+                            f"{_quote_ident(ledger_table)} "
+                            f"(target, batch_id, part_id) VALUES "
+                            f"({target_literal}, {int(batch_id)}, "
+                            f"{int(part_id)}) "
+                            f"ON CONFLICT (target, batch_id, part_id) "
+                            f"DO NOTHING RETURNING 1"
+                        )
+                        if not got:
+                            # an earlier attempt committed this partition
+                            conn.simple_query("ROLLBACK")
+                            break
+                        claimed = True
+                    if use_copy:
+                        cols_sql = ", ".join(
+                            _quote_ident(c) for c in data_cols
+                        )
+                        rows = (
+                            tuple(None if pd.isna(v) else v for v in r)
+                            for r in pdf[data_cols].itertuples(index=False)
+                        )
+                        conn.copy_in(
+                            f"COPY {_quote_ident(schema)}."
+                            f"{_quote_ident(table)} ({cols_sql}) FROM STDIN",
+                            (copy_text_row(r) for r in rows),
+                        )
+                        n += len(pdf)
+                    else:
+                        for lo in range(0, len(pdf), chunk_rows):
+                            chunk = pdf.iloc[lo : lo + chunk_rows]
+                            rows = [
+                                tuple(None if pd.isna(v) else v for v in r)
+                                for r in chunk[data_cols].itertuples(
+                                    index=False
+                                )
+                            ]
+                            conn.simple_query(
+                                build_insert_sql(
+                                    schema, table, data_cols, rows
+                                )
+                            )
+                            n += len(rows)
+                if claimed:
+                    conn.simple_query("COMMIT")
+            except BaseException:
+                if conn is not None and claimed:
+                    try:
+                        conn.simple_query("ROLLBACK")
+                    except Exception:
+                        pass  # server aborts the txn on disconnect anyway
+                raise
+            finally:
+                if conn is not None:
+                    conn.close()
+            yield pd.DataFrame({"rows": [n]})
+
         df.mapInPandas(part, "rows long").count()
 
     return fn

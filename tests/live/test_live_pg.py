@@ -1050,3 +1050,69 @@ def test_live_pg_to_kafka_wire_full_loop(spark, tmp_path):
                 pass
         finally:
             admin.close()
+
+
+def test_live_pg_append_eos_ledger_exactly_once(spark):
+    """Keyless append sink against a REAL server: a replayed micro-batch
+    (same batch_id) inserts nothing the second time because every task's
+    ledger claim commits atomically with its rows; distinct batch_ids
+    append; a mid-transaction failure leaves neither claim nor rows."""
+    from go_pq_cdc_kafka_spark.streaming import pg_sink as PS
+
+    suffix = uuid.uuid4().hex[:8]
+    tbl = f"sg_app_{suffix}"
+    ledger = f"sg_led_{suffix}"
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (v bigint NOT NULL, note text)')
+    try:
+        sink = PS.foreach_batch_pg_append_eos(
+            DSN, tbl, ledger_table=ledger
+        )
+        b0 = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(20)], "v long, note string"
+        ).repartition(3)
+        sink(b0, 0)
+        count = lambda: int(  # noqa: E731
+            admin.simple_query(f'SELECT COUNT(*) AS n FROM "{tbl}"')[0]["n"]
+        )
+        assert count() == 20
+        sink(b0, 0)  # full-batch replay: every claim conflicts
+        assert count() == 20
+        sink(b0, 1)  # a NEW batch id is new work
+        assert count() == 40
+        claims = admin.simple_query(
+            f'SELECT batch_id, part_id FROM "{ledger}" ORDER BY 1, 2'
+        )
+        assert {(int(r["batch_id"])) for r in claims} == {0, 1}
+
+        # copy path: same ledger, next batch
+        sink_copy = PS.foreach_batch_pg_append_eos(
+            DSN, tbl, ledger_table=ledger, use_copy=True
+        )
+        sink_copy(b0, 2)
+        assert count() == 60
+        sink_copy(b0, 2)
+        assert count() == 60
+
+        # mid-transaction failure: a NOT NULL violation fails the data
+        # INSERT after the claim succeeded — the server rolls back claim
+        # AND rows together, so a corrected retry of the batch applies
+        bad = spark.createDataFrame(
+            [(1, "ok"), (None, "boom")], "v long, note string"
+        ).coalesce(1)
+        with pytest.raises(Exception):
+            sink(bad, 3)
+        assert count() == 60  # nothing leaked
+        rows = admin.simple_query(
+            f'SELECT COUNT(*) AS n FROM "{ledger}" WHERE batch_id = 3'
+        )
+        assert int(rows[0]["n"]) == 0  # claim rolled back with the data
+        fixed = spark.createDataFrame(
+            [(1, "ok"), (2, "fixed")], "v long, note string"
+        ).coalesce(1)
+        sink(fixed, 3)  # corrected retry applies cleanly
+        assert count() == 62
+    finally:
+        admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+        admin.simple_query(f'DROP TABLE IF EXISTS "{ledger}"')
+        admin.close()

@@ -86,3 +86,24 @@ def test_pg_type_unmapped_raises():
 
     with pytest.raises(ValueError, match="no PostgreSQL mapping"):
         PS.pg_type_for(T.ArrayType(T.LongType()))
+
+
+def test_build_insert_sql_shape():
+    from go_pq_cdc_kafka_spark.streaming.pg_sink import build_insert_sql
+
+    sql = build_insert_sql(
+        "public", "events", ["id", "note"], [(1, "a'b"), (2, None)]
+    )
+    assert sql == (
+        'INSERT INTO "public"."events" ("id", "note") '
+        "VALUES (1, 'a''b'), (2, NULL)"
+    )
+
+
+def test_append_eos_rejects_hostile_identifiers():
+    import pytest
+
+    from go_pq_cdc_kafka_spark.streaming.pg_sink import build_insert_sql
+
+    with pytest.raises(ValueError):
+        build_insert_sql("public", 'x"; DROP TABLE y;--', ["id"], [(1,)])
