@@ -6038,3 +6038,433 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_feats", "num", "den", "dsir_score")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite batch 3 (round 6): the remaining TPC-H query shapes (Q2, Q4, Q6,
+# Q8, Q9, Q16, Q20), adapted where the fixture schema lacks partsupp /
+# l_commitdate / l_receiptdate — each adaptation is documented on the query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "composite_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    category="composite",
+    description="TPC-H Q6 shape (forecasting revenue change): a pure "
+    "scan-filter-aggregate with three pushable predicates and no join — "
+    "the query whose whole cost is the parquet scan, so the plan MUST "
+    "show all three filters pushed and a two-column read. Revenue "
+    "accumulates in decimal (extendedprice and discount have two "
+    "fractional digits each, so the per-row product has at most four — "
+    "the scale-6 cast is exact in both engines).",
+)
+def composite_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_priority_order_check",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="composite",
+    description="TPC-H Q4 shape (order-priority checking): EXISTS over a "
+    "correlated lineitem subquery with a NON-equi correlated predicate "
+    "(shipped more than 30 days after the order date stands in for "
+    "l_commitdate < l_receiptdate, absent from the fixture). Catalyst "
+    "decorrelates to a LeftSemi hash join on l_orderkey with the "
+    "date-arithmetic predicate as a join filter — one shuffle, no "
+    "per-row subquery, which is the only shape that survives a 100 TB "
+    "orders table.",
+)
+def composite_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "composite_market_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                   AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE cr.r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+""",
+    category="composite",
+    description="TPC-H Q8 shape (national market share): seven joins where "
+    "every dimension (part, customer, supplier, nation twice, region) "
+    "broadcasts and only orders–lineitem shuffles; the supplier-nation "
+    "share is a conditional-sum ratio per order year. Both sums "
+    "accumulate in decimal so the final double division is bit-identical "
+    "cross-engine. Nation is joined TWICE under different roles — the "
+    "aliasing exercise that breaks naive self-join handling.",
+)
+def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    zero = F.lit(0).cast("decimal(27,6)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)).cast(
+        "double"
+    )
+    den = F.sum(vol).cast("double")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(asia), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((num / den).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "composite_product_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.125 * p_retailprice * l_quantity
+                AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    category="composite",
+    description="TPC-H Q9 shape (product-type profit): profit per supplier "
+    "nation and order year over parts matched by a name infix. The fixture "
+    "has no partsupp, so supply cost is modeled as 0.125 * p_retailprice "
+    "* l_quantity — 0.125 is DYADIC (2^-3, exact in binary), keeping the "
+    "per-row profit's decimal expansion at <= 5 fractional digits so the "
+    "scale-6 decimal accumulation stays exact in both engines (0.1 would "
+    "not: its binary rounding error lands exactly where the cast cuts). "
+    "Plan: part/supplier/nation broadcast, one orders-lineitem shuffle, "
+    "partial aggregation before the group-by exchange.",
+)
+def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.125) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("nation"), F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "composite_min_cost_supplier",
+    oracle="""
+WITH links AS (
+  SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+),
+best AS (SELECT partkey, MIN(unit_cost) AS min_cost FROM links GROUP BY 1)
+SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name,
+       n.n_name AS nation, p.p_partkey,
+       CAST(l.unit_cost AS DOUBLE) AS supply_cost
+FROM part p
+JOIN best b ON b.partkey = p.p_partkey
+JOIN links l ON l.partkey = p.p_partkey AND l.unit_cost = b.min_cost
+JOIN supplier s ON s.s_suppkey = l.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+""",
+    category="composite",
+    description="TPC-H Q2 shape (minimum-cost supplier): the correlated "
+    "'cost = min cost for this part among the region's suppliers' "
+    "subquery, decorrelated into a per-(part,supplier) aggregate joined "
+    "back against its own per-part minimum. The fixture has no partsupp, "
+    "so the observed unit price MIN(l_extendedprice / l_quantity) over "
+    "the lineitem link plays supply cost — a per-row double division "
+    "(bit-identical cross-engine) whose MIN and equality re-join are "
+    "exact. Ties on the minimum return every achieving supplier in both "
+    "engines; the ORDER BY chain (acctbal DESC, nation, name, partkey) "
+    "is a unique key of the output so LIMIT 100 is deterministic.",
+)
+def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    eur = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    eur_supp = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(eur), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    links = (
+        li.join(F.broadcast(eur_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    best = links.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    sn = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "nation")
+    return (
+        links.join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        .join(
+            best,
+            (F.col("b_partkey") == F.col("partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "nation",
+            "p_partkey",
+            F.col("unit_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "composite_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    category="composite",
+    description="TPC-H Q16 shape (parts/supplier relationship): distinct "
+    "supplier counts per (brand, type, size) with three NOT-style part "
+    "predicates and a NOT IN supplier exclusion. The lineitem DISTINCT "
+    "pair projection stands in for partsupp; the exclusion list "
+    "(negative account balance stands in for the customer-complaints "
+    "LIKE) is an anti-join against a tiny broadcast side — NOT IN is "
+    "safe to plan as LeftAnti because s_suppkey is non-nullable. "
+    "COUNT(DISTINCT) goes through Spark's two-phase distinct-aggregate "
+    "expansion, partials before the exchange.",
+)
+def composite_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    link = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        link.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "composite_promotable_suppliers",
+    oracle="""
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name AS nation
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 450
+)
+ORDER BY s_name
+""",
+    category="composite",
+    description="TPC-H Q20 shape (potential part promotion): suppliers who "
+    "moved a significant volume of 'red' parts in a year — the doubly "
+    "nested IN (parts by name prefix, then a grouped-HAVING volume "
+    "threshold standing in for the partsupp availqty comparison) becomes "
+    "one broadcast part filter into lineitem, one integer-quantity "
+    "aggregate per supplier, and a LeftSemi against the 100-row supplier "
+    "dim. Integral fixture quantities summed as BIGINT make the HAVING "
+    "boundary exact.",
+)
+def composite_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    movers = (
+        li.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+        .filter(F.col("qty") > 450)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(movers, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(
+            "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"), "nation"
+        )
+        .orderBy("s_name")
+    )

@@ -476,3 +476,62 @@ def test_triangle_sample_filter_is_map_side(spark):
         if "1000003" in c.split("\n")[0] and "prev#" in c.split("\n")[0]
     ]
     assert fused, "sample predicate not fused into the pre-shuffle filter"
+
+
+def test_forecast_revenue_all_filters_reach_the_scan(spark):
+    # Q6 shape: the whole query is one scan — all three predicates must be
+    # pushed into the parquet reader and the read pruned to the referenced
+    # columns, or at 100 TB the scan reads 8x the bytes it needs
+    plan = plan_of(spark, "composite_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+    assert op_count(plan, "SortMergeJoin") == 0
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_priority_order_check_decorrelates_to_semi(spark):
+    # Q4 shape: the EXISTS with a non-equi correlated predicate must become
+    # ONE LeftSemi join on l_orderkey with the date arithmetic as a join
+    # filter — never a per-row subquery or a cartesian
+    plan = plan_of(spark, "composite_priority_order_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "SortMergeJoin") <= 1
+
+
+def test_composite_batch3_broadcast_dims(spark):
+    # Q8/Q9/Q20: every dimension-shaped side (part, supplier, nation x2,
+    # region, the movers aggregate) broadcasts; at most the one fact-fact
+    # orders⋈lineitem edge may shuffle at scale
+    for name, min_bhj in (
+        ("composite_market_share", 5),
+        ("composite_product_profit", 3),
+        ("composite_promotable_suppliers", 1),
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert op_count(plan, "BroadcastHashJoin") >= min_bhj, name
+        assert op_count(plan, "SortMergeJoin") <= 1, name
+
+
+def test_min_cost_supplier_no_cartesian_and_equality_rejoin(spark):
+    # Q2 shape: the min-cost re-join is an EQUI join on
+    # (partkey, unit_cost) — a hash-family join, never a nested loop; the
+    # region restriction reduces lineitem BEFORE the per-pair aggregate
+    plan = plan_of(spark, "composite_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert op_count(plan, "SortMergeJoin") <= 3
+
+
+def test_supplier_part_counts_anti_join_and_distinct_expansion(spark):
+    # Q16 shape: the NOT IN exclusion plans as LeftAnti against the tiny
+    # negative-balance list; COUNT(DISTINCT) goes through the two-phase
+    # distinct aggregate, partials before the exchange
+    plan = plan_of(spark, "composite_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # pair-distinct + count-distinct phases
