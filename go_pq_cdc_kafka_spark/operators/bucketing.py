@@ -1,26 +1,29 @@
-"""Bucketed co-located joins — the shuffle-free path for repeated big joins.
+"""Co-located storage layouts: bucketed tables and range-clustered files.
 
-At 100 TB the dominant cost of a fact-fact join is the shuffle of both sides.
-When the same join key is used repeatedly (orders ⋈ lineitem on orderkey every
-day), pay the shuffle ONCE at write time: ``bucketBy(n, key)`` hash-partitions
-files on disk, and Catalyst then plans a SortMergeJoin with **no Exchange** on
-either side — each task reads matching bucket files directly. The reference
-has no analogue (it never joins); this is pure Spark-side scale machinery
-(SURVEY §4: "bucketing for co-located joins").
+Two write-side techniques that trade one write-time shuffle for ZERO
+shuffles on every subsequent read — the storage half of the engine's
+scale story (the plan half lives in tests/test_plans.py):
 
-Rules that make the Exchange actually disappear (all enforced/encoded here):
+- :func:`write_bucketed` — hash-bucketed, per-bucket-sorted table writes
+  (``DataFrameWriter.bucketBy``). Two tables bucketed on the same key
+  with the same bucket count join with NO Exchange and NO Sort on either
+  side: the scan itself satisfies the join's distribution requirement.
+  For a fact table that is joined on the same key by many downstream
+  queries (the orders⋈lineitem edge every TPC-H-shaped query shuffles),
+  this converts a per-query 100 TB shuffle into a once-at-ingest cost.
 
-- both sides bucketed by the SAME columns into the SAME bucket count
-  (or a divisor — AQE coalesces);
-- ``spark.sql.sources.bucketing.enabled`` on (default) and the join keys
-  must be a superset of the bucket keys;
-- bucket pruning: an equality filter on the bucket key scans 1/n of the
-  files — visible as ``SelectedBucketsCount`` in the scan node.
+- :func:`write_range_clustered` — range-partition + sort-within-partition
+  parquet layout. Parquet keeps min/max stats per row group; writing
+  rows range-clustered on a filter column makes those stats DISJOINT
+  across files, so a range predicate prunes whole files/row-groups at
+  scan time instead of reading and discarding. This is the layout freedom
+  the engine's pushed-filter plans (PushedFilters in PLANS.md) need to
+  actually skip bytes at 100 TB.
 
-Sizing: bucket count ≈ table_size / target_file_size (128-256 MB compressed).
-A 10 TB fact at 256 MB → ~40k buckets; cap by cluster parallelism so each
-task gets ≥1 bucket. Too few buckets ⇒ giant files + no parallelism; too
-many ⇒ small-file storm (each writing task emits one file per bucket).
+Reference parity note: go-pq-cdc-kafka has no storage layer of its own —
+it streams into Kafka (reference config/config.go topic routing). These
+helpers cover the SURVEY §2.B sink rows' "co-located join" obligation on
+the Spark side, where materialized tables ARE part of the engine surface.
 """
 
 from __future__ import annotations
@@ -30,45 +33,70 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(
     df: DataFrame,
-    table_name: str,
-    bucket_cols: list[str],
-    num_buckets: int,
-    sort_cols: list[str] | None = None,
+    table: str,
+    key: str | list[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and, by default, per-bucket sorted)
+    catalog table.
+
+    Bucket count is a CONTRACT, not a tuning knob: every table that wants
+    shuffle-free joins against this one must use the SAME ``num_buckets``
+    on the SAME key — Spark only elides the exchange when the output
+    partitionings match exactly. Sorting within buckets additionally
+    elides the sort-merge join's per-side Sort, making the join a pure
+    zip of pre-sorted streams — but read-side ordering propagation is
+    gated on ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (off by default since Spark 3.0 because MULTI-file buckets would need
+    a scan-time merge-sort; this writer repartitions to one file per
+    bucket precisely so the conf is safe to enable). Exchange elision
+    needs no conf.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if sort:
+        # ONE file per bucket, or the sort metadata is useless: Spark only
+        # elides the read-side Sort when each bucket is a single file (it
+        # will not merge-sort multiple files per bucket at scan time).
+        # repartition on the key uses the same Murmur3-pmod placement as
+        # the bucket spec, so after this each task holds exactly one
+        # bucket's rows and writes exactly one file.
+        df = df.repartition(num_buckets, *keys)
+    w = (
+        df.write.format(format)
+        .mode(mode)
+        .bucketBy(num_buckets, keys[0], *keys[1:])
+    )
+    if sort:
+        w = w.sortBy(keys[0], *keys[1:])
+    w.saveAsTable(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    num_files: int = 32,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a bucketed managed table. ``sortBy`` within buckets
-    additionally removes the per-task Sort from later merge joins."""
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table_name)
+    """Write parquet range-clustered on ``cluster_col``: rows are range-
+    partitioned (global order across files) then sorted within each file,
+    so every file's row-group min/max envelope on the column is narrow
+    and disjoint — the precondition for footer-stats pruning to skip
+    files on range predicates. One write-time range-exchange buys every
+    future scan's skip."""
+    (
+        df.repartitionByRange(num_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
-def bucketed_join(
-    spark: SparkSession,
-    left_table: str,
-    right_table: str,
-    on: list[str],
-    how: str = "inner",
-) -> DataFrame:
-    """Join two pre-bucketed tables on their bucket keys. With matching
-    bucket specs this plans with zero Exchange (verify via
-    ``assert_colocated``)."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
-
-
-def assert_colocated(df: DataFrame) -> None:
-    """Raise if the physical plan still shuffles — the guard a pipeline calls
-    after building a join that is SUPPOSED to ride the bucket layout."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
-        raise AssertionError(
-            "bucketed join still shuffles — bucket specs mismatch "
-            "(columns or counts) or bucketing disabled:\n" + plan
-        )
-
-
-def bucket_count_for(table_bytes: int, target_file_bytes: int = 256 << 20,
-                     max_buckets: int = 100_000) -> int:
-    """Bucket-count sizing rule (see module docstring)."""
-    return max(1, min(max_buckets, table_bytes // max(1, target_file_bytes) or 1))
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (the bucketing
+    metadata only survives a catalog read — ``spark.read.parquet`` on the
+    same files would forget the distribution and reintroduce shuffles)."""
+    return spark.table(table)
