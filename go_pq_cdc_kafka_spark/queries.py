@@ -5195,20 +5195,42 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _simhash_bits(n: int, bands: int = 4) -> int:
+    """Fingerprint width scaled to the corpus so the banded self-join's
+    RANDOM band collisions stay ~linear in n instead of quadratic:
+    E[candidates] ~ bands * n^2 / 2^width, so width >= log2(n/25) keeps it
+    under ~50n. Fixed 8-bit bands are exactly the blowup the round-6 sf10
+    sweep caught: 4 * C(500k,2) / 256 ~ 2e9 candidate rows (4 GiB task
+    pages, unbounded spill). Floor of 8 bits (32-bit fingerprint) keeps
+    n <= ~6k — including the sf0.01 oracle gate, whose static SQL twin
+    uses bits=32 — byte-identical to the unscaled version; ceiling of 15
+    bits because hash64 yields 60 usable bits (bands * 15)."""
+    import math
+
+    width = max(8, math.ceil(math.log2(max(n, 26) / 25)))
+    return bands * min(15, width)
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=DD.simhash_pairs_sql(bits=32, bands=4, max_hamming=3),
     category="dedup",
-    description="SimHash near-dup PAIRS via banded Hamming LSH: 4 8-bit "
-    "bands over the 32-bit fingerprints, exact bit_count(xor) <= 3 "
-    "verification on candidates only — at which threshold the pigeonhole "
-    "guarantee makes banding COMPLETE (distance < bands is never missed). "
-    "Same single posexplode band self-join plan as MinHash-LSH.",
+    description="SimHash near-dup PAIRS via banded Hamming LSH: 4 bands "
+    "over corpus-width-scaled fingerprints (8-bit bands / 32 bits at the "
+    "sf0.01 oracle gate, matching the static SQL twin; up to 15-bit "
+    "bands / 60 bits at 500k docs so random band collisions stay linear "
+    "in n), exact bit_count(xor) <= 3 verification on candidates only — "
+    "at which threshold the pigeonhole guarantee makes banding COMPLETE "
+    "(distance < bands is never missed). Same single posexplode band "
+    "self-join plan as MinHash-LSH.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # bounded scalar action (row count over parquet metadata) — the same
+    # class of driver-side scalar _cosine_planes uses
+    bits = _simhash_bits(d.count())
     return DD.simhash_pairs(
-        d, bits=32, bands=4, max_hamming=3
+        d, bits=bits, bands=4, max_hamming=3
     ).orderBy("doc_a", "doc_b")
 
 
