@@ -100,3 +100,38 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     metadata only survives a catalog read — ``spark.read.parquet`` on the
     same files would forget the distribution and reintroduce shuffles)."""
     return spark.table(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two pre-bucketed tables on their bucket keys. With matching
+    bucket specs this plans with zero Exchange (verify via
+    :func:`assert_colocated`)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def assert_colocated(df: DataFrame) -> None:
+    """Raise if the physical plan contains any Exchange — the executable
+    contract that a bucketed join/aggregation really is co-located (an
+    assertion, not a log line, so pipelines fail fast when someone writes
+    a side with the wrong bucket count and silently reintroduces the
+    100 TB shuffle)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(f"plan is not co-located (Exchange present):\n{plan}")
+
+
+def bucket_count_for(
+    table_bytes: int, target_file_bytes: int = 256 << 20, cap: int = 100_000
+) -> int:
+    """Sizing rule: bucket count ~ table_size / target_file_size (128-256 MB
+    compressed per bucket file). Too few buckets => giant files and no
+    parallelism; too many => a small-file storm (every writing task emits
+    one file per bucket). Capped so a petabyte table cannot demand more
+    open file handles than a cluster can hold."""
+    return max(1, min(cap, table_bytes // target_file_bytes))

@@ -174,3 +174,61 @@ def test_range_clustered_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
         # disjoint (at most touching at the boundary key): a range
         # predicate overlaps ~1 file instead of all of them
         assert next_lo >= prev_hi, envelopes
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir, bucketed_pair):
+    """Contrast case: the same join against a NON-bucketed side must fail
+    the co-location assertion — proves assert_colocated detects the
+    reintroduced shuffle rather than passing vacuously."""
+    t_orders, _ = bucketed_pair
+    plain = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    j = B.bucketed_table(spark, t_orders).join(plain, ["o_orderkey"])
+    with pytest.raises(AssertionError):
+        B.assert_colocated(j)
+
+
+def test_bucketed_join_helper_is_colocated(spark, sf_dir, bucketed_pair):
+    """bucketed_join + assert_colocated round trip on a same-named key."""
+    t_orders, _ = bucketed_pair
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    B.write_bucketed(li, "bt_lineitem_renamed", "o_orderkey", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = B.bucketed_join(spark, t_orders, "bt_lineitem_renamed", ["o_orderkey"])
+        B.assert_colocated(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem_renamed")
+
+
+def test_bucket_pruning_on_point_filter(spark, bucketed_pair):
+    t_orders, _ = bucketed_pair
+    # autoBucketedScan turns bucketed reading off when no shuffle is saved;
+    # disable it so the point filter demonstrates 1-of-8 bucket pruning
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        plan = (
+            spark.table(t_orders)
+            .filter(F.col("o_orderkey") == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+    assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+def test_bucket_count_sizing():
+    assert B.bucket_count_for(10 << 40) == (10 << 40) // (256 << 20)  # 10 TB
+    assert B.bucket_count_for(1 << 20) == 1                # tiny table: 1
+    assert B.bucket_count_for(1 << 60) == 100_000          # capped
