@@ -232,3 +232,94 @@ def test_bucket_count_sizing():
     assert B.bucket_count_for(10 << 40) == (10 << 40) // (256 << 20)  # 10 TB
     assert B.bucket_count_for(1 << 20) == 1                # tiny table: 1
     assert B.bucket_count_for(1 << 60) == 100_000          # capped
+
+
+def _file_envelopes(path, col):
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        out.append((lo, hi))
+    return out
+
+
+def test_zorder_bounds_every_dimension(spark, sf_dir, tmp_path):
+    """Morton layout: EVERY clustered column's per-file envelope is a
+    fraction of the global range, so footer stats prune on predicates
+    over either column — where single-column clustering leaves the
+    second column's envelopes at ~full range."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    B.write_zorder_clustered(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+
+    rng = {
+        c: (r["mn"], r["mx"])
+        for c, r in (
+            (
+                c,
+                li.agg(
+                    F.min(c).alias("mn"), F.max(c).alias("mx")
+                ).collect()[0],
+            )
+            for c in ("l_orderkey", "l_partkey")
+        )
+    }
+
+    def avg_frac(path, col):
+        """Mean per-file envelope fraction = expected fraction of files a
+        uniform point predicate on `col` fails to prune. The MEAN is the
+        right statistic: a z-interval split at a quantile (non-prefix)
+        boundary produces a few straddler files with wide envelopes —
+        inherent to Morton layouts (Delta's OPTIMIZE has them too) — but
+        they stay a small minority, which the mean captures and a max
+        would not."""
+        lo_g, hi_g = rng[col]
+        spread = hi_g - lo_g
+        envs = _file_envelopes(path, col)
+        assert len(envs) >= 8
+        return sum((hi - lo) / spread for lo, hi in envs) / len(envs)
+
+    # 16 files in 2-d: typical file covers ~1/4 of each dimension; a point
+    # predicate on EITHER column prunes most files
+    assert avg_frac(zpath, "l_orderkey") < 0.5
+    assert avg_frac(zpath, "l_partkey") < 0.5
+
+    # contrast: single-column clustering leaves the OTHER column unpruned
+    rpath = str(tmp_path / "range1d")
+    B.write_range_clustered(li, rpath, "l_orderkey", num_files=16)
+    assert avg_frac(rpath, "l_orderkey") < 0.2
+    assert avg_frac(rpath, "l_partkey") > 0.85
+
+
+def test_zorder_requires_two_columns():
+    with pytest.raises(ValueError):
+        B.write_zorder_clustered(None, "/tmp/x", ["one"])
+
+
+def test_zorder_preserves_rows_and_schema(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder_rows")
+    B.write_zorder_clustered(li, zpath, ["l_orderkey", "l_partkey"], num_files=8)
+    back = spark.read.parquet(zpath)
+    assert back.columns == ["l_orderkey", "l_partkey", "l_quantity"]
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_orderkey")).collect()[0][0] == \
+        li.agg(F.sum("l_orderkey")).collect()[0][0]
