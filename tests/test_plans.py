@@ -349,6 +349,16 @@ def test_scd2_single_window_shuffle(spark):
     assert plan.count("hashpartitioning") <= 1
 
 
+def test_incremental_agg_two_hash_exchanges(spark):
+    plan = plan_of(spark, "cdc_incremental_agg")
+    # one exchange partitions by pk for the LAG pre-image window, one
+    # repartitions the (already partial-aggregated) deltas by shard; the
+    # presentation sort is a range exchange — nothing else shuffles, and
+    # the view-update cost stays O(Δ) regardless of accumulated view size
+    assert plan.count("hashpartitioning") <= 2
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower()
+
+
 def test_zscore_type_stats_broadcast_back(spark):
     plan = plan_of(spark, "ts_zscore_outliers")
     assert "BroadcastHashJoin" in plan
