@@ -1116,3 +1116,67 @@ def test_live_pg_append_eos_ledger_exactly_once(spark):
         admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
         admin.simple_query(f'DROP TABLE IF EXISTS "{ledger}"')
         admin.close()
+
+def test_live_schema_evolution_mid_stream():
+    """DDL between commits: ALTER TABLE ADD COLUMN / DROP COLUMN / RENAME
+    while the slot retains the pre-DDL changes. Postgres re-sends the
+    Relation message before the first post-DDL row, and the decoder's
+    relid registry (pgoutput.py PgOutputDecoder.decode, scripted twin
+    tests/test_pgoutput.py:233,256) must re-key the column layout so each
+    event decodes against the schema THAT ROW was logged under — the
+    reference inherits this from go-pq-cdc's relation cache. Proven here
+    against a real walsender: one stream read yields four INSERTs spanning
+    three table shapes and two table names."""
+    suffix = uuid.uuid4().hex[:8]
+    tbl, pub, slot = f"sg_ev_{suffix}", f"sg_evpub_{suffix}", f"sg_evslot_{suffix}"
+    tbl2 = f"{tbl}_renamed"
+    admin = _conn()
+    admin.simple_query(f'CREATE TABLE "{tbl}" (id bigint PRIMARY KEY, name text)')
+    admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
+    try:
+        c2 = _conn()
+        row = c2.create_replication_slot(slot)
+        c2.close()
+        start = wire.parse_lsn(row["consistent_point"]) - 1
+
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (1, 'before')")
+        admin.simple_query(f'ALTER TABLE "{tbl}" ADD COLUMN email text')
+        admin.simple_query(
+            f"INSERT INTO \"{tbl}\" VALUES (2, 'widened', 'w@x')"
+        )
+        admin.simple_query(f'ALTER TABLE "{tbl}" DROP COLUMN name')
+        admin.simple_query(f"INSERT INTO \"{tbl}\" VALUES (3, 'n@x')")
+        # rename follows the relation oid: the publication still covers it
+        admin.simple_query(f'ALTER TABLE "{tbl}" RENAME TO "{tbl2}"')
+        admin.simple_query(f"INSERT INTO \"{tbl2}\" VALUES (4, 'r@x')")
+
+        events = []
+        frames = wire.frame_source_from_dsn(DSN, slot, pub)(start)
+        for ev in PO.decode_replication_stream(frames):
+            events.append(ev)
+            if len(events) >= 4:
+                break
+        assert [e["op"] for e in events] == ["INSERT"] * 4
+        e1, e2, e3, e4 = events
+        # original shape
+        assert e1["after"] == {"id": "1", "name": "before"}
+        assert e1["table_name"] == tbl
+        # widened shape: the added column appears exactly when it was added
+        assert e2["after"] == {"id": "2", "name": "widened", "email": "w@x"}
+        # narrowed shape: the dropped column vanishes from later rows
+        assert e3["after"] == {"id": "3", "email": "n@x"}
+        # renamed relation: same oid, events route under the new name
+        assert e4["after"] == {"id": "4", "email": "r@x"}
+        assert e4["table_name"] == tbl2
+        assert e3["table_name"] == tbl
+    finally:
+        try:
+            admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl}"')
+            admin.simple_query(f'DROP TABLE IF EXISTS "{tbl2}"')
+            try:
+                admin.drop_replication_slot(slot)
+            except wire.WireError:
+                pass
+        finally:
+            admin.close()

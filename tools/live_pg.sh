@@ -39,7 +39,7 @@ PGPASSWORD=cdc_pass psql -h 127.0.0.1 -U cdc_user -d postgres -Atc \
 
 cd "$(dirname "$0")/.."
 rc=0
-SPARK_GRAFT_LIVE_PG="$DSN" python -m pytest tests/live/test_live_pg.py -q || rc=$?
+SPARK_GRAFT_LIVE_PG="$DSN" python -m pytest ${LIVE_ARGS:-tests/live/test_live_pg.py -q} || rc=$?
 
 if [ "${KEEP:-0}" != "1" ]; then
   AS_PG "pg_ctl -D '$DATA' stop -m fast" || true
