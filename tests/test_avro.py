@@ -184,8 +184,10 @@ def test_corrupt_sync_marker_detected():
 def test_bad_magic_and_unknown_codec_raise_loudly():
     with pytest.raises(ValueError, match="magic"):
         A.read_ocf_header(b"PAR1" + b"\x00" * 32)
-    with pytest.raises(ValueError, match="zstandard"):
-        A._codec_pair("zstandard")
+    # zstandard became a supported from-spec codec in round 6 — the loud
+    # failure now belongs to genuinely unknown codec names only
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        A._codec_pair("lzo")
     with pytest.raises(ValueError, match="unsupported"):
         A.parse_schema({"type": "record", "name": "r", "fields": [{"name": "u", "type": "uuid5"}]})
 
