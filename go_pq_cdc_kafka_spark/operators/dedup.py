@@ -396,6 +396,174 @@ ORDER BY c.doc_a, c.doc_b
 
 
 # ---------------------------------------------------------------------------
+# incremental MinHash dedup — new batch vs. an existing (already-deduped)
+# corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """Cross-set near-dup detection: which NEW documents duplicate the
+    EXISTING corpus? Returns ``(new_doc, dup_of, jaccard)`` pairs at
+    ``jaccard >= threshold``; the batch's survivors are its anti-join
+    against ``new_doc``.
+
+    This is the shape a continuously-ingesting pipeline actually runs —
+    full-corpus pair generation (:func:`minhash_lsh_pairs`) is the
+    bootstrap; every subsequent increment only needs batch-vs-corpus. In
+    production the corpus's banded signatures are computed ONCE and
+    persisted (they are exactly the ``cb`` relation below — a band-keyed
+    table that grows append-only as batches are admitted), so the
+    per-increment cost is O(|batch| shingles) + band-join probes +
+    verification of LSH candidates: independent of corpus size except
+    through the (bounded, uniform-key) band-bucket probe.
+
+    Join strategy mirrors :func:`minhash_lsh_pairs`: corpus-scaled
+    relations (shingle index, banded signatures) may NEVER broadcast —
+    Catalyst's static stats don't model explode fan-out, so each join
+    carries an explicit hint. The batch-side band probe uses shuffle_hash
+    (uniform md5-derived band keys; batch slice builds, corpus probes);
+    verification joins are the same index-probe shape as the full variant.
+    """
+    r = num_perms // bands
+
+    def _banded(sh: DataFrame) -> DataFrame:
+        sig = _signatures_from_index(sh, num_perms)
+        band_cols = [
+            F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+            for b in range(bands)
+        ]
+        return sig.select(
+            "doc_id",
+            F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+        )
+
+    csh = _pin(shingle_index(corpus, text_col, id_col, n), persist)
+    bsh = _pin(shingle_index(batch, text_col, id_col, n), persist)
+    cb = _banded(csh)
+    bb = _banded(bsh)
+    cand = (
+        bb.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    shared = (
+        cand.hint("shuffle_hash")
+        .join(bsh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc")
+        .hint("shuffle_hash")
+        .join(
+            csh.select(F.col("doc_id").alias("dup_of"), "shingle"),
+            ["dup_of", "shingle"],
+        )
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    bsz = bsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    csz = csh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    return (
+        shared.join(
+            bsz.select(
+                F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na")
+            ).hint("shuffle_hash"),
+            "new_doc",
+        )
+        .join(
+            csz.select(
+                F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("nb")
+            ).hint("shuffle_hash"),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "dup_of", "jaccard")
+    )
+
+
+def minhash_incremental_pairs_sql(
+    corpus_pred: str,
+    batch_pred: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    r = num_perms // bands
+    sh = T.shingles_sql("text", n)
+    h30 = f"({T.hash64_sql('shingle')} % {_H30})"
+    mh_cols = ",\n    ".join(
+        "MIN(({a} * {h} + {b}) % {m}) AS mh{p}".format(
+            a=_mh_consts(p)[0], b=_mh_consts(p)[1], h=h30, m=_MH_MOD, p=p
+        )
+        for p in range(num_perms)
+    )
+    band_cols = ",\n    ".join(
+        "concat_ws('|', "
+        + ", ".join(f"mh{b * r + i}" for i in range(r))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS new_doc, b.doc_id AS dup_of FROM bbanded a "
+        f"JOIN cbanded b ON a.band{b} = b.band{b}"
+        for b in range(bands)
+    )
+    return f"""
+WITH csh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents WHERE {corpus_pred}
+),
+bsh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents WHERE {batch_pred}
+),
+csig AS (SELECT doc_id, {mh_cols} FROM csh GROUP BY doc_id),
+bsig AS (SELECT doc_id, {mh_cols} FROM bsh GROUP BY doc_id),
+cbanded AS (SELECT doc_id, {band_cols} FROM csig),
+bbanded AS (SELECT doc_id, {band_cols} FROM bsig),
+cand AS (SELECT DISTINCT new_doc, dup_of FROM ({band_joins})),
+bsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM bsh GROUP BY doc_id),
+csz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM csh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM bsh a JOIN csh b ON a.shingle = b.shingle
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.new_doc, c.dup_of,
+       CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) AS jaccard
+FROM cand c
+JOIN shared s ON s.new_doc = c.new_doc AND s.dup_of = c.dup_of
+JOIN bsz sa ON sa.doc_id = c.new_doc
+JOIN csz sb ON sb.doc_id = c.dup_of
+WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= {threshold}
+ORDER BY c.new_doc, c.dup_of
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

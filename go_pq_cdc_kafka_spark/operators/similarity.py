@@ -853,6 +853,177 @@ ORDER BY query_id, rk
 
 
 # ---------------------------------------------------------------------------
+# random projection (Johnson–Lindenstrauss) — the dimensionality scale path
+# ---------------------------------------------------------------------------
+#
+# Complements the other ANN tiers: LSH buckets (prune candidates), IVF
+# (partition the corpus), int8/PQ (compress the bytes). Random projection
+# shrinks the DIMENSION: a ±1 Rademacher matrix (Achlioptas 2001 — database-
+# friendly JL) maps dim-D vectors to dim-P sketches whose pairwise angles
+# concentrate around the originals, so candidate generation scores P-dim
+# sketches (P/D of the flops and scanned bytes) and only the top-m survivors
+# per query pay a full-dimension exact re-rank. Projection planes derive from
+# md5 (namespace "rp") so Spark and the SQL oracle build the identical matrix.
+
+
+def _rp_signs(proj: int, dim: int) -> list[int]:
+    """Deterministic ±1 Rademacher row ``proj`` of the projection matrix:
+    sign d = parity of the first md5 nibble of "rp<p>:<d>" (distinct
+    namespace from the LSH planes so the two families never correlate)."""
+    return [
+        1
+        if int(hashlib.md5(f"rp{proj}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def random_projection(vec: Column, dim: int, out_dim: int) -> Column:
+    """Project to ``out_dim`` coordinates, each an exact-decimal dot with a
+    deterministic ±1 row — engine-identical, so downstream ranking on the
+    sketches matches the SQL oracle exactly."""
+    return F.array(
+        *[_plane_dot(vec, _rp_signs(p, dim)) for p in range(out_dim)]
+    )
+
+
+def random_projection_sql(v: str, dim: int, out_dim: int) -> str:
+    coords = ", ".join(
+        exact_dot_sql(
+            v,
+            "["
+            + ", ".join(f"{float(s)}" for s in _rp_signs(p, dim))
+            + "]::DOUBLE[]",
+        )
+        for p in range(out_dim)
+    )
+    return f"[{coords}]"
+
+
+def rp_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    k: int = 5,
+    rerank: int = 3,
+    q_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: (1) score ``out_dim``-dim sketches for every
+    (query, corpus) pair — map-only over corpus partitions with the query
+    sketches broadcast, paying out_dim/dim of the brute-force flops and, in
+    a production layout where sketches are materialized as their own column
+    (or table), out_dim/dim of the scanned bytes; (2) exact full-dimension
+    re-rank of only the top ``rerank*k`` sketch candidates per query.
+
+    Stage-2 cost is |Q|·rerank·k full dots — independent of corpus size.
+    The candidate top-m and final top-k windows both run on LSH-style
+    pre-filtered row counts (≤ |Q|·m rows after stage 1), never on the
+    corpus. Recall is tunable via ``out_dim`` (JL: angle distortion shrinks
+    as 1/√out_dim) and ``rerank``."""
+    m = rerank * k
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec).alias("_qv"),
+        norm(F.col(vec)).alias("_qn"),
+        random_projection(F.col(vec), dim, out_dim).alias("_qp"),
+    ).withColumn("_qpn", norm(F.col("_qp")))
+    c = corpus.select(
+        F.col(q_id).alias("neighbor_id"),
+        F.col(vec).alias("_cv"),
+        norm(F.col(vec)).alias("_cn"),
+        random_projection(F.col(vec), dim, out_dim).alias("_cp"),
+    ).withColumn("_cpn", norm(F.col("_cp")))
+    sketch_scored = c.join(
+        F.broadcast(q.select("query_id", "_qp", "_qpn"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "_cv",
+        "_cn",
+        cosine_from_norms(
+            F.col("_qp"), F.col("_cp"), F.col("_qpn"), F.col("_cpn")
+        ).alias("sketch_sim"),
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("sketch_sim").desc(), F.col("neighbor_id")
+    )
+    cand = sketch_scored.withColumn(
+        "crk", F.row_number().over(wm)
+    ).filter(F.col("crk") <= m)
+    rescored = cand.join(
+        F.broadcast(q.select("query_id", "_qv", "_qn")), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "sketch_sim",
+        cosine_from_norms(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos_sim", "sketch_sim")
+    )
+
+
+def rp_cosine_topk_sql(
+    dim: int,
+    out_dim: int = 16,
+    k: int = 5,
+    rerank: int = 3,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+) -> str:
+    m = rerank * k
+    nrm = norm_sql("embedding")
+    proj = random_projection_sql("embedding", dim, out_dim)
+    sk_cos = cosine_from_norms_sql("q.proj", "c.proj", "q.pn", "c.pn")
+    cos = cosine_from_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    return f"""
+WITH qp AS (
+  SELECT vec_id AS query_id, embedding, {nrm} AS nrm, {proj} AS proj
+  FROM {table} WHERE {query_pred}
+),
+q AS (SELECT query_id, embedding, nrm, proj, {norm_sql("proj")} AS pn FROM qp),
+cp AS (
+  SELECT vec_id AS neighbor_id, embedding, {nrm} AS nrm, {proj} AS proj
+  FROM {table}
+),
+c AS (SELECT neighbor_id, embedding, nrm, proj, {norm_sql("proj")} AS pn FROM cp),
+sk AS (
+  SELECT q.query_id, c.neighbor_id, c.embedding, c.nrm, {sk_cos} AS sketch_sim
+  FROM c, q
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sketch_sim DESC, neighbor_id) AS crk
+  FROM sk
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id, c.sketch_sim, {cos} AS cos_sim
+  FROM (SELECT query_id, neighbor_id, sketch_sim,
+               embedding, nrm FROM cand WHERE crk <= {m}) c
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim, sketch_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+  FROM rescored
+)
+SELECT query_id, rk, neighbor_id, cos_sim, sketch_sim
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization — the memory-bandwidth scale path
 # ---------------------------------------------------------------------------
 #
@@ -959,4 +1130,170 @@ ranked AS (
 SELECT query_id, rk, neighbor_id, qdot
 FROM ranked WHERE rk <= {k}
 ORDER BY query_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# prototype vectors (per-label centroids) + prototype-distance data pruning
+# ---------------------------------------------------------------------------
+#
+# "Beyond neural scaling laws" (Sorscher et al. 2022): rank examples by
+# distance to their class prototype (the label centroid) and prune the easy
+# ones — keeping hard/atypical examples beats random pruning at scale. The
+# centroid pass is the vector analogue of a groupBy mean; the pruning pass
+# is a broadcast join (|labels| × dim is tiny by construction) + one
+# per-label window.
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector, computed as (label, dim) scalar aggregates —
+    posexplode + one groupBy — NOT per-row array folds: the shuffle moves
+    (labels × dim) sum cells, map-side combined, and nothing driver-side.
+    Means are decimal-sum / count double divisions (oracle-exact)."""
+    cells = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("double").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        cells.select(
+            "label",
+            "dim",
+            # 12-decimal round before anything consumes the mean: the
+            # DECIMAL(38,18) accumulator rounds a sub-1 double's long binary
+            # expansion at digit 18, and Spark/DuckDB disagree on that last
+            # digit (~1e-18); the same discipline as :func:`cosine`.
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 12
+            ).alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ),
+                lambda e: e["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def label_centroids_sql(
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {label_col} AS label, u.d AS dim,
+         ROUND(CAST(SUM(CAST(u.x AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 12) AS m
+  FROM (
+    SELECT {label_col},
+           unnest([{{'x': CAST({vec_col}[i] AS DOUBLE), 'd': i - 1}}
+                   for i in generate_series(1, len({vec_col}))]) AS u
+    FROM {table}
+  )
+  GROUP BY label, dim
+)
+SELECT label,
+       list_transform(
+         list_sort(list({{'dim': dim, 'm': m}})), e -> e.m
+       ) AS centroid
+FROM cells
+GROUP BY label
+ORDER BY label
+"""
+
+
+def prototype_pruning(
+    df: DataFrame,
+    keep_per_label: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep the ``keep_per_label`` HARDEST examples per label — lowest
+    cosine to the label's own centroid (ties by id). One broadcast join
+    against the (labels × dim) centroid table, one per-label window: the
+    corpus never shuffles except for that ranking window, and the window
+    keys are the labels (bounded, uniform)."""
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col("label"),
+        F.col("centroid"),
+        norm(F.col("centroid")).alias("_pn"),
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            cosine_from_norms(
+                F.col("_v"), F.col("centroid"), F.col("_vn"), F.col("_pn")
+            ).alias("proto_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_sim").asc(), "vec_id")
+    return (
+        scored.withColumn("hardness_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hardness_rank") <= keep_per_label)
+        .select("label", "hardness_rank", "vec_id", "proto_sim")
+    )
+
+
+def prototype_pruning_sql(
+    keep_per_label: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    cos = cosine_from_norms_sql("e.embedding", "c.centroid", "e.nrm", "c.pn")
+    return f"""
+WITH cells AS (
+  SELECT {label_col} AS label, u.d AS dim,
+         ROUND(CAST(SUM(CAST(u.x AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 12) AS m
+  FROM (
+    SELECT {label_col},
+           unnest([{{'x': CAST({vec_col}[i] AS DOUBLE), 'd': i - 1}}
+                   for i in generate_series(1, len({vec_col}))]) AS u
+    FROM {table}
+  )
+  GROUP BY label, dim
+),
+cents AS (
+  SELECT label,
+         list_transform(list_sort(list({{'dim': dim, 'm': m}})), e -> e.m)
+           AS centroid
+  FROM cells GROUP BY label
+),
+cents_n AS (SELECT label, centroid, {norm_sql("centroid")} AS pn FROM cents),
+scored AS (
+  SELECT e.{id_col} AS vec_id, e.label, {cos} AS proto_sim
+  FROM (SELECT {id_col}, {label_col} AS label, {vec_col} AS embedding,
+               {norm_sql(vec_col)} AS nrm FROM {table}) e
+  JOIN cents_n c ON e.label = c.label
+)
+SELECT label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY proto_sim ASC, vec_id) AS BIGINT)
+         AS hardness_rank,
+       vec_id, proto_sim
+FROM scored
+QUALIFY hardness_rank <= {keep_per_label}
+ORDER BY label, hardness_rank
 """

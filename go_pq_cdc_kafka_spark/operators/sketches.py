@@ -271,3 +271,165 @@ def histogram_quantiles(
     ]
     aggs.append(F.max("total").cast("long").alias("n_rows"))
     return c.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) sketches — mergeable distinct-count + uniform value sample
+# ---------------------------------------------------------------------------
+#
+# The k-minimum-values / theta-sketch family (Bar-Yossef et al. 2002;
+# Apache DataSketches' theta): per cell, keep the k SMALLEST hash values of
+# the distinct items. Two payoffs from one sketch:
+#   - distinct estimate: hashes are uniform on [0, H), so the kth-smallest
+#     h_k ≈ k/n · H  ⇒  n̂ = (k-1)·H / h_k (the unbiased KMV estimator);
+#   - the k survivors are a uniform random sample of the DISTINCT items
+#     (sampled by hash, not by row frequency), so sample order statistics
+#     estimate quantiles of the distinct-value distribution.
+# Merge = union two sketches' hash sets, re-take the k smallest — exactly
+# how the rollup below answers coarser groupings without rescanning rows.
+#
+# Everything is md5-derived and integer-exact, so unlike the HLL tier this
+# sketch IS DuckDB-oracle-checkable bit-for-bit: hashes live in [0, 2^40)
+# (double-exact, so the one estimator division is the same IEEE op in both
+# engines), ties broken by item value, and the n<k case degrades to the
+# EXACT count (h_k undefined ⇒ estimator bypassed).
+
+_KMV_H = 1 << 40
+
+
+def kmv_cell_sketches(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k sketch of ``value_col``'s distinct values per cell.
+
+    One distinct-shuffle (map-side combinable groupBy, the same cost any
+    exact distinct pays) + one per-cell top-k window over DISTINCT items
+    only — never a per-row window. The sketch row is a sorted
+    array<struct<h,v>> of at most k entries: compact enough to persist in a
+    parquet column and union forever after."""
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.functions.text import hash64
+
+    dist = df.select(*cell_cols, F.col(value_col).alias("v")).distinct()
+    hashed = dist.withColumn(
+        "h", hash64(F.col("v").cast("string")) % F.lit(_KMV_H)
+    )
+    w = Window.partitionBy(*cell_cols).orderBy("h", "v")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*cell_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("h"), F.col("v")))
+            ).alias("sketch"),
+        )
+    )
+
+
+def kmv_rollup(
+    sketches: DataFrame, rollup_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge cell sketches to a coarser grouping: union the hash sets,
+    re-take the k smallest. Shuffles only (cells × ≤k) sketch entries —
+    never the raw rows (hash-distinct across cells: the same item reaches
+    every cell with the same h, v)."""
+    from pyspark.sql import Window
+
+    entries = (
+        sketches.select(
+            *rollup_cols, F.explode("sketch").alias("e")
+        )
+        .select(*rollup_cols, "e.h", "e.v")
+        .distinct()
+    )
+    w = Window.partitionBy(*rollup_cols).orderBy("h", "v")
+    return (
+        entries.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*rollup_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("h"), F.col("v")))
+            ).alias("sketch"),
+        )
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct estimate + sample order statistics from a sketch column.
+
+    n_sample < k ⇒ the sketch saw every distinct item: the estimate is the
+    exact count. Otherwise n̂ = (k-1)·H / h_k — one double division of
+    exactly-representable integers (h < 2^40 < 2^53), identical in any
+    IEEE engine. ``sample_median`` is the sample's middle item by hash
+    order re-sorted by value — a uniform-over-distinct-items estimator of
+    the value median."""
+    n_sample = F.size("sketch")
+    h_k = F.element_at("sketch", -1)["h"]
+    vals = F.array_sort(
+        F.transform(F.col("sketch"), lambda e: e["v"])
+    )
+    return sketches.select(
+        *[c for c in sketches.columns if c != "sketch"],
+        n_sample.cast("long").alias("n_sample"),
+        F.when(n_sample < k, n_sample.cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * (F.lit(float(_KMV_H)) / h_k.cast("double"))
+        )
+        .alias("est_distinct"),
+        F.element_at(
+            vals,
+            (((n_sample + 1) - ((n_sample + 1) % 2)) / F.lit(2)).cast("int"),
+        ).alias("sample_median"),
+    )
+
+
+def kmv_sql(
+    cell_col: str,
+    value_col: str,
+    table: str,
+    k: int = 64,
+    all_label: str = "ALL",
+) -> str:
+    """DuckDB twin of cell sketches + ALL-rollup + estimates, for oracle
+    parity of the full materialize→merge→estimate pipeline."""
+    from go_pq_cdc_kafka_spark.functions.text import hash64_sql
+
+    h = f"({hash64_sql(f'CAST(v AS VARCHAR)')} % {_KMV_H})"
+    est = (
+        f"CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        f"ELSE {float(k - 1)} * ({float(_KMV_H)} / CAST(MAX(h) AS DOUBLE)) END"
+    )
+    # sample median: middle element (1-indexed ceil(n/2)) of the sample's
+    # values sorted ascending
+    med = "(list_sort(list(v)))[CAST((COUNT(*) + 1 - (COUNT(*) + 1) % 2) / 2 AS BIGINT)]"
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT {cell_col} AS cell, {value_col} AS v FROM {table}
+),
+hashed AS (SELECT cell, v, {h} AS h FROM dist),
+ranked AS (
+  SELECT cell, v, h,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, v) AS rk
+  FROM hashed
+),
+cells AS (SELECT cell, v, h FROM ranked WHERE rk <= {k}),
+merged_ranked AS (
+  SELECT v, h, ROW_NUMBER() OVER (ORDER BY h, v) AS rk
+  FROM (SELECT DISTINCT v, h FROM cells)
+),
+merged AS (SELECT '{all_label}' AS cell, v, h FROM merged_ranked WHERE rk <= {k}),
+unioned AS (SELECT * FROM cells UNION ALL SELECT * FROM merged)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       {est} AS est_distinct,
+       {med} AS sample_median
+FROM unioned
+GROUP BY cell
+ORDER BY cell
+"""

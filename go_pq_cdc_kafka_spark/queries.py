@@ -6133,6 +6133,209 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_kmv_bottomk",
+    oracle=SKCH.kmv_sql("event_type", "user_id", "events", k=64),
+    category="sketch",
+    description="KMV/theta bottom-k sketch (64 minimum md5 hashes of the "
+    "distinct user_ids per event_type): one sketch answers BOTH the "
+    "distinct-count estimate ((k-1)·H/h_k) and value quantiles (the "
+    "survivors are a uniform sample of the distinct items); the ALL row is "
+    "computed by MERGING the per-type sketches (union, re-take k smallest) "
+    "— materialize once, roll up anywhere, never rescan rows.",
+)
+def sketch_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike the HLL tier (engine-opaque bytes, rows-only check), the KMV
+    sketch is md5-derived and integer-exact end to end, so the full
+    materialize→merge→estimate pipeline is DuckDB-oracle-checked
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    cells = SKCH.kmv_cell_sketches(e, ["event_type"], "user_id", k=64)
+    merged = SKCH.kmv_rollup(
+        cells.withColumn("event_type", F.lit("ALL")), ["event_type"], k=64
+    )
+    return (
+        SKCH.kmv_estimate(cells.unionByName(merged), k=64)
+        .withColumnRenamed("event_type", "cell")
+        .orderBy("cell")
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle=f"""
+WITH cents AS ({SIM.label_centroids_sql("label", "embedding", "embeddings")})
+SELECT label, CAST(u.d AS INT) AS dim, u.m
+FROM (
+  SELECT label,
+         unnest([{{'m': centroid[i], 'd': i - 1}}
+                 for i in generate_series(1, len(centroid))]) AS u
+  FROM cents
+)
+ORDER BY label, dim
+""",
+    category="similarity",
+    description="Per-label prototype vectors: element-wise mean embedding "
+    "via posexplode + one (label, dim) aggregation, assembled into a "
+    "dim-ordered centroid array — the shuffle moves labels x dim sum "
+    "cells (map-side combined), never whole vectors; decimal-exact sums "
+    "make the means oracle-identical. (Flattened back to scalar rows for "
+    "the value-hash gate: the driver compare keys on scalar columns.)",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        SIM.label_centroids(e, "label", "embedding")
+        .select("label", F.posexplode("centroid").alias("dim", "m"))
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "sample_prototype_pruning",
+    oracle=SIM.prototype_pruning_sql(keep_per_label=10),
+    category="sampling",
+    description="Prototype-distance data pruning (Sorscher et al. 2022, "
+    "'Beyond neural scaling laws'): keep the 10 HARDEST examples per label "
+    "— lowest cosine to the label's own centroid. Centroids are labels x "
+    "dim (broadcast); scoring is map-side; the only corpus shuffle is the "
+    "per-label hardness-ranking window.",
+)
+def sample_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.prototype_pruning(e, keep_per_label=10).orderBy(
+        "label", "hardness_rank"
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=DD.minhash_incremental_pairs_sql(
+        corpus_pred="doc_id % 4 <> 0",
+        batch_pred="doc_id % 4 = 0",
+        num_perms=16,
+        bands=4,
+        threshold=0.5,
+    ),
+    category="dedup",
+    description="Incremental corpus dedup: MinHash(16)+LSH(4 bands) "
+    "candidates of a NEW batch (doc_id % 4 = 0) probed against the "
+    "EXISTING corpus's band index, exact-Jaccard verified — the "
+    "batch-vs-corpus shape a continuously-ingesting pipeline runs, where "
+    "the corpus band index is persisted once and each increment costs "
+    "O(batch) + bounded probes, independent of corpus size.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return DD.minhash_incremental_pairs(
+        d.filter(F.col("doc_id") % 4 != 0),
+        d.filter(F.col("doc_id") % 4 == 0),
+        num_perms=16,
+        bands=4,
+        threshold=0.5,
+    ).orderBy("new_doc", "dup_of")
+
+
+@register(
+    "sim_rp_topk",
+    oracle=SIM.rp_cosine_topk_sql(
+        dim=64, out_dim=16, k=5, rerank=3, query_pred="vec_id < 5"
+    ),
+    category="similarity",
+    description="Random-projection ANN (Johnson–Lindenstrauss): 64-dim "
+    "embeddings sketched to 16 dims by a deterministic ±1 Rademacher "
+    "matrix; candidates ranked on the 4x-cheaper sketches, top-15 per "
+    "query exactly re-ranked in full dimension for the final top-5 — the "
+    "dimensionality scale path beside LSH (bucketing), IVF "
+    "(partitioning), and int8/PQ (compression).",
+)
+def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.rp_cosine_topk(
+        e.filter(F.col("vec_id") < 5), e, dim=64, out_dim=16, k=5, rerank=3
+    ).orderBy("query_id", "rk")
+
+
+_QC_BUCKETS = 512
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+WITH weights AS (
+  SELECT b AS bucket,
+         {T.hash64_sql("concat('qw:', b)")} % 2001 - 1000 AS w
+  FROM (SELECT UNNEST(range({_QC_BUCKETS})) AS b)
+),
+toks AS (
+  SELECT doc_id, unnest({T.TOKENS_SQL.format(c="text")}) AS tok FROM documents
+),
+docfeat AS (
+  SELECT doc_id, {T.hash64_sql("tok")} % {_QC_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, bucket
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.c * w.w) AS BIGINT) AS score,
+       CAST(SUM(d.c * w.w) AS DOUBLE) / CAST(SUM(d.c) AS DOUBLE)
+           AS score_per_token,
+       (SUM(d.c * w.w) > 0) AS keep
+FROM docfeat d JOIN weights w ON d.bucket = w.bucket
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+    category="quality",
+    description="Pretrained linear quality classifier (fastText-style "
+    "filter): hashed-unigram features scored against a 512-bucket weight "
+    "table — the stand-in for externally-trained model parameters, "
+    "deterministic md5-derived integer weights here for oracle exactness. "
+    "The model is EXACTLY 512 rows at any corpus size, so it broadcasts; "
+    "scoring is one map-side join + one per-doc aggregation, the shape "
+    "every learned quality/toxicity/domain filter runs at 100 TB.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying a PRETRAINED classifier (vs sampling_dsir_importance, which
+    TRAINS its importance model from the corpus itself): weights arrive as
+    a table keyed by feature bucket, exactly how a fastText/logistic quality
+    model's parameters ship to a Spark scoring job. Integer weights in
+    [-1000, 1000] keep every aggregate exact across engines; the keep/drop
+    decision and the per-token margin are derived columns."""
+    weights = spark.range(_QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            T.hash64(F.concat(F.lit("qw:"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        ).alias("w"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    docfeat = (
+        toks.select(
+            "doc_id", F.explode(F.col("t")).alias("tok")
+        )
+        .select("doc_id", (T.hash64(F.col("tok")) % _QC_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        docfeat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("score"),
+        )
+        .withColumn(
+            "score_per_token",
+            F.col("score").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+        .select("doc_id", "n_tokens", "score", "score_per_token", "keep")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composite batch 3 (round 6): the remaining TPC-H query shapes (Q2, Q4, Q6,
 # Q8, Q9, Q16, Q20), adapted where the fixture schema lacks partsupp /

@@ -319,3 +319,114 @@ def test_simhash_pairs_banding_complete_below_bands(spark):
     assert all(
         bin(fp[a] ^ fp[b]).count("1") == h for (a, b), h in pairs.items()
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: incremental minhash dedup, random-projection ANN,
+# pretrained linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_flags_batch_dups_only(spark):
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely unrelated corpus text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 1
+            (100, "the quick brown fox jumps over the lazy dog again today"),
+            # unrelated new doc — must survive
+            (101, "novel content with no overlap whatsoever in any shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_incremental_pairs(
+        corpus, batch, num_perms=16, bands=4, threshold=0.5
+    ).collect()
+    got = {(r.new_doc, r.dup_of) for r in pairs}
+    assert got == {(100, 1)}
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs)
+
+
+def test_incremental_minhash_never_pairs_within_sets(spark):
+    """Two identical docs INSIDE the batch (or corpus) must not pair with
+    each other — the operator's contract is strictly cross-set."""
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "identical twin text in the new batch here today"),
+            (101, "identical twin text in the new batch here today"),
+        ],
+        "doc_id long, text string",
+    )
+    assert (
+        DD.minhash_incremental_pairs(corpus, batch, threshold=0.1).count() == 0
+    )
+
+
+def test_rp_topk_self_is_rank_one_and_exact_cosine(spark):
+    from go_pq_cdc_kafka_spark.operators import similarity as SIM
+
+    import math
+
+    dim = 8
+    rows = [
+        (i, [math.sin(i * dim + d) for d in range(dim)]) for i in range(20)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.rp_cosine_topk(
+        e.filter(F.col("vec_id") < 2), e, dim=dim, out_dim=4, k=3, rerank=3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        # the query itself survives the sketch stage and re-ranks to #1
+        assert rs[0].neighbor_id == q
+        assert abs(rs[0].cos_sim - 1.0) < 1e-9
+        assert len(rs) == 3
+
+
+def test_quality_classifier_matches_hand_hash(spark):
+    """The registry query's score must equal a driver-side recomputation of
+    the same md5 weight function on a known document."""
+    import hashlib
+    import shutil
+    import tempfile
+    import os
+
+    from go_pq_cdc_kafka_spark.queries import REGISTRY
+
+    tmp = tempfile.mkdtemp()
+    try:
+        doc = "spark rows and columns and rows"
+        spark.createDataFrame(
+            [(0, doc, "en", "src0", len(doc))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        row = REGISTRY["quality_classifier_score"].fn(spark, tmp).collect()[0]
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        score = sum(
+            (h64(f"qw:{h64(t) % 512}") % 2001) - 1000 for t in doc.split()
+        )
+        assert row.n_tokens == 6
+        assert row.score == score
+        assert row.keep == (score > 0)
+        assert abs(row.score_per_token - score / 6) < 1e-12
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

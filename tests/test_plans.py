@@ -545,3 +545,62 @@ def test_supplier_part_counts_anti_join_and_distinct_expansion(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # pair-distinct + count-distinct phases
+
+
+def test_rp_topk_broadcasts_queries_both_stages(spark):
+    """Random-projection ANN: the sketch-scoring pass and the exact re-rank
+    both broadcast the (tiny) query side; the corpus never shuffles except
+    for the two post-filter top-k windows."""
+    plan = plan_of(spark, "sim_rp_topk")
+    assert "CartesianProduct" not in plan
+    assert (
+        plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+        or "BroadcastExchange" in plan
+    )
+
+
+def test_incremental_minhash_never_broadcasts_corpus(spark):
+    """Batch-vs-corpus dedup: both shingle indexes and band tables scale
+    with their inputs, so nothing may broadcast (Catalyst's static stats
+    don't model explode fan-out — same trap the round-6 sf10 step caught in
+    the full-corpus variant); the pinned indexes must be reused."""
+    plan = plan_of(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_quality_classifier_broadcasts_model_and_aggregates_partial(spark):
+    """The 512-row weight table broadcasts (model-to-executors, the learned-
+    filter scoring shape); per-doc aggregation runs partial+final."""
+    plan = plan_of(spark, "quality_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert op_count(plan, "HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_distinct_then_bounded_window(spark):
+    """KMV: one map-side-combinable distinct aggregation, then windows over
+    DISTINCT items only; sketch assembly aggregates ≤k rows per cell."""
+    plan = plan_of(spark, "sketch_kmv_bottomk")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_prototype_pruning_broadcasts_centroids(spark):
+    """labels × dim centroid table broadcasts back for scoring; the corpus
+    shuffles only for the per-label hardness window."""
+    plan = plan_of(spark, "sample_prototype_pruning")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_partial_final_cells(spark):
+    """Centroid means are (label, dim) scalar aggregates — partial+final
+    hash aggregation over the exploded cells, no per-row array folds in
+    an aggregate."""
+    plan = plan_of(spark, "emb_label_centroids")
+    assert "posexplode" in plan
+    assert op_count(plan, "HashAggregate") >= 2

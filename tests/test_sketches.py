@@ -110,3 +110,74 @@ def test_countmin_merge_identity_and_overestimate_property(spark):
     ghost = spark.createDataFrame([(123456789,)], "k long")
     g = SKCH.countmin_estimate(merged, ghost, "k", d=4, w=64).collect()[0]
     assert g.cm_estimate >= 0
+
+
+def test_kmv_merge_identity_and_exact_below_k(spark):
+    """Bottom-k sketches are EXACTLY mergeable: re-taking the k smallest of
+    a union of bottom-k sketches equals sketching the union directly. And a
+    cell with fewer than k distinct items estimates its exact count."""
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(400, 430)]
+    df = spark.createDataFrame(rows, "cell string, v long")
+
+    cells = SKCH.kmv_cell_sketches(df, ["cell"], "v", k=32)
+    merged = SKCH.kmv_rollup(
+        cells.withColumn("cell", F.lit("ALL")), ["cell"], k=32
+    )
+    direct = SKCH.kmv_cell_sketches(
+        df.withColumn("cell", F.lit("ALL")), ["cell"], "v", k=32
+    )
+    assert merged.collect()[0].sketch == direct.collect()[0].sketch
+
+    est = {r.cell: r for r in SKCH.kmv_estimate(cells, k=32).collect()}
+    # cell b has 30 < k distinct values: exact
+    assert est["b"].n_sample == 30
+    assert est["b"].est_distinct == 30.0
+    # cell a has 500 distinct: KMV estimate within a generous error band
+    # (k=32 -> RSE ~ 1/sqrt(30) ~ 18%)
+    assert 250 <= est["a"].est_distinct <= 1000
+    # the sample median of a uniform 0..499 population lands mid-range
+    assert 100 <= est["a"].sample_median <= 400
+
+
+def test_kmv_sample_is_distinct_value_uniform_not_frequency_weighted(spark):
+    """A value repeated a million-to-one must not dominate the sample: KMV
+    samples the DISTINCT value set (hash order), not row frequency."""
+    rows = [("a", 7)] * 1000 + [("a", i) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "cell string, v long")
+    sk = SKCH.kmv_cell_sketches(df, ["cell"], "v", k=16).collect()[0].sketch
+    assert sum(1 for e in sk if e.v == 7) <= 1
+    assert len(sk) == 16
+
+
+def test_label_centroids_hand_computed(spark):
+    from go_pq_cdc_kafka_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [10.0, -10.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r.label: r.centroid for r in SIM.label_centroids(df).collect()}
+    assert got[0] == [2.0, 4.0]
+    assert got[1] == [10.0, -10.0]
+
+
+def test_prototype_pruning_keeps_hardest_first(spark):
+    """The outlier (lowest cosine to its label centroid) must rank as the
+    hardest example; ties and ordering are deterministic."""
+    from go_pq_cdc_kafka_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.1]),
+            (3, 0, [-1.0, 0.0]),  # points away from the centroid: hardest
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = SIM.prototype_pruning(df, keep_per_label=2).collect()
+    assert [r.vec_id for r in got] == [3, 1] or [r.vec_id for r in got] == [3, 2]
+    assert got[0].hardness_rank == 1 and got[0].vec_id == 3
