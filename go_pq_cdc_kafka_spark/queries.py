@@ -301,13 +301,18 @@ ORDER BY nation, order_year
     description="Fact-fact shuffle join + broadcast dims, TPC-H Q5 flavor.",
 )
 def join_multiway_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hint policy (round 6): only the BOUNDED dim (nation, 25 rows
+    forever) carries a broadcast hint. Customer is SF-scaled — hinting it
+    pins a plan that dies at some scale; unhinted, Catalyst/AQE broadcast
+    it while it fits the threshold and shuffle it beyond, which is the
+    only 100 TB-correct answer."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -404,6 +409,11 @@ ORDER BY p.p_partkey
     description="Equi key + range predicate (band) join.",
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi key carries the join (hash/SMJ partitioning on partkey);
+    the band predicate is a post-join filter, NOT the join strategy — so
+    no broadcast hint: ``part`` scales with the corpus (2M rows at sf10,
+    unbounded at 100 TB) and must stay shuffle-joinable; AQE may still
+    broadcast it at small SF where it genuinely fits."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (
@@ -412,7 +422,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_quantity <= p.p_size + 10)
     )
     return (
-        li.join(F.broadcast(p), cond)
+        li.join(p, cond)
         .groupBy("p_partkey", "p_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
         .orderBy("p_partkey")
@@ -2222,7 +2232,8 @@ LIMIT 10
 """,
     category="composite",
     description="TPC-H Q3 shape (shipping priority): segment-filtered "
-    "customer broadcast into orders⋈lineitem, revenue per order, top-10. "
+    "customer joined into orders⋈lineitem (auto-broadcast while it fits, "
+    "shuffle at scale - no pinned hint on an SF-scaled dim), top-10. "
     "Filters push to all three scans; only the fact-fact join shuffles.",
 )
 def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,7 +2249,7 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+                cust, F.col("c_custkey") == F.col("o_custkey")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -2272,7 +2283,8 @@ ORDER BY revenue DESC, n_name
 """,
     category="composite",
     description="TPC-H Q5 shape (local supplier volume): five joins — "
-    "region/nation/customer/supplier broadcast, one orders⋈lineitem "
+    "region/nation broadcast (bounded); customer/supplier join adaptively "
+    "(SF-scaled, no pinned hint), one orders⋈lineitem "
     "shuffle — revenue per nation where supplier and customer share it.",
 )
 def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,9 +2300,9 @@ def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )
@@ -2321,7 +2333,8 @@ LIMIT 20
 """,
     category="composite",
     description="TPC-H Q10 shape (returned items): revenue lost to returns "
-    "per customer, nation decoded via broadcast, top-20 by revenue.",
+    "per customer, nation (bounded) decoded via broadcast, customer "
+    "joined adaptively, top-20 by revenue.",
 )
 def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -2330,7 +2343,7 @@ def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2591,8 +2604,8 @@ def composite_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .select(
             "supp_nation",
@@ -2657,7 +2670,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
 """,
     category="composite",
-    description="TPC-H Q14 shape (promo revenue ratio): broadcast part into "
+    description="TPC-H Q14 shape (promo revenue ratio): part joined into "
     "a month of lineitem, conditional-sum ratio in one aggregate pass. Both "
     "sums accumulate in decimal so the final double division is the same "
     "bits in either engine.",
@@ -2673,7 +2686,7 @@ def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(((F.lit(100.0) * promo) / total).cast("double").alias("promo_revenue_pct"))
     )
 
@@ -2699,7 +2712,7 @@ LIMIT 20
     description="TPC-H Q18 shape (large-volume customers): IN over a "
     "grouped-HAVING subquery becomes a semi-join against the aggregated "
     "lineitem; the re-aggregation reuses the same l_orderkey hash "
-    "partitioning, and customer decodes via broadcast.",
+    "partitioning, and customer decodes via an adaptive join.",
 )
 def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -2717,7 +2730,7 @@ def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 F.col("l_orderkey") == F.col("big_key"), "leftsemi")
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -2753,7 +2766,7 @@ def composite_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & sz.between(20, 50) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -3489,6 +3502,13 @@ ORDER BY d.node
     "exactly once at its unique (deg,id)-minimal apex.",
 )
 def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT triangle count — Θ(Σ deg²) wedges by nature. At sf10 the
+    co-purchase graph's wedge set (~2e9 rows) out-spills this sandbox's
+    disk, so the sf10 sweep records this variant as an explicit skip
+    (SPARK_GRAFT_SWEEP_SKIP) and the DOULION edge-sampled twin
+    (graph_triangle_sampled, p=1/10, unbiased 1/p³ estimator) is the
+    documented scale path — the same exact-vs-valved split as
+    dedup_ngram_jaccard vs its max_df variant."""
     edges = _copurchase_edges_spark(spark, sf_dir)
     return CL.triangle_count(edges).orderBy("node")
 
@@ -3620,7 +3640,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wr).cast("int"))
     )
     return (
-        top.join(F.broadcast(sup), top["node"] == sup["s_suppkey"])
+        F.broadcast(top).join(sup, top["node"] == sup["s_suppkey"])
         .select(
             "rk",
             F.col("s_suppkey").cast("long"),
@@ -4389,39 +4409,60 @@ WITH keyed AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 10 = 0 THEN NULL
               ELSE o_orderkey % 7 END AS grp
-  FROM orders WHERE o_orderkey % 25 = 0
+  FROM orders
+),
+dim AS (
+  SELECT DISTINCT grp,
+         COALESCE('g' || CAST(grp AS VARCHAR), 'unbucketed') AS bucket
+  FROM keyed
 )
-SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
-FROM keyed a JOIN keyed b
-  ON a.grp IS NOT DISTINCT FROM b.grp AND a.o_orderkey < b.o_orderkey
-ORDER BY key_a, key_b
+SELECT d.bucket,
+       CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(MIN(k.o_orderkey) AS BIGINT) AS min_key
+FROM keyed k JOIN dim d ON k.grp IS NOT DISTINCT FROM d.grp
+GROUP BY d.bucket
+ORDER BY d.bucket
 """,
     category="join",
-    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM): "
-    "NULL keys match each other — the semantics plain equi-joins silently "
-    "drop. Still hash-joinable (null-safe equality is a valid hash key), "
-    "so the plan stays an equi join, not a nested loop.",
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM) "
+    "against a bounded dimension: NULL keys MATCH the dimension's NULL "
+    "row — the rows a plain equi-join silently drops land in the "
+    "'unbucketed' bucket instead. Null-safe equality is a valid hash key, "
+    "so the plan stays a (broadcast) hash join, not a nested loop.",
 )
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    """Round-6 sf10 lesson: the original self-join shape paired an
+    SF-scaled population on 8 distinct keys — Θ(n²/8) output rows
+    (2e10 at sf10), a query whose ANSWER grows quadratically. Null-safe
+    semantics need a null key to survive a join, not a quadratic blow-up,
+    so the fact side now probes a DISTINCT-key dimension (≤8 rows at any
+    SF, broadcast) and aggregates — linear in the input forever."""
+    o = load_table(spark, sf_dir, "orders")
     keyed = o.select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
         .otherwise(F.col("o_orderkey") % 7)
         .alias("grp"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    dim = keyed.select("grp").distinct().select(
+        "grp",
+        F.coalesce(
+            F.concat(F.lit("g"), F.col("grp").cast("string")),
+            F.lit("unbucketed"),
+        ).alias("bucket"),
+    )
     return (
-        a.join(
-            b,
-            F.col("a.grp").eqNullSafe(F.col("b.grp"))
-            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        keyed.alias("k")
+        .join(
+            F.broadcast(dim.alias("d")),
+            F.col("k.grp").eqNullSafe(F.col("d.grp")),
         )
-        .select(
-            F.col("a.o_orderkey").alias("key_a"),
-            F.col("b.o_orderkey").alias("key_b"),
+        .groupBy("bucket")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
         )
-        .orderBy("key_a", "key_b")
+        .orderBy("bucket")
     )
 
 
@@ -5666,7 +5707,7 @@ def composite_small_quantity_revenue(
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
         .filter(
             F.col("l_quantity").cast("long") * 5 * F.col("n_qty")
@@ -6453,8 +6494,10 @@ ORDER BY o_year
 """,
     category="composite",
     description="TPC-H Q8 shape (national market share): seven joins where "
-    "every dimension (part, customer, supplier, nation twice, region) "
-    "broadcasts and only orders–lineitem shuffles; the supplier-nation "
+    "the bounded dimensions (nation twice, region) broadcast by hint, "
+    "part/customer/supplier join adaptively (auto-broadcast while they "
+    "fit, shuffle at scale) and only orders–lineitem must shuffle; the "
+    "supplier-nation "
     "share is a conditional-sum ratio per order year. Both sums "
     "accumulate in decimal so the final double division is bit-identical "
     "cross-engine. Nation is joined TWICE under different roles — the "
@@ -6493,11 +6536,11 @@ def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum(vol).cast("double")
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(asia), F.col("r_regionkey") == F.col("cn_region"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg((num / den).cast("double").alias("mkt_share"))
@@ -6530,7 +6573,8 @@ ORDER BY nation, o_year DESC
     "per-row profit's decimal expansion at <= 5 fractional digits so the "
     "scale-6 decimal accumulation stays exact in both engines (0.1 would "
     "not: its binary rounding error lands exactly where the cast cuts). "
-    "Plan: part/supplier/nation broadcast, one orders-lineitem shuffle, "
+    "Plan: nation broadcast (bounded), part/supplier adaptive, one "
+    "orders-lineitem shuffle, "
     "partial aggregation before the group-by exchange.",
 )
 def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6549,9 +6593,9 @@ def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(
             F.col("nation"), F.year("o_orderdate").cast("int").alias("o_year")
@@ -6635,7 +6679,7 @@ def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey") == F.col("s_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "nation")
     return (
-        links.join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        links.join(p, F.col("p_partkey") == F.col("partkey"))
         .join(
             best,
             (F.col("b_partkey") == F.col("partkey"))
@@ -6696,7 +6740,7 @@ def composite_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         link.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -6726,7 +6770,7 @@ ORDER BY s_name
     "moved a significant volume of 'red' parts in a year — the doubly "
     "nested IN (parts by name prefix, then a grouped-HAVING volume "
     "threshold standing in for the partsupp availqty comparison) becomes "
-    "one broadcast part filter into lineitem, one integer-quantity "
+    "one selective part filter into lineitem, one integer-quantity "
     "aggregate per supplier, and a LeftSemi against the 100-row supplier "
     "dim. Integral fixture quantities summed as BIGINT make the HAVING "
     "boundary exact.",

@@ -25,6 +25,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for the few pandas-UDF operators (similarity/multimodal)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # WITH RECURSIVE guard rail: the 1M-row default tripped at sf10, where
+    # recursive_tree_rollup's ANCHOR alone is 1.5M customers (the walk is
+    # provably n*log10(n) rows — depth = key digits — so a generous cap
+    # keeps the runaway-recursion protection without failing legitimate
+    # linear-ish closures; the 100-level depth default stays untouched)
+    "spark.sql.cteRecursionRowLimit": "2000000000",
 }
 
 

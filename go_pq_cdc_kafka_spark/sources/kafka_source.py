@@ -45,6 +45,12 @@ first answer becomes the run's END TARGET — the Python DataSource API
 has no ReadLimit channel, so an availableNow run processes ONE
 trigger's worth, not the whole backlog; use a processingTime trigger
 for rate-limited backlog drains),
+``subscribepattern`` (regex FULL-matched against the broker's topic
+listing, mutually exclusive with topic/subscribe/assign like the jar
+source; must match >= 1 topic at start; the stream re-resolves the
+pattern every micro-batch plan, so later-created matching topics join
+the subscription with their offset keys always ``topic/partition``-
+qualified),
 ``sasl.mechanism``/``sasl.username``/``sasl.password``,
 ``tls`` = true + ``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
@@ -211,19 +217,56 @@ def _read_range(part: _RangePartition) -> Iterator[tuple]:
 
 
 def _parse_topics(options: dict) -> list[str]:
+    given = [
+        k for k in ("assign", "subscribe", "topic", "subscribepattern")
+        if options.get(k)
+    ]
+    if len(given) > 1 and set(given) != {"subscribe", "topic"}:
+        # jar parity: assign / subscribe / subscribePattern are mutually
+        # exclusive subscription modes (topic is our subscribe alias)
+        raise ValueError(
+            f"only one of assign/subscribe/subscribepattern may be set, got {given}"
+        )
     assign = options.get("assign")
     if assign:
         import json
 
         return sorted(json.loads(assign))
+    pattern = options.get("subscribepattern")
+    if pattern:
+        return _resolve_pattern(pattern, _client_kwargs(options))
     spec = options.get("subscribe") or options.get("topic")
     if not spec:
         raise ValueError(
-            "kafkawire requires a topic, subscribe, or assign option"
+            "kafkawire requires a topic, subscribe, subscribepattern, "
+            "or assign option"
         )
     topics = [t.strip() for t in spec.split(",") if t.strip()]
     if not topics:
         raise ValueError("no topics in topic/subscribe option")
+    return topics
+
+
+def _match_pattern(names: list[str], pattern: str) -> list[str]:
+    import re
+
+    rx = re.compile(pattern)
+    # full-match, like the jar source (java Pattern.matcher().matches())
+    return sorted(n for n in names if rx.fullmatch(n))
+
+
+def _resolve_pattern(pattern: str, client_kwargs: dict) -> list[str]:
+    """Broker-side resolution of ``subscribepattern``: list every
+    (non-internal) topic, keep full-regex matches. The source requires at
+    least one match AT START (a loud error beats a silently idle stream);
+    topics created later that match are picked up by the stream reader's
+    per-batch re-resolution in ``_latest_all``."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireClient
+
+    with KafkaWireClient(**client_kwargs) as c:
+        topics = _match_pattern(c.all_topic_names(), pattern)
+    if not topics:
+        raise ValueError(f"subscribepattern {pattern!r} matched no topics")
     return topics
 
 
@@ -242,6 +285,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
         self.topics = _parse_topics(options)
+        self.pattern = options.get("subscribepattern")
         self.assignment = _parse_assignment(options)
         self.client_kwargs = _client_kwargs(options)
         self.min_partitions = int(options.get("minpartitions", 0)) or None
@@ -254,11 +298,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     # Offset-dict keys: bare partition numbers for a single topic (stable
     # with pre-multi-topic checkpoints), "topic/partition" when subscribed
     # to several ('/' is not a legal Kafka topic character).
+    # (pattern subscriptions always qualify: the matched set can GROW
+    # mid-query, and a 1->2 topic transition must not change key format
+    # under a live checkpoint)
     def _okey(self, topic: str, p: int) -> str:
-        return str(p) if len(self.topics) == 1 else f"{topic}/{p}"
+        if len(self.topics) == 1 and not self.pattern:
+            return str(p)
+        return f"{topic}/{p}"
 
     def _parse_okey(self, key: str) -> tuple[str, int]:
-        if len(self.topics) == 1:
+        if len(self.topics) == 1 and not self.pattern:
             return self.topics[0], int(key)
         topic, _, p = key.rpartition("/")
         return topic, int(p)
@@ -376,6 +425,17 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # (ListOffsets v2 isolation), so a batch end never lands inside
         # an open transaction the fetch would then withhold forever
         c = self._client()
+        if self.pattern:
+            # jar parity: pattern subscriptions discover topics created
+            # after the query started (one Metadata round trip per plan);
+            # new topics' partitions start at 0/earliest (partitions()
+            # defaults a missing start key to 0). The set never shrinks —
+            # dropping a checkpointed topic under a live query would
+            # regress its offsets.
+            for t in _match_pattern(c.all_topic_names(), self.pattern):
+                if t not in self.topics:
+                    self.topics.append(t)
+            self.topics.sort()
         out = {}
         for t in self.topics:
             allowed = self.assignment.get(t) if self.assignment else None

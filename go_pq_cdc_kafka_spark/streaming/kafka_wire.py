@@ -827,6 +827,7 @@ class ClusterMeta:
     brokers: dict[int, tuple[str, int]]
     topics: dict[str, list[PartitionMeta]]
     topic_errors: dict[str, int]
+    internal: set[str] = field(default_factory=set)
 
 
 class KafkaWireClient:
@@ -922,9 +923,12 @@ class KafkaWireClient:
             out[k] = (lo, hi)
         return out
 
-    def metadata(self, topics: list[str]) -> ClusterMeta:
-        body = bytearray(struct.pack(">i", len(topics)))
-        for t in topics:
+    def metadata(self, topics: list[str] | None) -> ClusterMeta:
+        # topics=None -> Metadata v1 NULL array = "every topic in the
+        # cluster" (an EMPTY array means no topics in v1+) — the listing
+        # behind subscribepattern resolution
+        body = bytearray(struct.pack(">i", -1 if topics is None else len(topics)))
+        for t in topics or ():
             body += _str(t)
         try:
             r = self._bootstrap_conn().request(API_METADATA, 1, bytes(body))
@@ -945,10 +949,12 @@ class KafkaWireClient:
         r.i32()  # controller id
         tmeta: dict[str, list[PartitionMeta]] = {}
         terrs: dict[str, int] = {}
+        internal: set[str] = set()
         for _ in range(r.i32()):
             terr = r.i16()
             name = r.string()
-            r.i8()  # is_internal
+            if r.i8():  # is_internal (e.g. __consumer_offsets)
+                internal.add(name)
             parts = []
             for _ in range(r.i32()):
                 r.i16()  # partition error
@@ -961,7 +967,19 @@ class KafkaWireClient:
                 parts.append(PartitionMeta(pid, leader))
             tmeta[name] = sorted(parts, key=lambda p: p.partition)
             terrs[name] = terr
-        return ClusterMeta(brokers=brokers, topics=tmeta, topic_errors=terrs)
+        return ClusterMeta(
+            brokers=brokers, topics=tmeta, topic_errors=terrs,
+            internal=internal,
+        )
+
+    def all_topic_names(self, include_internal: bool = False) -> list[str]:
+        """Every topic in the cluster (one null-array Metadata round trip)
+        — the broker-side listing ``subscribepattern`` filters against."""
+        meta = self.metadata(None)
+        return sorted(
+            t for t in meta.topics
+            if include_internal or t not in meta.internal
+        )
 
     def await_topics(self, topics: list[str], attempts: int = 40) -> ClusterMeta:
         """Metadata with retry while auto-creation settles

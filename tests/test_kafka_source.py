@@ -911,3 +911,82 @@ def test_batch_read_committed_resume(spark, broker):
     ]
     with _pytest.raises(Exception, match="group.id"):
         read(startingoffsets="committed")
+
+
+def test_subscribepattern_batch_stream_and_discovery(spark, broker, tmp_path):
+    """jar parity: subscribePattern full-matches the broker's topic list.
+    Batch resolves at plan time; a stream re-resolves each micro-batch, so
+    a matching topic created AFTER the query starts joins the
+    subscription (its offset keys are topic/partition-qualified even while
+    only one topic matches)."""
+    _produce(broker.bootstrap, "pat.users.eu", [(b"k", b"eu1", [])])
+    _produce(broker.bootstrap, "pat.users.us", [(b"k", b"us1", [])])
+    _produce(broker.bootstrap, "pat.books", [(b"k", b"book", [])])
+    KS.register(spark)
+
+    rows = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribepattern", r"pat\.users\..*")
+        .load()
+        .selectExpr("topic", "CAST(value AS STRING) v")
+        .collect()
+    )
+    assert {(r.topic, r.v) for r in rows} == {
+        ("pat.users.eu", "eu1"),
+        ("pat.users.us", "us1"),
+    }
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribepattern", r"pat\.users\..*")
+        .load()
+        .selectExpr("topic", "CAST(value AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # a topic matching the pattern appears mid-query: discovered on the
+    # next plan, read from earliest
+    _produce(broker.bootstrap, "pat.users.apac", [(b"k", b"apac1", [])])
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.topic, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("pat.users.eu", "eu1"),
+        ("pat.users.us", "us1"),
+        ("pat.users.apac", "apac1"),
+    }
+
+
+def test_subscribepattern_full_match_and_errors(spark, broker):
+    """The regex FULL-matches (substring hits don't subscribe), matching
+    zero topics raises at start, and combining subscription modes raises —
+    all loud, jar-style."""
+    _produce(broker.bootstrap, "full.abc", [(b"k", b"v", [])])
+    _produce(broker.bootstrap, "full.abc.suffix", [(b"k", b"v2", [])])
+    KS.register(spark)
+    rows = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribepattern", r"full\.abc")
+        .load()
+        .collect()
+    )
+    assert {r.topic for r in rows} == {"full.abc"}
+
+    with pytest.raises(Exception, match="matched no topics"):
+        spark.read.format("kafkawire").option(
+            "bootstrap", broker.bootstrap
+        ).option("subscribepattern", r"nomatch\..*").load().collect()
+
+    with pytest.raises(Exception, match="only one of"):
+        spark.read.format("kafkawire").option(
+            "bootstrap", broker.bootstrap
+        ).option("subscribepattern", r"full\..*").option(
+            "subscribe", "full.abc"
+        ).load().collect()
