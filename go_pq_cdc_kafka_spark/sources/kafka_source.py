@@ -51,11 +51,23 @@ source; must match >= 1 topic at start; the stream re-resolves the
 pattern every micro-batch plan, so later-created matching topics join
 the subscription with their offset keys always ``topic/partition``-
 qualified),
+``minoffsetspertrigger`` + ``maxtriggerdelay`` (jar parity: plan an
+EMPTY micro-batch until at least N new offsets accumulate or the delay —
+default 15m, duration syntax "30s"/"15m"/plain ms — expires; the clock
+is driver wall time, best-effort across restarts like the jar source;
+batch 0 of a fresh query is never held back),
+``failondataloss`` (default true: a fetch that lands below the broker's
+log-start — retention or DeleteRecords removed the offsets while the
+query was down or between plan and fetch — fails the query with the
+offset range that was lost; false: skip to the broker's earliest with a
+logged warning, jar-source contract),
 ``sasl.mechanism``/``sasl.username``/``sasl.password``,
 ``tls`` = true + ``tls.rootca`` (path) / ``tls.rootcapem`` (inline PEM).
 """
 
 from __future__ import annotations
+
+import re
 
 from datetime import datetime, timezone
 from typing import Iterator, Sequence
@@ -158,7 +170,8 @@ def _split_ranges(parts: list, min_partitions: int | None) -> list:
             hi = min(pos + step, pt.end)
             out.append(
                 _RangePartition(pt.topic, pt.partition, pos, hi,
-                                pt.client_kwargs, pt.isolation)
+                                pt.client_kwargs, pt.isolation,
+                                pt.fail_on_data_loss)
             )
             pos = hi
     return out
@@ -166,28 +179,73 @@ def _split_ranges(parts: list, min_partitions: int | None) -> list:
 
 class _RangePartition(InputPartition):
     def __init__(self, topic: str, partition: int, start: int, end: int,
-                 client_kwargs: dict, isolation: int = 0):
+                 client_kwargs: dict, isolation: int = 0,
+                 fail_on_data_loss: bool = True):
         self.topic = topic
         self.partition = partition
         self.start = start
         self.end = end
         self.client_kwargs = client_kwargs
         self.isolation = isolation
+        self.fail_on_data_loss = fail_on_data_loss
 
 
 def _read_range(part: _RangePartition) -> Iterator[tuple]:
     """Executor-side fetch loop over [start, end)."""
     from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
 
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        ERR_OFFSET_OUT_OF_RANGE,
+        KafkaProtocolError,
+    )
+
     if part.end <= part.start:
         return
     with KafkaWireConsumer(**part.client_kwargs) as cons:
         pos = part.start
         while pos < part.end:
-            recs, hwm = cons.fetch(
-                part.topic, part.partition, pos,
-                isolation_level=part.isolation,
-            )
+            try:
+                recs, hwm = cons.fetch(
+                    part.topic, part.partition, pos,
+                    isolation_level=part.isolation,
+                )
+            except KafkaProtocolError as e:
+                if e.code != ERR_OFFSET_OUT_OF_RANGE:
+                    raise
+                # requested offsets no longer exist (retention /
+                # DeleteRecords ran between planning and fetch, or while
+                # the query was down) — jar-source failOnDataLoss contract
+                earliest = cons.earliest_offsets(part.topic).get(
+                    part.partition, pos
+                )
+                if part.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"data loss on {part.topic}[{part.partition}]: "
+                        f"offsets [{pos}, {min(part.end, earliest)}) were "
+                        f"deleted by the broker (log starts at {earliest})."
+                        " Set failondataloss=false to skip missing offsets"
+                        " instead of failing."
+                    ) from e
+                if earliest <= pos:
+                    # out-of-range ABOVE the log (shrunk/recreated topic):
+                    # nothing at or after pos survives
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "kafkawire: %s[%d] offsets from %d no longer exist"
+                        " (log truncated); skipping remainder of range",
+                        part.topic, part.partition, pos,
+                    )
+                    return
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "kafkawire: skipping deleted offsets [%d, %d) on"
+                    " %s[%d] (failondataloss=false)",
+                    pos, earliest, part.topic, part.partition,
+                )
+                pos = earliest
+                continue
             if not recs:
                 nxt = cons._fetch_next_offset
                 if nxt is not None and nxt > pos:
@@ -270,6 +328,25 @@ def _resolve_pattern(pattern: str, client_kwargs: dict) -> list[str]:
     return topics
 
 
+def _duration_ms(spec: str) -> int:
+    """Jar-style duration: plain int = milliseconds, or <n><unit> with
+    unit in ms/s/m/h (e.g. "15m", "30s")."""
+    spec = spec.strip().lower()
+    m = re.fullmatch(r"(\d+)\s*(ms|s|m|h)?", spec)
+    if not m:
+        raise ValueError(f"unparseable duration {spec!r}")
+    n = int(m.group(1))
+    return n * {None: 1, "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}[
+        m.group(2)
+    ]
+
+
+def _fail_on_data_loss(options: dict) -> bool:
+    return options.get("failondataloss", "true").strip().lower() not in (
+        "false", "0", "no"
+    )
+
+
 def _parse_assignment(options: dict) -> dict | None:
     """``assign`` = jar-style explicit assignment JSON
     {"topic": [0, 2], ...}: only the listed partitions are read."""
@@ -291,9 +368,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.min_partitions = int(options.get("minpartitions", 0)) or None
         self.isolation = _isolation(options)
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0)) or None
+        self.min_per_trigger = int(options.get("minoffsetspertrigger", 0)) or None
+        # jar default: wait at most 15 minutes for minoffsetspertrigger
+        self.max_trigger_delay_ms = _duration_ms(
+            options.get("maxtriggerdelay", "15m")
+        )
+        self.fail_on_data_loss = _fail_on_data_loss(options)
         self.group_id = options.get("group.id")
         self._driver_client = None
         self._position: dict | None = None  # last planned end (rate limiting)
+        self._last_trigger_ms: float | None = None  # minoffsets wait clock
 
     # Offset-dict keys: bare partition numbers for a single topic (stable
     # with pre-multi-topic checkpoints), "topic/partition" when subscribed
@@ -451,7 +535,26 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return offs
 
     def latestOffset(self) -> dict:
+        import time as _time
+
         out = self._latest_all()
+        if self.min_per_trigger and self._position is not None:
+            # jar parity (minOffsetsPerTrigger + maxTriggerDelay): plan an
+            # empty batch until enough new offsets accumulate, unless the
+            # delay clock expires — driver wall clock, best-effort across
+            # restarts, exactly like the jar source.
+            lag = sum(
+                max(int(o) - int(self._position.get(k, 0)), 0)
+                for k, o in out.items()
+            )
+            now_ms = _time.time() * 1000.0
+            if self._last_trigger_ms is None:
+                self._last_trigger_ms = now_ms
+            if lag < self.min_per_trigger and (
+                now_ms - self._last_trigger_ms < self.max_trigger_delay_ms
+            ):
+                return {k: int(self._position.get(k, 0)) for k in out}
+            self._last_trigger_ms = now_ms
         if self.max_per_trigger:
             if self._position is None:
                 # First probe of a FRESH query: the runner asks for the
@@ -525,6 +628,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 _RangePartition(
                     topic, p, int(start.get(k, 0)), int(end[k]),
                     self.client_kwargs, self.isolation,
+                    self.fail_on_data_loss,
                 )
             )
         return _split_ranges(out, self.min_partitions)
@@ -684,7 +788,8 @@ class KafkaWireBatchReader(DataSourceReader):
                 )
                 out.extend(
                     _RangePartition(topic, pp, start.get(pp, 0), end[pp],
-                                    self.client_kwargs, self.isolation)
+                                    self.client_kwargs, self.isolation,
+                                    _fail_on_data_loss(self.options))
                     for pp in sorted(end)
                     if allowed is None or pp in allowed
                 )

@@ -663,6 +663,7 @@ TS_LATEST = -1
 TS_EARLIEST = -2
 
 ERR_NONE = 0
+ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
 ERR_NOT_LEADER = 6

@@ -54,6 +54,7 @@ from .kafka_wire import (
     ERR_ILLEGAL_GENERATION,
     ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
+    ERR_OFFSET_OUT_OF_RANGE,
     ERR_REBALANCE_IN_PROGRESS,
     ERR_UNKNOWN_MEMBER_ID,
     ERR_INVALID_PRODUCER_EPOCH,
@@ -169,10 +170,25 @@ class _PartitionLog:
 
     batches: list[tuple[int, int, bytes]] = field(default_factory=list)
     next_offset: int = 0
+    #: first offset still present — advances when retention/DeleteRecords
+    #: drops old batches (a real log's logStartOffset)
+    log_start: int = 0
 
     @property
     def high_watermark(self) -> int:
         return self.next_offset
+
+    def truncate_before(self, offset: int) -> None:
+        """Retention/DeleteRecords semantics: drop every batch whose LAST
+        record sits below ``offset`` (whole batches only, like segment
+        deletion) and advance logStartOffset. Fetches below it must then
+        answer OFFSET_OUT_OF_RANGE."""
+        kept = []
+        for base, count, blob in self.batches:
+            if base + count - 1 >= offset:
+                kept.append((base, count, blob))
+        self.batches = kept
+        self.log_start = max(self.log_start, offset)
 
     @property
     def records(self) -> list[Record]:
@@ -1008,7 +1024,7 @@ class MiniBroker:
                                 if first is not None:
                                     offset = min(offset, first)
                     elif ts == TS_EARLIEST:
-                        offset = 0  # nothing is ever truncated here
+                        offset = log.log_start  # advances on truncation
                     else:  # first offset with timestamp >= ts; a REAL
                         # broker answers -1 when no such record exists
                         # (consumers must normalize) — conform to that.
@@ -1100,6 +1116,16 @@ class MiniBroker:
                         out += _bytes(b"")
                         continue
                     hwm = log.high_watermark
+                    if offset < log.log_start or offset > hwm:
+                        # a real broker rejects fetches outside
+                        # [logStartOffset, highWatermark] — this is the
+                        # data-loss signal failOnDataLoss handles
+                        out += struct.pack(
+                            ">ihqqi", pid, ERR_OFFSET_OUT_OF_RANGE,
+                            hwm, hwm, 0
+                        )
+                        out += _bytes(b"")
+                        continue
                     # LSO = first offset still inside an OPEN transaction
                     # (KIP-98); read_committed fetches stop there
                     lso = hwm

@@ -990,3 +990,191 @@ def test_subscribepattern_full_match_and_errors(spark, broker):
         ).option("subscribepattern", r"full\..*").option(
             "subscribe", "full.abc"
         ).load().collect()
+
+
+def test_failondataloss_true_fails_loudly_on_truncation(spark, broker, tmp_path):
+    """Retention deletes offsets under a checkpointed query: the default
+    contract FAILS with the lost range named (jar failOnDataLoss=true)."""
+    t = "dl.strict"
+    _produce(broker.bootstrap, t, [(b"k%d" % i, b"v%d" % i, []) for i in range(6)])
+    KS.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start(extra=()):
+        r = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", t)
+        )
+        for k, v in extra:
+            r = r.option(k, v)
+        return (
+            r.load()
+            .selectExpr("partition", "offset", "CAST(value AS STRING) v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_before = spark.read.parquet(out).count()
+    assert n_before == 6
+
+    # records arrive while the query is down, retention deletes them
+    # (log start advances PAST the checkpointed position), and more
+    # records land after the gap
+    _produce(broker.bootstrap, t, [(b"k%d" % i, b"lost%d" % i, []) for i in range(6)])
+    for p in range(broker.num_partitions):
+        log = broker._logs.get((t, p))
+        if log is not None:
+            log.truncate_before(log.high_watermark)
+    _produce(broker.bootstrap, t, [(b"post", b"after-gap", [])])
+
+    # restart planning starts where the checkpoint ends — which may now
+    # be below log_start on partitions that got post-gap records
+    q2 = start()
+    with pytest.raises(Exception, match="data loss|DATA_LOSS|deleted"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_failondataloss_false_skips_gap_and_continues(spark, broker, tmp_path):
+    t = "dl.tolerant"
+    _produce(broker.bootstrap, t, [(b"k%d" % i, b"v%d" % i, []) for i in range(6)])
+    KS.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", t)
+            .option("failondataloss", "false")
+            .load()
+            .selectExpr("CAST(value AS STRING) v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # a REAL gap: while-down records are produced and then retained away
+    _produce(broker.bootstrap, t, [(b"k%d" % i, b"lost%d" % i, []) for i in range(6)])
+    for p in range(broker.num_partitions):
+        log = broker._logs.get((t, p))
+        if log is not None:
+            log.truncate_before(log.high_watermark)
+    _produce(broker.bootstrap, t, [(b"post", b"after-gap", [])])
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    vals = sorted(r.v for r in spark.read.parquet(out).collect())
+    # the 6 pre-gap records survive from the first run; the deleted
+    # while-down records are SKIPPED (never surface); the post-gap record
+    # arrives exactly once
+    assert vals == sorted(["v%d" % i for i in range(6)] + ["after-gap"])
+    assert not any(v.startswith("lost") for v in vals)
+
+
+def test_batch_failondataloss_modes_on_truncated_log(spark, broker):
+    t = "dl.batch"
+    _produce(broker.bootstrap, t, [(b"a", b"v0", []), (b"a", b"v1", []),
+                                   (b"a", b"v2", []), (b"a", b"v3", [])])
+    # all records share key -> one partition; drop the first two
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import partition_for_key
+    p = partition_for_key(b"a", broker.num_partitions)
+    broker._logs[(t, p)].truncate_before(2)
+    KS.register(spark)
+
+    df = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", t)
+        .option("startingoffsets", '{"%d": 0}' % p)
+        .option("failondataloss", "false")
+        .load()
+    )
+    assert sorted(bytes(r.value) for r in df.collect()) == [b"v2", b"v3"]
+
+    strict = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", t)
+        .option("startingoffsets", '{"%d": 0}' % p)
+        .load()
+    )
+    with pytest.raises(Exception, match="data loss|deleted"):
+        strict.collect()
+
+
+def test_min_offsets_per_trigger_holds_back_small_batches(spark, broker, tmp_path):
+    """minoffsetspertrigger: after batch 0, a trickle below the minimum
+    plans EMPTY batches until maxtriggerdelay expires."""
+    import time
+
+    t = "minoff.t"
+    _produce(broker.bootstrap, t, [(b"k", b"first", [])])
+    KS.register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", t)
+        .option("minoffsetspertrigger", "4")
+        .option("maxtriggerdelay", "2h")
+        .load()
+        .selectExpr("CAST(value AS STRING) v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 0 is never held back
+    assert spark.read.parquet(out).count() == 1
+
+    _produce(broker.bootstrap, t, [(b"k", b"tiny", [])])  # 1 < 4: held
+    q.processAllAvailable()
+    assert spark.read.parquet(out).count() == 1, "small batch not held back"
+
+    _produce(broker.bootstrap, t, [(b"k", b"m%d" % i, []) for i in range(3)])
+    q.processAllAvailable()  # 4 accumulated >= 4: released together
+    assert spark.read.parquet(out).count() == 5
+    q.stop()
+
+
+def test_max_trigger_delay_releases_starved_batch(spark, broker, tmp_path):
+    import time
+
+    t = "minoff.delay"
+    _produce(broker.bootstrap, t, [(b"k", b"first", [])])
+    KS.register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", t)
+        .option("minoffsetspertrigger", "100")
+        .option("maxtriggerdelay", "1500ms")
+        .load()
+        .selectExpr("CAST(value AS STRING) v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _produce(broker.bootstrap, t, [(b"k", b"starved", [])])
+    q.processAllAvailable()
+    assert spark.read.parquet(out).count() == 1  # below min, clock running
+    time.sleep(1.6)
+    q.processAllAvailable()  # delay expired: the starved record releases
+    q.stop()
+    vals = {r.v for r in spark.read.parquet(out).collect()}
+    assert vals == {"first", "starved"}
