@@ -651,6 +651,7 @@ API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_DELETE_RECORDS = 21
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
 API_ADD_OFFSETS_TO_TXN = 25
@@ -981,6 +982,44 @@ class KafkaWireClient:
             t for t in meta.topics
             if include_internal or t not in meta.internal
         )
+
+    def delete_records(
+        self, topic: str, before: dict[int, int], timeout_ms: int = 30_000
+    ) -> dict[int, int]:
+        """DeleteRecords v0 (API 21): advance each partition's log-start
+        offset to ``before[partition]``, deleting everything older — the
+        admin-API form of retention, and the protocol-level way to create
+        the data-loss condition ``failondataloss`` handles. Returns the
+        new low watermark per partition; partition errors raise."""
+        meta = self.await_topics([topic])
+        by_leader: dict[int, list[int]] = {}
+        for p in meta.topics[topic]:
+            if p.partition in before:
+                by_leader.setdefault(p.leader, []).append(p.partition)
+        out: dict[int, int] = {}
+        for leader, parts in by_leader.items():
+            body = bytearray(struct.pack(">i", 1))
+            body += _str(topic)
+            body += struct.pack(">i", len(parts))
+            for pid in parts:
+                body += struct.pack(">iq", pid, int(before[pid]))
+            body += struct.pack(">i", timeout_ms)
+            r = self.conn_for(leader, meta).request(
+                API_DELETE_RECORDS, 0, bytes(body)
+            )
+            r.i32()  # throttle_time_ms
+            for _ in range(r.i32()):
+                r.string()  # topic
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    low = r.i64()
+                    code = r.i16()
+                    if code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"DeleteRecords {topic}[{pid}]"
+                        )
+                    out[pid] = low
+        return out
 
     def await_topics(self, topics: list[str], attempts: int = 40) -> ClusterMeta:
         """Metadata with retry while auto-creation settles

@@ -40,6 +40,7 @@ from .kafka_wire import (
     API_JOIN_GROUP,
     API_LEAVE_GROUP,
     API_LIST_OFFSETS,
+    API_DELETE_RECORDS,
     API_METADATA,
     API_OFFSET_COMMIT,
     API_OFFSET_FETCH,
@@ -426,6 +427,7 @@ class MiniBroker:
             body = {
                 API_VERSIONS: self._api_versions,
                 API_METADATA: self._metadata,
+                API_DELETE_RECORDS: self._delete_records,
                 API_PRODUCE: self._produce,
                 API_FETCH: self._fetch,
                 API_LIST_OFFSETS: self._list_offsets,
@@ -492,6 +494,7 @@ class MiniBroker:
         apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
                 (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
+                (API_DELETE_RECORDS, 0, 0),
                 (API_FIND_COORDINATOR, 0, 0), (API_OFFSET_COMMIT, 2, 2),
                 (API_OFFSET_FETCH, 1, 1), (API_INIT_PRODUCER_ID, 0, 0),
                 (API_JOIN_GROUP, 0, 0), (API_SYNC_GROUP, 0, 0),
@@ -984,6 +987,41 @@ class MiniBroker:
             for pid, code, base in parts:
                 out += struct.pack(">ihqq", pid, code, base, -1)
         out += struct.pack(">i", 0)  # throttle_time_ms
+        return bytes(out)
+
+    def _delete_records(self, version: int, r: _Reader) -> bytes:
+        """DeleteRecords v0: whole-batch truncation up to the requested
+        offset per partition (offset -1 = high watermark, per protocol),
+        answering the new low watermark."""
+        requests: list[tuple[str, list[tuple[int, int]]]] = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                parts.append((r.i32(), r.i64()))
+            requests.append((topic, parts))
+        r.i32()  # timeout_ms
+        out = bytearray(struct.pack(">i", 0))  # throttle_time_ms
+        out += struct.pack(">i", len(requests))
+        with self._lock:
+            for topic, parts in requests:
+                out += _str(topic)
+                out += struct.pack(">i", len(parts))
+                for pid, offset in parts:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        out += struct.pack(
+                            ">iqh", pid, -1, ERR_UNKNOWN_TOPIC_OR_PARTITION
+                        )
+                        continue
+                    target = log.high_watermark if offset == -1 else offset
+                    if target > log.high_watermark:
+                        out += struct.pack(
+                            ">iqh", pid, -1, ERR_OFFSET_OUT_OF_RANGE
+                        )
+                        continue
+                    log.truncate_before(target)
+                    out += struct.pack(">iqh", pid, log.log_start, ERR_NONE)
         return bytes(out)
 
     def _list_offsets(self, version: int, r: _Reader) -> bytes:

@@ -434,3 +434,39 @@ def test_duplicate_sequence_error_treated_as_success():
             assert offs == {("t.oldseq", 0): -1}  # no offset info, no raise
         vals = [bytes(r.value) for r in b.topic_records("t.oldseq")]
     assert vals == [b"v"] + [b"f-%d" % i for i in range(5)]  # no re-append
+
+
+def test_delete_records_advances_log_start_and_low_watermark():
+    """DeleteRecords v0 (API 21): the protocol-level retention trigger.
+    Log start advances, earliest offsets follow, fetches below the new
+    start answer OFFSET_OUT_OF_RANGE, and -1 means 'everything'."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        KafkaProtocolError,
+        KafkaWireConsumer,
+        KafkaWireProducer,
+    )
+    from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+
+    with MiniBroker(num_partitions=1) as b:
+        with KafkaWireProducer(b.bootstrap) as prod:
+            prod.send_records(
+                [("t.del", b"k", b"v%d" % i, []) for i in range(8)],
+                timestamp_ms=1,
+            )
+        with KafkaWireConsumer(b.bootstrap) as c:
+            low = c.delete_records("t.del", {0: 3})
+            assert low == {0: 3}
+            assert c.earliest_offsets("t.del") == {0: 3}
+            with pytest.raises(KafkaProtocolError):
+                c.fetch("t.del", 0, 0)
+            recs, hwm = c.fetch("t.del", 0, 3)
+            assert hwm == 8
+            assert [bytes(r.value) for r in recs] == [
+                b"v%d" % i for i in range(3, 8)
+            ]
+            # -1 = truncate to the high watermark (delete everything)
+            assert c.delete_records("t.del", {0: -1}) == {0: 8}
+            assert c.earliest_offsets("t.del") == {0: 8}
+            # beyond the high watermark is a per-partition error
+            with pytest.raises(KafkaProtocolError):
+                c.delete_records("t.del", {0: 99})
