@@ -89,3 +89,17 @@ def test_example_media_curation(spark):
     # GIF, and audio stay distinct: 10 * (1 + 3) = 40
     assert stages["after_dedup"] == 40
     assert stages["thumbnails"] == 30  # image survivors only
+
+
+def test_example_incremental_ingest(spark):
+    import incremental_ingest
+
+    stages = incremental_ingest.main(spark)
+    assert stages["batch_in"] > 0
+    assert stages["batch_after_exact"] <= stages["batch_in"]
+    # the fixture replicates texts across the corpus/batch split, so some
+    # batch docs MUST flag against the corpus — and never more docs than
+    # the batch holds get admitted
+    assert stages["flagged_pairs"] > 0
+    assert 0 < stages["admitted"] < stages["batch_after_exact"]
+    assert stages["index_rows_appended"] == stages["admitted"]

@@ -348,3 +348,42 @@ def test_pgoutput_decoder_roundtrip_arbitrary_schema(table):
     assert [e["lsn"] for e in events] == list(
         range(101, 101 + len(rows))
     ) + [lsn + 1, lsn + 2]
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+                  min_size=1, max_size=300),
+    split=st.integers(min_value=0, max_value=300),
+    k=st.sampled_from([4, 16, 32]),
+)
+@SETTINGS
+def test_kmv_merge_equals_direct_sketch(spark, vals, split, k):
+    """Bottom-k mergeability is EXACT, for any values, any split point,
+    any k: union two cells' sketches, re-take k smallest == sketch the
+    union directly. This is the property that makes materialize-once /
+    roll-up-anywhere sound."""
+    from go_pq_cdc_kafka_spark.operators import sketches as SKCH
+
+    split = min(split, len(vals))
+    rows = [("a", v) for v in vals[:split]] + [("b", v) for v in vals[split:]]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "cell string, v long")
+    cells = SKCH.kmv_cell_sketches(df, ["cell"], "v", k=k)
+    merged = SKCH.kmv_rollup(
+        cells.withColumn("cell", F.lit("ALL")), ["cell"], k=k
+    ).collect()
+    direct = SKCH.kmv_cell_sketches(
+        df.withColumn("cell", F.lit("ALL")), ["cell"], "v", k=k
+    ).collect()
+    assert merged[0].sketch == direct[0].sketch
+    # and the estimator is exact whenever the sketch saw everything
+    est = SKCH.kmv_estimate(
+        SKCH.kmv_cell_sketches(
+            df.withColumn("cell", F.lit("ALL")), ["cell"], "v", k=k
+        ),
+        k=k,
+    ).collect()[0]
+    n_distinct = len(set(vals))
+    if n_distinct < k:
+        assert est.est_distinct == float(n_distinct)
