@@ -99,3 +99,68 @@ def domain_mixture_sample_sql(
         f"{T.hash64_sql(f'CAST({id_expr} AS VARCHAR)')} % {mod} < "
         f"(CASE {domain_expr} {cases} ELSE 0 END)"
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture selection by TOKEN budget, not document rate: each source
+    contributes documents (in deterministic hash-priority order) until its
+    token budget fills — the way training recipes actually weight sources
+    (a doc-rate mixture over-samples short documents; DoReMi-style weights
+    are token shares).
+
+    Deterministic: priority = md5-derived hash of the row key, selection =
+    keep while the running token total (inclusive) stays within budget —
+    one window shuffle keyed by the domain. Domains without a budget are
+    dropped. A pathologically dominant source makes that source's window
+    partition large; pre-thin with :func:`hash_fraction_sample` when one
+    domain is orders of magnitude beyond its budget."""
+    from pyspark.sql import Window
+
+    bud = F.lit(0)
+    for dom, b in sorted(budgets.items()):
+        bud = F.when(F.col(domain_col) == dom, int(b)).otherwise(bud)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(T.hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", T.token_count(F.col(text_col)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= bud)
+    )
+
+
+def token_budget_mixture_sql(
+    domain_expr: str,
+    budgets: dict[str, int],
+    id_expr: str,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: same hash priority, same inclusive running total."""
+    cases = " ".join(f"WHEN '{d}' THEN {int(b)}" for d, b in sorted(budgets.items()))
+    toks = T.TOKENS_SQL.format(c=text_expr)
+    return f"""
+WITH sized AS (
+  SELECT *, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         {T.hash64_sql(f'CAST({id_expr} AS VARCHAR)')} AS pri
+  FROM {table}
+),
+running AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+            PARTITION BY {domain_expr} ORDER BY pri, {id_expr}
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM sized
+)
+SELECT {id_expr} AS doc_id, {domain_expr} AS source, n_tokens, cum_tokens
+FROM running
+WHERE cum_tokens <= (CASE {domain_expr} {cases} ELSE 0 END)
+ORDER BY source, cum_tokens
+"""

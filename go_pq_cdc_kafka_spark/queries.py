@@ -6249,6 +6249,30 @@ def sample_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGETS = {"src0": 4000, "src1": 2500, "src2": 1000}
+
+
+@register(
+    "sample_token_mixture",
+    oracle=SA.token_budget_mixture_sql(
+        "source", _TOKEN_BUDGETS, "doc_id", "text"
+    ),
+    category="sampling",
+    description="Mixture selection by TOKEN budget (DoReMi-style source "
+    "weights are token shares, and doc-rate mixtures over-sample short "
+    "docs): each source contributes documents in deterministic "
+    "hash-priority order until its token budget fills. One window "
+    "shuffle keyed by source; unbudgeted sources drop map-side.",
+)
+def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.token_budget_mixture(d, "source", _TOKEN_BUDGETS, "doc_id")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
 @register(
     "dedup_incremental_minhash",
     oracle=DD.minhash_incremental_pairs_sql(

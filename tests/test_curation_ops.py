@@ -430,3 +430,40 @@ def test_quality_classifier_matches_hand_hash(spark):
         assert abs(row.score_per_token - score / 6) < 1e-12
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_token_budget_mixture_respects_budgets_and_priority(spark):
+    import hashlib
+
+    rows = [
+        (i, "w " * (i % 5 + 1), "en", "a" if i < 50 else "b", 1)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = SA.token_budget_mixture(
+        df, "source", {"a": 20, "b": 7}, "doc_id"
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    # inclusive running total never exceeds the budget
+    assert max(r.cum_tokens for r in by_src["a"]) <= 20
+    assert max(r.cum_tokens for r in by_src["b"]) <= 7
+    # priority order is the md5 hash of the doc id — recompute and check
+    # the selected set is a PREFIX of that order
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    for src, lo, hi in (("a", 0, 50), ("b", 50, 100)):
+        order = sorted(range(lo, hi), key=lambda i: (h(i), i))
+        picked = {r.doc_id for r in by_src[src]}
+        prefix = set()
+        total = 0
+        for i in order:
+            total += (i % 5) + 1
+            if total > {"a": 20, "b": 7}[src]:
+                break
+            prefix.add(i)
+        assert picked == prefix

@@ -618,3 +618,13 @@ def test_label_centroids_partial_final_cells(spark):
     plan = plan_of(spark, "emb_label_centroids")
     assert "posexplode" in plan
     assert op_count(plan, "HashAggregate") >= 2
+
+
+def test_token_mixture_single_window_shuffle(spark):
+    """Token-budget mixture: one window exchange keyed by source; the
+    budget predicate and token counting stay map-side."""
+    plan = plan_of(spark, "sample_token_mixture")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "Window") >= 1
+    # selection never aggregates the corpus — no hash-agg before the window
+    assert "BroadcastNestedLoopJoin" not in plan
