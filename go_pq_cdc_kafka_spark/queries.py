@@ -6249,6 +6249,84 @@ def sample_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{DD.ngram_jaccard_pairs_sql(threshold=0.5, max_df=64)}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+         AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         {{h}} % 10 AS b
+  FROM assigned
+)
+ORDER BY doc_id
+""".format(
+        h=T.hash64_sql("concat('split:', CAST(cluster_id AS VARCHAR))")
+    ),
+    category="sampling",
+    description="Leakage-safe train/val/test split: near-duplicate docs "
+    "must land in the SAME split (a near-dup of a training doc inside the "
+    "eval split inflates every benchmark it touches), so the split is a "
+    "hash of the doc's near-dup CLUSTER (df-valved Jaccard pairs -> "
+    "connected components; singletons are their own cluster), not of the "
+    "doc. 80/10/10 by md5 bucket — deterministic under appends and "
+    "retries.",
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of three first-class tiers: valved pair generation
+    (dedup.ngram_jaccard_pairs max_df=64), iterative min-label connected
+    components (cluster.connected_components), and a map-side hash split
+    keyed by the CLUSTER id. The final assignment join is doc-keyed
+    (uniform, shuffle-hash-friendly); everything after the component
+    fixpoint is a single projection."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5, max_df=64)
+    comp = CL.connected_components(pairs)
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    b = (
+        T.hash64(
+            F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+        )
+        % 10
+    )
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(b <= 7, "train").when(b == 8, "val").otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TOKEN_BUDGETS = {"src0": 4000, "src1": 2500, "src2": 1000}
 
 
