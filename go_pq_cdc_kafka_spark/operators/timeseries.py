@@ -222,3 +222,110 @@ def rollup_coarse(
             "max_value",
         )
     )
+
+
+def ewma(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+):
+    """Per-series exponentially-weighted moving average — the smoothing/
+    trend primitive (seed s_1 = x_1; s_t = s_{t-1} + (x_t - s_{t-1})·α).
+
+    EWMA is an ORDER-SENSITIVE fold, which no window frame expresses
+    (every prefix re-weights), so each series is assembled into one
+    ts-sorted array (``sort_array(collect_list(struct(...)))`` — ties
+    broken by ``id_col`` for determinism) and folded with a higher-order
+    ``aggregate`` whose accumulator carries the running smoothed array.
+    The fold is the same IEEE sequence the SQL oracle's recursive CTE
+    performs (α = num/den with a power-of-two ``den`` is exact in
+    binary), so values match bit-for-bit.
+
+    Scale posture: state is bounded per SERIES (one array per key), the
+    same contract as gap-fill and sequence packing — callers smooth
+    BUCKETED series, so array length is span/step, not raw event count.
+    One shuffle (the per-key groupBy); the fold and the re-explode are
+    map-side."""
+    import pyspark.sql.functions as F
+
+    alpha = float(alpha_num) / float(alpha_den)
+    series = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(id_col).alias("rid"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("pts")
+    )
+    smoothed = series.select(
+        key_col,
+        F.aggregate(
+            F.col("pts"),
+            F.expr("CAST(array() AS array<double>)"),
+            lambda acc, p: F.when(
+                F.size(acc) == 0, F.array(p["x"])
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.element_at(acc, -1)
+                        + (p["x"] - F.element_at(acc, -1)) * F.lit(alpha)
+                    ),
+                )
+            ),
+        ).alias("sm"),
+        F.col("pts"),
+    )
+    return (
+        smoothed.select(
+            key_col,
+            F.posexplode(F.arrays_zip(F.col("pts"), F.col("sm"))).alias(
+                "_i", "z"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("z.pts.ts").alias(ts_col),
+            F.col("z.pts.rid").alias(id_col),
+            F.col("z.pts.x").alias(value_col),
+            F.col("z.sm").alias("ewma"),
+        )
+    )
+
+
+def ewma_sql(
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    id_expr: str,
+    table: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> str:
+    """DuckDB twin: the same fold as a recursive CTE over per-series row
+    numbers — s(1) = x(1); s(n) = s(n-1) + (x(n) - s(n-1))·α, identical
+    IEEE op order to the Spark fold."""
+    alpha = float(alpha_num) / float(alpha_den)
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {key_expr} AS k, {ts_expr} AS ts, {id_expr} AS rid,
+         CAST({value_expr} AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                            ORDER BY {ts_expr}, {id_expr}) AS rn
+  FROM {table}
+),
+fold(k, ts, rid, x, rn, s) AS (
+  SELECT k, ts, rid, x, rn, x FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.ts, o.rid, o.x, o.rn, f.s + (o.x - f.s) * {alpha}
+  FROM fold f JOIN ordered o ON o.k = f.k AND o.rn = f.rn + 1
+)
+SELECT k, ts, rid, x, s AS ewma FROM fold
+"""

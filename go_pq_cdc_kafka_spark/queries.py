@@ -6249,6 +6249,66 @@ def sample_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_INNER = TS.ewma_sql(
+    "event_type", "day", "daily_mean", "day_id", "daily",
+    alpha_num=1, alpha_den=4,
+).replace(
+    "WITH RECURSIVE ordered AS (",
+    """WITH RECURSIVE cents AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(epoch(day) AS BIGINT) AS day_id,
+         CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+           AS daily_mean
+  FROM cents GROUP BY event_type, day
+),
+ordered AS (""",
+)
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle=f"""
+SELECT k AS event_type, ts AS day, rid AS day_id, x AS daily_mean, ewma
+FROM ({_EWMA_INNER}) t
+ORDER BY event_type, day
+""",
+    category="timeseries",
+    description="Per-series EWMA smoothing (s_t = s_t-1 + (x_t - s_t-1)/4) "
+    "over per-type DAILY mean series: an order-sensitive fold no window "
+    "frame expresses, run as one ts-sorted array fold per series — state "
+    "bounded by days-per-series (the bucketed-series contract shared with "
+    "gapfill/packing), one per-key shuffle. The oracle replays the same "
+    "IEEE fold as a recursive CTE; alpha = 1/4 is exact in binary, so "
+    "values match bit-for-bit.",
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = (
+        cents.groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("daily_mean")
+        )
+        .withColumn("day_id", F.unix_timestamp("day").cast("long"))
+    )
+    return TS.ewma(
+        daily, "event_type", "day", "daily_mean", "day_id",
+        alpha_num=1, alpha_den=4,
+    ).orderBy("event_type", "day")
+
+
 @register(
     "sample_split_leakage_safe",
     oracle=f"""

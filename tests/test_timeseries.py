@@ -160,3 +160,34 @@ def test_gapfill_interpolate_negative_slope_truncates_toward_zero(spark):
     # slope -7 over 3h: 10 + (-7*1)//3 = 10 + (-2) = 8 (trunc, not floor
     # which would give 7); 10 + (-7*2)//3 = 10 - 4 = 6
     assert out == {(0, 10), (1, 8), (2, 6), (3, 3)}
+
+
+def test_ewma_hand_computed_and_order_sensitive(spark):
+    from go_pq_cdc_kafka_spark.operators import timeseries as TS
+
+    rows = [
+        ("a", 1, 101, 8.0),
+        ("a", 2, 102, 4.0),
+        ("a", 3, 103, 0.0),
+        ("b", 1, 201, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, rid long, x double")
+    got = {
+        (r.k, r.ts): r.ewma
+        for r in TS.ewma(df, "k", "ts", "x", "rid").collect()
+    }
+    # s1=8; s2=8+(4-8)/4=7; s3=7+(0-7)/4=5.25
+    assert got[("a", 1)] == 8.0
+    assert got[("a", 2)] == 7.0
+    assert got[("a", 3)] == 5.25
+    assert got[("b", 1)] == 10.0
+
+    # order sensitivity: reversing the series changes the fold
+    rev = spark.createDataFrame(
+        [("a", 1, 1, 0.0), ("a", 2, 2, 4.0), ("a", 3, 3, 8.0)],
+        "k string, ts long, rid long, x double",
+    )
+    got_rev = {
+        r.ts: r.ewma for r in TS.ewma(rev, "k", "ts", "x", "rid").collect()
+    }
+    assert got_rev[3] != got[("a", 3)]
