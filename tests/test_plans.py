@@ -628,3 +628,21 @@ def test_token_mixture_single_window_shuffle(spark):
     assert op_count(plan, "Window") >= 1
     # selection never aggregates the corpus — no hash-agg before the window
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_series_shuffle(spark):
+    """EWMA: one per-key aggregation shuffle; the fold and re-explode are
+    map-side; nothing corpus-scaled broadcasts or cross-joins."""
+    plan = plan_of(spark, "ts_ewma_smooth")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_split_no_cartesian_no_corpus_broadcast(spark):
+    """Cluster-keyed split: pair generation is the valved inverted-index
+    shape (never broadcast), the component fixpoint iterates equi-joins,
+    and the final doc-keyed assignment join is hash-family."""
+    plan = plan_of(spark, "sample_split_leakage_safe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
