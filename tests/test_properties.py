@@ -387,3 +387,38 @@ def test_kmv_merge_equals_direct_sketch(spark, vals, split, k):
     n_distinct = len(set(vals))
     if n_distinct < k:
         assert est.est_distinct == float(n_distinct)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False, width=64),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_ewma_fold_bit_parity_with_duckdb(spark, vals):
+    """The EWMA fold's bit-for-bit cross-engine claim, on arbitrary
+    doubles (not just fixture values): Spark's sorted-array aggregate and
+    DuckDB's recursive CTE must produce IDENTICAL doubles, because both
+    run the same IEEE sequence with an exact-binary alpha."""
+    from go_pq_cdc_kafka_spark.operators import timeseries as TS
+
+    rows = [("k", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, rid long, x double")
+    got = {
+        r.ts: r.ewma for r in TS.ewma(df, "k", "ts", "x", "rid").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (k VARCHAR, ts BIGINT, rid BIGINT, x DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT ts, ewma FROM ("
+            + TS.ewma_sql("k", "ts", "x", "rid", "t")
+            + ")"
+        ).fetchall()
+    )
+    assert got == want  # EXACT equality, no tolerance
