@@ -63,7 +63,12 @@ def changelog_delta_partials(
     changelog sum to the same view (commutative algebra, see module doc).
     """
     op = F.col(op_col)
-    val = F.col(value_col).cast(_DEC)
+    # Both images coalesce to 0 so NULL transitions retract correctly:
+    # UPDATE x→NULL must emit -x (a recompute's SUM skips the NULL), and
+    # INSERT/DELETE of a NULL value must contribute 0 — an uncoalesced
+    # val makes `val - pre` NULL, which F.sum silently drops, leaving
+    # the maintained view stuck at the pre-image.
+    val = F.coalesce(F.col(value_col).cast(_DEC), F.lit(0).cast(_DEC))
     pre = F.coalesce(F.col(pre_col).cast(_DEC), F.lit(0).cast(_DEC))
     cnt = (
         F.when(op.isin(*_DELETE_OPS), F.lit(-1))

@@ -1100,6 +1100,53 @@ class KafkaWireProducer(KafkaWireClient):
         self._in_txn = False
         self._txn_partitions: set[tuple[str, int]] = set()
         self._txn_offsets_sent = False
+        self._coord_conns: dict[tuple[int, str], BrokerConnection] = {}
+
+    def _coordinator_conn_v1(self, key: str, key_type: int) -> BrokerConnection:
+        """FindCoordinator v1 → cached connection to the coordinator for
+        ``key``: key_type 0 = consumer group, 1 = transactional id. All
+        transactional RPCs MUST go to the transaction coordinator (and
+        TxnOffsetCommit to the GROUP coordinator) — only on a single-broker
+        cluster does the bootstrap node happen to be both; a multi-broker
+        cluster answers NOT_COORDINATOR otherwise."""
+        cached = self._coord_conns.get((key_type, key))
+        if cached is not None:
+            return cached
+        body = _str(key) + struct.pack(">b", key_type)
+        r = self._bootstrap_conn().request(API_FIND_COORDINATOR, 1, body)
+        r.i32()  # throttle_time_ms (v1+)
+        code = r.i16()
+        msg = r.string()  # error_message (nullable, v1+)
+        if code != ERR_NONE:
+            raise KafkaProtocolError(
+                code, f"FindCoordinator type={key_type} {key}: {msg}"
+            )
+        r.i32()  # node_id
+        host = r.string()
+        port = r.i32()
+        conn = self._dial(host, port)
+        self._coord_conns[(key_type, key)] = conn
+        return conn
+
+    def _txn_request(self, api_key: int, version: int, body: bytes):
+        """Send a transaction-coordinator RPC; on connection failure drop
+        the cached coordinator (it may have moved) and re-resolve once."""
+        assert self.transactional_id is not None
+        try:
+            conn = self._coordinator_conn_v1(self.transactional_id, 1)
+            return conn.request(api_key, version, body)
+        except (ConnectionError, OSError):
+            stale = self._coord_conns.pop((1, self.transactional_id), None)
+            if stale is not None:
+                stale.close()
+            conn = self._coordinator_conn_v1(self.transactional_id, 1)
+            return conn.request(api_key, version, body)
+
+    def close(self) -> None:  # extend: also drop coordinator connections
+        for c in self._coord_conns.values():
+            c.close()
+        self._coord_conns.clear()
+        super().close()
 
     def _ensure_producer_id(self) -> None:
         """InitProducerId v0: acquire the (producerId, epoch) the broker
@@ -1110,7 +1157,12 @@ class KafkaWireProducer(KafkaWireClient):
         if self._producer_id >= 0:
             return
         body = _str(self.transactional_id) + struct.pack(">i", self.timeout_ms)
-        r = self._bootstrap_conn().request(API_INIT_PRODUCER_ID, 0, body)
+        if self.transactional_id is not None:
+            # transactional registration lives on the txn coordinator;
+            # idempotence-only InitProducerId is served by any broker
+            r = self._txn_request(API_INIT_PRODUCER_ID, 0, body)
+        else:
+            r = self._bootstrap_conn().request(API_INIT_PRODUCER_ID, 0, body)
         r.i32()  # throttle_time_ms
         code = r.i16()
         if code != ERR_NONE:
@@ -1145,9 +1197,7 @@ class KafkaWireProducer(KafkaWireClient):
             body += struct.pack(">i", len(pids))
             for pid in pids:
                 body += struct.pack(">i", pid)
-        r = self._bootstrap_conn().request(
-            API_ADD_PARTITIONS_TO_TXN, 0, bytes(body)
-        )
+        r = self._txn_request(API_ADD_PARTITIONS_TO_TXN, 0, bytes(body))
         r.i32()  # throttle_time_ms
         for _ in range(r.i32()):
             topic = r.string()
@@ -1181,9 +1231,7 @@ class KafkaWireProducer(KafkaWireClient):
         body = _str(self.transactional_id)
         body += struct.pack(">qh", self._producer_id, self._producer_epoch)
         body += _str(group_id)
-        r = self._bootstrap_conn().request(
-            API_ADD_OFFSETS_TO_TXN, 0, bytes(body)
-        )
+        r = self._txn_request(API_ADD_OFFSETS_TO_TXN, 0, bytes(body))
         r.i32()  # throttle_time_ms
         code = r.i16()
         if code != ERR_NONE:
@@ -1197,7 +1245,9 @@ class KafkaWireProducer(KafkaWireClient):
         for pid, off in sorted(offsets.items()):
             body += struct.pack(">iq", pid, off)
             body += _str(None)  # metadata
-        r = self._bootstrap_conn().request(
+        # TxnOffsetCommit goes to the GROUP coordinator (it lands in
+        # __consumer_offsets), not the transaction coordinator
+        r = self._coordinator_conn_v1(group_id, 0).request(
             API_TXN_OFFSET_COMMIT, 0, bytes(body)
         )
         r.i32()  # throttle_time_ms
@@ -1226,7 +1276,7 @@ class KafkaWireProducer(KafkaWireClient):
             ">qhb", self._producer_id, self._producer_epoch,
             1 if committed else 0,
         )
-        r = self._bootstrap_conn().request(API_END_TXN, 0, body)
+        r = self._txn_request(API_END_TXN, 0, body)
         r.i32()  # throttle_time_ms
         code = r.i16()
         if code != ERR_NONE:
@@ -1394,6 +1444,7 @@ def _list_offsets(
         for pid in pids:
             body += struct.pack(">iq", pid, timestamp)
         r = client.conn_for(leader, meta).request(API_LIST_OFFSETS, 2, bytes(body))
+        r.i32()  # throttle_time_ms (v2+ — absent in v0/v1)
         for _ in range(r.i32()):
             r.string()  # topic
             for _ in range(r.i32()):

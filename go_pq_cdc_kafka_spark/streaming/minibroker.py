@@ -492,16 +492,18 @@ class MiniBroker:
 
     def _api_versions(self, version: int, r: _Reader) -> bytes:
         apis = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
-                (API_LIST_OFFSETS, 1, 1),
+                (API_LIST_OFFSETS, 1, 2),
                 (API_METADATA, 0, 1), (API_VERSIONS, 0, 0),
                 (API_DELETE_RECORDS, 0, 0),
-                (API_FIND_COORDINATOR, 0, 0), (API_OFFSET_COMMIT, 2, 2),
+                (API_FIND_COORDINATOR, 0, 1), (API_OFFSET_COMMIT, 2, 2),
                 (API_OFFSET_FETCH, 1, 1), (API_INIT_PRODUCER_ID, 0, 0),
                 (API_JOIN_GROUP, 0, 0), (API_SYNC_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
                 (API_SASL_HANDSHAKE, 0, 1), (API_SASL_AUTHENTICATE, 0, 0),
                 (API_ADD_OFFSETS_TO_TXN, 0, 0),
-                (API_TXN_OFFSET_COMMIT, 0, 0)]
+                (API_TXN_OFFSET_COMMIT, 0, 0),
+                (API_ADD_PARTITIONS_TO_TXN, 0, 0),
+                (API_END_TXN, 0, 0)]
         out = bytearray(struct.pack(">hi", ERR_NONE, len(apis)))
         for k, lo, hi in apis:
             out += struct.pack(">hhh", k, lo, hi)
@@ -1038,7 +1040,10 @@ class MiniBroker:
                 ts = r.i64()
                 parts.append((pid, ts))
             requests.append((topic, parts))
-        out = bytearray(struct.pack(">i", len(requests)))
+        out = bytearray()
+        if version >= 2:
+            out += struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">i", len(requests))
         with self._lock:
             for topic, parts in requests:
                 out += _str(topic)
@@ -1078,10 +1083,18 @@ class MiniBroker:
         return bytes(out)
 
     def _find_coordinator(self, version: int, r: _Reader) -> bytes:
-        r.string()  # coordinator key (group id) — single node IS the
-        # coordinator for every group
-        return (struct.pack(">hi", ERR_NONE, 0) + _str(self.host)
-                + struct.pack(">i", self.port))
+        r.string()  # coordinator key — single node IS the coordinator
+        if version >= 1:
+            r.i8()  # key_type: 0 = group, 1 = transaction — same node here
+        out = bytearray()
+        if version >= 1:
+            out += struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">h", ERR_NONE)
+        if version >= 1:
+            out += _str(None)  # error_message
+        out += struct.pack(">i", 0) + _str(self.host)
+        out += struct.pack(">i", self.port)
+        return bytes(out)
 
     def _offset_commit(self, version: int, r: _Reader) -> bytes:
         group = r.string()

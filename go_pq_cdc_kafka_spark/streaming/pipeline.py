@@ -242,6 +242,7 @@ def write_kafka_wire_eos(
     records_df: DataFrame,
     cfg: KafkaProducerConfig,
     group: str,
+    align: str = "repartition",
 ) -> int:
     """Exactly-once consume-transform-produce (KIP-98): batch produce of a
     record frame that also carries its source lineage — ``src_topic``,
@@ -256,14 +257,31 @@ def write_kafka_wire_eos(
     (consumer.go:141-157 — at-least-once across a crash between publish
     and ack) to exactly-once.
 
-    Contract (the Kafka Streams EOS topology shape): the transform between
-    source and this sink must be narrow — no shuffle may split one source
-    partition's rows across tasks, because each task commits its own
-    transaction and a partition's offsets must ride exactly one of them.
-    The ``kafkawire`` source plans one task per source partition, so any
-    chain of map-side ops preserves the contract. Rows filtered out by
-    the transform don't advance offsets (their range is re-read next run
-    and filtered again — idempotent, never duplicated)."""
+    Contract (the Kafka Streams EOS topology shape): a source partition's
+    offsets must ride exactly ONE task's transaction — if two tasks hold
+    pieces of one partition's range, a later-range task can commit and
+    advance the group past an earlier-range task that aborted, silently
+    skipping records on committed-resume. ``align`` controls how that
+    premise is enforced:
+
+    - ``"repartition"`` (default, always safe): hash-repartition on
+      ``(src_topic, src_partition)`` and sort within partitions by
+      ``src_offset``, so each source partition's whole batch range rides
+      one task and is produced in offset order — correct even when the
+      ``kafkawire`` source's ``minpartitions`` option split the range, or
+      an upstream shuffle scattered it. Costs one exchange per batch.
+    - ``"assume"`` (zero-shuffle fast path): the caller guarantees the
+      chain is narrow — only map-side ops between a source that plans one
+      task per source partition and this sink, and in particular that the
+      source was NOT configured with ``minpartitions``. Nothing verifies
+      this; use only when you own the whole read→transform→write chain.
+
+    Rows filtered out by the transform don't advance offsets beyond
+    ``max(src_offset)+1`` of the surviving rows (a trailing filtered run
+    is re-read next run and filtered again — idempotent, never
+    duplicated)."""
+    if align not in ("repartition", "assume"):
+        raise ValueError(f"align must be 'repartition' or 'assume', got {align!r}")
     if cfg.transactional_id is None:
         raise ValueError(
             "write_kafka_wire_eos requires cfg.transactional_id — offsets "
@@ -277,6 +295,8 @@ def write_kafka_wire_eos(
             f"records_df lacks source lineage columns {sorted(missing)}; "
             "rename the kafkawire source's topic/partition/offset columns"
         )
+    if align == "repartition":
+        records_df = _align_by_source(records_df)
     wire_kwargs = cfg.wire_kwargs()
     caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
     acked = records_df.mapInPandas(
@@ -285,6 +305,16 @@ def write_kafka_wire_eos(
     )
     row = acked.agg(F.sum("produced").alias("n")).first()
     return int(row["n"] or 0)
+
+
+def _align_by_source(records_df: DataFrame) -> DataFrame:
+    """One task per source partition: hash-repartition on the lineage key
+    and restore per-partition offset order. Partition count is inherited
+    (``spark.sql.shuffle.partitions`` / AQE coalescing); several whole
+    source partitions sharing a task is fine — a split one never is."""
+    return records_df.repartition(
+        F.col("src_topic"), F.col("src_partition")
+    ).sortWithinPartitions("src_topic", "src_partition", "src_offset")
 
 
 def ordered_records(batch_df: DataFrame, order_col: str = "lsn") -> DataFrame:

@@ -155,6 +155,30 @@ def test_ivm_fully_deleted_group_vanishes(spark):
     assert len(got) == 1 and got[0][0] == "h" and float(got[0][2]) == 7.0
 
 
+def test_ivm_null_transitions_retract_and_restore(spark):
+    """UPDATE x→NULL must retract x (a recompute's SUM skips NULLs) and
+    UPDATE NULL→y must add y; INSERT/DELETE of a NULL value contribute 0.
+    Regression for the uncoalesced-value bug where `val - pre` went NULL
+    and F.sum silently dropped the retraction, freezing the view at the
+    pre-image."""
+    rows = [
+        (1, "INSERT", 10.0, None, "g"),
+        (1, "UPDATE", None, 10.0, "g"),   # x -> NULL: retract 10
+        (2, "INSERT", None, None, "g"),   # NULL insert: contributes 0
+        (2, "UPDATE", 6.0, None, "g"),    # NULL -> y: add 6
+        (3, "INSERT", None, None, "g"),
+        (3, "DELETE", None, None, "g"),   # NULL delete: contributes 0
+    ]
+    log = spark.createDataFrame(
+        rows, "pk long, op string, value double, pre_value double, grp string"
+    )
+    part = IVM.changelog_delta_partials(log, keys=["grp"]).collect()
+    assert len(part) == 1
+    assert part[0]["cnt_delta"] == 2  # rows 1 and 2 survive, row 3 deleted
+    # final state: pk1=NULL, pk2=6.0 -> SUM skips the NULL -> 6.0
+    assert float(part[0]["sum_delta"]) == 6.0
+
+
 def test_ivm_accepts_debezium_single_char_ops(spark):
     rows = [
         (1, "c", 10.0, None, "g"),

@@ -386,3 +386,147 @@ def test_eos_requires_txn_and_lineage(spark):
             KafkaProducerConfig(brokers=["x:1"], transactional_id="t"),
             "g",
         )
+
+
+def test_find_coordinator_v1_both_key_types():
+    """FindCoordinator v1 (throttle + error_message in the response)
+    resolves both the group (type 0) and transaction (type 1) coordinator;
+    transactional RPCs must be routed through it — bootstrap-only routing
+    fails with NOT_COORDINATOR on real multi-broker clusters."""
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(
+            broker.bootstrap, transactional_id="fc-v1"
+        ) as p:
+            g = p._coordinator_conn_v1("some-group", 0)
+            t = p._coordinator_conn_v1("fc-v1", 1)
+            assert g is not t  # independent cached connections
+            # cache hit returns the same object
+            assert p._coordinator_conn_v1("fc-v1", 1) is t
+            # the resolved connections actually serve requests
+            p.begin_transaction()
+            _send(p, "t.fc", b"x")
+            p.commit_transaction()
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            recs, _ = c.fetch("t.fc", 0, isolation_level=1)
+            assert [bytes(r.value) for r in recs] == [b"x"]
+
+
+def test_eos_align_repartition_with_minpartitions_split(spark):
+    """`minpartitions` splits one source partition's offset range across
+    several input tasks — under align="assume" each piece would commit its
+    own transaction (a later-range commit can outlive an earlier-range
+    abort and skip records on resume). The default align="repartition"
+    re-unifies each source partition onto one task, so the loop stays
+    exactly-once regardless of how the source planned its scan."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_kafka_spark.sources import kafka_source as KS
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import write_kafka_wire_eos
+
+    KS.register(spark)
+    with MiniBroker(num_partitions=1) as broker:
+        cfg = KafkaProducerConfig(
+            brokers=[broker.bootstrap], transactional_id="eos-minpart-app"
+        )
+
+        def run_loop() -> int:
+            src = (
+                spark.read.format("kafkawire")
+                .option("bootstrap", broker.bootstrap)
+                .option("topic", "t.mp.in")
+                .option("group.id", "eos-minpart")
+                .option("startingoffsets", "committed")
+                .option("auto.offset.reset", "earliest")
+                .option("minpartitions", "4")  # force the range split
+                .load()
+            )
+            rec = src.select(
+                F.col("topic").alias("src_topic"),
+                F.col("partition").alias("src_partition"),
+                F.col("offset").alias("src_offset"),
+                F.lit("t.mp.out").alias("topic"),
+                F.col("key"),
+                F.col("value"),
+            )
+            return write_kafka_wire_eos(rec, cfg, "eos-minpart")
+
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, "t.mp.in", *[b"r%d" % i for i in range(20)])
+        assert run_loop() == 20
+        assert run_loop() == 0  # committed-resume covers everything
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            recs, _ = c.fetch("t.mp.out", 0, isolation_level=1)
+            assert sorted(bytes(r.value) for r in recs) == sorted(
+                b"r%d" % i for i in range(20)
+            )
+            # the whole partition's range rode exactly one transaction
+            assert c.fetch_committed(
+                "eos-minpart", "t.mp.in", [0]
+            ) == {0: 20}
+
+
+def test_align_by_source_unifies_split_partitions(spark):
+    """_align_by_source: after alignment every (src_topic, src_partition)
+    lives in exactly one Spark partition with offsets in ascending order —
+    the invariant each per-task transaction relies on."""
+    from pyspark.sql import functions as F
+
+    from go_pq_cdc_kafka_spark.streaming.pipeline import _align_by_source
+
+    rows = [
+        ("a", p, o) for p in range(3) for o in range(50)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "src_topic string, src_partition int, src_offset long"
+        )
+        .repartition(16)  # scatter: simulates minpartitions/up-stream shuffle
+        .withColumn("topic", F.lit("out"))
+        .withColumn("key", F.lit(None).cast("binary"))
+        .withColumn("value", F.lit(None).cast("binary"))
+    )
+    aligned = _align_by_source(df)
+
+    placed = (
+        aligned.withColumn("spid", F.spark_partition_id())
+        .groupBy("src_topic", "src_partition")
+        .agg(F.countDistinct("spid").alias("n_tasks"))
+        .collect()
+    )
+    assert len(placed) == 3
+    assert all(r["n_tasks"] == 1 for r in placed)
+
+    def check_sorted(it):
+        import pandas as pd
+
+        last: dict[tuple, int] = {}
+        ok = True
+        for pdf in it:
+            for t, p, o in zip(
+                pdf["src_topic"], pdf["src_partition"], pdf["src_offset"]
+            ):
+                k = (t, int(p))
+                if k in last and int(o) < last[k]:
+                    ok = False
+                last[k] = int(o)
+        yield pd.DataFrame({"ok": [ok]})
+
+    flags = aligned.mapInPandas(check_sorted, schema="ok boolean").collect()
+    assert all(r["ok"] for r in flags)
+
+
+def test_eos_rejects_unknown_align(spark):
+    from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
+    from go_pq_cdc_kafka_spark.streaming.pipeline import write_kafka_wire_eos
+
+    df = spark.createDataFrame(
+        [("t", 0, 0)], "src_topic string, src_partition int, src_offset long"
+    )
+    with pytest.raises(ValueError, match="align"):
+        write_kafka_wire_eos(
+            df,
+            KafkaProducerConfig(brokers=["x:1"], transactional_id="t"),
+            "g",
+            align="magic",
+        )

@@ -470,3 +470,54 @@ def test_delete_records_advances_log_start_and_low_watermark():
             # beyond the high watermark is a per-partition error
             with pytest.raises(KafkaProtocolError):
                 c.delete_records("t.del", {0: 99})
+
+
+def test_list_offsets_v2_response_carries_throttle_time():
+    """ListOffsets v2 prepends throttle_time_ms to the response (absent in
+    v0/v1). Regression for the silent-empty bug: a client that skips the
+    field reads throttle=0 as a 0-length topic array and plans empty
+    batches with no error — so pin the raw bytes, not just the parse."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        API_LIST_OFFSETS,
+        TS_LATEST,
+        _str,
+    )
+
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as p:
+            p.send_records([("t.lo", None, b"v", [])])
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            # the parsed path (what planners use)
+            assert c.latest_offsets("t.lo") == {0: 1}
+            # the raw path: v2 leads with throttle_time_ms, then topics
+            body = bytearray(struct.pack(">ib", -1, 0))
+            body += struct.pack(">i", 1) + _str("t.lo")
+            body += struct.pack(">i", 1) + struct.pack(">iq", 0, TS_LATEST)
+            r = c._bootstrap_conn().request(API_LIST_OFFSETS, 2, bytes(body))
+            assert r.i32() == 0        # throttle_time_ms
+            assert r.i32() == 1        # topic array length follows it
+            assert r.string() == "t.lo"
+            assert r.i32() == 1
+            assert r.i32() == 0        # partition id
+            assert r.i16() == 0        # error
+            r.i64()                    # timestamp
+            assert r.i64() == 1        # high watermark
+
+
+def test_api_versions_advertises_txn_and_list_offsets_v2():
+    """A conforming client negotiates via ApiVersions — every API the
+    broker handles must be advertised at the versions it accepts."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+        API_ADD_PARTITIONS_TO_TXN,
+        API_END_TXN,
+        API_FIND_COORDINATOR,
+        API_LIST_OFFSETS,
+    )
+
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireConsumer(broker.bootstrap) as c:
+            vers = c.api_versions()
+            assert vers[API_LIST_OFFSETS] == (1, 2)
+            assert vers[API_ADD_PARTITIONS_TO_TXN] == (0, 0)
+            assert vers[API_END_TXN] == (0, 0)
+            assert vers[API_FIND_COORDINATOR] == (0, 1)
