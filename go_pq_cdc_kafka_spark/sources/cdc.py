@@ -370,6 +370,19 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
         if self._conn is not None and end.get("lsn", 0) > 0:
             self._conn.ack(end["lsn"])
 
+    def stop(self) -> None:
+        """Query teardown: release the slot NOW (see PgRawStreamReader.stop
+        — a lingering pump connection blocks same-slot checkpoint restarts
+        with `replication slot ... is active`)."""
+        conn, self._conn = self._conn, None
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        self._thread = None
+        self._queue = None
+
 
 class PgWireDataSource(DataSource):
     """``spark.readStream.format("pgwire").option("dsn", ...)

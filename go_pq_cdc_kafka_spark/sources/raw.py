@@ -391,6 +391,20 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         if self._conn is not None and end.get("lsn", 0) > 0:
             self._conn.ack(end["lsn"])
 
+    def stop(self) -> None:
+        """Query teardown: close the walsender connection so the slot is
+        released immediately. Without this the daemon pump thread holds
+        the slot until process exit and a checkpoint-restart of the SAME
+        query (same slot) fails with `replication slot ... is active`."""
+        conn, self._conn = self._conn, None
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        self._thread = None
+        self._dq = None
+
 
 class PgRawDataSource(DataSource):
     """``spark.readStream.format("pgwire-raw")`` — raw pgoutput frames as

@@ -692,16 +692,27 @@ class MiniBroker:
         if committed:
             for key, off in txn.get("pending_offsets", {}).items():
                 self._group_offsets[key] = off
+        # the marker carries the coordinator's CURRENT epoch (bumped when
+        # this finish is an InitProducerId fence-abort) and, like real
+        # Kafka's WriteTxnMarkers, updates each partition's producer state
+        # to it — so a fenced zombie's later raw Produce to a partition it
+        # had already registered is rejected with INVALID_PRODUCER_EPOCH
+        # instead of sliding past the stale partition-side epoch.
+        cur = self._txn_producers.get(txn["txn_id"] or "")
+        marker_epoch = max(txn["epoch"], cur[1] if cur else txn["epoch"])
         key = struct.pack(">hh", 0, 1 if committed else 0)  # version, type
         value = struct.pack(">hi", 0, 0)  # version, coordinator_epoch
         for topic, p in sorted(txn["partitions"]):
             log = self._logs.get((topic, p))
             if log is None:
                 continue
+            state = self._producer_state.get((pid, topic, p))
+            if state is not None and marker_epoch > state[2]:
+                self._producer_state[(pid, topic, p)] = (0, {}, marker_epoch)
             marker = encode_record_batch(
                 [Record(key=key, value=value)],
                 producer_id=pid,
-                producer_epoch=txn["epoch"],
+                producer_epoch=marker_epoch,
                 transactional=True,
                 control=True,
             )
@@ -1200,3 +1211,37 @@ class MiniBroker:
                         out += struct.pack(">qq", a_pid, a_first)
                     out += _bytes(record_set)
         return bytes(out)
+
+
+def _main() -> None:
+    """Standalone broker process: `python -m go_pq_cdc_kafka_spark.
+    streaming.minibroker --port 19092 --partitions 8`.
+
+    Benchmarks run the broker OUT OF PROCESS so its socket handling does
+    not share the Spark driver's GIL — in-process threading understates
+    the produce path by serializing broker CRC validation against driver
+    batch planning (a real deployment's broker is always a separate
+    process on separate cores). Prints one `READY host:port` line, then
+    serves until SIGTERM/SIGINT."""
+    import argparse
+    import signal
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--partitions", type=int, default=3)
+    args = ap.parse_args()
+
+    broker = MiniBroker(
+        num_partitions=args.partitions, host=args.host, port=args.port
+    ).start()
+    print(f"READY {broker.bootstrap}", flush=True)
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    stop.wait()
+    broker.stop()
+
+
+if __name__ == "__main__":
+    _main()

@@ -530,3 +530,147 @@ def test_eos_rejects_unknown_align(spark):
             "g",
             align="magic",
         )
+
+
+# ---------------------------------------------------------------------------
+# Chaos matrix: randomized kill schedules over the exactly-once loop.
+# ---------------------------------------------------------------------------
+
+_CRASH_POINTS = (
+    "none",            # healthy attempt
+    "after_produce",   # die before staging offsets (txn left open)
+    "after_offsets",   # die after TxnOffsetCommit, before EndTxn
+    "after_commit",    # die after EndTxn(commit) — work IS durable
+    "zombie",          # a fenced prior instance keeps sending afterwards
+    "coord_drop",      # coordinator connections severed mid-attempt —
+                       # the client must re-resolve via FindCoordinator
+)
+
+
+def _run_eos_chaos_schedule(schedule, n_inputs, chunk):
+    """Drive the consume-transform-produce loop over ``n_inputs`` records,
+    injecting one scheduled failure per attempt (then healthy attempts
+    until done). Asserts the read-committed output is EXACTLY the ordered
+    transform of the input — no loss, no duplicates — whatever the
+    schedule (KIP-98's claim, exercised the way Kafka Streams EOS does)."""
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaProtocolError
+
+    IN, OUT, GROUP, TXN = "t.cx.in", "t.cx.out", "cx-group", "cx-app"
+    with MiniBroker(num_partitions=1) as broker:
+        with KafkaWireProducer(broker.bootstrap) as seed:
+            _send(seed, IN, *[b"m%d" % i for i in range(n_inputs)])
+
+        zombies: list[KafkaWireProducer] = []
+        consumer = KafkaWireConsumer(broker.bootstrap)
+        attempts = 0
+        max_attempts = len(schedule) + n_inputs + 8  # progress guarantee
+        try:
+            while attempts < max_attempts:
+                fail = schedule[attempts] if attempts < len(schedule) else "none"
+                attempts += 1
+
+                # a fresh instance: InitProducerId bumps the epoch, fencing
+                # any zombie AND aborting its open transaction
+                prod = KafkaWireProducer(broker.bootstrap, transactional_id=TXN)
+
+                if fail == "zombie" and zombies:
+                    # the previous incarnation wakes up after the new
+                    # instance registered: every write path must be fenced
+                    old = zombies[-1]
+                    prod.begin_transaction()  # registers the new epoch
+                    with pytest.raises(KafkaProtocolError):
+                        if not old._in_txn:
+                            old.begin_transaction()  # local: pid is cached
+                        _send(old, OUT, b"ZOMBIE")
+                    with pytest.raises(KafkaProtocolError):
+                        old.send_offsets_to_transaction(GROUP, IN, {0: 999})
+                    prod.abort_transaction()
+                    prod.close()
+                    continue
+
+                committed = consumer.fetch_committed(GROUP, IN, [0])[0]
+                pos = max(committed, 0)
+                if pos >= n_inputs:
+                    prod.close()
+                    break
+                recs, _ = consumer.fetch(IN, 0, offset=pos, isolation_level=1)
+                batch = recs[:chunk]
+                if not batch:
+                    prod.close()
+                    continue
+
+                prod.begin_transaction()
+                _send(prod, OUT, *[bytes(r.value).upper() for r in batch])
+                if fail == "after_produce":
+                    zombies.append(prod)  # crash: no offsets, no EndTxn
+                    continue
+                if fail == "coord_drop":
+                    # sever every cached coordinator conn: the next txn
+                    # RPC must FindCoordinator again and still commit
+                    for c in list(prod._coord_conns.values()):
+                        c.close()
+                prod.send_offsets_to_transaction(
+                    GROUP, IN, {0: batch[-1].offset + 1}
+                )
+                if fail == "after_offsets":
+                    zombies.append(prod)  # crash: EndTxn never sent
+                    continue
+                prod.commit_transaction()
+                if fail == "after_commit":
+                    zombies.append(prod)  # crash AFTER durability
+                    continue
+                prod.close()
+
+            final = consumer.fetch_committed(GROUP, IN, [0])[0]
+            assert final == n_inputs, f"loop stalled: {final}/{n_inputs}"
+            out, _ = consumer.fetch(
+                OUT, 0, isolation_level=1, max_bytes=4 << 20
+            )
+            assert [bytes(r.value) for r in out] == [
+                b"M%d" % i for i in range(n_inputs)
+            ], "read-committed output must be the exact ordered transform"
+        finally:
+            consumer.close()
+            for z in zombies:
+                try:
+                    z.close()
+                except Exception:
+                    pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=100,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        schedule=st.lists(
+            st.sampled_from(_CRASH_POINTS), min_size=1, max_size=10
+        ),
+        n_inputs=st.integers(min_value=1, max_value=12),
+        chunk=st.integers(min_value=1, max_value=4),
+    )
+    def test_eos_chaos_matrix_exactly_once(schedule, n_inputs, chunk):
+        """≥100 randomized kill schedules (producer death before/after
+        EndTxn, post-commit death, zombie fencing, coordinator connection
+        loss): the read-committed consumer sees each input exactly once,
+        in order, every time."""
+        _run_eos_chaos_schedule(schedule, n_inputs, chunk)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
+
+
+def test_eos_chaos_worst_case_schedule():
+    """Deterministic anchor: every failure mode back to back, twice."""
+    _run_eos_chaos_schedule(
+        ["after_produce", "after_offsets", "zombie", "coord_drop",
+         "after_commit", "after_produce", "after_offsets", "zombie",
+         "coord_drop", "after_commit"],
+        n_inputs=9,
+        chunk=2,
+    )
