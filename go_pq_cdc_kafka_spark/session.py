@@ -118,6 +118,37 @@ def ship_package(spark: SparkSession) -> None:
     spark._gpck_shipped = True
 
 
+def _ensure_protobuf_path() -> None:
+    """transformWithStateInPandas needs ``google.protobuf`` in the Python
+    WORKERS (they parse the state-server protocol). When the real package
+    is absent, append the vendored from-scratch shim
+    (vendor/google/protobuf — proto3 wire subset, see its module doc) to
+    sys.path AND PYTHONPATH — the latter before the JVM starts, so worker
+    processes it spawns inherit it. The real package always wins: the
+    vendor dir is only added when the import fails."""
+    import sys as _sys
+
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+    try:
+        import google.protobuf as _gp
+
+        # only a REAL installation short-circuits: if the import resolved
+        # to this very shim (someone put vendor on sys.path earlier in
+        # the process), PYTHONPATH must still be exported for the worker
+        # processes the JVM will spawn
+        if not (getattr(_gp, "__file__", "") or "").startswith(vendor):
+            return
+    except ImportError:
+        pass
+    if vendor not in _sys.path:
+        _sys.path.append(vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            existing + (os.pathsep if existing else "") + vendor
+        )
+
+
 def get_spark(
     app_name: str = "go-pq-cdc-kafka-spark",
     master: str | None = None,
@@ -140,6 +171,7 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_parent + (os.pathsep + existing if existing else "")
         )
+    _ensure_protobuf_path()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = {

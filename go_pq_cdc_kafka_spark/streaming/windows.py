@@ -300,7 +300,13 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 def tws_available() -> bool:
     """True when the runtime can execute transformWithStateInPandas: its
     state server speaks protobuf, so the ``protobuf`` package must be
-    importable in the Python workers."""
+    importable in the Python workers. When the real package is absent the
+    vendored from-scratch shim (vendor/google/protobuf) is put on the
+    path instead — protobuf-java inside the JVM is its conformance
+    oracle, so a wire bug fails the query loudly rather than silently."""
+    from go_pq_cdc_kafka_spark.session import _ensure_protobuf_path
+
+    _ensure_protobuf_path()
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -1,0 +1,192 @@
+"""Vendored protobuf shim (vendor/google/protobuf): golden wire bytes from
+the public encoding spec, roundtrips of every response shape the TWS
+client reads, and proto3 presence semantics. The END-TO-END conformance
+oracle is protobuf-java inside the Spark JVM — tests/test_windows.py::
+test_stateful_running_counts_tws round-trips every request/response
+through Spark's own parser; these tests pin the wire layer in isolation
+so a regression points at the byte, not at a hung streaming query."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+import pytest
+
+VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "go_pq_cdc_kafka_spark", "vendor",
+)
+
+
+@pytest.fixture(scope="module")
+def SM():
+    if VENDOR not in sys.path:
+        sys.path.append(VENDOR)
+    return importlib.import_module(
+        "pyspark.sql.streaming.proto.StateMessage_pb2"
+    )
+
+
+@pytest.fixture(scope="module")
+def rt():
+    if VENDOR not in sys.path:
+        sys.path.append(VENDOR)
+    return importlib.import_module("google.protobuf._shim_runtime")
+
+
+def test_varint_golden_vectors(rt):
+    """Public encoding-spec vectors: 1 → 01, 150 → 9601, -2 (int64) → ten
+    0xff-leading bytes (two's complement)."""
+    def enc(v):
+        out = bytearray()
+        rt.write_varint(out, v)
+        return bytes(out)
+
+    assert enc(1) == b"\x01"
+    assert enc(150) == b"\x96\x01"
+    assert enc(0) == b"\x00"
+    assert enc(-2) == b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    for v in (0, 1, 127, 128, 150, 300, 1 << 32, (1 << 63) - 1, -1, -2**31):
+        got, pos = rt.read_varint(enc(v), 0)
+        if v < 0:
+            got = rt._to_signed64(got)
+        assert got == v and pos == len(enc(v))
+
+
+def test_golden_message_bytes(SM):
+    """SetHandleState(state=INITIALIZED) nested in the oneof chain must
+    produce exactly the spec bytes: field 2 LEN(4) / field 1 LEN(2) /
+    field 1 VARINT 2."""
+    req = SM.StateRequest(
+        statefulProcessorCall=SM.StatefulProcessorCall(
+            setHandleState=SM.SetHandleState(state=SM.INITIALIZED)
+        )
+    )
+    assert req.SerializeToString() == bytes.fromhex("12040a020802")
+
+
+def test_proto3_defaults_are_omitted(SM):
+    """statusCode=0 / errorMessage="" / value=b"" serialize to NOTHING —
+    the implicit-presence rule the JVM relies on both ways."""
+    assert SM.StateResponse(
+        statusCode=0, errorMessage="", value=b""
+    ).SerializeToString() == b""
+    # and an explicitly-set oneof member serializes even when empty
+    assert SM.StateRequest(
+        implicitGroupingKeyRequest=SM.ImplicitGroupingKeyRequest(
+            removeImplicitKey=SM.RemoveImplicitKey()
+        )
+    ).SerializeToString() == bytes.fromhex("22021200")
+
+
+def test_every_client_response_shape_roundtrips(SM):
+    shapes = [
+        (SM.StateResponse, dict(statusCode=3, errorMessage="e", value=b"v")),
+        (SM.StateResponseWithLongTypeVal,
+         dict(statusCode=0, errorMessage="", value=-7)),
+        (SM.StateResponseWithStringTypeVal,
+         dict(statusCode=1, value="schema-json")),
+        (SM.StateResponseWithListGet,
+         dict(statusCode=0, value=[b"a", b"bb", b""], requireNextFetch=True)),
+        (SM.StateResponseWithMapKeysOrValues,
+         dict(statusCode=0, value=[b"k1", b"k2"], requireNextFetch=False)),
+        (SM.StateResponseWithMapIterator,
+         dict(statusCode=0,
+              kvPair=[SM.KeyAndValuePair(key=b"k", value=b"v")],
+              requireNextFetch=True)),
+        (SM.StateResponseWithTimer,
+         dict(statusCode=0,
+              timer=[SM.TimerInfo(key=b"g", timestampMs=12345),
+                     SM.TimerInfo(timestampMs=-1)],
+              requireNextFetch=False)),
+    ]
+    for cls, kwargs in shapes:
+        src = cls(**kwargs)
+        dst = cls()
+        dst.ParseFromString(src.SerializeToString())
+        assert dst == src, cls.__name__
+    # TimerInfo proto3_optional presence survives the roundtrip
+    t = SM.StateResponseWithTimer(
+        timer=[SM.TimerInfo(key=b"", timestampMs=1),
+               SM.TimerInfo(timestampMs=1)]
+    )
+    back = SM.StateResponseWithTimer()
+    back.ParseFromString(t.SerializeToString())
+    assert back.timer[0].HasField("key")
+    assert not back.timer[1].HasField("key")
+
+
+def test_oneof_exclusivity_and_whichoneof(SM):
+    call = SM.StatefulProcessorCall(
+        getValueState=SM.StateCallCommand(stateName="a")
+    )
+    assert call.WhichOneof("method") == "getValueState"
+    call.getListState.stateName = "b"  # auto-vivify switches the oneof
+    assert call.WhichOneof("method") == "getListState"
+    raw = call.SerializeToString()
+    back = SM.StatefulProcessorCall()
+    back.ParseFromString(raw)
+    assert back.WhichOneof("method") == "getListState"
+    assert back.getListState.stateName == "b"
+
+
+def test_nested_attribute_write_pattern(SM):
+    """The generated client's `cmd.ttl.durationMs = n` write-through-read
+    pattern (stateful_processor_api_client.py) must mark ttl present."""
+    cmd = SM.StateCallCommand()
+    cmd.stateName = "s"
+    cmd.ttl.durationMs = 60000
+    back = SM.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl") and back.ttl.durationMs == 60000
+    bare = SM.StateCallCommand(stateName="s")
+    back2 = SM.StateCallCommand()
+    back2.ParseFromString(bare.SerializeToString())
+    assert not back2.HasField("ttl")
+
+
+def test_unknown_fields_are_skipped(SM):
+    """Forward compatibility: bytes with a field number this schema does
+    not know parse cleanly (varint, len, fixed32, fixed64 wire types)."""
+    known = SM.StateResponse(statusCode=7).SerializeToString()
+    unknown = (
+        bytes.fromhex("f806 2a".replace(" ", ""))        # field 31 varint 42
+        + bytes.fromhex("fa06 03 616263".replace(" ", ""))  # field 31 LEN "abc"
+        + bytes.fromhex("fd06 01000000".replace(" ", ""))   # fixed32
+        + bytes.fromhex("f906 0100000000000000".replace(" ", ""))  # fixed64
+    )
+    msg = SM.StateResponse()
+    msg.ParseFromString(known + unknown)
+    assert msg.statusCode == 7
+
+
+def test_unsupported_surface_raises_loudly(rt):
+    with pytest.raises(ValueError):
+        rt.read_varint(b"\xff", 0)  # truncated
+    fd = rt.FieldDescriptor()
+    fd.type = rt.T_GROUP
+    fd.number = 1
+    msg_cls = type("X", (rt.ShimMessage,), {
+        "DESCRIPTOR": rt.MessageDescriptor("X", "X")
+    })
+    msg_cls.DESCRIPTOR.fields = [fd]
+    fd.name = "g"
+    msg_cls.DESCRIPTOR.fields_by_name = {"g": fd}
+    msg_cls.DESCRIPTOR.fields_by_number = {1: fd}
+    m = msg_cls()
+    m.__dict__["_values"]["g"] = 1
+    m.__dict__["_present"].add("g")
+    with pytest.raises(NotImplementedError):
+        m.SerializeToString()
+
+
+def test_real_protobuf_wins_when_installed(SM):
+    """The vendor dir is APPENDED to sys.path — a real installation would
+    shadow it. Here (no real package) the shim must be the provider."""
+    import google.protobuf as gp
+
+    assert "vendor" in gp.__file__ or "shim" in (
+        getattr(gp, "__version__", "")
+    )

@@ -236,9 +236,17 @@ def main() -> None:
         # replication → executor decode → records → from-scratch Kafka
         # wire producer → CRC-validating broker (streaming/minibroker).
         # This is the number directly comparable to the reference's
-        # published 66.7k rows/s, which also ends at a broker ack.
+        # published 66.7k rows/s, which also ends at a broker ack. The
+        # broker runs OUT OF PROCESS (own GIL/cores) — a real broker is
+        # never a thread inside the producer's driver, and in-process
+        # threading serializes broker CRC validation against driver batch
+        # planning, understating the loop ~30%.
+        import subprocess as _sp
+
         from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
-        from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
+        from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
+            KafkaWireConsumer,
+        )
 
         slot4 = f"{slot}_kw"
         sc4 = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
@@ -247,7 +255,22 @@ def main() -> None:
         kw_start = wire.parse_lsn(row4["consistent_point"]) - 1
         ck4 = os.path.join(_tf.mkdtemp(prefix="live_kw_"), "ckpt")
         topic = f"{tbl}.cdc"
-        broker = MiniBroker(num_partitions=8).start()
+        broker_proc = _sp.Popen(
+            [sys.executable, "-m",
+             "go_pq_cdc_kafka_spark.streaming.minibroker",
+             "--partitions", "8"],
+            stdout=_sp.PIPE, text=True,
+        )
+        ready = broker_proc.stdout.readline().strip()
+        assert ready.startswith("READY "), ready
+        broker_bootstrap = ready.split()[1]
+        kw_probe = KafkaWireConsumer([broker_bootstrap])
+
+        def kw_count() -> int:
+            try:
+                return sum(kw_probe.latest_offsets(topic).values())
+            except Exception:
+                return 0
         frames4 = (
             spark.readStream.format("pgwire-raw")
             .option("dsn", dsn)
@@ -266,21 +289,26 @@ def main() -> None:
         )
         q4 = pipe4.to_kafka_wire(
             KafkaProducerConfig(
-                brokers=[broker.bootstrap], producer_batch_size=10_000
+                brokers=[broker_bootstrap], producer_batch_size=10_000
             ),
             ck4,
             trigger={"processingTime": "0 seconds"},  # continuous micro-batches
         )
         try:
             kw_secs = run_streaming_tier(
-                q4, "", "k", counter=lambda: broker.topic_count(topic)
+                q4, "", "k", counter=kw_count
             )
             out["kafka_e2e_rows"] = e2e_n
             out["kafka_e2e_secs"] = round(kw_secs, 3)
             out["kafka_e2e_rows_per_sec"] = round(e2e_n / kw_secs, 1)
         finally:
             q4.stop()
-            broker.stop()
+            kw_probe.close()
+            broker_proc.terminate()
+            try:
+                broker_proc.wait(timeout=10)
+            except _sp.TimeoutExpired:
+                broker_proc.kill()
 
         # tier 3: the tier-1 decoded batch through the full Spark record
         # lineage (land as parquet untimed — driver-side materialization —

@@ -38,6 +38,11 @@ def main() -> int:
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",") if s
     }
+    # SPARK_GRAFT_SWEEP_ONLY=a,b,c restricts the sweep to a named subset
+    # (e.g. the top-N most expensive queries for a skew/regression step)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "").split(",") if s
+    }
 
     resumed: dict[str, float] = {}
     resume_log = os.environ.get("SPARK_GRAFT_SWEEP_RESUME_LOG")
@@ -58,6 +63,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     failed = []
     for name in sorted(REGISTRY):
+        if only and name not in only:
+            continue
         if name in skip:
             results[name] = {"status": "skipped"}
             print(f"skip {name}", flush=True)
