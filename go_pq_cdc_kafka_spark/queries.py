@@ -6970,3 +6970,172 @@ def composite_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("s_name")
     )
+
+
+# ===========================================================================
+# Round 7 additions: Holt trend smoothing, deterministic reservoir sampling,
+# vocabulary coverage curve
+# ===========================================================================
+
+_HOLT_INNER = TS.holt_linear_sql(
+    "event_type", "day", "daily_mean", "day_id", "daily",
+    alpha_num=1, alpha_den=4, beta_num=1, beta_den=2,
+).replace(
+    "WITH RECURSIVE ordered AS (",
+    """WITH RECURSIVE cents AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(epoch(day) AS BIGINT) AS day_id,
+         CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+           AS daily_mean
+  FROM cents GROUP BY event_type, day
+),
+ordered AS (""",
+)
+
+
+@register(
+    "ts_holt_trend",
+    oracle=f"""
+SELECT k AS event_type, ts AS day, rid AS day_id, x AS daily_mean,
+       level, trend
+FROM ({_HOLT_INNER}) t
+ORDER BY event_type, day
+""",
+    category="timeseries",
+    description="Per-series Holt double-exponential smoothing (level + "
+    "linear trend; l_t = pred + (x_t - pred)/4, b_t = b + ((l_t - l_prev) "
+    "- b)/2) over per-type daily mean series — the forecasting rung above "
+    "ts_ewma_smooth, same order-sensitive-fold architecture: one ts-sorted "
+    "array fold per bucketed series, one per-key shuffle, bit-parity with "
+    "the oracle's recursive CTE (power-of-two alpha/beta are exact in "
+    "binary).",
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = (
+        cents.groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("daily_mean")
+        )
+        .withColumn("day_id", F.unix_timestamp("day").cast("long"))
+    )
+    return TS.holt_linear(
+        daily, "event_type", "day", "daily_mean", "day_id",
+        alpha_num=1, alpha_den=4, beta_num=1, beta_den=2,
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "sample_reservoir_per_source",
+    oracle="""
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {h}, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+ORDER BY source, rk
+""".format(
+        h=T.hash64_sql("concat('rsv:', CAST(doc_id AS VARCHAR))")
+    ),
+    category="sampling",
+    description="Deterministic k-per-group reservoir equivalent: rank "
+    "docs inside each source by a salted 64-bit hash of the doc id and "
+    "keep the k smallest — the distributed, replay-stable form of "
+    "reservoir sampling (same sample under any arrival order, appends "
+    "only displace when a smaller hash arrives, task retries are "
+    "idempotent). One per-group window shuffle; no RNG state.",
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = T.hash64(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({T.TOKENS_SQL.format(c="text")}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+top AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM counts
+  QUALIFY rank <= 100
+)
+SELECT rank, token, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+       CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) AS cum_share
+FROM top, total
+ORDER BY rank
+""",
+    category="text",
+    description="Vocabulary coverage curve: how much of the corpus the "
+    "top-100 tokens cover (the Zipf head every tokenizer/vocab decision "
+    "studies first). Distributed top-k on the vocabulary (TakeOrdered, "
+    "no global sort of the full vocab), 1-row total attached via a "
+    "broadcast literal-key join, cumulative share over only the kept "
+    "100 rows.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens")
+    ).withColumn("_k", F.lit(1))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(100)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token"))
+            ),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total), "_k")
+        .withColumn("cum_cnt", F.sum("cnt").over(w).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.col("cum_cnt").cast("double")
+            / F.col("total_tokens").cast("double"),
+        )
+        .select("rank", "token", "cnt", "cum_cnt", "cum_share")
+        .orderBy("rank")
+    )

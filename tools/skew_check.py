@@ -6,9 +6,16 @@ skew-join split actually fires on this engine's plans rather than being
 assumed — and race the salted two-phase aggregation against the naive
 one-shuffle groupBy on the hottest key.
 
-Usage: python tools/skew_check.py /tmp/spark_graft_sf1skew [out.json]
+Usage: python tools/skew_check.py <sf_dir> [out.json] [shuffle_partitions]
 Prints one JSON line: per-query {secs, skew_split_fired}, salted-vs-
 naive timings, and the hot-key row share measured from the fixture.
+
+shuffle_partitions defaults to 256 — CLUSTER-width geometry, which is
+the whole point: with 32 local partitions a hot key holding 2.5% of rows
+is barely 2x the median partition and AQE's 5x-median rule correctly
+stays quiet; at 256+ partitions (any real cluster) the same key is
+8-10x the median and the skew machinery must engage. Skew behavior is a
+function of partition-count geometry, not just data volume.
 """
 
 from __future__ import annotations
@@ -27,15 +34,24 @@ FACT_FACT_QUERIES = [
 ]
 
 
-def final_plan(df) -> str:
-    """The POST-execution adaptive plan (isFinalPlan=true) — AQE rewrites
-    (skew split, coalesce, SMJ→BHJ) only show here."""
-    return df._jdf.queryExecution().executedPlan().toString()
+def run_and_final_plan(df) -> tuple[float, str]:
+    """Execute the DataFrame's OWN query execution and return (secs,
+    post-execution adaptive plan). A `.write` action wraps the plan in a
+    separate command execution, leaving df's executedPlan unexecuted
+    (isFinalPlan=false) — so drive the AdaptiveSparkPlanExec directly with
+    a JVM-side RDD count (no rows cross to Python) and read the final
+    plan, where AQE's rewrites (skew=true splits, SMJ→BHJ) are visible."""
+    jqe = df._jdf.queryExecution()
+    t0 = time.time()
+    jqe.executedPlan().execute().count()
+    secs = round(time.time() - t0, 1)
+    return secs, jqe.executedPlan().toString()
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1skew"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    shuffle_parts = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
     import pyspark.sql.functions as F
 
@@ -44,8 +60,19 @@ def main() -> None:
     from go_pq_cdc_kafka_spark.operators import skew as SK
     from go_pq_cdc_kafka_spark.session import get_spark
 
-    spark = get_spark(app_name="skew-check")
-    out: dict = {"sf_dir": sf_dir}
+    spark = get_spark(app_name="skew-check", shuffle_partitions=shuffle_parts)
+    out_geometry = {"shuffle_partitions": shuffle_parts}
+    # Fixture-scaled AQE skew thresholds: the defaults (256 MB skewed-
+    # partition floor / 64 MB advisory target) are sized for production
+    # shuffles; a 1-2 GB fixture never crosses them even with 8 hot keys
+    # holding 20% of rows. Scaling both down by ~16x makes the 5x-median
+    # rule the binding constraint — the same geometry a 100 TB shuffle
+    # hits with the defaults. (A real cluster keeps the defaults.)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    out: dict = {"sf_dir": sf_dir, **out_geometry}
 
     # measured hot-key share (the fixture's contract, from the data itself)
     li = load_table(spark, sf_dir, "lineitem")
@@ -62,10 +89,7 @@ def main() -> None:
     per_q = {}
     for name in FACT_FACT_QUERIES:
         df = Q.REGISTRY[name].fn(spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        secs = round(time.time() - t0, 1)
-        plan = final_plan(df)
+        secs, plan = run_and_final_plan(df)
         per_q[name] = {
             "secs": secs,
             "skew_split_fired": "skew=true" in plan,
@@ -75,38 +99,32 @@ def main() -> None:
         spark.catalog.clearCache()
     out["fact_fact_joins"] = per_q
 
-    # --- salted two-phase agg vs naive single-shuffle groupBy -------------
-    # l_orderkey is the hot dimension: 8 keys hold ~20% of all rows.
-    def run(df) -> float:
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 1)
-
+    # --- salted two-phase agg vs naive groupBy on a HOLISTIC aggregate ----
+    # For algebraic aggs (sum/count) map-side partial aggregation already
+    # neutralizes group skew — the interesting case is holistic aggs
+    # (collect_list and friends), where the hot key's ENTIRE value set
+    # must cross the shuffle to one reducer. l_orderkey: 8 hot keys hold
+    # ~20% of all rows, so the naive plan funnels ~2.5% of the corpus
+    # into a single reducer task; the salted plan fans it over 32.
     li = load_table(spark, sf_dir, "lineitem")
     naive = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"),
-        F.count(F.lit(1)).alias("n"),
+        F.size(F.collect_list("l_extendedprice")).alias("n_items")
     )
-    # AQE splits skewed SHUFFLE-JOIN partitions but not skewed AGGREGATION
-    # groups — a hot group lands on one reducer; salting is the fix there.
     salted = SK.salted_agg(
         li,
         keys=["l_orderkey"],
-        aggs={
-            "q": ("sum", F.sum(F.col("l_quantity").cast("decimal(27,6)"))),
-            "n": ("sum", F.count(F.lit(1))),
-        },
+        aggs={"n_items": ("sum", F.size(F.collect_list("l_extendedprice")))},
         buckets=32,
         salt_on="l_quantity",
     )
-    t_naive = run(naive)
-    t_salted = run(salted)
-    out["hot_agg"] = {
-        "naive_one_shuffle_secs": t_naive,
+    t_naive, _ = run_and_final_plan(naive)
+    t_salted, _ = run_and_final_plan(salted)
+    out["hot_holistic_agg"] = {
+        "naive_one_reducer_secs": t_naive,
         "salted_two_phase_secs": t_salted,
         "salted_wins": t_salted < t_naive,
     }
-    print(f"agg naive={t_naive}s salted={t_salted}s", flush=True)
+    print(f"holistic agg naive={t_naive}s salted={t_salted}s", flush=True)
 
     line = json.dumps(out)
     if out_path:
