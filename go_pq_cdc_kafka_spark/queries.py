@@ -7139,3 +7139,338 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "token", "cnt", "cum_cnt", "cum_share")
         .orderBy("rank")
     )
+
+
+@register(
+    "ts_sessionize_gaps",
+    oracle="""
+WITH stamped AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) > 1800000
+              OR LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM stamped
+),
+numbered AS (
+  SELECT user_id, event_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS sess_n
+  FROM flagged
+)
+SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(t) AS BIGINT) AS start_ms,
+       CAST(MAX(t) AS BIGINT) AS end_ms,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_ms
+FROM numbered GROUP BY user_id, sess_n
+ORDER BY user_id, session_id
+""",
+    category="timeseries",
+    description="Gap sessionization (the batch twin of the streaming "
+    "session window): per user, a >30-minute silence starts a new "
+    "session; sessions report first-event id, event count, and span. "
+    "Lag-flag + running-sum session numbering — two passes over ONE "
+    "per-user window shuffle, no self-join, state bounded per user.",
+)
+def ts_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ; the session is pinned UTC in both engines,
+        # so the naive→instant cast is the same epoch DuckDB's epoch_ms
+        # computes on the naive value
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > 1_800_000)
+            | F.lag("t").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn("sess_n", F.sum("is_new").over(w))
+    return (
+        numbered.groupBy("user_id", "sess_n")
+        .agg(
+            F.min("event_id").cast("long").alias("session_id"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("t").cast("long").alias("start_ms"),
+            F.max("t").cast("long").alias("end_ms"),
+            (F.max("t") - F.min("t")).cast("long").alias("duration_ms"),
+        )
+        .drop("sess_n")
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM cents GROUP BY event_type, day
+),
+ranked AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+med AS (
+  SELECT event_type, x AS median_x
+  FROM ranked WHERE rn = (n + 1) // 2
+),
+devs AS (
+  SELECT r.event_type, r.day, r.x, m.median_x,
+         ABS(r.x - m.median_x) AS dev
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+dev_ranked AS (
+  SELECT event_type, day, x, median_x, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day)
+           AS drn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM devs
+),
+mad AS (
+  SELECT event_type, dev AS mad_x
+  FROM dev_ranked WHERE drn = (n + 1) // 2
+)
+SELECT d.event_type, d.day, d.x AS daily_mean, d.median_x, m.mad_x,
+       CAST(d.dev > 3.0 * m.mad_x AS BOOLEAN) AS is_anomaly
+FROM devs d JOIN mad m ON d.event_type = m.event_type
+ORDER BY d.event_type, d.day
+""",
+    category="timeseries",
+    description="Robust anomaly flags: a day is anomalous when its mean "
+    "deviates from the per-series MEDIAN by more than 3x the median "
+    "absolute deviation — the outlier-immune alternative to z-scores "
+    "(one wild day inflates a stddev but not a median). Medians are "
+    "RANK-based (lower median at (n+1)/2), not interpolated, so both "
+    "engines pick the identical element and the parity is exact; two "
+    "window passes over the per-series shuffle, medians joined back as "
+    "tiny per-series tables.",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
+    )
+    wv = Window.partitionBy("event_type").orderBy("x", "day")
+    wc = Window.partitionBy("event_type")
+    ranked = daily.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("x").alias("median_x"))
+    devs = ranked.select("event_type", "day", "x").join(
+        F.broadcast(med), "event_type"
+    ).withColumn("dev", F.abs(F.col("x") - F.col("median_x")))
+    wd = Window.partitionBy("event_type").orderBy("dev", "day")
+    dev_ranked = devs.withColumn("drn", F.row_number().over(wd)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    mad = dev_ranked.filter(
+        F.col("drn") == F.floor((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("dev").alias("mad_x"))
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("x").alias("daily_mean"),
+            "median_x",
+            "mad_x",
+            (F.col("dev") > 3.0 * F.col("mad_x")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "text_keyword_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest({t}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.token = df.token, n
+)
+SELECT doc_id, rank, token, tf, df
+FROM (
+  SELECT doc_id, token, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+""".format(t=T.TOKENS_SQL.format(c="text")),
+    category="text",
+    description="Per-document keyword extraction: top-3 tokens by tf-idf "
+    "(idf as the exact rational N/df — no log, so the ranking is "
+    "bit-deterministic across engines; ties broken lexically). One "
+    "token-explode, tf and df as two groupBys, score map-side, "
+    "distributed per-doc top-k window — the keyword/tag stage of a "
+    "corpus-enrichment pipeline.",
+)
+def text_keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).withColumn(
+        "_k", F.lit(1)
+    )
+    scored = (
+        tf.join(df_, "token")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "sample_curriculum_order",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, quality_score FROM (
+    SELECT doc_id, {q}
+    FROM documents
+  )
+),
+phased AS (
+  SELECT doc_id,
+         NTILE(4) OVER (ORDER BY quality_score DESC, doc_id) AS phase
+  FROM q
+)
+SELECT doc_id, CAST(phase AS INTEGER) AS phase,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase ORDER BY {h}, doc_id)
+            AS BIGINT) AS ord
+FROM phased
+ORDER BY phase, ord
+""".format(
+        q=T.QUALITY_SQL.format(c="text").split("AS n_chars,")[-1]
+        .rsplit("AS quality_score", 1)[0]
+        + "AS quality_score",
+        h=T.hash64_sql("concat('cur:', CAST(doc_id AS VARCHAR))"),
+    ),
+    category="sampling",
+    description="Curriculum ordering: documents split into 4 quality "
+    "phases (highest first — NTILE over the deterministic quality "
+    "score), shuffled WITHIN each phase by salted hash so every epoch "
+    "of a phase is internally unordered but reproducible. The "
+    "easy-to-hard schedule curriculum training consumes; two window "
+    "passes, no data movement beyond the score shuffle.",
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", T.quality_features(F.col("text"))["quality_score"].alias(
+            "quality_score"
+        )
+    )
+    phased = q.withColumn(
+        "phase",
+        F.ntile(4).over(
+            Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        ),
+    )
+    h = T.hash64(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    return (
+        phased.select(
+            "doc_id",
+            F.col("phase").cast("int").alias("phase"),
+            F.row_number()
+            .over(Window.partitionBy("phase").orderBy(h, F.col("doc_id")))
+            .cast("long")
+            .alias("ord"),
+        )
+        .orderBy("phase", "ord")
+    )
+
+
+@register(
+    "cdc_outbox_route",
+    oracle="""
+SELECT 'outbox.' || event_type AS topic,
+       CAST(user_id AS VARCHAR) AS key,
+       CAST(event_id AS BIGINT) AS event_id,
+       props AS payload
+FROM events
+WHERE event_type IN ('click', 'purchase')
+ORDER BY topic, event_id
+""",
+    category="cdc",
+    description="Transactional-outbox relay (the Debezium outbox SMT "
+    "pattern the reference's users pair with CDC): outbox rows route to "
+    "'outbox.<aggregate_type>' keyed by aggregate id, payload passed "
+    "through opaque, unrouted aggregate types filtered map-side. Pure "
+    "projection + pushed filter — the CDC envelope's routing tier "
+    "applied to the outbox shape.",
+)
+def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.concat(F.lit("outbox."), F.col("event_type")).alias("topic"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("props").alias("payload"),
+        )
+        .orderBy("topic", "event_id")
+    )
