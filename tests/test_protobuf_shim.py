@@ -190,3 +190,53 @@ def test_real_protobuf_wins_when_installed(SM):
     assert "vendor" in gp.__file__ or "shim" in (
         getattr(gp, "__version__", "")
     )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(v=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_varint_roundtrip_property(v):
+        import importlib
+        import sys
+
+        if VENDOR not in sys.path:
+            sys.path.append(VENDOR)
+        rt = importlib.import_module("google.protobuf._shim_runtime")
+        out = bytearray()
+        rt.write_varint(out, v)
+        got, pos = rt.read_varint(bytes(out), 0)
+        assert pos == len(out)
+        assert rt._to_signed64(got) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        code=st.integers(min_value=0, max_value=2**31 - 1),
+        msg=st.text(max_size=40),
+        vals=st.lists(st.binary(max_size=32), max_size=8),
+        more=st.booleans(),
+    )
+    def test_list_response_roundtrip_property(code, msg, vals, more):
+        import importlib
+        import sys
+
+        if VENDOR not in sys.path:
+            sys.path.append(VENDOR)
+        SM = importlib.import_module(
+            "pyspark.sql.streaming.proto.StateMessage_pb2"
+        )
+        src = SM.StateResponseWithListGet(
+            statusCode=code, errorMessage=msg, value=vals,
+            requireNextFetch=more,
+        )
+        dst = SM.StateResponseWithListGet()
+        dst.ParseFromString(src.SerializeToString())
+        assert dst.statusCode == code
+        assert dst.errorMessage == msg
+        assert list(dst.value) == [bytes(v) for v in vals]
+        assert dst.requireNextFetch == more
+
+except ImportError:  # pragma: no cover
+    pass

@@ -121,8 +121,14 @@ def main() -> None:
         n_parts = int(os.environ.get("SB_PARTITIONS", 16))
         max_frames = os.environ.get("SB_MAXFRAMES", "600000")
         poll_ms = os.environ.get("SB_POLLMS", "500")
+        from go_pq_cdc_kafka_spark.streaming.kafka import Compression
+
+        compression = os.environ.get("SB_COMPRESSION", "none").upper()
+        out["compression"] = compression.lower()
         cfg = KafkaProducerConfig(
-            brokers=[bootstrap], producer_batch_size=prod_batch
+            brokers=[bootstrap],
+            producer_batch_size=prod_batch,
+            compression=Compression[compression],
         )
 
         probe = KafkaWireConsumer([bootstrap])
