@@ -154,6 +154,96 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT — ``shared / min(na, nb)``,
+    the asymmetric twin of :func:`ngram_jaccard_pairs` (Broder's
+    resemblance vs containment distinction). Jaccard misses the
+    quote/snippet shape: a 100-shingle doc fully embedded in a
+    10,000-shingle doc scores J ≈ 0.01 but containment 1.0 — exactly the
+    duplication LLM corpora accumulate (articles quoted inside
+    aggregator pages, READMEs vendored into monorepos). Same inverted-
+    index candidate generation, same ``max_df`` valve and hint contract
+    as the Jaccard form; only the denominator changes."""
+    sh = shingle_index(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = _pin(sh, persist)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a, b = sh.alias("a"), sh.hint("merge").alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least(F.col("na"), F.col("nb")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(
+    threshold: float = 0.8, n: int = 3, max_df: int | None = None
+) -> str:
+    sh = T.shingles_sql("text", n)
+    cap = (
+        f""",
+raw AS (SELECT doc_id, shingle FROM sh0),
+rare AS (
+  SELECT shingle FROM raw GROUP BY shingle HAVING COUNT(*) <= {max_df}
+),
+sh AS (SELECT doc_id, raw.shingle AS shingle FROM raw JOIN rare ON raw.shingle = rare.shingle)"""
+        if max_df is not None
+        else ",\nsh AS (SELECT doc_id, shingle FROM sh0)"
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+){cap},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared, sa.n_sh AS na, sb.n_sh AS nb,
+       CAST(shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
 def ngram_jaccard_pairs_sql(
     threshold: float = 0.5, n: int = 3, max_df: int | None = None
 ) -> str:

@@ -7474,3 +7474,21 @@ def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "event_id")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=DD.ngram_containment_pairs_sql(threshold=0.5, max_df=64),
+    category="dedup",
+    description="Asymmetric near-dup by n-gram CONTAINMENT (shared / "
+    "min(|A|,|B|)) — catches the quote/snippet shape Jaccard structurally "
+    "misses: a small doc fully embedded in a large one scores J≈|A|/|B| "
+    "but containment 1.0 (Broder's resemblance-vs-containment). Same "
+    "inverted-index candidates, max_df valve, and merge/shuffle_hash "
+    "contract as the Jaccard form; only the denominator changes.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return DD.ngram_containment_pairs(
+        d, threshold=0.5, max_df=64
+    ).orderBy("doc_a", "doc_b")
