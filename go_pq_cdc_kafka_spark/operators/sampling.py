@@ -164,3 +164,58 @@ FROM running
 WHERE cum_tokens <= (CASE {domain_expr} {cases} ELSE 0 END)
 ORDER BY source, cum_tokens
 """
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket_col: Column,
+    order_cols: list[Column],
+    name: str,
+) -> DataFrame:
+    """Scalable ``ROW_NUMBER() OVER (PARTITION BY partition_cols ORDER BY
+    order_cols)`` — the replacement for the unpartitioned (or
+    few-partition) global window that WindowExec executes by moving the
+    whole corpus through ONE task.
+
+    Requires: ``bucket_col`` is monotone nondecreasing in ``order_cols``
+    within every partition group (rows in bucket b all sort before rows
+    in bucket b+1). Then the global ordinal decomposes exactly into
+
+        local row_number within (partition_cols, bucket)   [parallel]
+      + cumulative count of the preceding buckets          [broadcast]
+
+    Cost: ONE full-data shuffle (hash on partition+bucket — the same
+    volume the banned global window moves, but across #buckets tasks
+    instead of one) plus a bucket-count aggregate whose size is bounded
+    by #groups × #buckets, never by corpus rows. The cumulative-offset
+    window below runs over that bounded aggregate, NOT the corpus — the
+    sanctioned bounded-window pattern.
+    """
+    from pyspark.sql import Window
+
+    staged = df.withColumn("_bkt", bucket_col)
+    w_local = Window.partitionBy(*partition_cols, "_bkt").orderBy(*order_cols)
+    local = staged.withColumn("_lrn", F.row_number().over(w_local))
+    # counts from the POST-window branch: its exchange canonicalizes to
+    # the same subtree as the window's own, so ReuseExchange shuffles the
+    # corpus once, not once per branch
+    counts = local.groupBy(*partition_cols, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    w_off = (
+        Window.partitionBy(*partition_cols)  # bounded-window: over the
+        # #groups×#buckets count aggregate, never corpus rows
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+    ).drop("_bc")
+    joined = local.join(
+        F.broadcast(offs), [*partition_cols, "_bkt"], "inner"
+    )
+    return (
+        joined.withColumn(name, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_lrn", "_off", "_bkt")
+    )

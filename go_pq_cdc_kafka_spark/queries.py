@@ -7410,11 +7410,14 @@ ORDER BY phase, ord
     ),
     category="sampling",
     description="Curriculum ordering: documents split into 4 quality "
-    "phases (highest first — NTILE over the deterministic quality "
-    "score), shuffled WITHIN each phase by salted hash so every epoch "
-    "of a phase is internally unordered but reproducible. The "
-    "easy-to-hard schedule curriculum training consumes; two window "
-    "passes, no data movement beyond the score shuffle.",
+    "phases (highest first — exact NTILE semantics), shuffled WITHIN "
+    "each phase by salted hash so every epoch of a phase is internally "
+    "unordered but reproducible. The easy-to-hard schedule curriculum "
+    "training consumes. Scale shape: NO unpartitioned window — the "
+    "global quality rank is bucketed_row_number over approx-percentile "
+    "score buckets (one parallel shuffle + a 1-row broadcast), the "
+    "NTILE bucket is closed-form from (rank, n), and the within-phase "
+    "ordinal is bucketed_row_number over equal-width hash buckets.",
 )
 def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -7422,25 +7425,50 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.quality_features(F.col("text"))["quality_score"].alias(
             "quality_score"
         )
+    ).withColumn("_neg", -F.col("quality_score"))
+    # one 1-row broadcast carries n AND the 31 approx score cutpoints;
+    # cutpoint accuracy only affects bucket BALANCE, never the ordinal
+    stats = q.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.percentile_approx(
+            "_neg", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("_cuts"),
+    ).withColumn("_k", F.lit(1))
+    qs = q.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    score_bucket = F.size(
+        F.filter(F.col("_cuts"), lambda c: c < F.col("_neg"))
     )
-    phased = q.withColumn(
-        "phase",
-        F.ntile(4).over(
-            Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
-        ),
+    ranked = SA.bucketed_row_number(
+        qs,
+        [],
+        score_bucket,
+        [F.col("_neg").asc(), F.col("doc_id").asc()],
+        "_grank",
+    )
+    # exact NTILE(4): the first n%4 tiles hold n//4+1 rows, the rest n//4
+    n, r = F.col("_n"), F.col("_grank")
+    tile_q = F.floor(n / 4).cast("long")
+    rem = (n % 4).cast("long")
+    head = rem * (tile_q + 1)
+    phase = F.when(
+        r <= head, F.floor((r - 1) / (tile_q + 1)) + 1
+    ).otherwise(
+        rem + F.floor((r - head - 1) / F.greatest(tile_q, F.lit(1))) + 1
     )
     h = T.hash64(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
-    return (
-        phased.select(
-            "doc_id",
-            F.col("phase").cast("int").alias("phase"),
-            F.row_number()
-            .over(Window.partitionBy("phase").orderBy(h, F.col("doc_id")))
-            .cast("long")
-            .alias("ord"),
-        )
-        .orderBy("phase", "ord")
+    phased = ranked.select(
+        "doc_id", phase.cast("int").alias("phase")
+    ).withColumn("_h", h)
+    # hash64 is uniform over [0, 2^60): 32 equal-width buckets need no
+    # sampling pass — floor(h / 2^55) is monotone in the order key
+    out = SA.bucketed_row_number(
+        phased,
+        ["phase"],
+        F.floor(F.col("_h") / F.lit(2 ** 55)).cast("int"),
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        "ord",
     )
+    return out.select("doc_id", "phase", "ord").orderBy("phase", "ord")
 
 
 @register(

@@ -194,6 +194,12 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self._conn = None
         self._err: Exception | None = None
         self._retries = 0
+        import threading as _threading
+
+        #: set by stop(): lets the pump exit its backpressure loop even
+        #: when the deque is full (a closed socket is only observed on the
+        #: NEXT read, so a full-queue pump would otherwise spin forever)
+        self._stopping = _threading.Event()
         #: raw Relation payloads by relid (replayed to every batch)
         self._relations: dict[int, bytes] = {}
         #: frames of the currently-open transaction (not yet committed)
@@ -249,6 +255,8 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     # (read() compares the commit lsn to the resume
                     # offset).
                     while len(dq) >= cap:
+                        if self._stopping.is_set():
+                            return  # stop() with a full queue: exit, don't spin
                         _time.sleep(0.005)
                     dq.append((wal_start, tag, msg))
             except Exception as e:  # surfaced on the next read()
@@ -396,6 +404,7 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         released immediately. Without this the daemon pump thread holds
         the slot until process exit and a checkpoint-restart of the SAME
         query (same slot) fails with `replication slot ... is active`."""
+        self._stopping.set()
         conn, self._conn = self._conn, None
         if conn is not None:
             try:

@@ -655,7 +655,9 @@ def test_outbox_route_filter_pushed_to_scan(spark):
     plan = plan_of(spark, "cdc_outbox_route")
     assert "PushedFilters" in plan and "In(event_type" in plan
     assert "CartesianProduct" not in plan
-    assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
+    # exactly ONE exchange: the range-partition for the deterministic
+    # output order — a relay with an aggregation/join shuffle is wrong
+    assert op_count(plan, "Exchange") == 1 and "rangepartitioning" in plan
     # projection pruning: value/ts never read
     assert "value" not in plan.split("ReadSchema:")[1].split("\n")[0]
 
@@ -706,3 +708,53 @@ def test_keyword_tfidf_no_cartesian_topk_window(spark):
     assert op_count(plan, "SortMergeJoin") + op_count(
         plan, "BroadcastHashJoin"
     ) + op_count(plan, "ShuffledHashJoin") >= 1
+
+
+def test_curriculum_order_no_global_ntile_window(spark):
+    """sample_curriculum_order (round-8 fix): the phase split must NOT be
+    a global NTILE — the unpartitioned WindowExec moves the whole corpus
+    through ONE task at scale. The scalable shape: every row_number
+    window is bucket-partitioned; the only unpartitioned windows run
+    over the bounded bucket-count aggregates (offsets), never the
+    corpus; the 1-row stats attach broadcasts."""
+    import re
+
+    plan = plan_of(spark, "sample_curriculum_order")
+    # no ntile anywhere ('percentile' contains 'ntile' — anchor the match)
+    assert not re.search(r"(?<![a-z])ntile\(", plan)
+    assert "CartesianProduct" not in plan
+    # every row_number window must carry a partition spec (2nd bracket
+    # group of windowspecdefinition's Window node arguments non-empty)
+    for m in re.finditer(
+        r"\(\d+\) Window\b.*?Arguments: (\[.*?\]), (\[.*?\]), \[", plan, re.S
+    ):
+        funcs, part = m.group(1), m.group(2)
+        if "row_number()" in funcs:
+            assert part != "[]", f"unpartitioned row_number window: {funcs[:120]}"
+
+
+def test_bucketed_row_number_matches_window_semantics(spark):
+    """bucketed_row_number == ROW_NUMBER() OVER (PARTITION BY p ORDER BY
+    o) for a monotone bucket, including ties in the bucket column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.operators.sampling import bucketed_row_number
+
+    rows = [(g, v, i) for g in ("a", "b") for i, v in enumerate(
+        [5.0, 1.0, 3.0, 3.0, 2.0, 4.0, 0.5, 3.0]
+    )]
+    df = spark.createDataFrame(rows, "g string, v double, id int")
+    got = bucketed_row_number(
+        df, ["g"], F.floor(F.col("v")).cast("int"),
+        [F.col("v").asc(), F.col("id").asc()], "rn",
+    )
+    exp = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        ).cast("long"),
+    )
+    assert sorted(got.collect(), key=lambda r: (r.g, r.id)) == sorted(
+        exp.collect(), key=lambda r: (r.g, r.id)
+    )

@@ -147,6 +147,76 @@ def test_nested_attribute_write_pattern(SM):
     assert not back2.HasField("ttl")
 
 
+def test_pure_read_does_not_create_presence(SM):
+    """Upstream presence semantics: READING an unset submessage must not
+    mark it present — HasField stays False, WhichOneof is unchanged, and
+    serialization is byte-identical to the untouched message. Only the
+    first MUTATION (direct or nested) promotes the staged submessage."""
+    cmd = SM.StateCallCommand(stateName="s")
+    before = cmd.SerializeToString()
+    _ = cmd.ttl.durationMs  # inspect-only read
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == before
+    # a read must not switch the selected oneof member either
+    call = SM.StatefulProcessorCall(
+        getValueState=SM.StateCallCommand(stateName="a")
+    )
+    _ = call.getListState.stateName
+    assert call.WhichOneof("method") == "getValueState"
+    # ...but the first write through the staged view still promotes,
+    # including the full nested chain
+    call.getListState.ttl.durationMs = 5
+    assert call.WhichOneof("method") == "getListState"
+    assert call.getListState.HasField("ttl")
+
+
+def test_repeated_append_promotes_staged_submessage(SM):
+    """Appending to a repeated field of a read-vivified submessage is a
+    mutation: it must promote the submessage to present (upstream's
+    write-triggered presence through repeated containers)."""
+    resp = SM.StateResponseWithMapIterator()
+    resp.kvPair.append(SM.KeyAndValuePair(key=b"k", value=b"v"))
+    back = SM.StateResponseWithMapIterator()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.kvPair[0].key == b"k"
+
+
+def test_stale_staged_view_cannot_flip_presence(SM):
+    """If the staged object is replaced (by a direct set) before its
+    first mutation, mutating the STALE view must not mark the field
+    present with the new object's value."""
+    cmd = SM.StateCallCommand()
+    stale = cmd.ttl  # staged, not present
+    cmd.Clear()  # drops the staged object (parse does the same)
+    stale.durationMs = 99  # stale view: must not resurrect presence
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b""
+
+
+def test_vendor_google_is_namespace_portion():
+    """vendor/google must be a PEP 420 namespace portion (no
+    __init__.py): other installed google.* distributions keep importing
+    when the vendor dir is on sys.path."""
+    assert not os.path.exists(os.path.join(VENDOR, "google", "__init__.py"))
+    import subprocess
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, "google", "authlike"), exist_ok=True)
+    with open(os.path.join(d, "google", "authlike", "__init__.py"), "w") as f:
+        f.write("X = 'ok'\n")
+    code = (
+        "import sys; sys.path.insert(0, %r); sys.path.append(%r); "
+        "import google.authlike, google.protobuf; "
+        "print(google.authlike.X, len(list(google.__path__)))"
+    ) % (d, VENDOR)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.split() == ["ok", "2"]
+
+
 def test_unknown_fields_are_skipped(SM):
     """Forward compatibility: bytes with a field number this schema does
     not know parse cleanly (varint, len, fixed32, fixed64 wire types)."""

@@ -70,3 +70,37 @@ def test_no_driver_side_or_quadratic_constructs_in_source():
         "driver-side/quadratic construct outside the allowlist "
         "(see module docstring):\n" + "\n".join(violations)
     )
+
+
+def test_unpartitioned_windows_are_justified():
+    """Every literal ``Window.orderBy(`` (an UNPARTITIONED window — the
+    WindowExec 'moving all data to a single partition' shape) must be
+    provably bounded: within the surrounding 12 lines there must be a
+    ``.limit(`` (the top-k-then-number pattern) or a ``bounded`` /
+    ``scale-safe`` justification comment. A full-corpus unpartitioned
+    window is exactly the defect class the round-7 verdict caught in
+    sample_curriculum_order — this rule keeps it from reappearing.
+    (Runtime-unpartitioned windows built via ``Window.partitionBy(*cols)``
+    with an empty list are covered per-query by tests/test_plans.py's
+    row_number partition-spec assertions.)"""
+    violations = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG)
+            with open(path, encoding="utf-8") as f:
+                lines = f.readlines()
+            for i, line in enumerate(lines):
+                if "Window.orderBy(" not in line.split("#", 1)[0]:
+                    continue
+                lo, hi = max(0, i - 12), min(len(lines), i + 5)
+                ctx = "".join(lines[lo:hi])
+                if ".limit(" in ctx or "bounded" in ctx or "scale-safe" in ctx:
+                    continue
+                violations.append(f"{rel}:{i + 1}: {line.strip()}")
+    assert not violations, (
+        "unpartitioned window without a .limit/bounded justification "
+        "in context:\n" + "\n".join(violations)
+    )
