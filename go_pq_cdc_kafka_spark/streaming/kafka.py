@@ -55,8 +55,11 @@ class Balancer(str, Enum):
       byte-for-byte the same placement.
     - ROUND_ROBIN → org.apache.kafka.clients.producer.RoundRobinPartitioner.
     - LEAST_BYTES / REFERENCE_HASH / CRC32 have no Java-client equivalent
-      (kafka-go-only / librdkafka-compat): ValueError at config time, not a
-      silent fallback to a different placement policy."""
+      (kafka-go-only / librdkafka-compat): ValueError at config time on the
+      JVM sink, not a silent fallback to a different placement policy. The
+      WIRE sink (to_kafka_wire) implements all three from kafka-go's
+      public algorithms — kafka_wire.WIRE_BALANCERS — so a migrating
+      config that names them keeps its exact placement there."""
 
     HASH = "Hash"
     LEAST_BYTES = "LeastBytes"
@@ -198,20 +201,19 @@ class KafkaProducerConfig:
         Security maps 1:1 with the reference surface (kafka/client.go:53-125):
         ``sasl_*`` → SCRAM-SHA-256/512 over SaslHandshake/SaslAuthenticate,
         ``tls_*`` → verified TLS with rootCA/interCA as file path or inline
-        PEM. Loud rejections instead of silent downgrades: keys place with
-        the Java-compatible murmur2 partitioner (HASH/MURMUR2 balancers
-        only), and compression covers the full reference surface
+        PEM. The wire producer picks partitions itself, so EVERY reference
+        balancer (config/config.go:40-57) maps: HASH/MURMUR2 keep the
+        Java-default murmur2 placement (byte-identical to the JVM sink, so
+        switching paths never re-shuffles keys), and the three kafka-go-only
+        strategies the JVM sink rejects — LeastBytes / ReferenceHash /
+        CRC32Balancer — run their documented kafka-go algorithms
+        (kafka_wire.WIRE_BALANCERS). Compression covers the full surface
         none/gzip/snappy/lz4/zstd (snappy via the from-spec block codec +
         xerial stream framing, lz4 via the from-spec block+frame codec,
         zstd via the from-spec RFC 8878 frame codec — raw-block frames on
         produce, full entropy decode on fetch)."""
         from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
 
-        if self.balancer not in (Balancer.HASH, Balancer.MURMUR2):
-            raise ValueError(
-                f"balancer {self.balancer.value!r} is not available on the "
-                "kafka_wire path (murmur2 key placement only)"
-            )
         codec = {
             Compression.NONE: kw.COMPRESSION_NONE,
             Compression.GZIP: kw.COMPRESSION_GZIP,
@@ -234,6 +236,14 @@ class KafkaProducerConfig:
             "timeout_s": self.read_timeout_s,
             "idempotent": self.idempotent,
             "transactional_id": self.transactional_id,
+            # HASH/MURMUR2 → None = the producer's default murmur2 +
+            # sticky keyless round-robin (byte-identical placement to the
+            # JVM sink); the kafka-go-only strategies map by name
+            "balancer": (
+                None
+                if self.balancer in (Balancer.HASH, Balancer.MURMUR2)
+                else self.balancer.value
+            ),
         }
         if self.sasl_enabled:
             kw._scram_hash(self.sasl_mechanism)  # validate loudly, not on executors

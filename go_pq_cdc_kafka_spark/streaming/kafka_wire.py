@@ -36,6 +36,7 @@ import socket
 import struct
 import threading
 import time
+import zlib
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -137,6 +138,150 @@ def partition_for_key(key: bytes | None, num_partitions: int, counter: int = 0) 
     if key is None:
         return counter % num_partitions
     return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+def fnv1a32(data: bytes) -> int:
+    """FNV-1a 32-bit — kafka-go's default balancer hash (public algorithm;
+    Go stdlib hash/fnv New32a)."""
+    h = 0x811C9DC5
+    for b in data:
+        h ^= b
+        h = (h * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+class WireBalancer:
+    """Partition-selection strategy for :class:`KafkaWireProducer` — the
+    wire producer picks partitions itself, so ALL of the reference's
+    balancer surface (config/config.go:40-57 GetBalancer → segmentio/
+    kafka-go Balancer) is implementable here, including the three members
+    the JVM sink rejects (LeastBytes / ReferenceHash / CRC32Balancer —
+    kafka.py Balancer.partitioner_class). Each subclass reproduces the
+    documented kafka-go algorithm over the topic's sorted partition-id
+    list; instances carry per-producer state (round-robin cursors, byte
+    counters) and are not shared across producers."""
+
+    def partition(
+        self, key: bytes | None, value: bytes | None, partitions: list[int]
+    ) -> int:
+        raise NotImplementedError
+
+    def _random_index(self, n: int) -> int:
+        # kafka-go's randomBalancer; seedable for deterministic tests
+        import random as _random
+
+        rng = getattr(self, "_rng", None)
+        if rng is None:
+            rng = _random.Random()
+            self._rng = rng
+        return rng.randrange(n)
+
+
+class RoundRobinWireBalancer(WireBalancer):
+    """kafka-go RoundRobin: cycle partitions regardless of key."""
+
+    def __init__(self) -> None:
+        self._cursor = 0
+
+    def partition(self, key, value, partitions):
+        pid = partitions[self._cursor % len(partitions)]
+        self._cursor += 1
+        return pid
+
+
+class HashWireBalancer(WireBalancer):
+    """kafka-go Hash (the reference default): FNV-1a over the key, then
+    ``abs(int32(sum)) % len(partitions)`` (Go truncated modulus + negation
+    of the signed 32-bit hash); nil keys fall back to round-robin."""
+
+    def __init__(self) -> None:
+        self._rr = RoundRobinWireBalancer()
+
+    def partition(self, key, value, partitions):
+        if key is None:
+            return self._rr.partition(key, value, partitions)
+        v = fnv1a32(key)
+        s = v - 0x100000000 if v >= 0x80000000 else v
+        return partitions[abs(s) % len(partitions)]
+
+
+class ReferenceHashWireBalancer(WireBalancer):
+    """kafka-go ReferenceHash: FNV-1a masked to 31 bits (the legacy Java
+    producer's toPositive), ``% len(partitions)``; nil keys random."""
+
+    def partition(self, key, value, partitions):
+        if key is None:
+            return partitions[self._random_index(len(partitions))]
+        return partitions[(fnv1a32(key) & 0x7FFFFFFF) % len(partitions)]
+
+
+class CRC32WireBalancer(WireBalancer):
+    """kafka-go CRC32Balancer (librdkafka-default-compatible): CRC-32/IEEE
+    of the key ``% len(partitions)``. Empty/nil keys go random unless
+    ``consistent`` (librdkafka 'crc32' vs 'consistent_random_crc32')."""
+
+    def __init__(self, consistent: bool = False) -> None:
+        self.consistent = consistent
+
+    def partition(self, key, value, partitions):
+        if not key and not self.consistent:
+            return partitions[self._random_index(len(partitions))]
+        return partitions[zlib.crc32(key or b"") % len(partitions)]
+
+
+class Murmur2WireBalancer(WireBalancer):
+    """kafka-go Murmur2Balancer (librdkafka 'murmur2_random'-compatible,
+    byte-identical placement to the Java default partitioner):
+    ``(murmur2(key) & 0x7fffffff) % len(partitions)``; empty/nil keys go
+    random unless ``consistent``."""
+
+    def __init__(self, consistent: bool = False) -> None:
+        self.consistent = consistent
+
+    def partition(self, key, value, partitions):
+        if not key and not self.consistent:
+            return partitions[self._random_index(len(partitions))]
+        return partitions[(murmur2(key or b"") & 0x7FFFFFFF) % len(partitions)]
+
+
+class LeastBytesWireBalancer(WireBalancer):
+    """kafka-go LeastBytes: route every record to the partition with the
+    smallest cumulative key+value byte count so far. Counters reset when
+    the partition set changes (kafka-go re-makes them on len mismatch)."""
+
+    def __init__(self) -> None:
+        self._counters: dict[int, int] = {}
+
+    def partition(self, key, value, partitions):
+        if set(self._counters) != set(partitions):
+            self._counters = {p: 0 for p in partitions}
+        pid = min(partitions, key=lambda p: (self._counters[p], p))
+        self._counters[pid] += len(key or b"") + len(value or b"")
+        return pid
+
+
+#: reference GetBalancer names (config/config.go:40-57) → wire strategies;
+#: "" = the reference's default (kafka-go Hash)
+WIRE_BALANCERS: dict[str, type[WireBalancer]] = {
+    "": HashWireBalancer,
+    "Hash": HashWireBalancer,
+    "LeastBytes": LeastBytesWireBalancer,
+    "RoundRobin": RoundRobinWireBalancer,
+    "ReferenceHash": ReferenceHashWireBalancer,
+    "CRC32Balancer": CRC32WireBalancer,
+    "Murmur2Balancer": Murmur2WireBalancer,
+}
+
+
+def wire_balancer(name: str) -> WireBalancer:
+    """Balancer factory with the reference's loud-rejection contract
+    (config.go:54-56 panics on unknown names)."""
+    try:
+        return WIRE_BALANCERS[name]()
+    except KeyError:
+        raise ValueError(
+            f"invalid kafka balancer method, given: {name}"
+        ) from None
 
 
 # ---------------------------------------------------------------------------
@@ -1083,6 +1228,7 @@ class KafkaWireProducer(KafkaWireClient):
         tls: dict | None = None,
         idempotent: bool = False,
         transactional_id: str | None = None,
+        balancer: "WireBalancer | str | None" = None,
     ):
         super().__init__(bootstrap, client_id, timeout_s,
                          ssl_context=ssl_context, sasl=sasl, tls=tls)
@@ -1090,6 +1236,13 @@ class KafkaWireProducer(KafkaWireClient):
         self.timeout_ms = timeout_ms
         self.compression = compression
         self._round_robin = 0
+        #: None = the Java default partitioner (murmur2 + sticky keyless
+        #: round-robin, partition_for_key) — byte-compatible with every
+        #: producer built before balancers landed; a name or instance
+        #: selects one of the reference's kafka-go strategies
+        self.balancer: WireBalancer | None = (
+            wire_balancer(balancer) if isinstance(balancer, str) else balancer
+        )
         self.transactional_id = transactional_id
         self.idempotent = idempotent or transactional_id is not None
         if self.idempotent and acks == 0:
@@ -1128,19 +1281,25 @@ class KafkaWireProducer(KafkaWireClient):
         self._coord_conns[(key_type, key)] = conn
         return conn
 
-    def _txn_request(self, api_key: int, version: int, body: bytes):
-        """Send a transaction-coordinator RPC; on connection failure drop
-        the cached coordinator (it may have moved) and re-resolve once."""
-        assert self.transactional_id is not None
+    def _coord_request(
+        self, key_type: int, key: str, api_key: int, version: int, body: bytes
+    ):
+        """Send a coordinator RPC (key_type 1 = txn coordinator, 0 = group
+        coordinator); on connection failure drop the cached coordinator
+        (it may have moved) and re-resolve once."""
         try:
-            conn = self._coordinator_conn_v1(self.transactional_id, 1)
+            conn = self._coordinator_conn_v1(key, key_type)
             return conn.request(api_key, version, body)
         except (ConnectionError, OSError):
-            stale = self._coord_conns.pop((1, self.transactional_id), None)
+            stale = self._coord_conns.pop((key_type, key), None)
             if stale is not None:
                 stale.close()
-            conn = self._coordinator_conn_v1(self.transactional_id, 1)
+            conn = self._coordinator_conn_v1(key, key_type)
             return conn.request(api_key, version, body)
+
+    def _txn_request(self, api_key: int, version: int, body: bytes):
+        assert self.transactional_id is not None
+        return self._coord_request(1, self.transactional_id, api_key, version, body)
 
     def close(self) -> None:  # extend: also drop coordinator connections
         for c in self._coord_conns.values():
@@ -1246,9 +1405,10 @@ class KafkaWireProducer(KafkaWireClient):
             body += struct.pack(">iq", pid, off)
             body += _str(None)  # metadata
         # TxnOffsetCommit goes to the GROUP coordinator (it lands in
-        # __consumer_offsets), not the transaction coordinator
-        r = self._coordinator_conn_v1(group_id, 0).request(
-            API_TXN_OFFSET_COMMIT, 0, bytes(body)
+        # __consumer_offsets), not the transaction coordinator — with the
+        # same drop-stale-and-re-resolve retry as txn-coordinator RPCs
+        r = self._coord_request(
+            0, group_id, API_TXN_OFFSET_COMMIT, 0, bytes(body)
         )
         r.i32()  # throttle_time_ms
         for _ in range(r.i32()):
@@ -1302,11 +1462,20 @@ class KafkaWireProducer(KafkaWireClient):
         topics = sorted({t for t, *_ in items})
         meta = self.await_topics(topics)
         grouped: dict[tuple[str, int], list[Record]] = {}
+        pids_by_topic = {
+            t: sorted(p.partition for p in meta.topics[t]) for t in topics
+        }
         for topic, key, value, headers in items:
-            nparts = len(meta.topics[topic])
-            pid = partition_for_key(key, nparts, self._round_robin)
-            if key is None:
-                self._round_robin += 1
+            if self.balancer is not None:
+                pid = self.balancer.partition(
+                    key, value, pids_by_topic[topic]
+                )
+            else:
+                pid = partition_for_key(
+                    key, len(meta.topics[topic]), self._round_robin
+                )
+                if key is None:
+                    self._round_robin += 1
             grouped.setdefault((topic, pid), []).append(
                 Record(key=key, value=value, headers=list(headers or []),
                        timestamp_ms=timestamp_ms)

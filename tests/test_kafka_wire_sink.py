@@ -109,12 +109,15 @@ def test_write_kafka_wire_batch_helper(spark):
 
 
 def test_wire_kwargs_loud_rejections():
-    # TLS/SASL map through (see test_kafka_wire_security); what CANNOT be
-    # expressed on the wire path still rejects loudly:
-    with pytest.raises(ValueError, match="murmur2"):
+    # TLS/SASL map through (see test_kafka_wire_security). Balancers all
+    # map since round 8 (tests/test_kafka_balancers.py): RoundRobin is a
+    # named wire strategy now, not a rejection.
+    assert (
         KafkaProducerConfig(
             brokers=["b:9092"], balancer=Balancer.ROUND_ROBIN
-        ).wire_kwargs()
+        ).wire_kwargs()["balancer"]
+        == "RoundRobin"
+    )
     # the full reference codec surface now maps through (zstd was the last)
     from go_pq_cdc_kafka_spark.streaming import kafka_wire as kw
 
