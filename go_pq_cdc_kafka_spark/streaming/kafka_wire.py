@@ -813,6 +813,8 @@ ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
 ERR_NOT_LEADER = 6
+ERR_COORDINATOR_NOT_AVAILABLE = 15
+ERR_NOT_COORDINATOR = 16
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
@@ -831,6 +833,8 @@ ERROR_NAMES = {
     5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_FOR_PARTITION",
     7: "REQUEST_TIMED_OUT",
+    15: "COORDINATOR_NOT_AVAILABLE",
+    16: "NOT_COORDINATOR",
     33: "UNSUPPORTED_SASL_MECHANISM",
     34: "ILLEGAL_SASL_STATE",
     58: "SASL_AUTHENTICATION_FAILED",
@@ -1301,6 +1305,27 @@ class KafkaWireProducer(KafkaWireClient):
         assert self.transactional_id is not None
         return self._coord_request(1, self.transactional_id, api_key, version, body)
 
+    def _with_coord_retry(self, key_type: int, key: str, fn):
+        """Run a coordinator RPC (request + response parse) via ``fn``;
+        when the broker answers NOT_COORDINATOR / COORDINATOR_NOT_AVAILABLE
+        — the coordinator MOVED, e.g. a multi-broker cluster after a node
+        restart, or a client that cached the wrong node — drop the cached
+        coordinator connection and retry once against a freshly resolved
+        one. Connection-level failures are already retried one layer down
+        (_coord_request); this layer handles the broker's explicit
+        you-asked-the-wrong-node answer."""
+        try:
+            return fn()
+        except KafkaProtocolError as e:
+            if e.code not in (
+                ERR_NOT_COORDINATOR, ERR_COORDINATOR_NOT_AVAILABLE
+            ):
+                raise
+            stale = self._coord_conns.pop((key_type, key), None)
+            if stale is not None:
+                stale.close()
+            return fn()
+
     def close(self) -> None:  # extend: also drop coordinator connections
         for c in self._coord_conns.values():
             c.close()
@@ -1316,18 +1341,28 @@ class KafkaWireProducer(KafkaWireClient):
         if self._producer_id >= 0:
             return
         body = _str(self.transactional_id) + struct.pack(">i", self.timeout_ms)
+
+        def _rpc() -> tuple[int, int]:
+            if self.transactional_id is not None:
+                # transactional registration lives on the txn coordinator;
+                # idempotence-only InitProducerId is served by any broker
+                r = self._txn_request(API_INIT_PRODUCER_ID, 0, body)
+            else:
+                r = self._bootstrap_conn().request(
+                    API_INIT_PRODUCER_ID, 0, body
+                )
+            r.i32()  # throttle_time_ms
+            code = r.i16()
+            if code != ERR_NONE:
+                raise KafkaProtocolError(code, "InitProducerId")
+            return r.i64(), r.i16()
+
         if self.transactional_id is not None:
-            # transactional registration lives on the txn coordinator;
-            # idempotence-only InitProducerId is served by any broker
-            r = self._txn_request(API_INIT_PRODUCER_ID, 0, body)
+            self._producer_id, self._producer_epoch = self._with_coord_retry(
+                1, self.transactional_id, _rpc
+            )
         else:
-            r = self._bootstrap_conn().request(API_INIT_PRODUCER_ID, 0, body)
-        r.i32()  # throttle_time_ms
-        code = r.i16()
-        if code != ERR_NONE:
-            raise KafkaProtocolError(code, "InitProducerId")
-        self._producer_id = r.i64()
-        self._producer_epoch = r.i16()
+            self._producer_id, self._producer_epoch = _rpc()
 
     # -- KIP-98 transactions ------------------------------------------
 
@@ -1356,17 +1391,20 @@ class KafkaWireProducer(KafkaWireClient):
             body += struct.pack(">i", len(pids))
             for pid in pids:
                 body += struct.pack(">i", pid)
-        r = self._txn_request(API_ADD_PARTITIONS_TO_TXN, 0, bytes(body))
-        r.i32()  # throttle_time_ms
-        for _ in range(r.i32()):
-            topic = r.string()
+        def _rpc() -> None:
+            r = self._txn_request(API_ADD_PARTITIONS_TO_TXN, 0, bytes(body))
+            r.i32()  # throttle_time_ms
             for _ in range(r.i32()):
-                pid = r.i32()
-                code = r.i16()
-                if code != ERR_NONE:
-                    raise KafkaProtocolError(
-                        code, f"AddPartitionsToTxn {topic}[{pid}]"
-                    )
+                topic = r.string()
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    code = r.i16()
+                    if code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"AddPartitionsToTxn {topic}[{pid}]"
+                        )
+
+        self._with_coord_retry(1, self.transactional_id, _rpc)
         self._txn_partitions |= new
 
     def send_offsets_to_transaction(
@@ -1387,14 +1425,18 @@ class KafkaWireProducer(KafkaWireClient):
             raise ValueError(
                 "send_offsets_to_transaction requires an open transaction"
             )
-        body = _str(self.transactional_id)
-        body += struct.pack(">qh", self._producer_id, self._producer_epoch)
-        body += _str(group_id)
-        r = self._txn_request(API_ADD_OFFSETS_TO_TXN, 0, bytes(body))
-        r.i32()  # throttle_time_ms
-        code = r.i16()
-        if code != ERR_NONE:
-            raise KafkaProtocolError(code, f"AddOffsetsToTxn {group_id}")
+        add_body = _str(self.transactional_id)
+        add_body += struct.pack(">qh", self._producer_id, self._producer_epoch)
+        add_body += _str(group_id)
+
+        def _add_rpc() -> None:
+            r = self._txn_request(API_ADD_OFFSETS_TO_TXN, 0, bytes(add_body))
+            r.i32()  # throttle_time_ms
+            code = r.i16()
+            if code != ERR_NONE:
+                raise KafkaProtocolError(code, f"AddOffsetsToTxn {group_id}")
+
+        self._with_coord_retry(1, self.transactional_id, _add_rpc)
         body = bytearray(_str(self.transactional_id))
         body += _str(group_id)
         body += struct.pack(">qh", self._producer_id, self._producer_epoch)
@@ -1406,20 +1448,24 @@ class KafkaWireProducer(KafkaWireClient):
             body += _str(None)  # metadata
         # TxnOffsetCommit goes to the GROUP coordinator (it lands in
         # __consumer_offsets), not the transaction coordinator — with the
-        # same drop-stale-and-re-resolve retry as txn-coordinator RPCs
-        r = self._coord_request(
-            0, group_id, API_TXN_OFFSET_COMMIT, 0, bytes(body)
-        )
-        r.i32()  # throttle_time_ms
-        for _ in range(r.i32()):
-            t = r.string()
+        # same drop-stale-and-re-resolve retry as txn-coordinator RPCs,
+        # both on connection failure and on a NOT_COORDINATOR answer
+        def _commit_rpc() -> None:
+            r = self._coord_request(
+                0, group_id, API_TXN_OFFSET_COMMIT, 0, bytes(body)
+            )
+            r.i32()  # throttle_time_ms
             for _ in range(r.i32()):
-                pid = r.i32()
-                code = r.i16()
-                if code != ERR_NONE:
-                    raise KafkaProtocolError(
-                        code, f"TxnOffsetCommit {group_id}/{t}[{pid}]"
-                    )
+                t = r.string()
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    code = r.i16()
+                    if code != ERR_NONE:
+                        raise KafkaProtocolError(
+                            code, f"TxnOffsetCommit {group_id}/{t}[{pid}]"
+                        )
+
+        self._with_coord_retry(0, group_id, _commit_rpc)
         self._txn_offsets_sent = True
 
     def _end_txn(self, committed: bool) -> None:
@@ -1436,11 +1482,15 @@ class KafkaWireProducer(KafkaWireClient):
             ">qhb", self._producer_id, self._producer_epoch,
             1 if committed else 0,
         )
-        r = self._txn_request(API_END_TXN, 0, body)
-        r.i32()  # throttle_time_ms
-        code = r.i16()
-        if code != ERR_NONE:
-            raise KafkaProtocolError(code, "EndTxn")
+
+        def _rpc() -> None:
+            r = self._txn_request(API_END_TXN, 0, body)
+            r.i32()  # throttle_time_ms
+            code = r.i16()
+            if code != ERR_NONE:
+                raise KafkaProtocolError(code, "EndTxn")
+
+        self._with_coord_retry(1, self.transactional_id, _rpc)
         self._in_txn = False
         self._txn_partitions.clear()
         self._txn_offsets_sent = False
@@ -1958,6 +2008,13 @@ class KafkaGroupMember:
                 if e.code == ERR_UNKNOWN_MEMBER_ID:
                     self.member_id = ""  # coordinator forgot us: fresh id
                     continue
+                if e.code in (
+                    ERR_NOT_COORDINATOR, ERR_COORDINATOR_NOT_AVAILABLE
+                ):
+                    # wrong/moved node: drop the cached member connection
+                    # so _coordinator() re-resolves via FindCoordinator
+                    self.close()
+                    continue
                 raise
         raise last  # type: ignore[misc]
 
@@ -2022,6 +2079,9 @@ class KafkaGroupMember:
             return False
         if code == ERR_UNKNOWN_MEMBER_ID:
             self.member_id = ""
+            return False
+        if code in (ERR_NOT_COORDINATOR, ERR_COORDINATOR_NOT_AVAILABLE):
+            self.close()  # re-resolve on the join() the caller now runs
             return False
         raise KafkaProtocolError(code, f"Heartbeat {self.group}")
 

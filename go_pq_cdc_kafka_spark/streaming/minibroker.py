@@ -7,7 +7,10 @@ broker lets the produce path EXECUTE — full TCP framing, Metadata
 leader discovery, record-batch v2 decode with mandatory CRC32C validation
 (rejecting a corrupt batch with CORRUPT_MESSAGE exactly as a real broker
 would), offset assignment, and Fetch read-back. It is intentionally not a
-durability layer: storage is in-memory, one node, no consumer groups.
+durability layer: storage is in-memory. :class:`MiniCluster` runs N
+brokers over one shared store with partition leaders and group/txn
+coordinators spread across nodes — wrong-node requests answer
+NOT_LEADER_FOR_PARTITION / NOT_COORDINATOR like a real cluster.
 
 The test value is the byte format: everything the producer sends is parsed
 by an *independent decoder path* (decode_record_batches) and everything
@@ -55,6 +58,8 @@ from .kafka_wire import (
     ERR_ILLEGAL_GENERATION,
     ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
+    ERR_NOT_COORDINATOR,
+    ERR_NOT_LEADER,
     ERR_OFFSET_OUT_OF_RANGE,
     ERR_REBALANCE_IN_PROGRESS,
     ERR_UNKNOWN_MEMBER_ID,
@@ -278,8 +283,14 @@ class MiniBroker:
         port: int = 0,
         sasl_credentials: dict[str, str] | None = None,
         ssl_context=None,
+        node_id: int = 0,
     ):
         self.num_partitions = num_partitions
+        self.node_id = node_id
+        #: set by MiniCluster — all brokers of the cluster (self included),
+        #: sharing one state store; None = classic single-node mode where
+        #: this broker leads every partition and coordinates every key
+        self.cluster: "list[MiniBroker] | None" = None
         self.host = host
         self.sasl_credentials = sasl_credentials
         self.ssl_context = ssl_context
@@ -409,6 +420,37 @@ class MiniBroker:
         for p in range(self.num_partitions):
             self._logs.setdefault((topic, p), _PartitionLog())
 
+    # -- cluster topology (MiniCluster mode) ------------------------------
+    #
+    # Brokers of a MiniCluster share ONE state store (the stand-in for
+    # replication + WriteTxnMarkers — a conformance fixture needs correct
+    # ROUTING, not durability), but every broker ENFORCES the topology:
+    # partitions it does not lead answer NOT_LEADER_FOR_PARTITION, groups
+    # and transactional ids it does not coordinate answer NOT_COORDINATOR
+    # — so a client that assumes bootstrap==leader==coordinator (true on
+    # every single-broker test) fails loudly here, like on a real cluster.
+
+    def _nodes(self) -> "list[MiniBroker]":
+        return self.cluster if self.cluster else [self]
+
+    def _leader_node(self, topic: str, pid: int) -> "MiniBroker":
+        import zlib as _zlib
+
+        nodes = self._nodes()
+        return nodes[(_zlib.crc32(topic.encode()) + pid) % len(nodes)]
+
+    def _coord_node(self, key: str, key_type: int) -> "MiniBroker":
+        import zlib as _zlib
+
+        nodes = self._nodes()
+        return nodes[_zlib.crc32(f"{key_type}:{key}".encode()) % len(nodes)]
+
+    def _leads(self, topic: str, pid: int) -> bool:
+        return self._leader_node(topic, pid) is self or self.cluster is None
+
+    def _coordinates(self, key: str, key_type: int) -> bool:
+        return self._coord_node(key, key_type) is self or self.cluster is None
+
     # -- protocol ---------------------------------------------------------
     def _dispatch(self, frame: bytes, state: _ConnState) -> bytes | None:
         api_key, api_version, corr = struct.unpack_from(">hhi", frame, 0)
@@ -520,15 +562,16 @@ class MiniBroker:
                     t = r.string()
                     self._ensure_topic(t)  # auto-create on metadata, like
                     topics.append(t)       # auto.create.topics.enable=true
+            nodes = self._nodes()
             out = bytearray()
-            out += struct.pack(">i", 1)  # brokers
-            out += struct.pack(">i", 0) + _str(self.host) + struct.pack(
-                ">i", self.port
-            )
+            out += struct.pack(">i", len(nodes))  # brokers
+            for b in nodes:
+                out += struct.pack(">i", b.node_id) + _str(b.host)
+                out += struct.pack(">i", b.port)
+                if version >= 1:
+                    out += _str(None)    # rack
             if version >= 1:
-                out += _str(None)        # rack
-            if version >= 1:
-                out += struct.pack(">i", 0)  # controller_id
+                out += struct.pack(">i", nodes[0].node_id)  # controller_id
             out += struct.pack(">i", len(topics))
             for t in topics:
                 out += struct.pack(">h", ERR_NONE)
@@ -537,9 +580,12 @@ class MiniBroker:
                     out += struct.pack(">b", 0)  # is_internal
                 out += struct.pack(">i", self.num_partitions)
                 for p in range(self.num_partitions):
-                    out += struct.pack(">hiii", ERR_NONE, p, 0, 1)
-                    out += struct.pack(">i", 0)  # replicas: [0]
-                    out += struct.pack(">ii", 1, 0)  # isr: [0]
+                    leader = self._leader_node(t, p).node_id
+                    # error, partition, leader, replicas[1]={leader},
+                    # isr[1]={leader}
+                    out += struct.pack(">hiii", ERR_NONE, p, leader, 1)
+                    out += struct.pack(">i", leader)
+                    out += struct.pack(">ii", 1, leader)
         return bytes(out)
 
     @staticmethod
@@ -565,6 +611,8 @@ class MiniBroker:
     def _init_producer_id(self, version: int, r: _Reader) -> bytes:
         txn_id = r.string()  # null = idempotence only
         r.i32()              # transaction_timeout_ms
+        if txn_id is not None and not self._coordinates(txn_id, 1):
+            return struct.pack(">ihqh", 0, ERR_NOT_COORDINATOR, -1, -1)
         with self._lock:
             if txn_id is None:
                 pid = self._next_producer_id
@@ -605,6 +653,8 @@ class MiniBroker:
             topics.append((topic, parts))
         with self._lock:
             code = self._check_txn_epoch(txn_id, pid, epoch)
+            if not self._coordinates(txn_id or "", 1):
+                code = ERR_NOT_COORDINATOR
             if code == ERR_NONE:
                 txn = self._txns.setdefault(
                     pid,
@@ -631,9 +681,11 @@ class MiniBroker:
         txn_id = r.string()
         pid = r.i64()
         epoch = r.i16()
-        r.string()  # group_id — single-node broker coordinates every group
+        r.string()  # group_id — the TXN coordinator serves this RPC
         with self._lock:
             code = self._check_txn_epoch(txn_id, pid, epoch)
+            if not self._coordinates(txn_id or "", 1):
+                code = ERR_NOT_COORDINATOR
             if code == ERR_NONE:
                 self._txns.setdefault(
                     pid,
@@ -663,6 +715,11 @@ class MiniBroker:
             requests.append((topic, parts))
         with self._lock:
             code = self._check_txn_epoch(txn_id, pid, epoch)
+            if not self._coordinates(group or "", 0):
+                # TxnOffsetCommit lands in __consumer_offsets — the GROUP
+                # coordinator serves it (clients that send it to the txn
+                # coordinator only pass on single-broker clusters)
+                code = ERR_NOT_COORDINATOR
             txn = self._txns.get(pid)
             if code == ERR_NONE and txn is None:
                 # TxnOffsetCommit without a preceding AddOffsetsToTxn —
@@ -729,6 +786,8 @@ class MiniBroker:
         committed = r.i8() != 0
         with self._lock:
             code = self._check_txn_epoch(txn_id, pid, epoch)
+            if not self._coordinates(txn_id or "", 1):
+                code = ERR_NOT_COORDINATOR
             if code == ERR_NONE and pid not in self._txns:
                 code = ERR_INVALID_TXN_STATE  # EndTxn with nothing open
             if code == ERR_NONE:
@@ -782,6 +841,8 @@ class MiniBroker:
 
     def _join_group(self, version: int, r: _Reader) -> bytes:
         gid = r.string()
+        if not self._coordinates(gid or "", 0):
+            return self._join_error(ERR_NOT_COORDINATOR)
         session_ms = r.i32()
         member_id = r.string() or ""
         r.string()  # protocol_type ("consumer")
@@ -844,6 +905,8 @@ class MiniBroker:
 
     def _sync_group(self, version: int, r: _Reader) -> bytes:
         gid = r.string()
+        if not self._coordinates(gid or "", 0):
+            return struct.pack(">h", ERR_NOT_COORDINATOR) + _bytes(b"")
         gen = r.i32()
         member_id = r.string() or ""
         provided: dict[str, bytes] = {}
@@ -877,6 +940,8 @@ class MiniBroker:
 
     def _heartbeat(self, version: int, r: _Reader) -> bytes:
         gid = r.string()
+        if not self._coordinates(gid or "", 0):
+            return struct.pack(">h", ERR_NOT_COORDINATOR)
         gen = r.i32()
         member_id = r.string() or ""
         g = self._group(gid)
@@ -895,6 +960,8 @@ class MiniBroker:
 
     def _leave_group(self, version: int, r: _Reader) -> bytes:
         gid = r.string()
+        if not self._coordinates(gid or "", 0):
+            return struct.pack(">h", ERR_NOT_COORDINATOR)
         member_id = r.string() or ""
         g = self._group(gid)
         with g.lock:
@@ -927,6 +994,9 @@ class MiniBroker:
                     log = self._logs.get((topic, pid))
                     if log is None:
                         parts.append((pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
+                        continue
+                    if not self._leads(topic, pid):
+                        parts.append((pid, ERR_NOT_LEADER, -1))
                         continue
                     # idempotence (KIP-98): batches carrying a producerId
                     # are validated against the per-partition sequence
@@ -1066,6 +1136,11 @@ class MiniBroker:
                             ">ihqq", pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
                         )
                         continue
+                    if not self._leads(topic, pid):
+                        out += struct.pack(
+                            ">ihqq", pid, ERR_NOT_LEADER, -1, -1
+                        )
+                        continue
                     if ts == TS_LATEST:
                         offset = log.high_watermark
                         if isolation == 1:
@@ -1094,17 +1169,21 @@ class MiniBroker:
         return bytes(out)
 
     def _find_coordinator(self, version: int, r: _Reader) -> bytes:
-        r.string()  # coordinator key — single node IS the coordinator
+        key = r.string() or ""
+        key_type = 0
         if version >= 1:
-            r.i8()  # key_type: 0 = group, 1 = transaction — same node here
+            key_type = r.i8()  # 0 = group, 1 = transaction
+        # any broker answers the lookup; the ANSWER is the owning node
+        # (single-node mode: self)
+        coord = self._coord_node(key, key_type)
         out = bytearray()
         if version >= 1:
             out += struct.pack(">i", 0)  # throttle_time_ms
         out += struct.pack(">h", ERR_NONE)
         if version >= 1:
             out += _str(None)  # error_message
-        out += struct.pack(">i", 0) + _str(self.host)
-        out += struct.pack(">i", self.port)
+        out += struct.pack(">i", coord.node_id) + _str(coord.host)
+        out += struct.pack(">i", coord.port)
         return bytes(out)
 
     def _offset_commit(self, version: int, r: _Reader) -> bytes:
@@ -1124,6 +1203,9 @@ class MiniBroker:
                     pid = r.i32()
                     off = r.i64()
                     r.string()  # metadata
+                    if not self._coordinates(group or "", 0):
+                        out += struct.pack(">ih", pid, ERR_NOT_COORDINATOR)
+                        continue
                     self._group_offsets[(group, topic, pid)] = off
                     out += struct.pack(">ih", pid, ERR_NONE)
         return bytes(out)
@@ -1143,7 +1225,12 @@ class MiniBroker:
                     off = self._group_offsets.get((group, topic, pid), -1)
                     out += struct.pack(">iq", pid, off)
                     out += _str(None)  # metadata
-                    out += struct.pack(">h", ERR_NONE)
+                    out += struct.pack(
+                        ">h",
+                        ERR_NONE
+                        if self._coordinates(group or "", 0)
+                        else ERR_NOT_COORDINATOR,
+                    )
         return bytes(out)
 
     def _fetch(self, version: int, r: _Reader) -> bytes:
@@ -1174,6 +1261,12 @@ class MiniBroker:
                         out += struct.pack(
                             ">ihqqi", pid, ERR_UNKNOWN_TOPIC_OR_PARTITION,
                             -1, -1, 0
+                        )
+                        out += _bytes(b"")
+                        continue
+                    if not self._leads(topic, pid):
+                        out += struct.pack(
+                            ">ihqqi", pid, ERR_NOT_LEADER, -1, -1, 0
                         )
                         out += _bytes(b"")
                         continue
@@ -1211,6 +1304,88 @@ class MiniBroker:
                         out += struct.pack(">qq", a_pid, a_first)
                     out += _bytes(record_set)
         return bytes(out)
+
+
+class MiniCluster:
+    """Multi-broker MiniBroker topology: N TCP listeners, one shared state
+    store, partition leaders and group/txn coordinators SPREAD across
+    nodes by stable hash. The point is the client-side blind spot every
+    single-broker test has — there, bootstrap == every partition's leader
+    == every coordinator, so a client that never routes is still green.
+    Here, a Produce to the wrong node answers NOT_LEADER_FOR_PARTITION
+    and a coordinator RPC to the wrong node answers NOT_COORDINATOR, the
+    same way a real cluster does (reference integration tests run against
+    a real single-node Redpanda and never cover this either).
+
+    Shared storage stands in for replication and WriteTxnMarkers — a
+    conformance fixture needs correct ROUTING, not durability. Producer
+    ids are spaced per node so two brokers' InitProducerId never collide.
+
+        with MiniCluster(num_brokers=3) as cluster:
+            producer = KafkaWireProducer([cluster.bootstrap])
+            ...
+            cluster.brokers[1].stop()   # coordinator/leader failover tests
+    """
+
+    def __init__(
+        self,
+        num_brokers: int = 3,
+        num_partitions: int = 3,
+        **broker_kwargs,
+    ) -> None:
+        if num_brokers < 1:
+            raise ValueError("num_brokers must be >= 1")
+        self.brokers = [
+            MiniBroker(
+                num_partitions=num_partitions, node_id=i, **broker_kwargs
+            )
+            for i in range(num_brokers)
+        ]
+        primary = self.brokers[0]
+        for b in self.brokers[1:]:
+            # alias the whole state store onto node 0's objects; _active
+            # (live sockets) stays per-node so stop() only severs its own
+            for attr in (
+                "_logs", "_topics", "_group_offsets", "_producer_state",
+                "_txn_producers", "_txns", "_aborted", "_groups", "_lock",
+            ):
+                setattr(b, attr, getattr(primary, attr))
+            b._next_producer_id = 1000 + b.node_id * 1_000_000
+        for b in self.brokers:
+            b.cluster = self.brokers
+
+    @property
+    def bootstrap(self) -> str:
+        """All nodes, comma-separated — clients may bootstrap anywhere."""
+        return ",".join(b.bootstrap for b in self.brokers)
+
+    def start(self) -> "MiniCluster":
+        for b in self.brokers:
+            b.start()
+        return self
+
+    def stop(self) -> None:
+        for b in self.brokers:
+            b.stop()
+
+    def __enter__(self) -> "MiniCluster":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- assertions helpers ----------------------------------------------
+    def leader_of(self, topic: str, pid: int) -> MiniBroker:
+        return self.brokers[0]._leader_node(topic, pid)
+
+    def coordinator_of(self, key: str, key_type: int) -> MiniBroker:
+        return self.brokers[0]._coord_node(key, key_type)
+
+    def topic_records(self, topic: str) -> list[Record]:
+        return self.brokers[0].topic_records(topic)
+
+    def topic_count(self, topic: str) -> int:
+        return self.brokers[0].topic_count(topic)
 
 
 def _main() -> None:
