@@ -7520,3 +7520,175 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_containment_pairs(
         d, threshold=0.5, max_df=64
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+    category="timeseries",
+    description="OHLC bars (open-high-low-close candlesticks) per "
+    "(series, 1-hour bucket) — the order-sensitive rollup TimescaleDB "
+    "users build with first()/last(). Open/close are exact (rank within "
+    "the bucket, event_id tie-break — no struct-arg_min dependence); one "
+    "window shuffle keyed by (series, bucket), aggregation reuses the "
+    "same clustering so nothing re-shuffles; bars are mergeable partials "
+    "for any coarser resolution.",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = TS.bucket(F.col("ts"), 3600)
+    w = Window.partitionBy("event_type", "bucket")
+    d = (
+        ev.withColumn("bucket", bucket)
+        .withColumn(
+            "rn_first",
+            F.row_number().over(w.orderBy(F.col("ts"), F.col("event_id"))),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+    )
+    return (
+        d.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dsum(F.col("value")).alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "cdc_replay_point_in_time",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL}),
+ranked AS (
+  SELECT pk, op, price,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+  FROM changelog
+  WHERE lsn <= 1
+)
+SELECT pk, op AS last_op, price
+FROM ranked
+WHERE rn = 1 AND op <> 'DELETE'
+ORDER BY pk
+""",
+    category="cdc",
+    description="Point-in-time replay (time travel): re-materialize the "
+    "table AS OF an LSN cutoff by replaying only changelog events with "
+    "lsn <= L through the same LWW fold — the recovery/debug operation a "
+    "CDC changelog exists to make possible (and the batch twin of "
+    "restarting a stream from an old checkpoint). Cutoff 1 = after the "
+    "update wave, before the deletes: deleted keys are still live with "
+    "their updated prices. Same single pk-window shuffle as "
+    "cdc_lww_materialize; the cutoff filter prunes before the shuffle.",
+)
+def cdc_replay_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir).filter(F.col("lsn") <= 1)
+    w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("pk", F.col("op").alias("last_op"), "price")
+        .orderBy("pk")
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+WITH banded AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 350 THEN 'short'
+              WHEN n_chars < 450 THEN 'mid'
+              WHEN n_chars < 550 THEN 'long'
+              ELSE 'xl' END AS band
+  FROM documents
+),
+counts AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_d FROM banded GROUP BY band
+),
+flat AS (
+  SELECT band, n_d,
+         SQRT(CAST((SELECT MIN(n_d) FROM counts) AS DOUBLE)
+              / CAST(n_d AS DOUBLE)) AS keep_frac
+  FROM counts
+)
+SELECT b.doc_id, b.band, f.n_d,
+       CAST(FLOOR(f.keep_frac * 1000000) AS BIGINT) AS keep_ppm
+FROM banded b JOIN flat f USING (band)
+WHERE CAST(concat('0x', substr(md5(concat('temp:', CAST(b.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % 1000000 < CAST(FLOOR(f.keep_frac * 1000000) AS BIGINT)
+ORDER BY b.doc_id
+""",
+    category="sampling",
+    description="Temperature-flattened source mixture (the multilingual/"
+    "multi-source rebalance of mT5/XLM-R style recipes, tau=0.5): each "
+    "source keeps a sqrt(n_min/n_d) fraction, shrinking dominant sources "
+    "toward the smallest one; selection is the deterministic keyed-hash "
+    "Bernoulli draw, so the sample is reproducible and append-stable. "
+    "Exactness: keep_frac = sqrt of an integer ratio — one IEEE "
+    "division + sqrt, bit-identical in both engines; the threshold "
+    "floors to ppm. One tiny per-source count aggregate broadcasts; "
+    "selection itself is map-side.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") < 350, "short")
+        .when(F.col("n_chars") < 450, "mid")
+        .when(F.col("n_chars") < 550, "long")
+        .otherwise("xl")
+        .alias("band"),
+    )
+    counts = d.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min")).withColumn("_k", F.lit(1))
+    flat = (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_min), "_k")
+        .withColumn(
+            "keep_ppm",
+            F.floor(
+                F.sqrt(
+                    F.col("n_min").cast("double") / F.col("n_d").cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .select("band", "n_d", "keep_ppm")
+    )
+    h = T.hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(flat), "band")
+        .filter(h % 1_000_000 < F.col("keep_ppm"))
+        .select("doc_id", "band", "n_d", "keep_ppm")
+        .orderBy("doc_id")
+    )

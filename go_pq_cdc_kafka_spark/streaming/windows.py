@@ -315,6 +315,69 @@ def tws_available() -> bool:
         return False
 
 
+class _LwwProcessor(StatefulProcessor):
+    """Module-level (picklable) processor for :func:`lww_tws` — the
+    transformWithState twin of ``_lww_fn`` with identical semantics
+    (``lsn <= last_lsn`` replay idempotence, DELETE tombstones)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("lww", _LWW_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import json as _json
+
+        if self._state.exists():
+            last_op, last_lsn, image_json = self._state.get()
+            last_lsn = int(last_lsn)
+        else:
+            last_op, last_lsn, image_json = None, -1, None
+        for pdf in rows:
+            for op, lsn, after in zip(pdf["op"], pdf["lsn"], pdf["after"]):
+                lsn = int(lsn)
+                if lsn <= last_lsn:
+                    continue  # replayed/out-of-order older event
+                last_lsn, last_op = lsn, op
+                image_json = (
+                    None
+                    if op == "DELETE" or after is None
+                    else _json.dumps(dict(after), sort_keys=True)
+                )
+        self._state.update((last_op, last_lsn, image_json))
+        yield pd.DataFrame(
+            {
+                "table_name": [key[0]],
+                "pk": [key[1]],
+                "last_op": [last_op],
+                "last_lsn": [last_lsn],
+                "image": [image_json],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def lww_tws(df: DataFrame, pk_field: str = "id") -> DataFrame:
+    """:func:`lww_stateful` on the Spark 4 ``transformWithState`` API:
+    typed per-key ValueState in RocksDB instead of a pickled tuple, plus
+    the API surface new pipelines want (TTL, timers, composite state).
+    Same output schema and replay idempotence; tools/stream_state_bench.py
+    measures both variants side by side — SCALE.md records which one is
+    the recommended bulk path at which rate."""
+    keyed = df.withColumn(
+        "pk",
+        F.coalesce(
+            F.col("after").getItem(pk_field), F.col("before").getItem(pk_field)
+        ),
+    )
+    return keyed.groupBy("table_name", "pk").transformWithStateInPandas(
+        _LwwProcessor(),
+        outputStructType=LWW_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class _RunningCountsProcessor(StatefulProcessor):
     """Module-level (picklable) processor for :func:`running_counts_tws`."""
 

@@ -758,3 +758,43 @@ def test_bucketed_row_number_matches_window_semantics(spark):
     assert sorted(got.collect(), key=lambda r: (r.g, r.id)) == sorted(
         exp.collect(), key=lambda r: (r.g, r.id)
     )
+
+
+def test_ohlc_single_clustering_no_unpartitioned_window(spark):
+    """ts_ohlc_bars: both rank windows and the final aggregate share the
+    (event_type, bucket) clustering — the corpus shuffles once for the
+    windows and the aggregate piggybacks; every window is partitioned;
+    only the four referenced columns are read."""
+    import re
+
+    plan = plan_of(spark, "ts_ohlc_bars")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(
+        r"\(\d+\) Window\b.*?Arguments: (\[.*?\]), (\[.*?\]), \[", plan, re.S
+    ):
+        assert m.group(2) != "[]", "unpartitioned window in OHLC"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_point_in_time_replay_folds_away_filtered_branch(spark):
+    """cdc_replay_point_in_time: the lsn <= 1 cutoff is a literal
+    predicate on each union branch — Catalyst must FOLD the lsn=2 DELETE
+    branch away entirely (2 parquet scans, not 3), and the LWW window
+    stays pk-partitioned."""
+    plan = plan_of(spark, "cdc_replay_point_in_time")
+    assert op_count(plan, "Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mixture_broadcast_only(spark):
+    """sample_temperature_mixture: the per-band keep-fraction table is
+    bounded (4 rows) and must BROADCAST to the corpus — a shuffle join
+    here would move the corpus for a 4-row dimension; the doc scan prunes
+    to (doc_id, n_chars)."""
+    plan = plan_of(spark, "sample_temperature_mixture")
+    assert op_count(plan, "SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema

@@ -295,6 +295,56 @@ def test_stateful_lww_materialization(spark, tmp_path):
     assert live == {"1", "2", "1000001", "1000002", "1000003"}
 
 
+def test_stateful_lww_tws_matches_apply_in_pandas_variant(spark, tmp_path):
+    """lww_tws (transformWithState) must produce the SAME converged
+    materialization as lww_stateful on the same changelog — tombstones,
+    replay idempotence, last-LSN images."""
+    import json
+
+    if not W.tws_available():
+        pytest.skip("google.protobuf not installed; TWS state server needs it")
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "id int, name string"
+    )
+    log = cl.generate_table_changelog(base, "id", "users", update_mod=2, delete_mod=3)
+    path = str(tmp_path / "log")
+    cl.write_changelog(log, path, num_files=3)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = cl.read_changelog_stream(spark, path)
+        q = (
+            W.lww_tws(stream, pk_field="id")
+            .writeStream.format("memory")
+            .queryName("lww_tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("select * from lww_tws_sink").collect()
+    final = {}
+    for r in rows:
+        if r.pk not in final or r.last_lsn >= final[r.pk].last_lsn:
+            final[r.pk] = r
+    assert final["2"].last_op == "UPDATE"
+    assert json.loads(final["2"].image)["name"] == "B"
+    assert final["3"].last_op == "DELETE" and final["3"].image is None
+    live = {pk for pk, r in final.items() if r.last_op != "DELETE"}
+    assert live == {"1", "2", "1000001", "1000002", "1000003"}
+
+
 def test_stateful_running_counts_tws(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API): same totals as
     the applyInPandasWithState operator, state in RocksDB. Skips where the
