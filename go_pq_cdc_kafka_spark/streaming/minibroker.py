@@ -291,6 +291,9 @@ class MiniBroker:
         #: sharing one state store; None = classic single-node mode where
         #: this broker leads every partition and coordinates every key
         self.cluster: "list[MiniBroker] | None" = None
+        #: toggled by start()/stop(); dead nodes drop out of leadership
+        #: and coordination (see _nodes)
+        self.alive = False
         self.host = host
         self.sasl_credentials = sasl_credentials
         self.ssl_context = ssl_context
@@ -375,9 +378,11 @@ class MiniBroker:
 
     def start(self) -> "MiniBroker":
         self._thread.start()
+        self.alive = True
         return self
 
     def stop(self) -> None:
+        self.alive = False
         self._server.shutdown()
         self._server.server_close()
         with self._lock:  # sever live connections like a real process exit
@@ -431,7 +436,14 @@ class MiniBroker:
     # every single-broker test) fails loudly here, like on a real cluster.
 
     def _nodes(self) -> "list[MiniBroker]":
-        return self.cluster if self.cluster else [self]
+        """ALIVE cluster members — a stopped node's partitions and
+        coordinated keys deterministically move to the survivors (the
+        stand-in for leader re-election / coordinator migration; the
+        shared store means the new leader serves the full log)."""
+        if not self.cluster:
+            return [self]
+        alive = [b for b in self.cluster if b.alive]
+        return alive or [self]
 
     def _leader_node(self, topic: str, pid: int) -> "MiniBroker":
         import zlib as _zlib

@@ -223,3 +223,71 @@ def test_single_broker_mode_unchanged():
                 vals.extend(bytes(r.value) for r in recs)
             assert vals == [b"v"]
             assert c.fetch_committed("solo-group", "in", [0]) == {0: 1}
+
+
+def test_leader_failover_preserves_and_reroutes():
+    """Stop one node mid-stream: its partitions' leadership moves to the
+    survivors (shared store = the new leader serves the full log), the
+    producer's ConnectionError path re-resolves metadata and replays the
+    affected batches, and every record — pre- and post-failover — reads
+    back through a survivor."""
+    cluster = MiniCluster(num_brokers=3, num_partitions=6).start()
+    try:
+        # bootstrap with ALL nodes so the seed list survives the kill
+        prod = KafkaWireProducer(
+            [b.bootstrap for b in cluster.brokers]
+        )
+        first = [("fo.topic", f"a{i}".encode(), b"v", []) for i in range(30)]
+        prod.send_records(first)
+        victim = cluster.brokers[1]
+        victim.stop()
+        second = [("fo.topic", f"b{i}".encode(), b"v", []) for i in range(30)]
+        prod.send_records(second)  # must reroute, not raise
+        prod.close()
+        survivors = [b for b in cluster.brokers if b.alive]
+        assert len(survivors) == 2
+        with KafkaWireConsumer([survivors[0].bootstrap]) as c:
+            meta = c.await_topics(["fo.topic"])
+            assert {p.leader for p in meta.topics["fo.topic"]} <= {
+                b.node_id for b in survivors
+            }
+            got = []
+            for p in range(6):
+                recs, _ = c.fetch("fo.topic", p, 0)
+                got.extend(bytes(r.key) for r in recs)
+        assert sorted(got) == sorted(
+            k for _, k, _v, _h in first + second
+        )
+    finally:
+        cluster.stop()
+
+
+def test_txn_coordinator_failover_mid_producer():
+    """Kill the txn coordinator between transactions: the next txn's
+    coordinator RPC hits a dead socket, the client drops the cached
+    coordinator, FindCoordinator (answered by a survivor) returns the
+    NEW owner, and the transaction completes with state intact."""
+    cluster = MiniCluster(num_brokers=3, num_partitions=3).start()
+    try:
+        txn_id = "failover-txn"
+        coord = cluster.coordinator_of(txn_id, 1)
+        seeds = [b.bootstrap for b in cluster.brokers if b is not coord]
+        prod = KafkaWireProducer(seeds, transactional_id=txn_id)
+        prod.begin_transaction()
+        prod.send_records([("ft.topic", b"k1", b"v1", [])])
+        prod.commit_transaction()
+        coord.stop()
+        assert cluster.coordinator_of(txn_id, 1) is not coord
+        prod.begin_transaction()
+        prod.send_records([("ft.topic", b"k2", b"v2", [])])
+        prod.commit_transaction()
+        prod.close()
+        survivor = next(b for b in cluster.brokers if b.alive)
+        with KafkaWireConsumer([survivor.bootstrap]) as c:
+            vals = []
+            for p in range(3):
+                recs, _ = c.fetch("ft.topic", p, 0, isolation_level=1)
+                vals.extend(bytes(r.value) for r in recs)
+        assert sorted(vals) == [b"v1", b"v2"]
+    finally:
+        cluster.stop()
