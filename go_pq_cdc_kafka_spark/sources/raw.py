@@ -194,12 +194,13 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self._conn = None
         self._err: Exception | None = None
         self._retries = 0
-        import threading as _threading
-
-        #: set by stop(): lets the pump exit its backpressure loop even
+        #: created lazily in _ensure_pump — a threading.Event here would
+        #: break the reader's cloudpickle (Spark pickles the fresh reader
+        #: at stream start; only None/thread-free attrs may exist then).
+        #: Set by stop(): lets the pump exit its backpressure loop even
         #: when the deque is full (a closed socket is only observed on the
         #: NEXT read, so a full-queue pump would otherwise spin forever)
-        self._stopping = _threading.Event()
+        self._stopping = None
         #: raw Relation payloads by relid (replayed to every batch)
         self._relations: dict[int, bytes] = {}
         #: frames of the currently-open transaction (not yet committed)
@@ -218,6 +219,10 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         import time as _time
 
         from go_pq_cdc_kafka_spark.sources import wire
+
+        if self._stopping is None:
+            self._stopping = threading.Event()
+        stopping = self._stopping
 
         def on_connect(conn):
             self._conn = conn
@@ -255,7 +260,7 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     # (read() compares the commit lsn to the resume
                     # offset).
                     while len(dq) >= cap:
-                        if self._stopping.is_set():
+                        if stopping.is_set():
                             return  # stop() with a full queue: exit, don't spin
                         _time.sleep(0.005)
                     dq.append((wal_start, tag, msg))
@@ -404,7 +409,8 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         released immediately. Without this the daemon pump thread holds
         the slot until process exit and a checkpoint-restart of the SAME
         query (same slot) fails with `replication slot ... is active`."""
-        self._stopping.set()
+        if self._stopping is not None:
+            self._stopping.set()
         conn, self._conn = self._conn, None
         if conn is not None:
             try:
