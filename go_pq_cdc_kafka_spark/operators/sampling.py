@@ -219,3 +219,52 @@ def bucketed_row_number(
         joined.withColumn(name, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_lrn", "_off", "_bkt")
     )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket_col: Column,
+    order_cols: list[Column],
+    weight_col: Column,
+    name: str,
+) -> DataFrame:
+    """Scalable inclusive running sum — ``SUM(weight) OVER (PARTITION BY
+    partition_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` — by
+    the same decomposition as :func:`bucketed_row_number` (which is this
+    with weight 1): a LOW-CARDINALITY partition spec (a 3-value flag, a
+    global fold) would drag the whole corpus through #groups tasks;
+    bucketing by a monotone-in-order column keeps every window partition
+    corpus-fraction sized while the broadcast per-bucket offsets make the
+    sum exact.
+
+    Same contract: ``bucket_col`` monotone nondecreasing in
+    ``order_cols`` within every partition group. Weights must be
+    integral/decimal for exactness (the offsets add across buckets).
+    """
+    from pyspark.sql import Window
+
+    staged = df.withColumn("_bkt", bucket_col).withColumn("_wt", weight_col)
+    w_local = (
+        Window.partitionBy(*partition_cols, "_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = staged.withColumn("_lcs", F.sum("_wt").over(w_local))
+    counts = local.groupBy(*partition_cols, "_bkt").agg(
+        F.sum("_wt").alias("_bs")
+    )
+    w_off = (
+        Window.partitionBy(*partition_cols)  # bounded-window: over the
+        # #groups×#buckets weight-sum aggregate, never corpus rows
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bs").over(w_off), F.lit(0))
+    ).drop("_bs")
+    joined = local.join(F.broadcast(offs), [*partition_cols, "_bkt"], "inner")
+    return (
+        joined.withColumn(name, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_lcs", "_off", "_wt", "_bkt")
+    )

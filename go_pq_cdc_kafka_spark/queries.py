@@ -7692,3 +7692,283 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "band", "n_d", "keep_ppm")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle=f"""
+WITH changelog AS ({_ORDERS_CHANGELOG_SQL}),
+scd2 AS (
+  SELECT pk, op, price,
+         lsn AS valid_from,
+         LEAD(lsn) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to
+  FROM changelog
+),
+fact AS (
+  SELECT l_orderkey, l_linenumber, l_linenumber % 3 AS as_of_lsn
+  FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT f.l_orderkey, f.l_linenumber, CAST(f.as_of_lsn AS BIGINT) AS as_of_lsn,
+       s.price AS version_price, s.op AS version_op
+FROM fact f JOIN scd2 s
+  ON f.l_orderkey = s.pk
+ AND s.valid_from <= f.as_of_lsn
+ AND (s.valid_to IS NULL OR f.as_of_lsn < s.valid_to)
+WHERE s.op <> 'DELETE'
+ORDER BY l_orderkey, l_linenumber
+""",
+    category="join",
+    description="Point-in-time (PIT) join against an SCD2 dimension: each "
+    "fact row looks up the dimension version VALID AT its own as-of "
+    "position (valid_from <= as_of < valid_to, open-ended current "
+    "versions included, deleted-at-that-point keys dropped) — the "
+    "training-data join that prevents feature leakage (a fact must never "
+    "see a future dimension state). Plan shape: pk EQUALITY drives the "
+    "join (hash/SMJ family), the validity range is a residual filter — "
+    "never a range-only cross product; the SCD2 side is one pk-window "
+    "pass over the changelog.",
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog_spark(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("lsn")
+    scd2 = log.select(
+        "pk", "op", "price",
+        F.col("lsn").alias("valid_from"),
+        F.lead("lsn").over(w).alias("valid_to"),
+    )
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_linenumber") % 3).cast("long").alias("as_of_lsn"),
+        )
+    )
+    joined = fact.join(
+        scd2,
+        (fact.l_orderkey == scd2.pk)
+        & (scd2.valid_from <= fact.as_of_lsn)
+        & (scd2.valid_to.isNull() | (fact.as_of_lsn < scd2.valid_to)),
+    ).filter(F.col("op") != "DELETE")
+    return joined.select(
+        "l_orderkey", "l_linenumber", "as_of_lsn",
+        F.col("price").alias("version_price"),
+        F.col("op").alias("version_op"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_gaps_islands_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id % 20 = 0
+),
+anchored AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+)
+SELECT user_id, CAST(MIN(d) AS VARCHAR) AS streak_start,
+       CAST(MAX(d) AS VARCHAR) AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM anchored
+GROUP BY user_id, island
+ORDER BY user_id, streak_start
+""",
+    category="window",
+    description="Gaps-and-islands consecutive-day streaks (the classic "
+    "Tabibitosan date - row_number anchor): distinct active days per "
+    "user collapse into maximal consecutive runs. One per-user window "
+    "shuffle; the island grouping reuses the same clustering. The "
+    "id-free twin of ts_sessionize_gaps (calendar adjacency instead of "
+    "a time gap).",
+)
+def window_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user_id", "island")
+        .agg(
+            F.min("d").cast("string").alias("streak_start"),
+            F.max("d").cast("string").alias("streak_end"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .drop("island")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH ordered AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS wt,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_wt,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS BIGINT) AS total_wt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       MIN(total_wt) AS total_weight
+FROM ordered
+WHERE 2 * cum_wt >= total_wt
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    category="aggregation",
+    description="Weighted median (quantity-weighted price per return "
+    "flag): inclusive cumulative weight over a TOTAL order (price, "
+    "orderkey, linenumber tie-break — engine-independent), first row "
+    "crossing half the group's weight wins. Integer weights keep the "
+    "threshold comparison exact in both engines. Scale shape: the flag "
+    "has only 3 values, so a plain per-flag window would drag the corpus "
+    "through 3 tasks — the running weight is bucketed_running_sum over "
+    "approx price cuts instead (parallel window + broadcast per-bucket "
+    "offsets; cut accuracy affects balance only, never the sum). The "
+    "weighted form none of the built-in percentile aggregates cover.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    stats = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("_cuts")
+    ).withColumn("_k", F.lit(1))
+    staged = li.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    bucket = F.size(
+        F.filter(F.col("_cuts"), lambda c: c < F.col("l_extendedprice"))
+    )
+    cum = SA.bucketed_running_sum(
+        staged,
+        ["l_returnflag"],
+        bucket,
+        [
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        F.col("wt"),
+        "cum_wt",
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("wt").cast("long").alias("total_wt")
+    )
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .filter(2 * F.col("cum_wt") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("total_wt").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "quality_length_outliers_iqr",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+),
+quartiles AS (
+  SELECT source,
+         MIN(n) AS n,
+         MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN n_chars END) AS q1,
+         MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN n_chars END) AS q3
+  FROM ranked
+  GROUP BY source
+)
+SELECT r.source,
+       MIN(q.q1) AS q1, MIN(q.q3) AS q3,
+       CAST(SUM(CASE WHEN 2 * r.n_chars < 5 * q.q1 - 3 * q.q3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * r.n_chars > 5 * q.q3 - 3 * q.q1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM ranked r JOIN quartiles q USING (source)
+GROUP BY r.source
+ORDER BY r.source
+""",
+    category="quality",
+    description="IQR outlier fences per source (Tukey 1.5*IQR on doc "
+    "length): quartiles are EXACT order statistics (rank = ceil(q*n) — "
+    "no interpolation, engine-identical), and the fence comparisons are "
+    "rearranged to INTEGER arithmetic (2x < 5*q1 - 3*q3 is x < q1 - "
+    "1.5*(q3-q1) cleared of fractions) so no float ever enters. Per-"
+    "source rank window + a broadcastable per-source quartile table.",
+)
+def quality_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    stats = d.agg(
+        F.percentile_approx(
+            "n_chars", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("_cuts")
+    ).withColumn("_k", F.lit(1))
+    staged = d.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    bucket = F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("n_chars")))
+    ranked = SA.bucketed_row_number(
+        staged,
+        ["source"],
+        bucket,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        "rn",
+    ).drop("_cuts", "_k")
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ranked.join(F.broadcast(ns), "source")
+    quartiles = ranked.groupBy("source").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("q3"),
+    )
+    joined = ranked.join(F.broadcast(quartiles.drop("n")), "source")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(
+                F.when(
+                    2 * F.col("n_chars") < 5 * F.col("q1") - 3 * F.col("q3"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * F.col("n_chars") > 5 * F.col("q3") - 3 * F.col("q1"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+        .orderBy("source")
+    )

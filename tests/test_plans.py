@@ -798,3 +798,98 @@ def test_temperature_mixture_broadcast_only(spark):
     assert "CartesianProduct" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema
+
+
+def test_pit_scd2_join_is_equality_driven(spark):
+    """join_pit_scd2: the pk equality must drive the join (hash/SMJ
+    family) with the validity range as a residual — a range-only join
+    here would be a per-key cross product."""
+    plan = plan_of(spark, "join_pit_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        op_count(plan, "SortMergeJoin")
+        + op_count(plan, "ShuffledHashJoin")
+        + op_count(plan, "BroadcastHashJoin")
+        >= 1
+    )
+
+
+def test_weighted_median_no_low_cardinality_corpus_window(spark):
+    """agg_weighted_median: l_returnflag has 3 values — the running
+    weight must NOT be a plain per-flag window (corpus through 3 tasks).
+    Every corpus window is (flag, bucket)-partitioned: at least one
+    Window node's partition spec carries the bucket column."""
+    import re
+
+    plan = plan_of(spark, "agg_weighted_median")
+    assert "CartesianProduct" not in plan
+    corpus_windows = [
+        m.group(2)
+        for m in re.finditer(
+            r"\(\d+\) Window\b.*?Arguments: (\[.*?\]), (\[.*?\]), \[",
+            plan, re.S,
+        )
+        if "_lcs" in m.group(1)  # the running-sum window over the corpus
+    ]
+    assert corpus_windows and all("_bkt" in p for p in corpus_windows)
+
+
+def test_iqr_rank_is_bucket_partitioned(spark):
+    """quality_length_outliers_iqr: the per-source rank window must carry
+    the length-slice bucket in its partition spec (never source alone),
+    and the quartile/count dimensions broadcast."""
+    import re
+
+    plan = plan_of(spark, "quality_length_outliers_iqr")
+    assert "CartesianProduct" not in plan
+    rank_windows = [
+        m.group(2)
+        for m in re.finditer(
+            r"\(\d+\) Window\b.*?Arguments: (\[.*?\]), (\[.*?\]), \[",
+            plan, re.S,
+        )
+        if "row_number()" in m.group(1)
+    ]
+    assert rank_windows and all("_bkt" in p for p in rank_windows)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gaps_islands_windows_are_per_user(spark):
+    plan = plan_of(spark, "window_gaps_islands_streaks")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(
+        r"\(\d+\) Window\b.*?Arguments: (\[.*?\]), (\[.*?\]), \[", plan, re.S
+    ):
+        if "row_number()" in m.group(1):
+            assert "user_id" in m.group(2)
+
+
+def test_bucketed_running_sum_matches_window_semantics(spark):
+    """bucketed_running_sum == SUM(w) OVER (PARTITION BY p ORDER BY o
+    ROWS UNBOUNDED PRECEDING) for a monotone bucket, ties included."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.operators.sampling import bucketed_running_sum
+
+    rows = [(g, v, i, wgt) for g in ("a", "b") for i, (v, wgt) in enumerate(
+        [(5.0, 2), (1.0, 3), (3.0, 1), (3.0, 5), (2.0, 4), (0.5, 7)]
+    )]
+    df = spark.createDataFrame(rows, "g string, v double, id int, wt long")
+    got = bucketed_running_sum(
+        df, ["g"], F.floor(F.col("v")).cast("int"),
+        [F.col("v").asc(), F.col("id").asc()], F.col("wt"), "cs",
+    )
+    exp = df.withColumn(
+        "cs",
+        F.sum("wt").over(
+            Window.partitionBy("g")
+            .orderBy(F.col("v").asc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    key = lambda r: (r.g, r.id)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)

@@ -208,10 +208,13 @@ def test_vendor_google_is_namespace_portion():
     code = (
         "import sys; sys.path.insert(0, %r); sys.path.append(%r); "
         "import google.authlike, google.protobuf; "
-        "print(google.authlike.X, len(list(google.__path__)))"
+        "print(google.authlike.X, len(set(google.__path__)))"
     ) % (d, VENDOR)
+    # scrub PYTHONPATH: earlier TWS tests export the vendor dir there,
+    # which would add a duplicate namespace portion in the subprocess
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.split() == ["ok", "2"]
