@@ -547,16 +547,26 @@ _CRASH_POINTS = (
 )
 
 
-def _run_eos_chaos_schedule(schedule, n_inputs, chunk):
+def _run_eos_chaos_schedule(schedule, n_inputs, chunk, cluster=False):
     """Drive the consume-transform-produce loop over ``n_inputs`` records,
     injecting one scheduled failure per attempt (then healthy attempts
     until done). Asserts the read-committed output is EXACTLY the ordered
     transform of the input — no loss, no duplicates — whatever the
-    schedule (KIP-98's claim, exercised the way Kafka Streams EOS does)."""
+    schedule (KIP-98's claim, exercised the way Kafka Streams EOS does).
+    ``cluster=True`` runs the same loop against a 3-node MiniCluster —
+    txn coordinator, group coordinator, and partition leaders on
+    different nodes, so every coordinator-routing path (including the
+    coord_drop re-resolution) crosses real node boundaries."""
     from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaProtocolError
+    from go_pq_cdc_kafka_spark.streaming.minibroker import MiniCluster
 
     IN, OUT, GROUP, TXN = "t.cx.in", "t.cx.out", "cx-group", "cx-app"
-    with MiniBroker(num_partitions=1) as broker:
+    broker_cm = (
+        MiniCluster(num_brokers=3, num_partitions=1)
+        if cluster
+        else MiniBroker(num_partitions=1)
+    )
+    with broker_cm as broker:
         with KafkaWireProducer(broker.bootstrap) as seed:
             _send(seed, IN, *[b"m%d" % i for i in range(n_inputs)])
 

@@ -291,3 +291,21 @@ def test_txn_coordinator_failover_mid_producer():
         assert sorted(vals) == [b"v1", b"v2"]
     finally:
         cluster.stop()
+
+
+def test_eos_chaos_worst_case_on_cluster():
+    """The deterministic worst-case EOS kill schedule, re-run against a
+    3-node cluster: producer deaths before/after EndTxn, zombie fencing,
+    and coordinator-connection loss all recover across REAL node
+    boundaries (txn coordinator, group coordinator, and the partition
+    leaders are different brokers)."""
+    from tests.test_kafka_txn import _run_eos_chaos_schedule
+
+    _run_eos_chaos_schedule(
+        ["after_produce", "after_offsets", "zombie", "coord_drop",
+         "after_commit", "after_produce", "after_offsets", "zombie",
+         "coord_drop", "after_commit"],
+        n_inputs=9,
+        chunk=2,
+        cluster=True,
+    )
