@@ -64,3 +64,59 @@ def point_in_interval_join(
         & (pts[point_col] <= ivs[hi_col])
     )
     return pts.join(ivs, cond, how).drop(pts[_BUCKET]).drop(ivs[_BUCKET])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (A, B) pairs whose intervals OVERLAP (``A.lo <= B.hi AND
+    B.lo <= A.hi``), as a bucketed equi-join — the interval-interval
+    sibling of :func:`point_in_interval_join` (calendar conflicts,
+    session co-occurrence, validity-window intersection).
+
+    Both sides replicate across their covered buckets, so a pair can
+    co-occur in several buckets; the standard dedup-free guard keeps it
+    exactly once — the pair only counts in the bucket containing
+    ``greatest(A.lo, B.lo)`` (the overlap's left edge), no DISTINCT
+    needed. The overlap predicate is part of the join condition; output
+    is inner-only (outer semantics would duplicate the replicated sides).
+
+    Scale: shuffle volume = interval count × mean buckets-per-interval;
+    pick ``bucket_width`` near the typical interval length so that factor
+    stays ~2. Both sides must fit the usual skew guidance (a single
+    bucket holding a large fraction of both sides degenerates — widen the
+    bucket or pre-split hot ranges)."""
+    lb = left.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(l_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(r_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    edge_bucket = F.floor(
+        F.greatest(lb[l_lo], rb[r_lo]) / F.lit(bucket_width)
+    ).cast("long")
+    cond = (
+        (lb[_BUCKET] == rb[_BUCKET])
+        & (lb[l_lo] <= rb[r_hi])
+        & (rb[r_lo] <= lb[l_hi])
+        & (lb[_BUCKET] == edge_bucket)
+    )
+    return lb.join(rb, cond, "inner").drop(lb[_BUCKET]).drop(rb[_BUCKET])

@@ -7972,3 +7972,184 @@ def quality_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sim_lsh_recall_eval",
+    oracle=f"""
+WITH exact AS ({SIM.cosine_topk_sql(k=5, query_pred="vec_id < 8")}),
+approx AS ({SIM.lsh_cosine_topk_sql(dim=64, k=5, planes=4, query_pred="vec_id < 8")})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    category="similarity",
+    description="ANN quality evaluation: recall@5 of the sign-LSH tier "
+    "against the exact cosine ground truth, per query — the measurement "
+    "that decides whether an approximate index is usable BEFORE swapping "
+    "it into a pipeline (and the oracle proves the whole evaluation "
+    "composes from the same two operators it grades). Left join on "
+    "(query, neighbor) + one tiny per-query aggregate; both inputs are "
+    "the existing scale-safe top-k plans.",
+)
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = SIM.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    approx = (
+        SIM.lsh_cosine_topk(q, e, dim=64, k=5, planes=4)
+        .select("query_id", "neighbor_id")
+        .withColumnRenamed("neighbor_id", "a_neighbor")
+        .withColumnRenamed("query_id", "a_query")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.a_query)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    )
+    hits = F.sum(
+        F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            hits.alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.floor(
+                1_000_000.0
+                * F.sum(
+                    F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "text_token_diversity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(CASE WHEN SUM(c) > 1
+            THEN (1000000 * SUM(c * (c - 1))) // (SUM(c) * (SUM(c) - 1))
+            ELSE 0 END AS BIGINT) AS simpson_ppm
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="text",
+    description="Lexical diversity per document: type count and the "
+    "Simpson repeat-concentration index sum c(c-1)/(n(n-1)) — the "
+    "probability two random token draws coincide; high values flag "
+    "degenerate/template text the way repetition filters do, but in one "
+    "closed-form statistic. ALL-INTEGER arithmetic (ppm via integer "
+    "division) — bit-identical across engines, no entropy logs needed. "
+    "One explode + two partial+final aggregates, map-side combinable.",
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_num"),
+    )
+    # integer `div` on both engines: float ppm would round differently
+    # at the boundary (caught by the oracle on first run)
+    return (
+        agg.withColumn(
+            "simpson_ppm",
+            F.expr(
+                "CASE WHEN n_tokens > 1 THEN (1000000 * _num) div "
+                "(n_tokens * (n_tokens - 1)) ELSE 0 END"
+            ).cast("long"),
+        )
+        .drop("_num")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS a_id,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS a_lo,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) + 7 AS a_hi
+  FROM orders WHERE o_orderkey % 199 = 0
+),
+b AS (
+  SELECT l_orderkey AS b_id, CAST(l_linenumber AS BIGINT) AS b_line,
+         CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS b_lo,
+         CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+           + (CAST(l_linenumber AS BIGINT) % 10) + 1 AS b_hi
+  FROM lineitem WHERE l_orderkey % 499 = 0
+)
+SELECT a.a_id, b.b_id, b.b_line, a.a_lo, a.a_hi, b.b_lo, b.b_hi
+FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+ORDER BY a_id, b_id, b_line
+""",
+    category="join",
+    description="Interval-OVERLAP join (A.lo <= B.hi AND B.lo <= A.hi) "
+    "between two interval sets with NO equi key — order fulfilment "
+    "windows x lineitem shipping spans (shipdate + 1..10 days). Binned "
+    "to 7-day buckets: "
+    "both sides replicate over their covered buckets and each pair "
+    "counts exactly once in the bucket holding the overlap's left edge "
+    "(dedup-free guard, no DISTINCT). The oracle is the naive theta "
+    "join; the engine plan is a bucket equi-join — never a cartesian.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01")
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 199 == 0)
+        .select(
+            F.col("o_orderkey").alias("a_id"),
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("a_lo"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 7)
+            .cast("long").alias("a_hi"),
+        )
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 499 == 0)
+        .select(
+            F.col("l_orderkey").alias("b_id"),
+            F.col("l_linenumber").cast("long").alias("b_line"),
+            F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("b_lo"),
+            (
+                F.datediff(F.col("l_shipdate"), epoch).cast("long")
+                + (F.col("l_linenumber").cast("long") % 10)
+                + 1
+            ).alias("b_hi"),
+        )
+    )
+    joined = RJ.interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7
+    )
+    return joined.select(
+        "a_id", "b_id", "b_line", "a_lo", "a_hi", "b_lo", "b_hi"
+    ).orderBy("a_id", "b_id", "b_line")

@@ -893,3 +893,35 @@ def test_bucketed_running_sum_matches_window_semantics(spark):
     )
     key = lambda r: (r.g, r.id)  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """join_interval_overlap: the overlap theta predicate must ride a
+    bucket EQUI join (SMJ/hash family on the bucket key) — a cartesian
+    or broadcast-nested-loop range join is the 100 TB bug this operator
+    exists to avoid."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        op_count(plan, "SortMergeJoin")
+        + op_count(plan, "ShuffledHashJoin")
+        + op_count(plan, "BroadcastHashJoin")
+        >= 1
+    )
+
+
+def test_recall_eval_composes_without_cartesian(spark):
+    plan = plan_of(spark, "sim_lsh_recall_eval")
+    assert "CartesianProduct" not in plan
+
+
+def test_token_diversity_partial_final_aggs(spark):
+    """text_token_diversity: explode + two aggregate tiers, both
+    partial+final (map-side combinable) — and the read prunes to
+    (doc_id, text)."""
+    plan = plan_of(spark, "text_token_diversity")
+    assert plan.count("HashAggregate") >= 4 or "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema

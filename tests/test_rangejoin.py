@@ -51,3 +51,35 @@ def test_plan_is_equi_join_not_nested_loop(spark, pts_ivs):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_overlap_join_matches_naive_theta(spark):
+    """interval_overlap_join == the naive theta join (A.lo <= B.hi AND
+    B.lo <= A.hi) on every edge case: touching endpoints, containment,
+    identical intervals, disjoint, and pairs co-occurring in MANY buckets
+    (the dedup-free guard must keep exactly one copy)."""
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 20, 21), (4, 0, 100)],
+        "a_id int, a_lo long, a_hi long",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 12), (2, 0, 4), (3, 7, 8), (4, 50, 60), (5, 101, 102)],
+        "b_id int, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=3
+        ).collect()
+    )
+    exp = sorted(
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b, (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        ).collect()
+    )
+    assert got == exp and len(got) == len(set(got))
