@@ -8153,3 +8153,55 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "a_id", "b_id", "b_line", "a_lo", "a_hi", "b_lo", "b_hi"
     ).orderBy("a_id", "b_id", "b_line")
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus, qty
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY cnt DESC, qty) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_linestatus, qty AS mode_qty, cnt AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag, l_linestatus
+""",
+    category="aggregation",
+    description="Statistical MODE per group with a deterministic "
+    "tie-break (smallest value wins among equal counts — built-in "
+    "mode() is engine/shuffle-order-dependent on ties, so it can never "
+    "be oracle-checked). Two partial+final aggregates; the rank window "
+    "runs over the (group, value) COUNT table, whose size is bounded by "
+    "the value domain (50 quantities x 6 flag/status groups), never by "
+    "corpus rows.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("cnt").desc(), F.col("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
