@@ -455,3 +455,92 @@ fold(k, ts, rid, x, rn, l, b) AS (
 )
 SELECT k, ts, rid, x, l AS level, b AS trend FROM fold
 """
+
+
+def cusum(df, key_col: str, ts_col: str, value_col: str, id_col: str,
+          ref_col: str):
+    """Per-series one-sided CUSUM drift statistic (Page's test, the
+    upward form): S_1 = max(0, x_1 - ref); S_t = max(0, S_{t-1} + x_t -
+    ref) — the change-point primitive behind rate-shift alerting. An
+    ORDER-SENSITIVE fold like :func:`ewma`, but ALL-INTEGER: with integer
+    values and an integer per-series reference, every S_t is exact in
+    both engines by construction — no power-of-two-fraction argument
+    needed.
+
+    Same scale contract as the other folds: each BUCKETED series becomes
+    one ts-sorted array folded with a higher-order ``aggregate``; one
+    per-key shuffle, state bounded by points-per-series."""
+    import pyspark.sql.functions as F
+
+    series = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(id_col).alias("rid"),
+                    F.col(value_col).cast("long").alias("x"),
+                    F.col(ref_col).cast("long").alias("ref"),
+                )
+            )
+        ).alias("pts")
+    )
+    folded = series.select(
+        key_col,
+        F.col("pts"),
+        F.aggregate(
+            F.col("pts"),
+            F.expr("CAST(array() AS array<bigint>)"),
+            lambda acc, p: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)),
+                            F.lit(0).cast("long"),
+                        )
+                        + p["x"] - p["ref"],
+                    )
+                ),
+            ),
+        ).alias("cs"),
+    )
+    return (
+        folded.select(
+            key_col,
+            F.posexplode(F.arrays_zip(F.col("pts"), F.col("cs"))).alias(
+                "_i", "z"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("z.pts.ts").alias(ts_col),
+            F.col("z.pts.rid").alias(id_col),
+            F.col("z.pts.x").alias(value_col),
+            F.col("z.pts.ref").alias("ref"),
+            F.col("z.cs").alias("cusum"),
+        )
+    )
+
+
+def cusum_sql(key_expr: str, ts_expr: str, value_expr: str, id_expr: str,
+              ref_expr: str, table: str) -> str:
+    """DuckDB twin: the same integer fold as a recursive CTE."""
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {key_expr} AS k, {ts_expr} AS ts, {id_expr} AS rid,
+         CAST({value_expr} AS BIGINT) AS x,
+         CAST({ref_expr} AS BIGINT) AS ref,
+         ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                            ORDER BY {ts_expr}, {id_expr}) AS rn
+  FROM {table}
+),
+fold(k, ts, rid, x, ref, rn, s) AS (
+  SELECT k, ts, rid, x, ref, rn, GREATEST(0, x - ref)
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.ts, o.rid, o.x, o.ref, o.rn, GREATEST(0, f.s + o.x - o.ref)
+  FROM fold f JOIN ordered o ON o.k = f.k AND o.rn = f.rn + 1
+)
+SELECT k, ts, rid, x, ref, s AS cusum FROM fold
+"""

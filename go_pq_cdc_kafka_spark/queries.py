@@ -8205,3 +8205,73 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_CUSUM_INNER = TS.cusum_sql(
+    key_expr="event_type",
+    ts_expr="day",
+    value_expr="n",
+    id_expr="day_id",
+    ref_expr="ref",
+    table="""(
+  WITH daily AS (
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day_id
+    FROM events GROUP BY 1, 2
+  )
+  SELECT d.*, (SUM(n) OVER (PARTITION BY event_type)
+               // COUNT(*) OVER (PARTITION BY event_type)) + 1 AS ref
+  FROM daily d
+)""",
+)
+
+
+@register(
+    "ts_cusum_drift",
+    oracle=f"""
+SELECT k AS event_type, ts AS day, x AS n, ref, cusum,
+       (cusum > 5 * ref) AS drifted
+FROM ({_CUSUM_INNER}) t
+ORDER BY event_type, day
+""",
+    category="timeseries",
+    description="CUSUM drift detection (Page's one-sided test) over "
+    "per-type daily counts: S_t = max(0, S_t-1 + x_t - ref) with "
+    "ref = floor(mean) + 1 per series — sustained rate excursions "
+    "accumulate while noise resets to zero; drifted flags S > 5*ref. "
+    "ALL-INTEGER order-sensitive fold (exact in both engines by "
+    "construction, no float fractions needed) run as one ts-sorted "
+    "array fold per bucketed series — the same state contract as "
+    "EWMA/Holt; the oracle replays the identical fold as a recursive "
+    "CTE.",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("day_id", F.unix_timestamp("day").cast("long"))
+    )
+    # the ref window runs over the bounded per-type DAILY table
+    # (days-per-series rows), not raw events
+    daily = daily.withColumn(
+        "ref",
+        F.expr("sum(n) over (partition by event_type) div "
+               "count(*) over (partition by event_type)") + 1,
+    )
+    out = TS.cusum(daily, "event_type", "day", "n", "day_id", "ref")
+    return (
+        out.select(
+            "event_type",
+            "day",
+            F.col("n"),
+            "ref",
+            "cusum",
+            (F.col("cusum") > 5 * F.col("ref")).alias("drifted"),
+        )
+        .orderBy("event_type", "day")
+    )
