@@ -103,3 +103,10 @@ def test_example_incremental_ingest(spark):
     assert stages["flagged_pairs"] > 0
     assert 0 < stages["admitted"] < stages["batch_after_exact"]
     assert stages["index_rows_appended"] == stages["admitted"]
+
+
+def test_example_eos_cluster():
+    import eos_cluster
+
+    out = eos_cluster.main()
+    assert out == [b"EVENT-%d" % i for i in range(10)]
