@@ -8275,3 +8275,70 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(27,0))) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY nation, s.s_suppkey
+),
+tot AS (
+  SELECT nation, CAST(SUM(cents) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY nation
+)
+SELECT r.nation, MIN(t.n_suppliers) AS n_suppliers,
+       CAST(SUM(((10000 * r.cents) // t.total)
+                * ((10000 * r.cents) // t.total)) AS BIGINT) AS hhi
+FROM rev r JOIN tot t USING (nation)
+GROUP BY r.nation
+ORDER BY r.nation
+""",
+    category="aggregation",
+    description="Herfindahl-Hirschman market concentration per nation "
+    "(sum of squared supplier revenue shares, the antitrust statistic): "
+    "shares quantized to integer BASIS POINTS ((10000*cents) div total) "
+    "before squaring, so the whole computation is int64 arithmetic — "
+    "bit-identical across engines, no decimal-division divergence. Two "
+    "partial+final aggregates over the supplier-revenue rollup; the "
+    "per-nation totals table is bounded (25 nations) and broadcasts.",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("nation", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * 100).cast("decimal(27,0)")
+            ).cast("long").alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    joined = rev.join(F.broadcast(tot), "nation")
+    share_bp = F.expr("(10000 * cents) div total")
+    return (
+        joined.groupBy("nation")
+        .agg(
+            F.min("n_suppliers").alias("n_suppliers"),
+            F.sum(share_bp * share_bp).cast("long").alias("hhi"),
+        )
+        .orderBy("nation")
+    )
