@@ -240,7 +240,10 @@ def bucketed_running_sum(
 
     Same contract: ``bucket_col`` monotone nondecreasing in
     ``order_cols`` within every partition group. Weights must be
-    integral/decimal for exactness (the offsets add across buckets).
+    integral/decimal for exactness (the offsets add across buckets);
+    the output column keeps SUM(weight)'s natural type (long for
+    integral weights, widened decimal for decimals, double for
+    floats — no silent truncation).
     """
     from pyspark.sql import Window
 
@@ -265,6 +268,6 @@ def bucketed_running_sum(
     ).drop("_bs")
     joined = local.join(F.broadcast(offs), [*partition_cols, "_bkt"], "inner")
     return (
-        joined.withColumn(name, (F.col("_off") + F.col("_lcs")).cast("long"))
+        joined.withColumn(name, F.col("_off") + F.col("_lcs"))
         .drop("_lcs", "_off", "_wt", "_bkt")
     )

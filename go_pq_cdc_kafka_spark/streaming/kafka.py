@@ -236,14 +236,14 @@ class KafkaProducerConfig:
             "timeout_s": self.read_timeout_s,
             "idempotent": self.idempotent,
             "transactional_id": self.transactional_id,
-            # HASH/MURMUR2 → None = the producer's default murmur2 +
-            # sticky keyless round-robin (byte-identical placement to the
-            # JVM sink); the kafka-go-only strategies map by name
-            "balancer": (
-                None
-                if self.balancer in (Balancer.HASH, Balancer.MURMUR2)
-                else self.balancer.value
-            ),
+            # every reference name maps to its kafka-go algorithm by name
+            # (config/config.go:40-57): Hash = FNV-1a trunc-mod, Murmur2 =
+            # kafka-go's Java-compat hash with RANDOM keyless placement —
+            # exact reference placement parity. (balancer=None — murmur2 +
+            # sticky keyless, byte-compatible with the JVM sink — remains
+            # available on KafkaWireProducer directly, it is just not a
+            # reference config name.)
+            "balancer": self.balancer.value,
         }
         if self.sasl_enabled:
             kw._scram_hash(self.sasl_mechanism)  # validate loudly, not on executors

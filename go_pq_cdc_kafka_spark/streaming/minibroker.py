@@ -307,6 +307,11 @@ class MiniBroker:
         # (baseSequence -> baseOffset) for replay dedup — the same window
         # a real broker keeps (ProducerStateManager).
         self._next_producer_id = 1000
+        # exclusive upper bound for this node's id range; MiniCluster sets
+        # a per-node stride so ids never collide across nodes, and the
+        # allocator asserts rather than silently crossing into a
+        # neighbour's range in a very long-lived fixture
+        self._producer_id_limit: int | None = None
         # value: (next expected sequence, {baseSequence -> baseOffset}
         # replay cache, last seen producer epoch — a bump resets both)
         self._producer_state: dict[
@@ -377,8 +382,12 @@ class MiniBroker:
         return f"{self.host}:{self.port}"
 
     def start(self) -> "MiniBroker":
-        self._thread.start()
+        # alive BEFORE the listener serves: a request racing startup must
+        # never compute leader/coordinator placement over a partial alive
+        # set (clients would recover via NOT_LEADER retry, but the routing
+        # should be consistent from the first byte served)
         self.alive = True
+        self._thread.start()
         return self
 
     def stop(self) -> None:
@@ -620,6 +629,17 @@ class MiniBroker:
             return None
         return prod_id, epoch, base_seq, count
 
+    def _alloc_producer_id(self) -> int:
+        pid = self._next_producer_id
+        if self._producer_id_limit is not None and pid >= self._producer_id_limit:
+            raise AssertionError(
+                f"node {self.node_id} exhausted its producer-id stride "
+                f"(limit {self._producer_id_limit}); widen the per-node "
+                "stride in MiniCluster"
+            )
+        self._next_producer_id = pid + 1
+        return pid
+
     def _init_producer_id(self, version: int, r: _Reader) -> bytes:
         txn_id = r.string()  # null = idempotence only
         r.i32()              # transaction_timeout_ms
@@ -627,8 +647,7 @@ class MiniBroker:
             return struct.pack(">ihqh", 0, ERR_NOT_COORDINATOR, -1, -1)
         with self._lock:
             if txn_id is None:
-                pid = self._next_producer_id
-                self._next_producer_id += 1
+                pid = self._alloc_producer_id()
                 return struct.pack(">ihqh", 0, ERR_NONE, pid, 0)
             # transactional: stable pid per transactional id, epoch BUMP
             # fences earlier instances (KIP-98); a still-open transaction
@@ -637,8 +656,7 @@ class MiniBroker:
                 pid, epoch = self._txn_producers[txn_id]
                 epoch += 1
             else:
-                pid = self._next_producer_id
-                self._next_producer_id += 1
+                pid = self._alloc_producer_id()
                 epoch = 0
             self._txn_producers[txn_id] = (pid, epoch)
             if pid in self._txns:
@@ -1363,6 +1381,8 @@ class MiniCluster:
             ):
                 setattr(b, attr, getattr(primary, attr))
             b._next_producer_id = 1000 + b.node_id * 1_000_000
+            b._producer_id_limit = (b.node_id + 1) * 1_000_000
+        primary._producer_id_limit = 1_000_000
         for b in self.brokers:
             b.cluster = self.brokers
 
@@ -1372,6 +1392,10 @@ class MiniCluster:
         return ",".join(b.bootstrap for b in self.brokers)
 
     def start(self) -> "MiniCluster":
+        # mark the whole topology alive before ANY listener serves, so the
+        # first request ever answered already sees the full alive set
+        for b in self.brokers:
+            b.alive = True
         for b in self.brokers:
             b.start()
         return self

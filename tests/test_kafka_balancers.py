@@ -125,17 +125,17 @@ def test_factory_covers_reference_names_and_rejects_unknown():
 
 
 def test_config_maps_all_balancers_to_wire_path():
-    """Every reference balancer name now constructs on the wire path; the
-    JVM sink keeps its loud rejection for the kafka-go-only three."""
+    """Every reference balancer name maps to ITS OWN kafka-go algorithm on
+    the wire path — a migrated config naming 'Hash' reproduces kafka-go's
+    FNV-1a placement exactly (not the JVM sink's murmur2), and
+    'Murmur2Balancer' gets kafka-go's random keyless placement. The JVM
+    sink keeps its loud rejection for the kafka-go-only three."""
     for bal in Balancer:
         cfg = KafkaProducerConfig(brokers=["h:9092"], balancer=bal)
         kwargs = cfg.wire_kwargs()
-        if bal in (Balancer.HASH, Balancer.MURMUR2):
-            assert kwargs["balancer"] is None  # murmur2 default placement
-        else:
-            assert kwargs["balancer"] == bal.value
-            prod = KafkaWireProducer(**{**kwargs, "bootstrap": ["h:9092"]})
-            assert type(prod.balancer) is WIRE_BALANCERS[bal.value]
+        assert kwargs["balancer"] == bal.value
+        prod = KafkaWireProducer(**{**kwargs, "bootstrap": ["h:9092"]})
+        assert type(prod.balancer) is WIRE_BALANCERS[bal.value]
     with pytest.raises(ValueError):
         KafkaProducerConfig(
             brokers=["h:9092"], balancer=Balancer.LEAST_BYTES

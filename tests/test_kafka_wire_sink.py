@@ -174,7 +174,7 @@ def test_key_ordering_preserves_per_key_wal_order(spark, tmp_path):
     import pyspark.sql.functions as F
 
     from go_pq_cdc_kafka_spark.envelope import insert_events, to_dynamic
-    from go_pq_cdc_kafka_spark.streaming.kafka_wire import partition_for_key
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import wire_balancer
 
     # 6 keys x 8 versions, LSNs interleaved across keys, written as 8
     # files so multiple tasks race on every key without the repartition
@@ -210,9 +210,11 @@ def test_key_ordering_preserves_per_key_wal_order(spark, tmp_path):
                     (p, json.loads(rec.value)["name"])
                 )
     assert len(by_key) == 6
+    hash_bal = wire_balancer("Hash")  # config default = kafka-go FNV-1a
     for key, seq in by_key.items():
         parts = {p for p, _ in seq}
-        assert parts == {partition_for_key(key, 4)}  # one partition per key
+        # one partition per key, at kafka-go's exact Hash placement
+        assert parts == {hash_bal.partition(key, None, [0, 1, 2, 3])}
         assert [v for _, v in seq] == [f"v{i}" for i in range(8)]  # WAL order
 
 

@@ -309,3 +309,24 @@ def test_eos_chaos_worst_case_on_cluster():
         chunk=2,
         cluster=True,
     )
+
+
+def test_producer_id_strides_never_collide():
+    """Per-node producer-id ranges are disjoint by construction and the
+    allocator asserts instead of silently crossing into a neighbour's
+    stride in a very long-lived fixture."""
+    import pytest
+
+    from go_pq_cdc_kafka_spark.streaming.minibroker import MiniCluster
+
+    with MiniCluster(num_brokers=3) as cluster:
+        bases = [b._next_producer_id for b in cluster.brokers]
+        limits = [b._producer_id_limit for b in cluster.brokers]
+        assert bases == [1000, 1_001_000, 2_001_000]
+        assert limits == [1_000_000, 2_000_000, 3_000_000]
+        b0 = cluster.brokers[0]
+        assert b0._alloc_producer_id() == 1000
+        b0._next_producer_id = b0._producer_id_limit  # exhaust the stride
+        with pytest.raises(AssertionError, match="producer-id stride"):
+            b0._alloc_producer_id()
+        b0._next_producer_id = 1001  # restore sanity for stop()

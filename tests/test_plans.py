@@ -925,3 +925,30 @@ def test_token_diversity_partial_final_aggs(spark):
     assert "CartesianProduct" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_bucketed_running_sum_preserves_fractional_weights(spark):
+    """Decimal/double weights keep SUM(weight)'s natural type — no silent
+    cast-to-long truncation of fractional running sums."""
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.operators.sampling import bucketed_running_sum
+
+    rows = [("a", 1.0, 0, "0.25"), ("a", 2.0, 1, "0.50"), ("a", 3.0, 2, "1.75")]
+    df = spark.createDataFrame(
+        rows, "g string, v double, id int, wt string"
+    ).withColumn("wt", F.col("wt").cast("decimal(10,2)"))
+    got = bucketed_running_sum(
+        df, ["g"], F.floor(F.col("v")).cast("int"),
+        [F.col("v").asc(), F.col("id").asc()], F.col("wt"), "cs",
+    )
+    assert dict(got.dtypes)["cs"].startswith("decimal")
+    vals = {r.id: float(r.cs) for r in got.collect()}
+    assert vals == {0: 0.25, 1: 0.75, 2: 2.50}
+    # double weights stay double
+    dbl = bucketed_running_sum(
+        df.withColumn("wt", F.col("wt").cast("double")),
+        ["g"], F.floor(F.col("v")).cast("int"),
+        [F.col("v").asc(), F.col("id").asc()], F.col("wt"), "cs",
+    )
+    assert dict(dbl.dtypes)["cs"] == "double"

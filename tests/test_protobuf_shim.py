@@ -313,3 +313,35 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_notify_list_every_mutator_promotes():
+    """ALL list mutators count as writes (upstream containers trigger
+    presence on any modification): pop/remove/clear/sort/reverse/
+    __delitem__/__imul__ must notify the owner, not just the growth ops."""
+    from go_pq_cdc_kafka_spark.vendor.google.protobuf._shim_runtime import (
+        _NotifyList,
+    )
+
+    class Owner:
+        hits = 0
+
+        def _mark_mutated(self):
+            self.hits += 1
+
+    nl = _NotifyList([3, 1, 2, 1])
+    owner = Owner()
+    nl._owner = owner
+    nl._fd = None
+    for mutate in (
+        lambda: nl.sort(),
+        lambda: nl.reverse(),
+        lambda: nl.pop(),
+        lambda: nl.remove(1),
+        lambda: nl.__delitem__(0),
+        lambda: nl.__imul__(2),
+        lambda: nl.clear(),
+    ):
+        before = owner.hits
+        mutate()
+        assert owner.hits == before + 1, mutate
