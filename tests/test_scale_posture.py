@@ -104,3 +104,54 @@ def test_unpartitioned_windows_are_justified():
         "unpartitioned window without a .limit/bounded justification "
         "in context:\n" + "\n".join(violations)
     )
+
+
+def test_no_unbounded_single_partition_window_in_any_registry_plan(spark):
+    """PLAN-level generalization of the textual rule above, over the WHOLE
+    registry: build every registry query's physical plan at sf0.001 and
+    assert no Window operator runs over SinglePartition input (empty
+    partitionSpec) unless its subtree is provably bounded — a Limit /
+    TakeOrderedAndProject below it (the top-k-then-number pattern) or an
+    aggregate (the input is already group-level, not corpus rows). The
+    textual 12-line rule can be evaded by aliasing ``Window``; this one
+    sees the plan Catalyst actually produced, so it cannot. A global
+    unpartitioned window over corpus rows is THE classic silent scale
+    killer: correct at sf0.01, one straggler task at 100 TB."""
+    from go_pq_cdc_kafka_spark.queries import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+    window_ops = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
+    bounders = {
+        "CollectLimitExec", "GlobalLimitExec", "LocalLimitExec",
+        "TakeOrderedAndProjectExec", "HashAggregateExec",
+        "SortAggregateExec", "ObjectHashAggregateExec",
+    }
+
+    def walk(node):
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            yield from walk(children.apply(i))
+
+    def subtree_bounded(node):
+        children = node.children()
+        return any(
+            m.getClass().getSimpleName() in bounders
+            for i in range(children.size())
+            for m in walk(children.apply(i))
+        )
+
+    offenders = []
+    for name in sorted(REGISTRY):
+        plan = REGISTRY[name].fn(spark, sf)._jdf.queryExecution().sparkPlan()
+        for n in walk(plan):
+            if (
+                n.getClass().getSimpleName() in window_ops
+                and n.partitionSpec().isEmpty()
+                and not subtree_bounded(n)
+            ):
+                offenders.append(f"{name}: {n.getClass().getSimpleName()}")
+    assert not offenders, (
+        "unbounded SinglePartition window in the physical plan — a global "
+        "sort through ONE task at scale:\n" + "\n".join(offenders)
+    )
