@@ -343,9 +343,11 @@ def minhash_lsh_pairs(
     verified with exact shingle Jaccard so the output is deterministic and
     threshold-exact (LSH only prunes, never admits).
 
-    The shingle index feeds the signatures AND the verification joins, and
-    the banded signatures feed both self-join sides — both are pinned (see
-    ``_pin``) so tokenization/signature cost is paid once.
+    The shingle index feeds the signatures AND the verification semi-
+    filter, the banded signatures feed both self-join sides, and the
+    candidate pairs feed the doc filter plus the verify joins — all are
+    pinned (see ``_pin``) so tokenization/signature/banding cost is paid
+    once.
 
     Every join carries an explicit ``merge`` hint — same rationale as
     :func:`ngram_jaccard_pairs`: Catalyst's static stats don't model
@@ -382,26 +384,44 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    cand = _pin(cand, persist)
 
     # Verify ONLY the LSH candidates (this is the point of LSH: exact
     # Jaccard cost scales with |candidates|, not with shared-shingle mass
-    # over the whole corpus). Intersection size = equi-join of the two
-    # docs' shingle sets restricted to candidate pairs — reusing the pinned
-    # index, not a second tokenization pass.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # over the whole corpus) — and against a SEMI-FILTERED slice of the
+    # index: only docs that appear in some candidate pair carry their
+    # shingles into the verification joins. Without the filter, the
+    # (doc, shingle)-keyed join re-shuffles the ENTIRE corpus index a
+    # second time; with it, verification shuffle volume scales with
+    # candidate-doc mass (near-dup rate x corpus), not corpus size. The
+    # semi join is one doc_id-keyed pass over the pinned index, and the
+    # per-doc shingle sizes come from the filtered slice (exact: a doc
+    # keeps ALL its shingles or none). shuffle_hash on the filter side:
+    # its pre-explode estimate is tiny (Catalyst doesn't model explode
+    # fan-out), so unhinted it could be picked as a broadcast build even
+    # when corpus-scaled.
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )  # no distinct: LEFT SEMI dedups the build side for free
+    shc = _pin(
+        sh.join(cand_docs.hint("shuffle_hash"), "doc_id", "semi"), persist
+    )
+    sizes = shc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
     # shuffle_hash on the candidate side: doc-id join keys are uniform
     # (no skew-split needed) and the build side is the per-partition
     # slice of the candidate set — LSH-bounded and far smaller than the
-    # index it probes; SMJ would pay two corpus-index sorts here
+    # index it probes; SMJ would pay two index sorts here
     shared = (
         cand.hint("shuffle_hash")
         .join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+            shc.select(F.col("doc_id").alias("doc_a"), "shingle"),
             "doc_a",
         )
         .hint("shuffle_hash")
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            shc.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")

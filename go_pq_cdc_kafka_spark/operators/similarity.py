@@ -251,6 +251,7 @@ def cosine_dedup_pairs(
     planes: int = 2,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup flavor): self-join
     restricted to LSH buckets instead of all |N|² pairs; each candidate pair
@@ -258,22 +259,46 @@ def cosine_dedup_pairs(
     recall (a near-dup pair lands in the same bucket with prob ≥
     (1 - θ/π)^planes); at 100 TB the bucket key is the shuffle key.
 
-    Pair scoring is the sparse-matrix-multiply shape with FIXED-POINT
-    integer arithmetic, not a per-pair lambda: elements quantize once to
-    micro-units (``round(x * 1e6)`` as BIGINT — identical in both
-    engines), candidate ids join to the posexploded (id, dim, q) table,
-    and one codegen'd hash aggregate LONG-sums the per-dimension integer
-    products; norms come from the same table as a sum-of-squares
-    aggregate. The cosine is therefore that of the quantized vectors
-    (error ~1e-6 — far below any dedup threshold) but EXACT and
-    engine-identical at every step. Two lessons are baked in here:
-    decimal-typed hash aggregation is ~7x slower than long in Spark, and
-    a projection-level ``norm(vec)`` upstream of the pair join gets
-    collapsed PAST the join by Catalyst and re-evaluated per candidate
-    pair (measured 6x the whole query) — aggregates are the barrier that
-    prevents both. 91 s -> ~6 s at sf0.1. Overflow headroom: |x| <= ~400
-    keeps the 64-dim long sum under 2^63 (unit-normalized embeddings are
-    O(1))."""
+    Pair scoring uses FIXED-POINT integer arithmetic, not floats: elements
+    quantize once to micro-units (``round(x * 1e6)`` as BIGINT — identical
+    in both engines) and the dot is a 64-element ``zip_with`` +
+    ``aggregate`` LONG fold per candidate pair, so the cosine is that of
+    the quantized vectors (error ~1e-6 — far below any dedup threshold)
+    but EXACT and engine-identical at every step. The quantized-array
+    table is persisted (a hard barrier): Catalyst collapses projection-
+    level vector math PAST joins and re-evaluates it per candidate pair —
+    measured 6x the whole query when norms collapsed that way — and
+    ReusedExchange matching is plan-shape luck, not a contract. Norms ride
+    the SAME two pair joins instead of a norms broadcast: a norms table is
+    corpus-scaled (O(N) rows), so broadcasting it is exactly the
+    mis-broadcast the hint policy bans at scale.
+
+    This shape replaced the round-6 exploded-dims one (posexplode to
+    (id, dim, q) rows, candidate×64 equi-join, one giant hash aggregate):
+    at sf10 that put ~cand×64 = 300M rows through a shuffle+aggregate —
+    the sweep's heaviest single stage. Per-pair fold over two stored
+    64-long arrays does the same integer math with shuffle volume =
+    candidates × one array, no aggregate stage. Overflow headroom:
+    |x| <= ~400 keeps the 64-dim long sum under 2^63 (unit-normalized
+    embeddings are O(1))."""
+    qarr = F.transform(
+        F.col(vec), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    qv = df.select(F.col(id_col).alias("_id"), qarr.alias("_qx")).select(
+        "_id",
+        "_qx",
+        F.sqrt(
+            F.aggregate(
+                "_qx",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ).cast("double")
+        ).alias("_n"),
+    )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        qv = qv.persist(StorageLevel.MEMORY_AND_DISK)
     b = df.select(
         F.col(id_col).alias("_id"),
         rademacher_lsh_buckets(df, vec, dim, planes).alias("bucket"),
@@ -287,48 +312,33 @@ def cosine_dedup_pairs(
         F.col("a._id").alias("vec_a"),
         F.col("b._id").alias("vec_b"),
     )
-    dims = df.select(
-        F.col(id_col).alias("_did"),
-        F.posexplode(F.col(vec)).alias("_dim", "_xf"),
-    ).select(
-        "_did",
-        "_dim",
-        F.round(F.col("_xf").cast("double") * 1e6).cast("long").alias("_x"),
+    # shuffle_hash: doc-id keys are uniform (no skew-split needed) and the
+    # probe/build sides are LSH-bounded candidates vs the vector table —
+    # SMJ would pay two corpus sorts for nothing
+    pa = qv.select(
+        F.col("_id").alias("vec_a"), F.col("_qx").alias("_xa"),
+        F.col("_n").alias("_na"),
     )
-    norms = dims.groupBy("_did").agg(
-        F.sqrt(F.sum(F.col("_x") * F.col("_x")).cast("double")).alias("_n")
-    )
-    dots = (
-        cand.join(dims.withColumnRenamed("_did", "vec_a"), "vec_a")
-        .join(
-            dims.select(
-                F.col("_did").alias("vec_b"),
-                F.col("_dim"),
-                F.col("_x").alias("_y"),
-            ),
-            ["vec_b", "_dim"],
-        )
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("_x") * F.col("_y")).alias("_dot"))
+    pb = qv.select(
+        F.col("_id").alias("vec_b"), F.col("_qx").alias("_xb"),
+        F.col("_n").alias("_nb"),
     )
     return (
-        dots.join(
-            F.broadcast(
-                norms.select(F.col("_did").alias("vec_a"), F.col("_n").alias("_na"))
-            ),
-            "vec_a",
-        )
-        .join(
-            F.broadcast(
-                norms.select(F.col("_did").alias("vec_b"), F.col("_n").alias("_nb"))
-            ),
-            "vec_b",
-        )
+        cand.hint("shuffle_hash")
+        .join(pa, "vec_a")
+        .hint("shuffle_hash")
+        .join(pb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             F.round(
-                F.col("_dot").cast("double") / (F.col("_na") * F.col("_nb")), 12
+                F.aggregate(
+                    F.zip_with("_xa", "_xb", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / (F.col("_na") * F.col("_nb")),
+                12,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -124,28 +124,26 @@ def test_lsh_ops_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_cosine_dedup_pair_scoring_is_lambda_free(spark):
-    """dedup_embedding_cosine scores candidate pairs via the fixed-point
-    sparse-matmul shape: posexplode + equi-joins + codegen'd long-sum hash
-    aggregates. The per-pair higher-order lambda dot (zip_with/aggregate)
-    must NOT reappear downstream of the pair join — it re-evaluates per
-    candidate row and was measured at 10x the whole query. (The bucket
-    sign projections upstream legitimately keep their per-VECTOR lambdas.)"""
+def test_cosine_dedup_pair_scoring_reads_pinned_quantized_arrays(spark):
+    """dedup_embedding_cosine scores candidate pairs as a per-pair
+    zip_with/aggregate LONG fold over two STORED quantized arrays. The
+    load-bearing property is that quantization (and the norm) is computed
+    once per VECTOR behind a persist barrier — Catalyst collapses
+    projection-level vector math past joins and re-evaluates it per
+    candidate pair (measured 6x the whole query when norms collapsed that
+    way). The round-6 exploded-dims alternative (posexplode to (id, dim)
+    rows + a giant pair×64 hash aggregate) was the sf10 sweep's heaviest
+    stage (332 s -> 40 s at 60M rows when replaced); posexplode must not
+    reappear in the pair path."""
     plan = plan_of(spark, "dedup_embedding_cosine")
-    # pair dots + per-vector norms are plain hash aggregates over exploded
-    # dims; at least: partial+final for dots, partial+final for norms
-    assert plan.count("HashAggregate") >= 4
-    assert "posexplode" in plan
-    # every aggregate is a plain long sum over the quantized products —
-    # the decimal accumulator only survives in the per-VECTOR bucket sign
-    # projections (zip_with stays legal there), never in an aggregate
-    func_lines = [
-        ln for ln in plan.splitlines() if ln.startswith("Functions")
-    ]
-    assert len(func_lines) >= 4
-    for ln in func_lines:
-        assert "sum((_" in ln and "decimal" not in ln, ln
-        assert "lambda" not in ln, ln
+    # quantized arrays + norms come from the cache, not recomputation
+    assert "InMemoryTableScan" in plan
+    assert "posexplode" not in plan
+    # pair joins are shuffled hash joins on uniform doc-id keys — never a
+    # corpus-scaled broadcast of the vector or norm table, never SMJ sorts
+    assert op_count(plan, "ShuffledHashJoin") >= 2
+    # the dot is the integer zip_with fold in the post-join projection
+    assert "zip_with" in plan and "aggregate(" in plan
 
 
 def test_minhash_lsh_pins_shared_subtrees(spark):
