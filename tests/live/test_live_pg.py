@@ -959,7 +959,7 @@ def test_live_pg_to_kafka_wire_full_loop(spark, tmp_path):
     from go_pq_cdc_kafka_spark.streaming.kafka import KafkaProducerConfig
     from go_pq_cdc_kafka_spark.streaming.kafka_wire import (
         KafkaWireConsumer,
-        partition_for_key,
+        wire_balancer,
     )
     from go_pq_cdc_kafka_spark.streaming.minibroker import MiniBroker
     from go_pq_cdc_kafka_spark.streaming.pipeline import CdcPipeline
@@ -1028,12 +1028,14 @@ def test_live_pg_to_kafka_wire_full_loop(spark, tmp_path):
             assert hdr["table"].decode() == tbl
             assert hdr["source"] == b"cdc"
 
-        # key→partition placement is the Java-client murmur2 placement,
-        # verified through real Fetch frames rather than broker internals
+        # key→partition placement is kafka-go's FNV-1a Hash (the config
+        # default maps to the reference balancer by name), verified
+        # through real Fetch frames rather than broker internals
+        hash_bal = wire_balancer("Hash")
         with KafkaWireConsumer(broker.bootstrap) as cons:
             for pid_expected, key in [
-                (partition_for_key(b"1", 3), b"1"),
-                (partition_for_key(b"2", 3), b"2"),
+                (hash_bal.partition(b"1", None, [0, 1, 2]), b"1"),
+                (hash_bal.partition(b"2", None, [0, 1, 2]), b"2"),
             ]:
                 recs, _ = cons.fetch(topic, pid_expected, offset=0)
                 assert any(r.key == key for r in recs)
