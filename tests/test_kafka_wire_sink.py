@@ -310,3 +310,68 @@ def test_write_kafka_wire_zstd_e2e(spark):
         )
     assert n == 3
     assert got == sorted((b"k%d" % i, v) for i, v in enumerate(big))
+
+
+def test_to_kafka_wire_eos_replay_contributes_nothing(spark, tmp_path):
+    """Exactly-once across micro-batch replay: run the EOS streaming sink
+    over a changelog, then re-run the SAME data with a FRESH checkpoint
+    (the worst-case replay — every batch re-executes). The committed
+    lineage watermarks staged via TxnOffsetCommit must mask the whole
+    second pass: a read_committed audit sees every record exactly once,
+    while the non-transactional sink would have doubled them."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from go_pq_cdc_kafka_spark.envelope import insert_events, to_dynamic
+    from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireConsumer
+
+    rows = [(i, f"v{i}", i + 100) for i in range(1, 41)]
+    base = spark.createDataFrame(rows, "id int, name string, lsn long")
+    log = to_dynamic(insert_events(base, "users", lsn=F.col("lsn")))
+    path = str(tmp_path / "log")
+    cl.write_changelog(log, path, num_files=4)
+
+    def run(ck: str) -> None:
+        pipe = CdcPipeline(
+            source=cl.read_changelog_stream(spark, path),
+            routing=RoutingTable({"public.users": "users.eos"}),
+            pk_field="id",
+        )
+        q = pipe.to_kafka_wire_eos(
+            KafkaProducerConfig(
+                brokers=[broker.bootstrap],
+                transactional_id="eos-replay-test",
+                idempotent=True,
+            ),
+            ck,
+            group="eos-replay-group",
+            progress_partitions=8,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    with MiniBroker(num_partitions=4) as broker:
+        run(str(tmp_path / "ckpt1"))
+        run(str(tmp_path / "ckpt2"))  # full replay: fresh checkpoint
+        seen: dict[int, int] = {}
+        with KafkaWireConsumer(broker.bootstrap) as cons:
+            for p in range(4):
+                off = 0
+                while True:
+                    recs, hwm = cons.fetch(
+                        "users.eos", p, offset=off, isolation_level=1
+                    )
+                    if not recs:
+                        if off >= hwm:
+                            break
+                        off += 1
+                        continue
+                    for r in recs:
+                        k = json.loads(bytes(r.value))["id"]
+                        seen[int(k)] = seen.get(int(k), 0) + 1
+                    off = recs[-1].offset + 1
+    assert sorted(seen) == list(range(1, 41))
+    assert all(v == 1 for v in seen.values()), {
+        k: v for k, v in seen.items() if v != 1
+    }

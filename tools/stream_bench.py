@@ -125,10 +125,20 @@ def main() -> None:
 
         compression = os.environ.get("SB_COMPRESSION", "none").upper()
         out["compression"] = compression.lower()
+        # SB_EOS=1: transactional produce with lineage watermarks staged
+        # via TxnOffsetCommit (pipeline.to_kafka_wire_eos) — the audit
+        # then runs read_committed and requires 0 lost AND 0 duplicates,
+        # the guarantee the reference cannot make (its loop is
+        # at-least-once, producer_batch.go:141-151)
+        eos = os.environ.get("SB_EOS", "") not in ("", "0")
+        eos_group = f"sbg_{sfx}"
+        out["delivery"] = "exactly_once" if eos else "at_least_once"
         cfg = KafkaProducerConfig(
             brokers=[bootstrap],
             producer_batch_size=prod_batch,
             compression=Compression[compression],
+            idempotent=eos,
+            transactional_id=f"sbt_{sfx}" if eos else None,
         )
 
         probe = KafkaWireConsumer([bootstrap])
@@ -158,6 +168,11 @@ def main() -> None:
                 routing=routing,
                 pk_field="id",
             )
+            if eos:
+                return pipe.to_kafka_wire_eos(
+                    cfg, ck, group=eos_group,
+                    trigger={"processingTime": "0 seconds"},
+                )
             return pipe.to_kafka_wire(
                 cfg, ck, trigger={"processingTime": "0 seconds"}
             )
@@ -329,23 +344,47 @@ def main() -> None:
             "rows_p50": pct(rows_b, 0.50),
             "rows_p95": pct(rows_b, 0.95),
         }
+        # where trigger time goes (p50 of Spark's per-batch durationMs
+        # components, seconds) — the decomposition that attributes a
+        # sustained-rate change to a stage instead of a guess
+        comp_keys = sorted(
+            {k for b in batches.values() for k in b.get("durations", {})}
+        )
+        out["batch_stage_secs_p50"] = {
+            k: round(
+                pct(
+                    sorted(
+                        b["durations"].get(k, 0) / 1000
+                        for b in batches.values()
+                        if k in b.get("durations", {})
+                    ),
+                    0.50,
+                ),
+                3,
+            )
+            for k in comp_keys
+        }
 
         # --- audit: every pk exactly covered? (loss = failure) -----------
         t0 = time.monotonic()
+        iso = 1 if eos else 0  # EOS audit: read_committed, like a consumer
         seen = bytearray(WARM + n_rows + 1)
         total_fetched = 0
         for p in range(8):
-            off, empties = 0, 0
+            off = 0
             while True:
                 recs, hwm = probe.fetch(
-                    topic, p, offset=off, max_bytes=8 << 20
+                    topic, p, offset=off, max_bytes=8 << 20,
+                    isolation_level=iso,
                 )
                 if not recs:
-                    empties += 1
-                    if off >= hwm or empties > 3:
+                    if off >= hwm:
                         break
+                    # control markers / filtered txn data leave offset
+                    # gaps under read_committed: step past them (bounded
+                    # by hwm, so this always terminates)
+                    off += 1
                     continue
-                empties = 0
                 for r in recs:
                     k = int(bytes(r.key))
                     if seen[k] < 255:
@@ -355,6 +394,7 @@ def main() -> None:
         lost = sum(1 for i in range(1, WARM + n_rows + 1) if seen[i] == 0)
         dups = total_fetched - (WARM + n_rows - lost)
         out["audit"] = {
+            "isolation": "read_committed" if eos else "read_uncommitted",
             "fetched_rows": total_fetched,
             "lost_rows": lost,
             "duplicate_rows": dups,
@@ -362,6 +402,11 @@ def main() -> None:
         }
         probe.close()
         assert lost == 0, f"DATA LOSS: {lost} rows never reached the broker"
+        if eos:
+            assert dups == 0, (
+                f"EOS VIOLATION: {dups} duplicate rows visible to a "
+                "read_committed consumer"
+            )
     finally:
         try:
             admin.simple_query(f'DROP PUBLICATION IF EXISTS "{pub}"')
