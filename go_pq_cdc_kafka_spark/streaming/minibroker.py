@@ -1436,20 +1436,53 @@ def _main() -> None:
     serves until SIGTERM/SIGINT."""
     import argparse
     import signal
+    import sys
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--partitions", type=int, default=3)
+    ap.add_argument(
+        "--cluster", type=int, default=1,
+        help="N>1: run an N-node MiniCluster (one process — the shared "
+        "store requires it) and accept 'kill <node>' lines on stdin for "
+        "mid-run failover drills",
+    )
     args = ap.parse_args()
+
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+
+    if args.cluster > 1:
+        cluster = MiniCluster(
+            num_brokers=args.cluster, num_partitions=args.partitions
+        ).start()
+        print(f"READY {cluster.bootstrap}", flush=True)
+
+        def control() -> None:
+            # 'kill <node>' severs that broker (alive=False + socket
+            # close) — leaders/coordinators fail over to survivors;
+            # 'quit' or EOF (parent exit) shuts the cluster down
+            for line in sys.stdin:
+                parts = line.split()
+                if parts[:1] == ["kill"] and len(parts) == 2:
+                    node = int(parts[1])
+                    cluster.brokers[node].stop()
+                    print(f"KILLED {node}", flush=True)
+                elif parts[:1] == ["quit"]:
+                    break
+            stop.set()
+
+        threading.Thread(target=control, daemon=True).start()
+        stop.wait()
+        cluster.stop()
+        return
 
     broker = MiniBroker(
         num_partitions=args.partitions, host=args.host, port=args.port
     ).start()
     print(f"READY {broker.bootstrap}", flush=True)
-    stop = threading.Event()
-    signal.signal(signal.SIGTERM, lambda *_: stop.set())
-    signal.signal(signal.SIGINT, lambda *_: stop.set())
     stop.wait()
     broker.stop()
 

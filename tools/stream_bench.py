@@ -83,10 +83,22 @@ def main() -> None:
     topic = f"{tbl}.cdc"
 
     # --- broker: separate process, separate cores --------------------
+    # SB_CLUSTER=N (N>1): a 3-node-style MiniCluster with leaders and
+    # coordinators spread across nodes; the harness kills one node at
+    # ~60% acked (leader + coordinator failover AT throughput, the
+    # streaming twin of the worst-case EOS kill schedule)
+    n_brokers = int(os.environ.get("SB_CLUSTER", "1"))
+    broker_cmd = [
+        sys.executable, "-m", "go_pq_cdc_kafka_spark.streaming.minibroker",
+        "--partitions", "8",
+    ]
+    if n_brokers > 1:
+        broker_cmd += ["--cluster", str(n_brokers)]
     broker_proc = subprocess.Popen(
-        [sys.executable, "-m", "go_pq_cdc_kafka_spark.streaming.minibroker",
-         "--partitions", "8"],
-        stdout=subprocess.PIPE, text=True,
+        broker_cmd,
+        stdout=subprocess.PIPE,
+        stdin=subprocess.PIPE if n_brokers > 1 else None,
+        text=True,
     )
     ready = broker_proc.stdout.readline().strip()
     assert ready.startswith("READY "), ready
@@ -134,14 +146,14 @@ def main() -> None:
         eos_group = f"sbg_{sfx}"
         out["delivery"] = "exactly_once" if eos else "at_least_once"
         cfg = KafkaProducerConfig(
-            brokers=[bootstrap],
+            brokers=bootstrap.split(","),
             producer_batch_size=prod_batch,
             compression=Compression[compression],
             idempotent=eos,
             transactional_id=f"sbt_{sfx}" if eos else None,
         )
 
-        probe = KafkaWireConsumer([bootstrap])
+        probe = KafkaWireConsumer(bootstrap.split(","))
 
         def acked() -> int:
             try:
@@ -256,6 +268,8 @@ def main() -> None:
         # stability wait does not inflate the measured wall.
         total_target = WARM + n_rows
         killed = False
+        broker_killed = False
+        broker_kill_at = WARM + int(n_rows * 0.6)
         recovery_gap = 0.0
         stopped_at = 0
         deadline = time.monotonic() + max(600, int(n_rows / 15_000) * 4)
@@ -297,6 +311,22 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
                 continue
+            if n_brokers > 1 and not broker_killed and n >= broker_kill_at:
+                # sever one broker AT throughput: partition leaders and
+                # group/txn coordinators hashed to it must fail over to
+                # the survivors while batches are in flight
+                broker_proc.stdin.write("kill 1\n")
+                broker_proc.stdin.flush()
+                broker_killed = True
+                out["cluster"] = {
+                    "nodes": n_brokers,
+                    "killed_node": 1,
+                    "killed_at_acked": n - WARM,
+                }
+                print(
+                    f"[cluster] killed node 1 at {n - WARM} acked",
+                    file=sys.stderr, flush=True,
+                )
             if (
                 n >= total_target
                 and writer_done.is_set()
