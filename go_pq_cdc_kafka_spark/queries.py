@@ -8342,3 +8342,605 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 — analytics & curation additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT) AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+""",
+    category="analytics",
+    description="Weekly cohort retention matrix over the events stream: "
+    "users bucketed by first-seen week, distinct-user counts per "
+    "(cohort, weeks-since). Two uniform user-keyed shuffles (first-seen "
+    "agg + distinct activity weeks) then a small (cohorts x weeks) "
+    "aggregate — the product-analytics staple, Monday-truncated weeks "
+    "and integer week arithmetic identical in both engines.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(activity_week, cohort_week) div 7")
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@register(
+    "join_market_basket_lift",
+    oracle="""
+WITH topk AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY cnt DESC, l_partkey LIMIT 20
+),
+baskets AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN topk t ON l.l_partkey = t.l_partkey
+),
+n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, co,
+       ta.cnt AS cnt_a, tb.cnt AS cnt_b,
+       CAST((1000000 * n_orders.n * co) // (ta.cnt * tb.cnt) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN topk ta ON ta.l_partkey = part_a
+JOIN topk tb ON tb.l_partkey = part_b
+CROSS JOIN n_orders
+ORDER BY part_a, part_b
+""",
+    category="analytics",
+    description="Market-basket pair lift restricted to the top-20 "
+    "most-ordered parts: candidate pairs are bounded by K^2 and the "
+    "per-order fanout by TPC-H's <=7 lines, never all-parts^2. The "
+    "top-K table is TakeOrdered(20) and broadcasts; lift is exact "
+    "integer ppm ((1e6*N*co) div (cnt_a*cnt_b) — headroom: N*co*1e6 "
+    "< 2^63 through ~1B orders at co<=1e4).",
+)
+def join_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    topk = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+    baskets = li.join(
+        F.broadcast(topk.select("l_partkey")), "l_partkey"
+    ).distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    ).withColumn("_k", F.lit(1))
+    pairs = (
+        baskets.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+        )
+        .join(
+            baskets.select(
+                F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                topk.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("cnt").alias("cnt_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                topk.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("cnt").alias("cnt_b"),
+                )
+            ),
+            "part_b",
+        )
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_orders), "_k")
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            "cnt_a",
+            "cnt_b",
+            F.expr("(1000000 * n * co) div (cnt_a * cnt_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([COALESCE(array_to_string(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
+
+]+'), t -> t != '')[i:i+2], ' '), '') for i in generate_series(1, greatest(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
+
+]+'), t -> t != '')) - 2, 1))])) AS shingle FROM documents
+),
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sh,
+         CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+  FROM sh JOIN firsts f ON sh.shingle = f.shingle
+  GROUP BY sh.doc_id
+),
+docs AS (SELECT doc_id, source FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+       CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+       CAST((1000000 * SUM(novel)) // SUM(n_sh) AS BIGINT) AS novelty_ppm
+FROM per_doc JOIN docs USING (doc_id)
+GROUP BY source
+ORDER BY source
+""",
+    category="text",
+    description="Corpus n-gram novelty per source: the fraction of each "
+    "doc's shingles first introduced by that doc (min-doc_id "
+    "first-occurrence over the inverted shingle index — the dedup "
+    "index reused as a freshness signal; a crawl snowballing on "
+    "boilerplate shows collapsing novelty). Two shingle/doc-keyed "
+    "shuffles, integer ppm.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = DD.shingle_index(d, "text", "doc_id", 3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("novel").cast("long").alias("novel_shingles"),
+            F.sum("n_sh").cast("long").alias("total_shingles"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("(1000000 * novel_shingles) div total_shingles").cast(
+                "long"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _hourly_cents(ev: DataFrame) -> DataFrame:
+    """Per (event_type, hour) integer-cent value sums — the bounded
+    (types x hours) series the round-9 timeseries queries fold over.
+    Aggregating FIRST is the scale posture: every window below runs on
+    this aggregate, never on corpus rows."""
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+
+_HOURLY_CENTS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type, hour
+"""
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_CENTS_SQL}),
+lagged AS (
+  SELECT event_type, cents AS x,
+         LAG(cents) OVER (PARTITION BY event_type ORDER BY hour) AS y
+  FROM hourly
+),
+pairs AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM sums
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Lag-1 autocorrelation of each event type's hourly value "
+    "series: Pearson r over (x_t, x_t-1) pairs with every sum carried in "
+    "exact integer arithmetic (decimal(38,0) / HUGEINT) so both engines "
+    "divide the SAME integers — only the final r is a round-6 double. "
+    "The window runs on the (types x hours) aggregate, never corpus rows.",
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    pairs = (
+        hourly.select(
+            "event_type",
+            F.col("cents").alias("x"),
+            F.lag("cents").over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .select(
+            "event_type",
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / F.sqrt(
+                F.expr("cast(n * sxx - sx * sx as double)")
+                * F.expr("cast(n * syy - sy * sy as double)")
+            ),
+            6,
+        ).alias("autocorr"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ts_drawdown_max",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_CENTS_SQL}),
+cum AS (
+  SELECT event_type, hour,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+  FROM hourly
+),
+dd AS (
+  SELECT event_type, hour, equity,
+         MAX(equity) OVER (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM cum
+)
+SELECT event_type,
+       CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents
+FROM dd GROUP BY event_type
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Maximum drawdown per event type over the cumulative "
+    "hourly value curve (running peak minus current equity, maximized) — "
+    "the risk statistic every monitoring stack wants. Pure integer-cent "
+    "window folds over the bounded hourly aggregate.",
+)
+def ts_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.withColumn("equity", F.sum("cents").over(w))
+    dd = cum.withColumn("peak", F.max("equity").over(w))
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.max(F.col("peak") - F.col("equity"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.max("peak").cast("long").alias("peak_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_bollinger_breakouts",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_CENTS_SQL}),
+roll AS (
+  SELECT event_type, hour, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER w AS HUGEINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+full_windows AS (SELECT * FROM roll WHERE n = 24)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN CAST(n * cents - s AS HUGEINT)
+                          * CAST(n * cents - s AS HUGEINT)
+                     > 4 * (n * s2 - CAST(s AS HUGEINT) * s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_breakouts
+FROM full_windows GROUP BY event_type
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Bollinger-band breakout detection WITHOUT a single "
+    "floating-point operation: over a 24-hour rolling window, |x - mean| "
+    "> 2*stddev is algebraically rearranged to (n*x - S)^2 > 4*(n*S2 - "
+    "S^2) so the test is exact integer arithmetic (decimal(38,0) / "
+    "HUGEINT) — no sqrt, no division, bit-identical across engines. "
+    "ROWS-frame windows over the bounded hourly aggregate.",
+)
+def ts_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    roll = hourly.select(
+        "event_type",
+        F.col("cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    ).filter(F.col("n") == 24)
+    breakout = F.expr(
+        "cast(n * cents - s as decimal(38,0)) * cast(n * cents - s as decimal(38,0))"
+        " > 4 * (n * s2 - cast(s as decimal(38,0)) * s)"
+    )
+    return (
+        roll.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(breakout, 1).otherwise(0))
+            .cast("long")
+            .alias("n_breakouts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_gini_customer_revenue",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(27,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n.n_name AS nation, cents,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY cents, c.c_custkey) AS rk
+  FROM cust
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+sums AS (
+  SELECT nation,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS s1
+  FROM ranked GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n_customers,
+       CAST((1000000 * (2 * s1 - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_ppm
+FROM sums
+ORDER BY nation
+""",
+    category="aggregation",
+    description="Gini coefficient of customer revenue per nation (the "
+    "inequality statistic, exact integer ppm via the rank formula "
+    "G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) over ascending-"
+    "revenue ranks). The rank is bucketed_row_number — broadcast "
+    "percentile cutpoints + per-bucket local windows + cumulative "
+    "offsets — so NO per-nation window ever drags the customer rollup "
+    "through 25 tasks; all sums ride decimal(38,0)/HUGEINT.",
+)
+def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_kafka_spark.operators import sampling as SA2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(27,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = cust.join(c, cust.o_custkey == c.c_custkey).join(
+        F.broadcast(nat), c.c_nationkey == nat.n_nationkey
+    ).select("nation", "c_custkey", "cents")
+    # global revenue cutpoints — bucket depends only on cents, so it is
+    # monotone in the (cents, custkey) order within every nation
+    stats = rev.agg(
+        F.percentile_approx("cents", [i / 32.0 for i in range(1, 32)], 10000)
+        .alias("_cuts")
+    ).withColumn("_k", F.lit(1))
+    staged = rev.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    bucket = F.size(F.filter(F.col("_cuts"), lambda ct: ct < F.col("cents")))
+    ranked = SA2.bucketed_row_number(
+        staged.withColumn("_b", bucket).drop("_k", "_cuts"),
+        ["nation"],
+        F.col("_b"),
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        "rk",
+    )
+    sums = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("cast(rk as decimal(38,0)) * cents"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    return sums.select(
+        "nation",
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr("(1000000 * (2 * s1 - (n + 1) * s)) div (n * s)")
+        .cast("long")
+        .alias("gini_ppm"),
+    ).orderBy("nation")
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+WITH dims AS (
+  SELECT label, CAST(vec_id % 2 AS BIGINT) AS parity, g.g AS dim,
+         CAST(ROUND(embedding[g.g] * 1000000) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) AS g(g)
+),
+sums AS (
+  SELECT label, parity, dim,
+         CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM dims GROUP BY label, parity, dim
+),
+paired AS (
+  SELECT e.label, e.dim,
+         e.s AS se, e.n AS ne, o.s AS so, o.n AS no
+  FROM sums e JOIN sums o
+    ON e.label = o.label AND e.dim = o.dim
+   AND e.parity = 0 AND o.parity = 1
+),
+terms AS (
+  SELECT label, ne, no,
+         (se * no - so * ne) * (se * no - so * ne) AS t2
+  FROM paired
+)
+SELECT label, CAST(MIN(ne) AS BIGINT) AS n_even, CAST(MIN(no) AS BIGINT) AS n_odd,
+       ROUND(SQRT(CAST(SUM(t2) AS DOUBLE)) / CAST(MIN(ne) * MIN(no) AS DOUBLE) / 1000000, 6)
+         AS centroid_drift
+FROM terms GROUP BY label
+ORDER BY label
+""",
+    category="similarity",
+    description="Per-label embedding centroid drift between the two "
+    "deterministic vec_id-parity halves of the corpus — the batch-drift "
+    "check a training pipeline runs before trusting new embeddings. "
+    "Per-dim micro-unit integer sums (one explode + one aggregate); the "
+    "L2 distance between centroids is assembled from exact integer "
+    "cross-products ((Se*No - So*Ne)^2, decimal(38,0)/HUGEINT) so both "
+    "engines sqrt the SAME integer — only the final value is a round-6 "
+    "double. Map-side partials; output is labels-bounded.",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("long").alias("parity"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        "parity",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    sums = dims.groupBy("label", "parity", "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    even = sums.filter(F.col("parity") == 0).select(
+        "label", "dim", F.col("s").alias("se"), F.col("n").alias("ne")
+    )
+    odd = sums.filter(F.col("parity") == 1).select(
+        "label", "dim", F.col("s").alias("so"), F.col("n").alias("no")
+    )
+    terms = even.join(odd, ["label", "dim"]).select(
+        "label",
+        "ne",
+        "no",
+        F.expr("(se * no - so * ne) * (se * no - so * ne)").alias("t2"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.min("ne").cast("long").alias("n_even"),
+            F.min("no").cast("long").alias("n_odd"),
+            F.round(
+                F.sqrt(F.sum("t2").cast("double"))
+                / F.expr("cast(min(ne) * min(no) as double)")
+                / 1e6,
+                6,
+            ).alias("centroid_drift"),
+        )
+        .orderBy("label")
+    )

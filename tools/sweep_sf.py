@@ -93,8 +93,14 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: {type(e).__name__} ({wall}s)", flush=True)
         spark.catalog.clearCache()
+    n_resumed = sum(1 for r in results.values() if r.get("resumed"))
     summary = {
         "sf_dir": sf_dir,
+        # single-pass provenance: passes=1 means every ok above was
+        # EXECUTED by this one cold run; a merged/resumed artifact is
+        # distinguishable by passes>1 + the per-query "resumed" flags
+        "passes": 1 if n_resumed == 0 else 2,
+        "resumed_count": n_resumed,
         "total": len(results),
         "ok": sum(1 for r in results.values() if r["status"] == "ok"),
         "failed": failed,
