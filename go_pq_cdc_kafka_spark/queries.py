@@ -8944,3 +8944,279 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "window_moving_median",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_CENTS_SQL})
+SELECT event_type, hour,
+       CAST(MEDIAN(cents) OVER (PARTITION BY event_type ORDER BY hour
+                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS med12
+FROM hourly
+ORDER BY event_type, hour
+""",
+    category="window",
+    description="Rolling 12-hour MEDIAN per event type — a HOLISTIC "
+    "window aggregate Spark has no native frame function for: the frame "
+    "is materialized with collect_list over a ROWS window (bounded at 12 "
+    "elements by construction), sorted, and the midpoint interpolated "
+    "exactly like SQL MEDIAN (mean of the two central values on even "
+    "counts — exact in doubles since cents are integers). Runs on the "
+    "bounded hourly aggregate, never corpus rows.",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            ((lo + hi) / 2.0).alias("med12"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+WITH ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rk <= 40
+GROUP BY label
+ORDER BY label
+""",
+    category="sampling",
+    description="Class-balanced downsample: keep EXACTLY min(40, n) "
+    "vectors per label, chosen by deterministic md5 order so both "
+    "engines keep the same rows. The per-label rank is "
+    "bucketed_row_number over md5-prefix buckets (equal-width cuts on a "
+    "uniform hash), so a 2-label corpus never drags through 2 tasks — "
+    "the cap-exact twin of hash-fraction sampling (which cannot hit an "
+    "exact per-class count).",
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_kafka_spark.operators import sampling as SA2
+
+    e = load_table(spark, sf_dir, "embeddings").select("label", "vec_id")
+    h = F.md5(F.col("vec_id").cast("string"))
+    staged = e.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    ranked = SA2.bucketed_row_number(
+        staged,
+        ["label"],
+        F.col("_b"),
+        [F.col("_h").asc(), F.col("vec_id").asc()],
+        "rk",
+    )
+    return (
+        ranked.filter(F.col("rk") <= 40)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ts_percent_change_wow",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, week
+),
+lagged AS (
+  SELECT event_type, week, cents,
+         LAG(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM weekly
+)
+SELECT event_type, week, cents, prev,
+       CAST((10000 * (cents - prev)) // prev AS BIGINT) AS change_bp
+FROM lagged WHERE prev IS NOT NULL AND prev > 0
+ORDER BY event_type, week
+""",
+    category="timeseries",
+    description="Week-over-week change per event type in integer BASIS "
+    "POINTS ((10000*delta) div prev) — the KPI-dashboard staple with no "
+    "float division anywhere. LAG over the bounded weekly aggregate.",
+)
+def ts_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = weekly.withColumn("prev", F.lag("cents").over(w))
+    return (
+        lagged.filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+        .select(
+            "event_type",
+            "week",
+            "cents",
+            "prev",
+            F.expr("(10000 * (cents - prev)) div prev")
+            .cast("long")
+            .alias("change_bp"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+@register(
+    "events_power_users_pareto",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rk,
+         SUM(cents) OVER (ORDER BY cents DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_user
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user)
+SELECT CAST(MIN(rk) AS BIGINT) AS users_to_80pct,
+       CAST(MIN(n_users) AS BIGINT) AS n_users,
+       CAST((1000000 * MIN(rk)) // MIN(n_users) AS BIGINT) AS user_share_ppm
+FROM ranked, tot
+WHERE 5 * cum >= 4 * total
+""",
+    category="analytics",
+    description="Pareto concentration of the events stream: the minimal "
+    "number of top users covering 80% of total value (5*cum >= 4*total "
+    "— pure integer test). The GLOBAL descending cumulative sum is "
+    "bucketed_running_sum over approx-percentile cutpoints, so no "
+    "single-task global window touches the per-user rollup; the global "
+    "rank is its weight-1 twin. Output is one row.",
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_pq_cdc_kafka_spark.operators import sampling as SA2
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    stats = per_user.agg(
+        F.percentile_approx("cents", [i / 32.0 for i in range(1, 32)], 10000)
+        .alias("_cuts")
+    ).withColumn("_k", F.lit(1))
+    staged = per_user.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    # descending order: bucket by count of cuts ABOVE the value so the
+    # bucket id is monotone nondecreasing in (cents DESC, user_id)
+    bucket = F.size(F.filter(F.col("_cuts"), lambda ct: ct > F.col("cents")))
+    staged = staged.withColumn("_b", bucket).drop("_k", "_cuts")
+    ranked = SA2.bucketed_row_number(
+        staged, [], F.col("_b"),
+        [F.col("cents").desc(), F.col("user_id").asc()], "rk",
+    )
+    cum = SA2.bucketed_running_sum(
+        staged, [], F.col("_b"),
+        [F.col("cents").desc(), F.col("user_id").asc()],
+        F.col("cents"), "cum",
+    ).select("user_id", "cum")
+    tot = per_user.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    ).withColumn("_k", F.lit(1))
+    return (
+        ranked.join(cum, "user_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .agg(
+            F.min("rk").cast("long").alias("users_to_80pct"),
+            F.min("n_users").cast("long").alias("n_users"),
+        )
+        .withColumn(
+            "user_share_ppm",
+            F.expr("(1000000 * users_to_80pct) div n_users").cast("long"),
+        )
+    )
+
+
+@register(
+    "join_order_gaps",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+),
+cust AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(SUM(gap_days) // COUNT(gap_days) AS BIGINT) AS mean_gap_days
+FROM gaps JOIN cust ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    category="analytics",
+    description="Inter-order gap analysis: days between successive "
+    "orders per customer (LAG over uniform customer-keyed windows — "
+    "millions of small partitions, the shape per-entity windows are "
+    "FOR), rolled up to mean gap per market segment in integer days.",
+)
+def join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+        )
+        .withColumn(
+            "mean_gap_days",
+            F.expr("total_gap_days div n_gaps").cast("long"),
+        )
+        .orderBy("c_mktsegment")
+    )
