@@ -9220,3 +9220,167 @@ def join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "text_entropy_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source, UNNEST(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
+]+'), t -> t != '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+terms AS (
+  SELECT source, c,
+         CAST(ROUND(1000000 * c * ln(c)) AS BIGINT) AS xlogx_micro
+  FROM counts
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(ln(SUM(c)) - CAST(SUM(xlogx_micro) AS DOUBLE) / 1000000.0
+             / SUM(c), 6) AS entropy_nats
+FROM terms GROUP BY source
+ORDER BY source
+""",
+    category="text",
+    description="Shannon entropy of the token distribution per source "
+    "(H = ln(N) - sum(c*ln(c))/N) — the vocabulary-concentration signal "
+    "next to Simpson diversity. Float sums are shuffle-order-dependent, "
+    "so each c*ln(c) term is QUANTIZED to an integer micro-nat first "
+    "(identical per-term doubles in both engines since c is an exact "
+    "integer) and the sum rides int64 — the _dsum determinism trick "
+    "extended to transcendental terms. One explode + two aggregates.",
+)
+def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    terms = counts.select(
+        "source",
+        "c",
+        F.round(1000000 * F.col("c") * F.log(F.col("c").cast("double")))
+        .cast("long")
+        .alias("xlogx_micro"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("xlogx_micro").cast("long").alias("_sx"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_sx").cast("double") / 1e6 / F.col("n_tokens"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT source, UNNEST(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
+]+'), t -> t != '')) AS tok
+  FROM documents
+),
+global_counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS gc FROM toks GROUP BY tok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN gc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000000 * SUM(CASE WHEN gc = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS hapax_ppm
+FROM toks JOIN global_counts USING (tok)
+GROUP BY source
+ORDER BY source
+""",
+    category="text",
+    description="Hapax legomenon rate per source: the share of token "
+    "occurrences whose token appears exactly ONCE in the whole corpus — "
+    "high hapax = fresh/long-tail vocabulary, near-zero = template spam "
+    "(the token-level twin of n-gram novelty). One token-keyed census "
+    "joined back to the exploded stream; integer ppm.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    gc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    return (
+        toks.join(gc, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("gc") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .withColumn(
+            "hapax_ppm",
+            F.expr("(1000000 * n_hapax) div n_tokens").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ts_weekday_hour_profile",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, dow, hod
+)
+SELECT event_type, dow, hod, n,
+       CAST(cents // n AS BIGINT) AS mean_cents
+FROM cells
+ORDER BY event_type, dow, hod
+""",
+    category="timeseries",
+    description="Weekly seasonality profile: mean event value per "
+    "(event_type, ISO weekday, hour-of-day) cell — the heatmap behind "
+    "every ops dashboard. One partial+final aggregate into a bounded "
+    "(types x 7 x 24) grid; integer-cent means.",
+)
+def ts_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("weekday(ts)").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "event_type", "dow", "hod", "n",
+            F.expr("cents div n").cast("long").alias("mean_cents"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )

@@ -110,3 +110,12 @@ def test_example_eos_cluster():
 
     out = eos_cluster.main()
     assert out == [b"EVENT-%d" % i for i in range(10)]
+
+
+def test_example_streaming_eos(spark):
+    """examples/streaming_eos.py: a full fresh-checkpoint replay of the
+    CDC stream is invisible to a read_committed consumer."""
+    import streaming_eos
+
+    seen = streaming_eos.main()
+    assert len(seen) == 30 and set(seen.values()) == {1}
