@@ -271,3 +271,56 @@ def bucketed_running_sum(
         joined.withColumn(name, F.col("_off") + F.col("_lcs"))
         .drop("_lcs", "_off", "_wt", "_bkt")
     )
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket_col: Column,
+    order_cols: list[Column],
+    value_col: Column,
+    name: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Scalable running max — ``MAX(value) OVER (PARTITION BY
+    partition_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING [AND 1
+    PRECEDING])`` — by the :func:`bucketed_row_number` decomposition:
+    a local running max within each (partition, bucket) window [parallel]
+    combined with the broadcast max of all PRECEDING buckets. Max is
+    associative and order-insensitive across the bucket boundary, so the
+    decomposition is exact for any bucket_col monotone nondecreasing in
+    ``order_cols`` within every partition group (same contract as the
+    sum/row-number twins).
+
+    ``inclusive=False`` gives the EXCLUSIVE prefix (strictly preceding
+    rows only — NULL when no predecessor exists), the form dominance /
+    skyline tests need.
+    """
+    from pyspark.sql import Window
+
+    staged = df.withColumn("_bkt", bucket_col).withColumn("_v", value_col)
+    w_base = Window.partitionBy(*partition_cols, "_bkt").orderBy(*order_cols)
+    w_local = w_base.rowsBetween(
+        Window.unboundedPreceding,
+        Window.currentRow if inclusive else -1,
+    )
+    local = staged.withColumn("_lmx", F.max("_v").over(w_local))
+    # per-bucket INCLUSIVE maxes feed the cross-bucket prefix regardless
+    # of the local frame: preceding buckets contribute all their rows
+    counts = local.groupBy(*partition_cols, "_bkt").agg(
+        F.max("_v").alias("_bm")
+    )
+    w_off = (
+        Window.partitionBy(*partition_cols)  # bounded-window: over the
+        # #groups×#buckets max aggregate, never corpus rows
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn("_off", F.max("_bm").over(w_off)).drop("_bm")
+    joined = local.join(F.broadcast(offs), [*partition_cols, "_bkt"], "inner")
+    merged = (
+        F.when(F.col("_off").isNull(), F.col("_lmx"))
+        .when(F.col("_lmx").isNull(), F.col("_off"))
+        .otherwise(F.greatest(F.col("_lmx"), F.col("_off")))
+    )
+    return joined.withColumn(name, merged).drop("_lmx", "_off", "_v", "_bkt")

@@ -9384,3 +9384,862 @@ def ts_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow", "hod")
     )
+
+
+# ===========================================================================
+# Round-9 batch: exact-arithmetic statistical tests (fraud audit, A/B
+# independence, monotonic-trend detection) — every statistic lands in
+# integer ppm so the DuckDB oracle matches bit-for-bit.
+# ===========================================================================
+
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]  # round(1e6*log10(1+1/d)) — sums to exactly 1_000_000
+
+_BENFORD_VALUES_SQL = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+ct AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM c),
+b(digit, benford_ppm) AS (VALUES {_BENFORD_VALUES_SQL})
+SELECT ct.digit, ct.n,
+       CAST((1000000 * ct.n) // ct.total AS BIGINT) AS observed_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(((1000000 * ct.n) // ct.total - b.benford_ppm)
+            * ((1000000 * ct.n) // ct.total - b.benford_ppm)
+            // b.benford_ppm AS BIGINT) AS chi2_contrib_ppm
+FROM ct JOIN b USING (digit)
+ORDER BY digit
+""",
+    category="aggregation",
+    description="Benford's-law first-digit audit of order totals (the "
+    "fraud-detection screen): observed first-significant-digit frequency "
+    "in integer ppm vs the Benford expectation (round(1e6*log10(1+1/d)), "
+    "a 9-row literal table that sums to exactly 1e6), with a per-digit "
+    "chi-square contribution ((obs-exp)^2 div exp) — all-integer, "
+    "bit-identical cross-engine. One map-side digit extraction + a 9-row "
+    "aggregate; the global total attaches as a window over the bounded "
+    "9-row digit table, never over corpus rows.",
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # bounded: the window input is the 9-row digit aggregate, not orders
+    counts = counts.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("long")
+    )
+    benford = spark.createDataFrame(_BENFORD_PPM, "digit long, benford_ppm long")
+    obs = F.expr("(1000000 * n) div total")
+    return (
+        counts.join(F.broadcast(benford), "digit")
+        .select(
+            "digit",
+            "n",
+            obs.cast("long").alias("observed_ppm"),
+            F.col("benford_ppm").cast("long").alias("benford_ppm"),
+            F.expr(
+                "((1000000 * n) div total - benford_ppm)"
+                " * ((1000000 * n) div total - benford_ppm)"
+                " div benford_ppm"
+            ).cast("long").alias("chi2_contrib_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, priority
+),
+m AS (
+  SELECT segment, priority, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY segment) AS HUGEINT) AS row_total,
+         CAST(SUM(n_obs) OVER (PARTITION BY priority) AS HUGEINT) AS col_total,
+         CAST(SUM(n_obs) OVER () AS HUGEINT) AS grand_total
+  FROM cells
+)
+SELECT segment, priority, n_obs,
+       CAST((1000000 * row_total * col_total) // grand_total AS BIGINT)
+         AS expected_ppm,
+       CAST((1000000 * (grand_total * n_obs - row_total * col_total)
+                     * (grand_total * n_obs - row_total * col_total))
+            // (grand_total * row_total * col_total) AS BIGINT)
+         AS chi2_contrib_ppm
+FROM m
+ORDER BY segment, priority
+""",
+    category="aggregation",
+    description="Chi-square independence test between customer market "
+    "segment and order priority (the A/B-test contingency workhorse): "
+    "the 5x5 observed-count table, expected counts in integer ppm "
+    "(1e6*R*C div N), and per-cell chi-square contributions computed as "
+    "(1e6*(N*O - R*C)^2) div (N*R*C) — HUGEINT/decimal(38,0) keeps every "
+    "product exact through 100 TB counts, and the squared numerator is "
+    "nonnegative so truncating division agrees cross-engine. One "
+    "orders-customer shuffle join + one aggregate; every window below "
+    "runs over the bounded 25-cell table.",
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    # bounded: all three windows run over the 25-cell contingency table
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        cells.withColumn("row_total", dec(F.sum("n_obs").over(Window.partitionBy("segment"))))
+        .withColumn("col_total", dec(F.sum("n_obs").over(Window.partitionBy("priority"))))
+        .withColumn("grand_total", dec(F.sum("n_obs").over(Window.partitionBy())))
+    )
+    return m.select(
+        "segment",
+        "priority",
+        "n_obs",
+        F.expr("(1000000 * row_total * col_total) div grand_total")
+        .cast("long")
+        .alias("expected_ppm"),
+        F.expr(
+            "(1000000 * (grand_total * n_obs - row_total * col_total)"
+            " * (grand_total * n_obs - row_total * col_total))"
+            " div (grand_total * row_total * col_total)"
+        ).cast("long").alias("chi2_contrib_ppm"),
+    ).orderBy("segment", "priority")
+
+
+_DAILY_COUNTS_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, day
+"""
+
+
+def _daily_counts(ev: DataFrame) -> DataFrame:
+    """Per (event_type, day) counts — the bounded (types x days) series
+    the trend tests fold over. Aggregating FIRST is the scale posture:
+    the pairwise self-join below is over days-per-series rows (calendar-
+    bounded), never corpus rows."""
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle=f"""
+WITH daily AS ({_DAILY_COUNTS_SQL}),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sgn) AS BIGINT) AS s_stat,
+       CASE WHEN SUM(sgn) > 0 THEN 'up'
+            WHEN SUM(sgn) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM pairs GROUP BY event_type
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Mann-Kendall monotonic-trend test per event type: "
+    "S = sum over all day pairs i<j of sign(n_j - n_i) on the daily "
+    "count series — the nonparametric trend detector (no distribution "
+    "assumption, ties handled exactly). Pure integer arithmetic, "
+    "bit-identical cross-engine. The pairwise self-join runs over the "
+    "bounded (types x days) DAILY aggregate (days grow with calendar "
+    "span, not data volume), never corpus rows.",
+)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(load_table(spark, sf_dir, "events"))
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("day_i"), F.col("n").alias("n_i")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_j"),
+        F.col("n").alias("n_j"),
+    )
+    pairs = a.join(
+        b, (a.event_type == b.et_b) & (a.day_i < b.day_j)
+    ).select(
+        "event_type",
+        F.when(F.col("n_j") > F.col("n_i"), 1)
+        .when(F.col("n_j") < F.col("n_i"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = F.sum("sgn")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            s.cast("long").alias("s_stat"),
+            F.when(s > 0, "up").when(s < 0, "down").otherwise("flat").alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle=f"""
+WITH daily AS ({_DAILY_COUNTS_SQL}),
+slopes AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.n >= a.n THEN 1 ELSE -1 END
+              * ((1000000 * ABS(b.n - a.n))
+                 // date_diff('day', a.day, b.day)) AS BIGINT) AS slope_ppm
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope_ppm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_ppm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       slope_ppm AS theil_sen_slope_ppm
+FROM ranked WHERE rn = (m + 1) // 2
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Theil-Sen robust slope per event type: the LOWER MEDIAN "
+    "of all pairwise slopes of the daily count series, each slope "
+    "quantized to integer ppm/day as sign * ((1e6*|dn|) div ddays) — "
+    "explicit toward-zero quantization so both engines rank the SAME "
+    "integers, and the median is an exact order statistic (the value at "
+    "rank (m+1) div 2 is unique regardless of tie order). The pair join "
+    "and the rank window both run over the bounded (types x days^2/2) "
+    "slope table, never corpus rows.",
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(load_table(spark, sf_dir, "events"))
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("day_i"), F.col("n").alias("n_i")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_j"),
+        F.col("n").alias("n_j"),
+    )
+    slopes = a.join(
+        b, (a.event_type == b.et_b) & (a.day_i < b.day_j)
+    ).select(
+        "event_type",
+        (
+            F.when(F.col("n_j") >= F.col("n_i"), 1).otherwise(-1)
+            * F.expr(
+                "(1000000 * abs(n_j - n_i)) div datediff(day_j, day_i)"
+            )
+        ).cast("long").alias("slope_ppm"),
+    )
+    # bounded: rank window over the (types x day-pairs) slope table
+    wp = Window.partitionBy("event_type")
+    ranked = slopes.withColumn(
+        "rn", F.row_number().over(wp.orderBy("slope_ppm"))
+    ).withColumn("m", F.count(F.lit(1)).over(wp))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.col("slope_ppm").alias("theil_sen_slope_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_TOKS_FROM_DOCS = (
+    "SELECT UNNEST(list_filter(regexp_split_to_array(translate(text, "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+    "'[ \t\n\r\f\x0B]+'), t -> t != '')) AS tok FROM documents"
+)
+
+
+@register(
+    "window_pareto_frontier",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_suppkey, s.s_name,
+         CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(27,0))) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_suppkey, s.s_name, bal_cents
+),
+g AS (SELECT rev_cents, MAX(bal_cents) AS grp_max FROM rev GROUP BY rev_cents),
+p AS (
+  SELECT rev_cents, grp_max,
+         MAX(grp_max) OVER (ORDER BY rev_cents DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pre_max
+  FROM g
+)
+SELECT r.s_suppkey, r.s_name, r.rev_cents, r.bal_cents
+FROM rev r JOIN p USING (rev_cents)
+WHERE r.bal_cents = p.grp_max
+  AND (p.pre_max IS NULL OR r.bal_cents > p.pre_max)
+ORDER BY r.rev_cents DESC, r.s_suppkey
+""",
+    category="window",
+    description="2-D Pareto frontier (skyline) of suppliers maximizing "
+    "(revenue, account balance): a supplier survives iff no other has >= "
+    "on both axes with one strict. Decomposed as: per-revenue-value max "
+    "balance (one aggregate), then the EXCLUSIVE prefix max over "
+    "strictly-higher revenue via bucketed_running_max — broadcast "
+    "approx-percentile cutpoints + per-bucket local windows + cross-"
+    "bucket prefix, so the global revenue-DESC running max never drags "
+    "the per-revenue table through one task. A row is on the frontier "
+    "iff its balance equals its revenue-group max AND beats the prefix "
+    "max. All integer cents; suppliers with no lineitems are out of "
+    "scope (inner join).",
+)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "bal_cents")
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(27,0)"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    g = rev.groupBy("rev_cents").agg(F.max("bal_cents").alias("grp_max"))
+    g = g.withColumn("_neg", -F.col("rev_cents"))
+    # one 1-row broadcast carries the 31 approx cutpoints; cutpoint
+    # accuracy only affects bucket BALANCE, never the prefix max
+    stats = g.agg(
+        F.percentile_approx("_neg", [i / 32.0 for i in range(1, 32)], 10000).alias(
+            "_cuts"
+        )
+    ).withColumn("_k", F.lit(1))
+    gs = g.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    bucket = F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_neg")))
+    pre = SA.bucketed_running_max(
+        gs, [], bucket, [F.col("_neg").asc()], F.col("grp_max"), "pre_max",
+        inclusive=False,
+    ).select("rev_cents", "grp_max", "pre_max")
+    return (
+        rev.join(pre, "rev_cents")
+        .filter(
+            (F.col("bal_cents") == F.col("grp_max"))
+            & (F.col("pre_max").isNull() | (F.col("bal_cents") > F.col("pre_max")))
+        )
+        .select("s_suppkey", "s_name", "rev_cents", "bal_cents")
+        .orderBy(F.col("rev_cents").desc(), "s_suppkey")
+    )
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(27,0))) AS BIGINT)
+           AS mon_cents
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT MAX(last_order) AS gmax FROM cust),
+q AS (
+  SELECT o_custkey, mon_cents,
+         CAST(NTILE(4) OVER (ORDER BY date_diff('day', last_order, gmax),
+                             o_custkey) AS BIGINT) AS r_quartile,
+         CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+           AS f_quartile,
+         CAST(NTILE(4) OVER (ORDER BY mon_cents DESC, o_custkey) AS BIGINT)
+           AS m_quartile
+  FROM cust, g
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon_cents) AS BIGINT) AS total_monetary_cents
+FROM q GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+""",
+    category="analytics",
+    description="RFM customer segmentation (recency/frequency/monetary "
+    "quartiles — the classic CRM cube): three EXACT global NTILE(4)s over "
+    "the per-customer rollup, each computed scale-safe as "
+    "bucketed_row_number + the closed-form NTILE from (rank, n) — recency "
+    "buckets by the day value itself (calendar-bounded), frequency by the "
+    "negated count (bounded value domain), monetary by 31 broadcast "
+    "approx-percentile cutpoints — so NO unpartitioned window ever sees "
+    "the customer table. Tie-breaks on custkey make every quartile "
+    "engine-independent; output is the 64-cell (R,F,M) cube with counts "
+    "and integer-cent totals.",
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(27,0)"))
+        .cast("long")
+        .alias("mon_cents"),
+    ).withColumn("_negm", -F.col("mon_cents"))
+    stats = cust.agg(
+        F.max("last_order").alias("_gmax"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.percentile_approx("_negm", [i / 32.0 for i in range(1, 32)], 10000).alias(
+            "_mcuts"
+        ),
+    ).withColumn("_k", F.lit(1))
+    c = cust.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    c = c.withColumn(
+        "recency_days", F.datediff(F.col("_gmax"), F.col("last_order")).cast("long")
+    )
+    c = SA.bucketed_row_number(
+        c, [], F.col("recency_days"),
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()], "_rrank",
+    )
+    c = SA.bucketed_row_number(
+        c, [], (-F.col("freq")),
+        [F.col("freq").desc(), F.col("o_custkey").asc()], "_frank",
+    )
+    mbucket = F.size(F.filter(F.col("_mcuts"), lambda x: x < F.col("_negm")))
+    c = SA.bucketed_row_number(
+        c, [], mbucket,
+        [F.col("_negm").asc(), F.col("o_custkey").asc()], "_mrank",
+    )
+
+    def _ntile4(r: F.Column) -> F.Column:
+        # exact NTILE(4): the first n%4 tiles hold n//4+1 rows, the rest n//4
+        n = F.col("_n")
+        q = F.floor(n / 4).cast("long")
+        rem = (n % 4).cast("long")
+        head = rem * (q + 1)
+        return (
+            F.when(r <= head, F.floor((r - 1) / (q + 1)) + 1)
+            .otherwise(rem + F.floor((r - head - 1) / F.greatest(q, F.lit(1))) + 1)
+        ).cast("long")
+
+    return (
+        c.select(
+            _ntile4(F.col("_rrank")).alias("r_quartile"),
+            _ntile4(F.col("_frank")).alias("f_quartile"),
+            _ntile4(F.col("_mrank")).alias("m_quartile"),
+            "mon_cents",
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("total_monetary_cents"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+@register(
+    "ts_revenue_recognition",
+    oracle="""
+WITH ex AS (
+  SELECT o_orderkey,
+         date_trunc('month', o_orderdate) + to_months(m.m) AS month,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         m.m AS m
+  FROM orders CROSS JOIN (VALUES (0), (1), (2)) AS m(m)
+)
+SELECT month,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(cents // 3 + CASE WHEN m < cents % 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS recognized_cents
+FROM ex GROUP BY month ORDER BY month
+""",
+    category="timeseries",
+    description="Straight-line revenue recognition: each order's total "
+    "spreads over 3 months from the order month by the LARGEST-REMAINDER "
+    "method (cents div 3 per month, the first cents%3 months get the "
+    "extra cent) — so the monthly schedule sums back to the order total "
+    "EXACTLY, in pure integer arithmetic. A 3-row map-side explode "
+    "(sequence 0..2) + one month aggregate; no join, no window. The "
+    "deferred-revenue schedule every finance pipeline materializes.",
+)
+def ts_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ex = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("m"),
+    )
+    amount = F.expr("cents div 3") + F.when(
+        F.col("m") < F.expr("cents % 3"), 1
+    ).otherwise(0)
+    return (
+        ex.select(
+            F.add_months(F.date_trunc("month", F.col("o_orderdate")), F.col("m"))
+            .cast("timestamp_ntz")
+            .alias("month"),
+            "o_orderkey",
+            amount.alias("amount"),
+        )
+        .groupBy("month")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum("amount").cast("long").alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "text_freq_spectrum",
+    oracle=f"""
+WITH toks AS ({_DUCK_TOKS_FROM_DOCS}),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS freq_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM tc GROUP BY freq_log2 ORDER BY freq_log2
+""",
+    category="text",
+    description="Word-frequency spectrum of the corpus vocabulary "
+    "(Zipf diagnostics): distinct terms and total token mass per "
+    "floor(log2(frequency)) doubling bucket, the curve that separates "
+    "hapax-heavy noisy corpora from template-heavy duplicated ones. The "
+    "log2 floor is computed EXACTLY as length(bin(n))-1 — integer bit "
+    "arithmetic, no floating log — so both engines bucket identically. "
+    "One token explode + a vocabulary-sized aggregate + a ~30-row "
+    "spectrum; scales with corpus tokens, never pairs.",
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        tc.groupBy(
+            (F.length(F.bin(F.col("n"))) - 1).cast("long").alias("freq_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy("freq_log2")
+    )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+WITH names AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(LENGTH(p_name) AS BIGINT) AS len
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.name < b.name
+ AND b.len BETWEEN a.len - 2 AND a.len + 2
+ AND levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+""",
+    category="join",
+    description="Fuzzy self-join on part names: pairs of DISTINCT names "
+    "within Levenshtein edit distance 2 (the catalog-reconciliation / "
+    "entity-matching primitive). Scale shape: the join runs over the "
+    "DISTINCT-name table (vocabulary-bounded — distinct product names "
+    "grow with the catalog's vocabulary, not with corpus rows), and "
+    "candidates ride a LENGTH-BAND EQUI join (each right name explodes "
+    "to its 5 admissible lengths; edit distance <= 2 implies length "
+    "difference <= 2, so the banding is COMPLETE — no pair is missed). "
+    "The expensive levenshtein() only ever runs on banded candidates, "
+    "never all pairs.",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    ).withColumn("len", F.length("name").cast("long"))
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("len").alias("len_a"),
+    )
+    # complete banding: lev(a,b) <= 2 ⇒ |len(a)-len(b)| <= 2, so b lists
+    # every admissible a-length and the join is pure equi on blk
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.explode(
+            F.sequence(F.col("len") - 2, F.col("len") + 2)
+        ).alias("blk"),
+    )
+    return (
+        a.join(b, (a.len_a == b.blk) & (a.name_a < b.name_b))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+        .select("name_a", "name_b", "edit_distance", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+              AS HUGEINT) AS s2,
+         CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+              AS HUGEINT) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, n_rows, mean,
+         r2 - mean * mean AS m2,
+         r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+         r4 - 4 * mean * r3 + 6 * mean * mean * r2
+            - 3 * mean * mean * mean * mean AS m4
+  FROM m
+)
+SELECT l_returnflag, n_rows,
+       ROUND(mean, 6) AS mean_qty,
+       ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM c ORDER BY l_returnflag
+""",
+    category="aggregation",
+    description="Skewness and excess kurtosis of quantity per return "
+    "flag via EXACT integer power sums S1..S4 (quantity is integral and "
+    "<= 50, so S4 fits decimal(38,0)/HUGEINT through ~1e30 rows): both "
+    "engines aggregate the same integers, then run the IDENTICAL "
+    "double-expression tree (central moments from raw moments; A^1.5 "
+    "written as m2*sqrt(m2) because IEEE sqrt is exact where pow() is "
+    "not) — the third/fourth-order extension of the corr-moments trick. "
+    "One partial+final aggregate; round-6 doubles out.",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(q).cast("decimal(38,0)").alias("s1"),
+        F.sum(q * q).cast("decimal(38,0)").alias("s2"),
+        F.sum(q * q * q).cast("decimal(38,0)").alias("s3"),
+        F.sum(q * q * q * q).cast("decimal(38,0)").alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean"),
+        (F.col("s2").cast("double") / F.col("n").cast("double")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n").cast("double")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n").cast("double")).alias("r4"),
+    )
+    mean = F.col("mean")
+    c = m.select(
+        "l_returnflag",
+        "n_rows",
+        "mean",
+        (F.col("r2") - mean * mean).alias("m2"),
+        (F.col("r3") - 3 * mean * F.col("r2") + 2 * mean * mean * mean).alias("m3"),
+        (
+            F.col("r4")
+            - 4 * mean * F.col("r3")
+            + 6 * mean * mean * F.col("r2")
+            - 3 * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    return c.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6).alias(
+            "skewness"
+        ),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT date_trunc('day', session_start) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS bounce_ppm
+FROM per_session GROUP BY day ORDER BY day
+""",
+    category="analytics",
+    description="Daily bounce rate over 30-minute-gap sessionization: "
+    "sessions with exactly one event as integer ppm of the day's "
+    "sessions (the engagement metric behind every web dashboard). The "
+    "LAG/running-sum windows partition by user_id — millions of small "
+    "uniform partitions, the shape per-entity windows are FOR — then "
+    "one (user, session) aggregate and a days-bounded rollup. Event-id "
+    "tie-break makes same-timestamp ordering engine-independent.",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy(
+            F.date_trunc("day", F.col("session_start")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounces.cast("long").alias("n_bounces"),
+            F.expr(
+                "(1000000 * sum(case when n_events = 1 then 1 else 0 end))"
+                " div count(*)"
+            ).cast("long").alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "graph_degree_spectrum",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+pdeg AS (SELECT l_partkey AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM edges GROUP BY node),
+sdeg AS (SELECT l_suppkey AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM edges GROUP BY node),
+both_sides AS (
+  SELECT 'part' AS side, degree FROM pdeg
+  UNION ALL
+  SELECT 'supplier' AS side, degree FROM sdeg
+)
+SELECT side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM both_sides GROUP BY side, degree
+ORDER BY side, degree
+""",
+    category="graph",
+    description="Degree spectrum of the bipartite part-supplier graph "
+    "(the first diagnostic before any graph algorithm — spots hubs and "
+    "skew that would break joins downstream): distinct edges, per-node "
+    "degrees on both sides, then the (side, degree) histogram. Three "
+    "partial+final aggregates, all map-side combinable; the spectrum is "
+    "degree-domain bounded. Pure integers.",
+)
+def graph_degree_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    pdeg = edges.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    sdeg = edges.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    both_sides = pdeg.select(F.lit("part").alias("side"), "degree").unionAll(
+        sdeg.select(F.lit("supplier").alias("side"), "degree")
+    )
+    return (
+        both_sides.groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("side", "degree")
+    )

@@ -950,3 +950,45 @@ def test_bucketed_running_sum_preserves_fractional_weights(spark):
         [F.col("v").asc(), F.col("id").asc()], F.col("wt"), "cs",
     )
     assert dict(dbl.dtypes)["cs"] == "double"
+
+
+def test_bucketed_running_max_matches_window_semantics(spark):
+    """bucketed_running_max == MAX(v) OVER (PARTITION BY p ORDER BY o
+    ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING]) for a monotone bucket —
+    both the inclusive and the exclusive (skyline) frames."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.operators.sampling import bucketed_running_max
+
+    rows = [(g, v, i, x) for g in ("a", "b") for i, (v, x) in enumerate(
+        [(5.0, 2), (1.0, 9), (3.0, 1), (3.0, 5), (2.0, 4), (0.5, 7)]
+    )]
+    df = spark.createDataFrame(rows, "g string, v double, id int, x long")
+    base = (
+        Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    )
+    for inclusive in (True, False):
+        got = bucketed_running_max(
+            df, ["g"], F.floor(F.col("v")).cast("int"),
+            [F.col("v").asc(), F.col("id").asc()], F.col("x"), "rm",
+            inclusive=inclusive,
+        )
+        end = Window.currentRow if inclusive else -1
+        exp = df.withColumn(
+            "rm",
+            F.max("x").over(base.rowsBetween(Window.unboundedPreceding, end)),
+        )
+        key = lambda r: (r.g, r.id)  # noqa: E731
+        assert sorted(got.collect(), key=key) == sorted(
+            exp.collect(), key=key
+        ), f"inclusive={inclusive}"
+
+
+def test_rfm_and_frontier_plans_have_no_global_window(spark):
+    """The two new bucketed-machinery consumers must not plan any
+    unpartitioned corpus window (the registry-wide plan gate also covers
+    this; asserting here keeps the failure local and named)."""
+    for q in ("analytics_rfm_segments", "window_pareto_frontier"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
