@@ -10243,3 +10243,188 @@ def graph_degree_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("side", "degree")
     )
+
+
+_DUCK_TOKLIST = (
+    "list_filter(regexp_split_to_array(translate(text, "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+    "'[ \t\n\r\f\x0B]+'), t -> t != '')"
+)
+
+
+@register(
+    "text_collocation_lift",
+    oracle=f"""
+WITH toks AS ({_DUCK_TOKS_FROM_DOCS}),
+uni AS (SELECT tok, CAST(COUNT(*) AS HUGEINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS total FROM toks),
+tl AS (SELECT {_DUCK_TOKLIST} AS t FROM documents),
+bg AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(t) - 1, 1))])
+         AS bigram
+  FROM tl
+),
+bc AS (
+  SELECT bigram, CAST(COUNT(*) AS HUGEINT) AS c_xy
+  FROM bg WHERE contains(bigram, ' ') GROUP BY bigram
+),
+lifted AS (
+  SELECT bc.bigram, bc.c_xy,
+         CAST((1000000 * tot.total * bc.c_xy) // (u1.c * u2.c) AS BIGINT)
+           AS lift_ppm
+  FROM bc
+  CROSS JOIN tot
+  JOIN uni u1 ON u1.tok = string_split(bc.bigram, ' ')[1]
+  JOIN uni u2 ON u2.tok = string_split(bc.bigram, ' ')[2]
+  WHERE bc.c_xy >= 5
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS n_pair, lift_ppm
+FROM lifted ORDER BY lift_ppm DESC, bigram LIMIT 20
+""",
+    category="text",
+    description="Collocation extraction by integer LIFT: top-20 bigrams "
+    "by (1e6 * N * count(xy)) div (count(x) * count(y)) with a min-count "
+    "valve — the log-free PMI surrogate (monotone in PMI), so the whole "
+    "ranking is exact integer arithmetic, never a cross-engine log(). "
+    "One bigram explode + one unigram explode, vocabulary-keyed joins, "
+    "TakeOrdered(20) on a unique (lift, bigram) order. The 1-row token "
+    "total rides a broadcast.",
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toked = d.select(T.tokens(F.col("text")).alias("_toks"))
+    toks = toked.select(F.explode("_toks").alias("tok"))
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("total")
+    ).withColumn("_k", F.lit(1))
+    bg = toked.select(
+        F.explode(T.ngrams_all_from_tokens(F.col("_toks"), 2)).alias("bigram")
+    )
+    bc = (
+        bg.filter(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+        .withColumn("_k", F.lit(1))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.join(F.broadcast(tot), "_k")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "bigram",
+            F.col("c_xy").cast("long").alias("n_pair"),
+            F.expr("(1000000 * total * c_xy) div (c1 * c2)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY from_type, to_type
+),
+m AS (
+  SELECT from_type, to_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+  FROM c
+)
+SELECT from_type, to_type, n,
+       CAST((1000000 * n) // row_total AS BIGINT) AS prob_ppm
+FROM m ORDER BY from_type, to_type
+""",
+    category="analytics",
+    description="First-order Markov transition matrix over each user's "
+    "event sequence: LAG per user (millions of small uniform partitions "
+    "— the shape per-entity windows are FOR, with event-id tie-break), "
+    "one (from, to) aggregate into the bounded types^2 matrix, then "
+    "row-normalized transition probabilities in integer ppm via a "
+    "window over the 25-cell table. The sequence-model / "
+    "next-event-prediction feed, exact cross-engine.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # bounded: the normalizing window runs over the types^2 matrix
+    m = c.withColumn(
+        "row_total",
+        F.sum("n").over(Window.partitionBy("from_type")).cast("long"),
+    )
+    return m.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(1000000 * n) div row_total").cast("long").alias("prob_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_cumulative_unique_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+""",
+    category="analytics",
+    description="User-acquisition growth curve: first-seen day per user "
+    "(one user-keyed aggregate — the only corpus-sized shuffle), daily "
+    "new-user counts, and the cumulative unique-user total as a running "
+    "sum over the DAYS-bounded daily table (calendar-bounded input, so "
+    "the unpartitioned window is scale-safe by construction — the "
+    "registry plan gate sees the aggregate beneath it). The exact "
+    "distinct-growth twin of the HLL rollup sketch path.",
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    # bounded: running sum over the days-bounded daily aggregate
+    wc = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_users", F.sum("new_users").over(wc).cast("long")
+    ).orderBy("day")
