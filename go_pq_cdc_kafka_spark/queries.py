@@ -9738,6 +9738,13 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rev_cents")
         )
+        # four branches consume this rollup (group max, cutpoint stats,
+        # bucketed prefix, final join) and Catalyst's ReuseExchange does
+        # not canonicalize them together — without the checkpoint the
+        # corpus scan+rollup executes once PER BRANCH (measured 49s →
+        # 18s at 60M rows). The materialized table is supplier-bounded
+        # (one row per supplier), never corpus-sized.
+        .localCheckpoint(eager=False)
     )
     g = rev.groupBy("rev_cents").agg(F.max("bal_cents").alias("grp_max"))
     g = g.withColumn("_neg", -F.col("rev_cents"))
@@ -9814,6 +9821,9 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mon_cents"),
     ).withColumn("_negm", -F.col("mon_cents"))
+    # the stats branch and three bucketed ranks all re-derive from this
+    # customer-bounded rollup; checkpoint so the orders scan runs once
+    cust = cust.localCheckpoint(eager=False)
     stats = cust.agg(
         F.max("last_order").alias("_gmax"),
         F.count(F.lit(1)).cast("long").alias("_n"),
@@ -10069,13 +10079,17 @@ FROM c ORDER BY l_returnflag
 )
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("decimal(38,0)")
+    # per-row powers in LONG (quantity <= 50 so q^4 <= 6.25e6 — far
+    # inside int64); only the SUM accumulates in decimal(38,0). Decimal
+    # multiply per row costs ~2x the whole aggregate at 60M rows.
+    q = F.col("l_quantity").cast("long")
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(q).cast("decimal(38,0)").alias("s1"),
-        F.sum(q * q).cast("decimal(38,0)").alias("s2"),
-        F.sum(q * q * q).cast("decimal(38,0)").alias("s3"),
-        F.sum(q * q * q * q).cast("decimal(38,0)").alias("s4"),
+        F.sum(dec(q)).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(q * q)).cast("decimal(38,0)").alias("s2"),
+        F.sum(dec(q * q * q)).cast("decimal(38,0)").alias("s3"),
+        F.sum(dec(q * q * q * q)).cast("decimal(38,0)").alias("s4"),
     )
     m = s.select(
         "l_returnflag",
@@ -10295,11 +10309,14 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toked = d.select(T.tokens(F.col("text")).alias("_toks"))
     toks = toked.select(F.explode("_toks").alias("tok"))
+    # vocabulary-bounded; checkpointed because THREE branches (both join
+    # probes and the token total) would otherwise each re-run the corpus
+    # token explode
     uni = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
-    )
-    tot = toks.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("total")
+    ).localCheckpoint(eager=False)
+    tot = uni.agg(
+        F.sum("c").cast("decimal(38,0)").alias("total")
     ).withColumn("_k", F.lit(1))
     bg = toked.select(
         F.explode(T.ngrams_all_from_tokens(F.col("_toks"), 2)).alias("bigram")
@@ -10428,3 +10445,227 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
     return daily.withColumn(
         "cum_users", F.sum("new_users").over(wc).cast("long")
     ).orderBy("day")
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+-- each active (user, day) contributes to the trailing-7d window of
+-- days day .. day+6 (map-side x7 explode, then distinct per target day)
+contrib AS (
+  SELECT user_id, day + to_days(CAST(o.o AS INTEGER)) AS wday
+  FROM active CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS o(o)
+),
+wau_t AS (
+  SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY wday
+),
+dau_t AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM active GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST((1000000 * d.dau) // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau_t d JOIN wau_t w USING (day)
+ORDER BY day
+""",
+    category="analytics",
+    description="DAU / trailing-7-day WAU / stickiness (the "
+    "DAU-over-WAU engagement ratio in integer ppm): the distinct "
+    "(user, day) active table explodes map-side into the <=7 future "
+    "window days each activity serves, then ONE distinct aggregate per "
+    "target day — the exact rolling-distinct shape (distinct counts "
+    "don't merge across days, so the explode IS the scale-correct "
+    "exact path; the HLL rollup in sketch_hll_rollup is the sketch "
+    "twin for wider windows). Days with no 7-day history still report "
+    "their partial window, exactly as the SQL does. Output rows are "
+    "calendar-bounded.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                       F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wau_t = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau_t = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        dau_t.join(wau_t, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(1000000 * dau) div wau").cast("long").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ts_sma_crossover",
+    oracle=f"""
+WITH daily AS ({_DAILY_COUNTS_SQL}),
+sums AS (
+  SELECT event_type, day,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sum5,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sum20,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS hist
+  FROM daily
+),
+ind AS (
+  SELECT event_type, day,
+         CASE WHEN 4 * sum5 > sum20 THEN 1
+              WHEN 4 * sum5 < sum20 THEN -1 ELSE 0 END AS side
+  FROM sums WHERE hist >= 20
+),
+flips AS (
+  SELECT event_type, day, side,
+         LAG(side) OVER (PARTITION BY event_type ORDER BY day) AS prev_side
+  FROM ind
+)
+SELECT event_type, day,
+       CASE WHEN side > prev_side THEN 'golden' ELSE 'death' END AS crossover
+FROM flips
+WHERE prev_side IS NOT NULL AND side <> prev_side AND side <> 0
+ORDER BY event_type, day
+""",
+    category="timeseries",
+    description="SMA(5)/SMA(20) crossover detection (golden/death cross) "
+    "on each event type's daily count series — the moving-average "
+    "signal, made EXACT by comparing 4*sum5 vs sum20 (the LCM-cleared "
+    "inequality; no float division anywhere). Warm-up days (<20 days "
+    "history) are excluded via a window COUNT, so partial-window SMAs "
+    "never emit a false cross. All windows run over the bounded "
+    "(types x days) daily aggregate.",
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(load_table(spark, sf_dir, "events"))
+    w5 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
+    )
+    w20 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    )
+    sums = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w5).cast("long").alias("sum5"),
+        F.sum("n").over(w20).cast("long").alias("sum20"),
+        F.count(F.lit(1)).over(w20).cast("long").alias("hist"),
+    )
+    ind = sums.filter(F.col("hist") >= 20).select(
+        "event_type",
+        "day",
+        F.when(4 * F.col("sum5") > F.col("sum20"), 1)
+        .when(4 * F.col("sum5") < F.col("sum20"), -1)
+        .otherwise(0)
+        .alias("side"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    flips = ind.withColumn("prev_side", F.lag("side").over(wlag))
+    return (
+        flips.filter(
+            F.col("prev_side").isNotNull()
+            & (F.col("side") != F.col("prev_side"))
+            & (F.col("side") != 0)
+        )
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("side") > F.col("prev_side"), "golden")
+            .otherwise("death")
+            .alias("crossover"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "agg_ols_regression",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+           AS sy,
+         CAST(SUM(CAST(l_quantity AS HUGEINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+           AS sxy,
+         CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+              AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_unit,
+       ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+FROM s ORDER BY l_returnflag
+""",
+    category="aggregation",
+    description="OLS regression of price (integer cents) on quantity per "
+    "return flag: slope, intercept, and R^2 from EXACT integer moment "
+    "sums (n, Sx, Sy, Sxy, Sxx, Syy in decimal(38,0)/HUGEINT — the "
+    "agg_corr_moments trick extended to the full regression triple), "
+    "with both engines evaluating the IDENTICAL double expression tree "
+    "over the same integers — round-6 doubles out. One partial+final "
+    "aggregate, map-side combinable.",
+)
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # per-row products in LONG (x <= 50, y <= ~1e9 cents → y*y <= 1e18
+    # inside int64); only the SUMs accumulate in decimal(38,0)
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(x)).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(y)).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(x * y)).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(x * x)).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(y * y)).cast("decimal(38,0)").alias("syy"),
+    )
+    cov = F.expr("cast(n * sxy - sx * sy as double)")
+    varx = F.expr("cast(n * sxx - sx * sx as double)")
+    vary = F.expr("cast(n * syy - sy * sy as double)")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(cov / varx, 6).alias("slope_cents_per_unit"),
+        F.round(
+            (F.expr("cast(sy as double)") - cov / varx * F.expr("cast(sx as double)"))
+            / F.expr("cast(n as double)"),
+            6,
+        ).alias("intercept_cents"),
+        F.round(cov * cov / (varx * vary), 6).alias("r_squared"),
+    ).orderBy("l_returnflag")
