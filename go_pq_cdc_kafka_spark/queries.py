@@ -10669,3 +10669,230 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_cents"),
         F.round(cov * cov / (varx * vary), 6).alias("r_squared"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+           AS lag_secs,
+         user_id
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+),
+ranked AS (
+  SELECT lag_secs,
+         ROW_NUMBER() OVER (ORDER BY lag_secs, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_secs END) AS BIGINT)
+         AS p50_secs,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_secs END)
+            AS BIGINT) AS p90_secs,
+       CAST(MIN(lag_secs) AS BIGINT) AS min_secs,
+       CAST(MAX(lag_secs) AS BIGINT) AS max_secs
+FROM ranked
+""",
+    category="analytics",
+    description="View-to-purchase conversion lag: per converted user the "
+    "seconds from first 'view' to first 'purchase', summarized as EXACT "
+    "lower-median and ceil-p90 order statistics — the rank convention "
+    "((n+1) div 2, (9n+9) div 10) is written out explicitly in BOTH "
+    "engines instead of trusting each engine's quantile_disc indexing. "
+    "Spark side computes the global ranks scale-safe via "
+    "bucketed_row_number over broadcast approx cutpoints (no single-task "
+    "window over the converted-user table); the 1-row result folds from "
+    "a bounded rank-filtered set.",
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("long").alias("lag_secs"),
+        "user_id",
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.percentile_approx(
+            "lag_secs", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("_cuts"),
+        F.min("lag_secs").alias("_mn"),
+        F.max("lag_secs").alias("_mx"),
+    ).withColumn("_k", F.lit(1))
+    cs = conv.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
+    bucket = F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("lag_secs")))
+    ranked = SA.bucketed_row_number(
+        cs, [], bucket,
+        [F.col("lag_secs").asc(), F.col("user_id").asc()], "rn",
+    )
+    hit = ranked.filter(
+        (F.col("rn") == F.expr("(_n + 1) div 2"))
+        | (F.col("rn") == F.expr("(9 * _n + 9) div 10"))
+    )
+    return hit.agg(
+        F.max("_n").cast("long").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(_n + 1) div 2"), F.col("lag_secs"))
+        ).cast("long").alias("p50_secs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * _n + 9) div 10"), F.col("lag_secs")
+            )
+        ).cast("long").alias("p90_secs"),
+        F.max("_mn").cast("long").alias("min_secs"),
+        F.max("_mx").cast("long").alias("max_secs"),
+    )
+
+
+@register(
+    "analytics_monthly_churn",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS month
+  FROM orders
+),
+mx AS (SELECT MAX(month) AS last_month FROM active),
+flags AS (
+  SELECT a.o_custkey, a.month,
+         CASE WHEN n.o_custkey IS NULL THEN 1 ELSE 0 END AS churned
+  FROM active a
+  LEFT JOIN active n
+    ON n.o_custkey = a.o_custkey AND n.month = a.month + to_months(1)
+)
+SELECT f.month, CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(f.churned) AS BIGINT) AS n_churned,
+       CAST((1000000 * SUM(f.churned)) // COUNT(*) AS BIGINT) AS churn_ppm
+FROM flags f CROSS JOIN mx
+WHERE f.month < mx.last_month
+GROUP BY f.month ORDER BY f.month
+""",
+    category="analytics",
+    description="Monthly customer churn: a customer active in month m "
+    "churns if they place no order in m+1 (the shifted self LEFT JOIN on "
+    "(custkey, month+1) — one uniform custkey-keyed shuffle, no window). "
+    "The final data month is excluded (everyone would 'churn' after the "
+    "horizon) via a broadcast 1-row max-month. Integer ppm rates over "
+    "the calendar-bounded month table.",
+)
+def analytics_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    active = o.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).distinct()
+    mx = active.agg(F.max("month").alias("last_month")).withColumn(
+        "_k", F.lit(1)
+    )
+    nxt = active.select(
+        F.col("o_custkey").alias("n_custkey"),
+        F.col("month").alias("n_month"),
+    )
+    flags = active.join(
+        nxt,
+        (F.col("o_custkey") == F.col("n_custkey"))
+        & (
+            F.add_months(F.col("month"), 1).cast("timestamp_ntz")
+            == F.col("n_month")
+        ),
+        "left",
+    ).select(
+        "o_custkey",
+        "month",
+        F.when(F.col("n_custkey").isNull(), 1).otherwise(0).alias("churned"),
+    )
+    return (
+        flags.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .filter(F.col("month") < F.col("last_month"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum("churned").cast("long").alias("n_churned"),
+            F.expr("(1000000 * sum(churned)) div count(*)")
+            .cast("long")
+            .alias("churn_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "analytics_aging_buckets",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS asof FROM orders),
+aged AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, mx.asof) AS age_days,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN mx
+  WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 60 THEN '31-60'
+            WHEN age_days <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS open_cents
+FROM aged
+GROUP BY o_orderpriority, age_bucket
+ORDER BY o_orderpriority, age_bucket
+""",
+    category="analytics",
+    description="Open-order aging report (the AR aging staple): open "
+    "('O') orders bucketed 0-30/31-60/61-90/90+ days old relative to "
+    "the data horizon, with counts and integer-cent exposure per "
+    "priority. The as-of date rides a broadcast 1-row aggregate; the "
+    "rest is one pushed-filter scan + a bounded (priority x 4) "
+    "aggregate.",
+)
+def analytics_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("asof")).withColumn("_k", F.lit(1))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("asof"), F.col("o_orderdate")).alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        aged.groupBy(
+            "o_orderpriority",
+            F.when(F.col("age_days") <= 30, "0-30")
+            .when(F.col("age_days") <= 60, "31-60")
+            .when(F.col("age_days") <= 90, "61-90")
+            .otherwise("90+")
+            .alias("age_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
