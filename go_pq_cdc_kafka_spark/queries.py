@@ -10896,3 +10896,131 @@ def analytics_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "age_bucket")
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY path
+)
+SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 20
+""",
+    category="analytics",
+    description="User-journey trigram mining: the top-20 length-3 "
+    "event-type paths across all user sequences (the order-2 extension "
+    "of events_transition_matrix — funnel discovery rather than funnel "
+    "measurement). Two LEADs over per-user windows (uniform small "
+    "partitions, event-id tie-break), one aggregate into the <= types^3 "
+    "path table, TakeOrdered(20) on the unique (count, path) order.",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY event_type
+),
+total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST((1000000 * p.n_both) //
+            (sa.n_users + sb.n_users - p.n_both) AS BIGINT) AS jaccard_ppm,
+       CAST((1000000 * CAST(t.n AS HUGEINT) * p.n_both)
+            // (CAST(sa.n_users AS HUGEINT) * sb.n_users)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+CROSS JOIN total t
+ORDER BY p.type_a, p.type_b
+""",
+    category="analytics",
+    description="Behavioral co-occurrence between event types at USER "
+    "level: for each type pair, the users doing both, set Jaccard, and "
+    "lift vs independence — all integer ppm. The self-join runs on the "
+    "distinct (type, user) table keyed by user (<= types rows per user, "
+    "so fanout is bounded by types^2 per user, never corpus^2); sizes "
+    "and the user total are bounded broadcasts. The audience-overlap "
+    "matrix every ads/analytics stack computes.",
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    total = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    ).withColumn("_k", F.lit(1))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b"))
+    pairs = (
+        a.join(b, (a.user_id == b.uid_b) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.expr("(1000000 * n_both) div (na + nb - n_both)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            # decimal(38,0): 1e6 * users * users overflows int64 past
+            # ~1e9 distinct users — the ppm numerator must widen
+            F.expr(
+                "(1000000 * cast(n as decimal(38,0)) * n_both)"
+                " div (cast(na as decimal(38,0)) * nb)"
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
