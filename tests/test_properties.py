@@ -422,3 +422,62 @@ def test_ewma_fold_bit_parity_with_duckdb(spark, vals):
         ).fetchall()
     )
     assert got == want  # EXACT equality, no tolerance
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),            # partition group
+            st.integers(min_value=-50, max_value=50),  # order/bucket value
+            st.integers(min_value=-1000, max_value=1000),  # payload
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_bucketed_running_family_matches_global_window(spark, rows, n_buckets):
+    """bucketed_row_number / bucketed_running_sum / bucketed_running_max
+    must equal their single-window definitions for ARBITRARY data and any
+    bucket width, as long as the bucket is monotone in the order key —
+    including duplicate order keys, negative values, and the exclusive
+    max frame (first-row NULL)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.operators.sampling import (
+        bucketed_row_number,
+        bucketed_running_max,
+        bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, x, i) for i, (g, v, x) in enumerate(rows)],
+        "g string, v int, x long, id int",
+    )
+    width = max(1, 101 // n_buckets)
+    bucket = F.floor((F.col("v") + 50) / width).cast("int")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    base = Window.partitionBy("g").orderBy(*order)
+    inc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exc = base.rowsBetween(Window.unboundedPreceding, -1)
+
+    got = bucketed_row_number(df, ["g"], bucket, order, "rn")
+    got = bucketed_running_sum(got, ["g"], bucket, order, F.col("x"), "cs")
+    got = bucketed_running_max(got, ["g"], bucket, order, F.col("x"), "im")
+    got = bucketed_running_max(
+        got, ["g"], bucket, order, F.col("x"), "em", inclusive=False
+    )
+    exp = (
+        df.withColumn("rn", F.row_number().over(base).cast("long"))
+        .withColumn("cs", F.sum("x").over(inc))
+        .withColumn("im", F.max("x").over(inc))
+        .withColumn("em", F.max("x").over(exc))
+    )
+    key = lambda r: (r.g, r.id)  # noqa: E731
+    g_rows = sorted(got.collect(), key=key)
+    e_rows = sorted(exp.collect(), key=key)
+    assert [
+        (r.g, r.id, r.rn, r.cs, r.im, r.em) for r in g_rows
+    ] == [(r.g, r.id, r.rn, r.cs, r.im, r.em) for r in e_rows]
