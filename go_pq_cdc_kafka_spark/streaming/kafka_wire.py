@@ -298,6 +298,9 @@ def _zigzag_decode(n: int) -> int:
 
 def write_varint(out: bytearray, value: int) -> None:
     v = _zigzag_encode(value) & 0xFFFFFFFFFFFFFFFF
+    if v < 0x80:  # single-byte fast path: lengths/deltas are usually tiny
+        out.append(v)
+        return
     while (v & ~0x7F) != 0:
         out.append((v & 0x7F) | 0x80)
         v >>= 7
@@ -430,7 +433,8 @@ def _snappy_xerial_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-@dataclass
+@dataclass(slots=True)  # no per-instance __dict__: Records are the
+# producer hot path's dominant allocation
 class Record:
     key: bytes | None
     value: bytes | None
@@ -439,8 +443,15 @@ class Record:
     offset: int = 0  # absolute offset, filled by the decoder
 
 
-def _encode_record(rec: Record, offset_delta: int, ts_delta: int) -> bytes:
-    body = bytearray()
+def _encode_record_into(
+    payload: bytearray, body: bytearray, rec: Record,
+    offset_delta: int, ts_delta: int,
+) -> None:
+    """Append one length-prefixed record to ``payload``, scratch-building
+    the body in the caller's reused ``body`` buffer — no per-record
+    allocations (the old build-bytes-then-copy shape cost two extra
+    copies per record on the producer hot path)."""
+    body.clear()
     body.append(0)  # record attributes (unused)
     write_varint(body, ts_delta)
     write_varint(body, offset_delta)
@@ -464,9 +475,13 @@ def _encode_record(rec: Record, offset_delta: int, ts_delta: int) -> bytes:
         else:
             write_varint(body, len(hv))
             body += hv
+    write_varint(payload, len(body))
+    payload += body
+
+
+def _encode_record(rec: Record, offset_delta: int, ts_delta: int) -> bytes:
     out = bytearray()
-    write_varint(out, len(body))
-    out += body
+    _encode_record_into(out, bytearray(), rec, offset_delta, ts_delta)
     return bytes(out)
 
 
@@ -495,10 +510,11 @@ def encode_record_batch(
         )
     max_ts = base_timestamp_ms
     payload = bytearray()
+    scratch = bytearray()  # reused per record by _encode_record_into
     for i, rec in enumerate(records):
         ts = rec.timestamp_ms if rec.timestamp_ms is not None else base_timestamp_ms
         max_ts = max(max_ts, ts)
-        payload += _encode_record(rec, i, ts - base_timestamp_ms)
+        _encode_record_into(payload, scratch, rec, i, ts - base_timestamp_ms)
     payload_bytes = bytes(payload)
     if compression == COMPRESSION_GZIP:
         payload_bytes = gzip.compress(payload_bytes, mtime=0)
