@@ -11024,3 +11024,107 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_order
+  FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CASE WHEN o.o_orderdate = f.first_order THEN 'new'
+              ELSE 'returning' END AS cohort,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT month, cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM tagged GROUP BY month, cohort
+ORDER BY month, cohort
+""",
+    category="analytics",
+    description="New-vs-returning revenue split per month (the BI "
+    "acquisition/retention revenue decomposition): each order tags as "
+    "'new' iff it lands on its customer's first order DATE (ties on the "
+    "same day all count as new — deterministic, needs no within-day "
+    "ordering), via one custkey-keyed first-order aggregate joined back "
+    "uniform. Integer cents; calendar-bounded output.",
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order")
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.when(F.col("o_orderdate") == F.col("first_order"), "new")
+        .otherwise("returning")
+        .alias("cohort"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        tagged.groupBy("month", "cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("month", "cohort")
+    )
+
+
+@register(
+    "analytics_repeat_purchase_rate",
+    oracle="""
+WITH cp AS (
+  SELECT p.p_brand, o.o_custkey, l.l_partkey,
+         CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, o.o_custkey, l.l_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_cust_part_pairs,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat_pairs,
+       CAST((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS repeat_ppm
+FROM cp GROUP BY p_brand ORDER BY p_brand
+""",
+    category="analytics",
+    description="Repeat-purchase rate per brand: the share of "
+    "(customer, part) pairs ordered in >= 2 DISTINCT orders — the "
+    "loyalty/consumable-detection metric. One orders join to attach the "
+    "customer, one (brand, cust, part)-keyed count-distinct aggregate, "
+    "then a brand-bounded rollup in integer ppm. Shuffles stay on "
+    "uniform composite keys; no windows.",
+)
+def analytics_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "o_custkey", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return (
+        cp.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust_part_pairs"),
+            rep.cast("long").alias("n_repeat_pairs"),
+            F.expr(
+                "(1000000 * sum(case when n_orders >= 2 then 1 else 0 end))"
+                " div count(*)"
+            ).cast("long").alias("repeat_ppm"),
+        )
+        .orderBy("p_brand")
+    )
