@@ -9227,7 +9227,8 @@ def join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT source, UNNEST(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
-]+'), t -> t != '')) AS tok
+
+]+'), t -> t != '')) AS tok
   FROM documents
 ),
 counts AS (
@@ -9297,7 +9298,8 @@ def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT source, UNNEST(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ 	
-]+'), t -> t != '')) AS tok
+
+]+'), t -> t != '')) AS tok
   FROM documents
 ),
 global_counts AS (
@@ -11127,4 +11129,166 @@ def analytics_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("long").alias("repeat_ppm"),
         )
         .orderBy("p_brand")
+    )
+
+
+@register(
+    "quality_embedding_screen",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         CAST(len(embedding) AS BIGINT) AS dims,
+         list_sum(list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS norm2q
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(dims) AS BIGINT) AS dims_min,
+       CAST(MAX(dims) AS BIGINT) AS dims_max,
+       CAST(SUM(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_vecs,
+       CAST(SUM(norm2q) // COUNT(*) AS BIGINT) AS mean_norm2q
+FROM q GROUP BY label ORDER BY label
+""",
+    category="quality",
+    description="Embedding-table data-quality screen (the pre-flight "
+    "check before any ANN/semantic stage): per label the vector count, "
+    "min/max dimensionality (ragged arrays surface immediately), "
+    "zero-vector count, and mean squared norm — with every norm "
+    "quantized per-component to round(1e6*x) and summed as INTEGERS, so "
+    "the check is bit-identical cross-engine and order-independent "
+    "(float list_sum would be neither). Map-side array fold + one "
+    "label-bounded aggregate.",
+)
+def quality_embedding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norm2q = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long")
+            * F.round(x.cast("double") * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    q = e.select(
+        "label",
+        F.size("embedding").cast("long").alias("dims"),
+        norm2q.alias("norm2q"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("dims").cast("long").alias("dims_min"),
+            F.max("dims").cast("long").alias("dims_max"),
+            F.sum(F.when(F.col("norm2q") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_vecs"),
+            F.expr("sum(norm2q) div count(*)").cast("long").alias(
+                "mean_norm2q"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "sim_centroid_separation",
+    oracle="""
+WITH comp AS (
+  SELECT e.label, d.d,
+         CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d] AS DOUBLE) * 1000000) AS BIGINT))
+              AS HUGEINT) AS s
+  FROM embeddings e
+  JOIN LATERAL (SELECT UNNEST(generate_series(1, len(e.embedding))) AS d)
+    AS d ON TRUE
+  GROUP BY e.label, d.d
+),
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM embeddings GROUP BY label
+),
+selfdot AS (
+  SELECT label, CAST(SUM(s * s) AS HUGEINT) AS dd
+  FROM comp GROUP BY label
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.s * b.s) AS HUGEINT) AS dot
+  FROM comp a JOIN comp b ON a.d = b.d AND a.label < b.label
+  GROUP BY label_a, label_b
+)
+SELECT p.label_a, p.label_b,
+       ROUND(CAST(p.dot AS DOUBLE)
+             / SQRT(CAST(da.dd AS DOUBLE) * CAST(db.dd AS DOUBLE)), 6)
+         AS centroid_cosine
+FROM pairs p
+JOIN selfdot da ON da.label = p.label_a
+JOIN selfdot db ON db.label = p.label_b
+ORDER BY p.label_a, p.label_b
+""",
+    category="similarity",
+    description="Inter-label centroid separation: cosine between every "
+    "pair of label centroids (the clustering-quality margin that says "
+    "whether labels are even separable before training on them). "
+    "Component sums are EXACT integers (round(1e6*x) per element, "
+    "decimal(38,0)/HUGEINT sums), centroids never materialize as floats "
+    "— the scale-normalizing counts cancel inside the cosine, so the "
+    "ratio is computed from exact integer dot products in an identical "
+    "double expression tree. One posexplode + a (labels x dims)-bounded "
+    "pipeline; the pair join is labels^2-bounded.",
+)
+def sim_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("d"))
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1000000).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+    )
+    selfdot = comp.groupBy("label").agg(
+        F.sum(F.expr("s * s")).cast("decimal(38,0)").alias("dd")
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"), "d", F.col("s").alias("sa")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"),
+        F.col("d").alias("d_b"),
+        F.col("s").alias("sb"),
+    )
+    pairs = (
+        a.join(b, (a.d == b.d_b) & (a.label_a < b.label_b))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.expr("sa * sb")).cast("decimal(38,0)").alias("dot"))
+    )
+    da = selfdot.select(
+        F.col("label").alias("label_a"), F.col("dd").alias("dda")
+    )
+    db = selfdot.select(
+        F.col("label").alias("label_b"), F.col("dd").alias("ddb")
+    )
+    return (
+        pairs.join(F.broadcast(da), "label_a")
+        .join(F.broadcast(db), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("dda").cast("double") * F.col("ddb").cast("double")
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
     )
