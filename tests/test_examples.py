@@ -119,3 +119,12 @@ def test_example_streaming_eos(spark):
 
     seen = streaming_eos.main()
     assert len(seen) == 30 and set(seen.values()) == {1}
+
+
+def test_example_analytics_tour(spark):
+    import analytics_tour
+
+    out = analytics_tour.main(spark)
+    # every tour stop must produce rows even at sf0.001
+    assert set(out) == {n for n, _ in analytics_tour.TOUR}
+    assert all(n > 0 for n in out.values()), out
