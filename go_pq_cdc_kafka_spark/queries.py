@@ -11292,3 +11292,132 @@ def sim_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "ts_categorical_drift",
+    oracle="""
+WITH mc AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority AS cat,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY month, cat
+),
+shares AS (
+  SELECT month, cat, n,
+         CAST((1000000 * n) // SUM(n) OVER (PARTITION BY month) AS BIGINT)
+           AS share_ppm
+  FROM mc
+),
+lagged AS (
+  SELECT month, cat, share_ppm,
+         LAG(share_ppm) OVER (PARTITION BY cat ORDER BY month) AS prev_ppm
+  FROM shares
+)
+SELECT month,
+       CAST(SUM(ABS(share_ppm - prev_ppm)) // 2 AS BIGINT) AS tvd_ppm,
+       CAST(MAX(ABS(share_ppm - prev_ppm)) AS BIGINT) AS max_cat_shift_ppm
+FROM lagged
+WHERE prev_ppm IS NOT NULL
+GROUP BY month
+HAVING COUNT(*) = 5
+ORDER BY month
+""",
+    category="timeseries",
+    description="Categorical distribution drift month over month (the "
+    "data-drift monitor every ML ingest pipeline needs): each month's "
+    "order-priority mix as integer ppm shares, then the total variation "
+    "distance (half the L1 between consecutive months' shares) and the "
+    "largest single-category shift — all integer arithmetic. Months "
+    "with an incomplete category panel are excluded (HAVING = 5) so a "
+    "missing category never fakes a drift spike. One bounded "
+    "(months x 5) aggregate; every window runs on it.",
+)
+def ts_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mc = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("cat"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # bounded: shares + lag windows run on the (months x 5) mix table
+    shares = mc.withColumn(
+        "share_ppm",
+        F.expr("(1000000 * n) div sum(n) over (partition by month)")
+        .cast("long"),
+    )
+    lagged = shares.withColumn(
+        "prev_ppm",
+        F.lag("share_ppm").over(Window.partitionBy("cat").orderBy("month")),
+    ).filter(F.col("prev_ppm").isNotNull())
+    return (
+        lagged.groupBy("month")
+        .agg(
+            F.expr("sum(abs(share_ppm - prev_ppm)) div 2")
+            .cast("long")
+            .alias("tvd_ppm"),
+            F.max(F.abs(F.col("share_ppm") - F.col("prev_ppm")))
+            .cast("long")
+            .alias("max_cat_shift_ppm"),
+            F.count(F.lit(1)).alias("_ncat"),
+        )
+        .filter(F.col("_ncat") == 5)
+        .drop("_ncat")
+        .orderBy("month")
+    )
+
+
+@register(
+    "scan_table_profile",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders
+ORDER BY column_name
+""",
+    category="scan",
+    description="Table profiling (the data-catalog staple): per column "
+    "the row count, null count, and EXACT distinct cardinality for a "
+    "named column set of orders. Spark computes all three columns' "
+    "profiles in ONE multi-countDistinct aggregate over one scan "
+    "(Catalyst expands it to an Expand + two-level aggregate — one "
+    "pass, no per-column rescans), then unpivots to the catalog shape; "
+    "the oracle spells the same numbers as three scans because DuckDB "
+    "is the referee, not the plan under test.",
+)
+def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}" for c in cols
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )
