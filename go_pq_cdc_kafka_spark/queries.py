@@ -9994,33 +9994,118 @@ ORDER BY name_a, name_b
     "entity-matching primitive). Scale shape: the join runs over the "
     "DISTINCT-name table (vocabulary-bounded — distinct product names "
     "grow with the catalog's vocabulary, not with corpus rows), and "
-    "candidates ride a LENGTH-BAND EQUI join (each right name explodes "
-    "to its 5 admissible lengths; edit distance <= 2 implies length "
-    "difference <= 2, so the banding is COMPLETE — no pair is missed). "
-    "The expensive levenshtein() only ever runs on banded candidates, "
-    "never all pairs.",
+    "candidates ride a COMPOSITE equi key: length band AND a PassJoin "
+    "segment signature. Each indexed name of length la>=3 is cut into 3 "
+    "contiguous segments; with <=2 edits, pigeonhole leaves one segment "
+    "untouched, and the net insert/delete count before it shifts its "
+    "start by at most 2 — so the probe side emits, per admissible "
+    "partner length la and segment index k, every substring of the "
+    "matching segment length starting within +/-2 of the segment's "
+    "home position, and the equi join on (la, k, segment) is COMPLETE "
+    "for d<=2 (PassJoin argument; Li, Deng, Feng, VLDB 2011). Within a "
+    "length bucket candidates now need a shared 1/3-length substring, "
+    "not just equal length, keeping buckets subquadratic as the name "
+    "vocabulary grows 100x. Names shorter than 3 chars (where 3 "
+    "segments cannot all be nonempty) fall back to the plain length "
+    "band — a constant-size tail. The expensive levenshtein() only "
+    "ever runs on signature-matched candidates, never all pairs.",
 )
 def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     names = p.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     ).withColumn("len", F.length("name").cast("long"))
-    a = names.select(
+
+    # segment geometry for a length-la string cut into 3 parts: the first
+    # (la mod 3) segments get an extra char; seg_len/start are pure
+    # integer functions of (la, k) so both sides derive identical keys.
+    def _seg_len(la, k):
+        return (la / 3).cast("long") + F.when(k < la % 3, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+
+    def _seg_start(la, k):
+        # sum of the lengths of segments 0..k-1
+        base = (la / 3).cast("long")
+        return k * base + F.least(k, la % 3)
+
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+
+    # indexed side: one row per (name, segment) with the segment content
+    a_seg = (
+        names.filter(F.col("len") >= 3)
+        .select(
+            F.col("name").alias("name_a"),
+            F.col("n_parts").alias("n_parts_a"),
+            F.col("len").alias("len_a"),
+            ks,
+        )
+        .withColumn(
+            "seg",
+            F.expr(
+                "substring(name_a, cast(cast(len_a/3 as bigint)*k +"
+                " least(k, len_a % 3) as int) + 1,"
+                " cast(cast(len_a/3 as bigint) +"
+                " if(k < len_a % 3, 1, 0) as int))"
+            ),
+        )
+    )
+    # probe side: for each admissible partner length la (>=3) and segment
+    # index k, emit every substring of seg_len(la,k) chars whose start
+    # lies within +/-2 of the segment's home position (clamped to b).
+    b_probe = (
+        names.select(
+            F.col("name").alias("name_b"),
+            F.col("n_parts").alias("n_parts_b"),
+            F.col("len").alias("len_b"),
+        )
+        .withColumn(
+            "la", F.explode(F.sequence(F.col("len_b") - 2, F.col("len_b") + 2))
+        )
+        .filter(F.col("la") >= 3)
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .withColumn("seg_len", _seg_len(F.col("la"), F.col("k")))
+        .withColumn("start_a", _seg_start(F.col("la"), F.col("k")))
+        .withColumn("p_lo", F.greatest(F.col("start_a") - 2, F.lit(0)))
+        .withColumn(
+            "p_hi", F.least(F.col("start_a") + 2, F.col("len_b") - F.col("seg_len"))
+        )
+        .filter(F.col("p_lo") <= F.col("p_hi"))
+        .withColumn("p", F.explode(F.sequence(F.col("p_lo"), F.col("p_hi"))))
+        .withColumn(
+            "seg",
+            F.expr("substring(name_b, cast(p as int) + 1, cast(seg_len as int))"),
+        )
+        .select("name_b", "n_parts_b", "la", "k", "seg")
+    )
+    seg_pairs = (
+        a_seg.join(
+            b_probe,
+            (a_seg.len_a == b_probe.la)
+            & (a_seg.k == b_probe.k)
+            & (a_seg.seg == b_probe.seg)
+            & (a_seg.name_a < b_probe.name_b),
+        )
+        .select("name_a", "name_b", "n_parts_a", "n_parts_b")
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    # tail branch: len_a < 3 cannot carry 3 nonempty segments — plain
+    # length band (constant-size: at most the <3-char vocabulary)
+    tiny_a = names.filter(F.col("len") < 3).select(
         F.col("name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),
         F.col("len").alias("len_a"),
     )
-    # complete banding: lev(a,b) <= 2 ⇒ |len(a)-len(b)| <= 2, so b lists
-    # every admissible a-length and the join is pure equi on blk
-    b = names.select(
+    band_b = names.select(
         F.col("name").alias("name_b"),
         F.col("n_parts").alias("n_parts_b"),
-        F.explode(
-            F.sequence(F.col("len") - 2, F.col("len") + 2)
-        ).alias("blk"),
+        F.explode(F.sequence(F.col("len") - 2, F.col("len") + 2)).alias("blk"),
     )
+    tiny_pairs = tiny_a.join(
+        band_b, (tiny_a.len_a == band_b.blk) & (tiny_a.name_a < band_b.name_b)
+    ).select("name_a", "name_b", "n_parts_a", "n_parts_b")
     return (
-        a.join(b, (a.len_a == b.blk) & (a.name_a < b.name_b))
+        seg_pairs.unionByName(tiny_pairs)
         .withColumn(
             "edit_distance",
             F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
