@@ -1121,7 +1121,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5
+        # .limit(5) == no-op on the <=5-row unique-key filter; it puts a
+        # GlobalLimit under the broadcast so the plan gate can PROVE the
+        # BNLJ build side bounded instead of trusting the predicate
+        e.filter(F.col("vec_id") < 5).limit(5), e, k=5
     ).orderBy("query_id", "rk")
 
 
@@ -1481,7 +1484,7 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5)
+    q = e.filter(F.col("vec_id") < 5).limit(5)  # limit == no-op bound on the unique-key filter (plan-gate proof)
     ivf = SIM.ivf_topk(
         q, e, dim=64, k=5, n_centroids=8, nprobe=2, train_iters=3
     )
@@ -3738,7 +3741,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < 5)
+    q = e.filter(F.col("vec_id") < 5).limit(5)  # limit == no-op bound on the unique-key filter (plan-gate proof)
     return SIM.quantized_topk(q, e, k=5).orderBy("query_id", "rk")
 
 
@@ -6455,7 +6458,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.rp_cosine_topk(
-        e.filter(F.col("vec_id") < 5), e, dim=64, out_dim=16, k=5, rerank=3
+        e.filter(F.col("vec_id") < 5).limit(5),  # limit == no-op bound on the unique-key filter (plan-gate proof)
+        e, dim=64, out_dim=16, k=5, rerank=3
     ).orderBy("query_id", "rk")
 
 
@@ -8000,7 +8004,7 @@ ORDER BY e.query_id
 )
 def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
+    q = e.filter(F.col("vec_id") < 8).limit(8)  # limit == no-op bound on the unique-key filter (plan-gate proof)
     exact = SIM.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
     approx = (
         SIM.lsh_cosine_topk(q, e, dim=64, k=5, planes=4)

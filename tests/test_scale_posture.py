@@ -106,25 +106,39 @@ def test_unpartitioned_windows_are_justified():
     )
 
 
-def test_no_unbounded_single_partition_window_in_any_registry_plan(spark):
-    """PLAN-level generalization of the textual rule above, over the WHOLE
+def test_no_unbounded_single_partition_window_or_product_join_in_plans(spark):
+    """PLAN-level generalization of the textual rules above, over the WHOLE
     registry: build every registry query's physical plan at sf0.001 and
-    assert no Window operator runs over SinglePartition input (empty
-    partitionSpec) unless its subtree is provably bounded — a Limit /
-    TakeOrderedAndProject below it (the top-k-then-number pattern) or an
-    aggregate (the input is already group-level, not corpus rows). The
-    textual 12-line rule can be evaded by aliasing ``Window``; this one
-    sees the plan Catalyst actually produced, so it cannot. A global
-    unpartitioned window over corpus rows is THE classic silent scale
-    killer: correct at sf0.01, one straggler task at 100 TB."""
+    walk it for the two classic silent scale killers Catalyst can produce
+    from innocent-looking code:
+
+    1. A Window operator over SinglePartition input (empty partitionSpec)
+       whose subtree is not provably bounded — a Limit /
+       TakeOrderedAndProject below it (the top-k-then-number pattern) or
+       an aggregate (the input is already group-level, not corpus rows).
+       Correct at sf0.01, one straggler task at 100 TB.
+    2. A CartesianProductExec or BroadcastNestedLoopJoinExec whose BUILD
+       side (for BNLJ; either side for a cartesian) is not bounded by an
+       aggregate/limit below it. The legitimate shape — the 1-row
+       broadcast-scalar attach — always has an aggregate under the
+       broadcast side; an unbounded product join is |A|x|B| work that a
+       textual ``.crossJoin`` allowlist cannot see when Catalyst DERIVES
+       the product from a non-equi join condition.
+
+    The textual rules can be evaded by aliasing; this walk sees the plan
+    Catalyst actually produced, so it cannot."""
     from go_pq_cdc_kafka_spark.queries import REGISTRY
 
     sf = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
     window_ops = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
+    product_ops = {"CartesianProductExec", "BroadcastNestedLoopJoinExec"}
     bounders = {
         "CollectLimitExec", "GlobalLimitExec", "LocalLimitExec",
         "TakeOrderedAndProjectExec", "HashAggregateExec",
         "SortAggregateExec", "ObjectHashAggregateExec",
+        # driver-materialized constant data (createDataFrame of a K-row
+        # centroid/model table) — bounded by construction, never corpus
+        "LocalTableScanExec", "RDDScanExec",
     }
 
     def walk(node):
@@ -133,25 +147,42 @@ def test_no_unbounded_single_partition_window_in_any_registry_plan(spark):
         for i in range(children.size()):
             yield from walk(children.apply(i))
 
+    def bounded(node):
+        return any(
+            m.getClass().getSimpleName() in bounders for m in walk(node)
+        )
+
     def subtree_bounded(node):
         children = node.children()
-        return any(
-            m.getClass().getSimpleName() in bounders
-            for i in range(children.size())
-            for m in walk(children.apply(i))
-        )
+        return any(bounded(children.apply(i)) for i in range(children.size()))
 
     offenders = []
     for name in sorted(REGISTRY):
         plan = REGISTRY[name].fn(spark, sf)._jdf.queryExecution().sparkPlan()
         for n in walk(plan):
+            kind = n.getClass().getSimpleName()
             if (
-                n.getClass().getSimpleName() in window_ops
+                kind in window_ops
                 and n.partitionSpec().isEmpty()
                 and not subtree_bounded(n)
             ):
-                offenders.append(f"{name}: {n.getClass().getSimpleName()}")
+                offenders.append(f"{name}: unbounded SinglePartition {kind}")
+            elif kind in product_ops:
+                children = n.children()
+                sides = [children.apply(i) for i in range(children.size())]
+                if kind == "BroadcastNestedLoopJoinExec":
+                    # the broadcast (build) side must be bounded; py4j
+                    # exposes buildSide() as BuildLeft/BuildRight
+                    try:
+                        build = 0 if "Left" in n.buildSide().toString() else 1
+                        ok = bounded(sides[build])
+                    except Exception:
+                        ok = any(bounded(s) for s in sides)
+                else:
+                    ok = any(bounded(s) for s in sides)
+                if not ok:
+                    offenders.append(f"{name}: unbounded {kind}")
     assert not offenders, (
-        "unbounded SinglePartition window in the physical plan — a global "
-        "sort through ONE task at scale:\n" + "\n".join(offenders)
+        "scale-killer shape in a physical plan (unbounded global window "
+        "or product join):\n" + "\n".join(offenders)
     )

@@ -94,8 +94,19 @@ def main() -> int:
             print(f"FAIL {name}: {type(e).__name__} ({wall}s)", flush=True)
         spark.catalog.clearCache()
     n_resumed = sum(1 for r in results.values() if r.get("resumed"))
+    # registry-freeze stamp: the artifact carries the registry size it ran
+    # against, and a FULL sweep (no SPARK_GRAFT_SWEEP_ONLY subset) must
+    # cover exactly that many names — "223/225 + 2 landed later" can no
+    # longer hide; a subset sweep is machine-distinguishable via "subset".
+    if not only:
+        assert len(results) == len(REGISTRY), (
+            f"full sweep covered {len(results)} of {len(REGISTRY)} registry "
+            "queries — registry changed mid-sweep; freeze it and re-run"
+        )
     summary = {
         "sf_dir": sf_dir,
+        "registry_size": len(REGISTRY),
+        "subset": sorted(only) if only else None,
         # single-pass provenance: passes=1 means every ok above was
         # EXECUTED by this one cold run; a merged/resumed artifact is
         # distinguishable by passes>1 + the per-query "resumed" flags
