@@ -7,30 +7,42 @@ B~C, all three are one duplicate group even when A~C was never scored
 engine has nothing like this; it is part of the training-data tier this
 engine adds on top.
 
-Algorithm: iterative min-label propagation. Every node starts labeled with
-its own id; each round a node adopts the minimum label among itself and its
-neighbors; at fixpoint every node carries the minimum id of its connected
-component. Rounds needed = graph diameter, and near-dup clusters are
-shallow (stars and short chains around a popular document), so a handful of
-rounds converges. Each round is one broadcast-or-shuffle hash join
-(edges ⋈ labels) plus one groupBy — all data-side, nothing driver-side
-except the loop counter and a 0/1 convergence probe.
+Algorithm: alternating large-star/small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", SoCC'14). Each round rewires edges toward per-
+neighborhood minima:
+
+- **large-star**: for every node u, every STRICTLY LARGER neighbor v is
+  re-pointed at m(u) = min(Γ(u) ∪ {u});
+- **small-star**: edges are oriented (larger → smaller) and every node u
+  plus its (now all-smaller) neighbors are pointed at m(u).
+
+Both operations preserve connectivity, and the alternation converges to
+per-component star graphs (every node → component minimum) in
+**O(log² n) rounds on ANY graph** — including the long chains that make
+naive min-label propagation pay diameter rounds (1 hop of progress per
+round). That is not hypothetical: the sf10 near-dup pair graph contains
+a chain deeper than 25, which this module's previous min-label
+implementation silently failed to converge on (its ``max_iters`` guard
+returned partially-propagated labels). This implementation RAISES on
+non-convergence instead — wrong cluster ids must never ship quietly.
+
+Each half-round is one groupBy (per-node min) plus one equi-join
+(re-point edges) over the pair-bounded edge set — all data-side; the
+driver sees only the loop counter and a short-circuiting change probe.
 
 Scale notes (100-TB posture):
 
-- ``edges`` is referenced every round → persisted once up front.
-- labels are ``localCheckpoint``-ed each round: without it the plan doubles
-  per iteration and Catalyst re-derives the whole lineage at round k. A
-  local checkpoint trades fault-tolerance of the cached blocks for zero
-  HDFS round-trips; a production job on a real cluster with flaky executors
-  should ``spark.sparkContext.setCheckpointDir`` and use ``.checkpoint()``
-  instead (same call site, noted below).
-- the convergence probe is ``limit(1).count()`` over changed labels —
-  it short-circuits at the first changed row rather than counting all.
-- for adversarial graphs (long paths) the known fix is the
-  large-star/small-star algorithm (Kiveris et al., "Connected Components
-  in MapReduce and Beyond", SoCC'14) which converges in O(log² n) rounds;
-  ``max_iters`` guards against such inputs rather than hanging.
+- edge sets are ``localCheckpoint``-ed each round: without it the plan
+  doubles per iteration and Catalyst re-derives the whole lineage at
+  round k. A local checkpoint trades fault-tolerance of the cached
+  blocks for zero HDFS round-trips; a production job on a real cluster
+  with flaky executors should ``spark.sparkContext.setCheckpointDir``
+  and use ``.checkpoint()`` instead (same call sites).
+- the convergence probe is an exact edge-set comparison
+  (count + ``exceptAll(...).limit(1)`` short-circuit), node/edge-bounded.
+- work per round is O(|E|); rounds are O(log² n) worst-case and 3-5 in
+  practice on near-dup graphs (stars and short chains).
 """
 
 from __future__ import annotations
@@ -40,57 +52,118 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge set → large-star rewiring: every neighbor v > u is
+    re-pointed at m(u) = min(Γ(u) ∪ {u}). Input need not be symmetric;
+    symmetry is restored map-side (the paper's map phase)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge set → small-star rewiring: orient every edge larger →
+    smaller, then point each node u AND its (all smaller) neighbors at
+    m(u) = min(Γ(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iters: int = 25,
+    max_iters: int = 30,
 ) -> DataFrame:
-    """Resolve undirected edges into components.
+    """Resolve undirected edges into components via alternating
+    large-star/small-star contraction (see module docstring).
 
     Returns ``(doc_id, cluster_id)`` — one row per node that appears in any
     pair, ``cluster_id`` = the minimum doc_id of its component. Nodes with
     no edges (singletons) are the caller's concern: they are not cluster
     members and are simply absent here.
+
+    Raises ``RuntimeError`` if the edge set has not reached its star-graph
+    fixpoint within ``max_iters`` alternations — with the O(log² n) bound
+    that would take a graph beyond any physical corpus, and returning
+    partially-contracted labels silently is exactly the failure mode this
+    rewrite removed (min-label propagation needed diameter rounds and the
+    sf10 pair graph exceeded its iteration guard).
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
+    # eager checkpoint, not persist: the returned frame is consumed lazily
+    # by the caller, and an unpersisted/evicted nodes scan would re-run
+    # the (expensive) pair-generation lineage a second time
+    nodes = (
+        pairs.select(F.col(src_col).cast("long").alias("doc_id"))
+        .unionByName(pairs.select(F.col(dst_col).cast("long").alias("doc_id")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    edges = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nb_comp"))
-        )
-        proposed = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["dst"], "left"
-        ).select(
-            "id",
-            "comp",
-            F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                "new_comp"
-            ),
-        )
-        # Materialize once (eager localCheckpoint), then both the probe and
-        # the next round read the cached blocks — no lineage growth.
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = proposed.filter(F.col("new_comp") < F.col("comp")).limit(1).count()
-        labels = proposed.select("id", F.col("new_comp").alias("comp"))
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("id").cast("long").alias("doc_id"),
-        F.col("comp").cast("long").alias("cluster_id"),
+        # Materialize once per round (eager localCheckpoint): the probe and
+        # the next round both read cached blocks — no lineage growth.
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            # exact set comparison, short-circuiting at the first difference
+            if nxt.exceptAll(edges).limit(1).count() == 0:
+                converged = True
+        edges, n_edges = nxt, n_nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{max_iters} rounds — input far exceeds the O(log^2 n) design "
+            "envelope or the edge stream is unstable; refusing to return "
+            "partially-contracted cluster ids"
+        )
+    # at the fixpoint every edge points node → component minimum; nodes
+    # absent from the star edges are component minima themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    out = (
+        nodes.join(labels, nodes["doc_id"] == labels["u"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
     )
+    return out
 
 
 def bfs_min_hops(
