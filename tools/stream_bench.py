@@ -54,6 +54,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WARM = 20_000  # batch-0 JVM/codegen cost is not steady state
 
 
+def _writer_proc_main() -> None:
+    """``stream_bench.py --writer dsn table n_rows target_rate warm``:
+    the paced generate_series writer as its OWN process. A writer THREAD
+    shares the Spark driver's GIL, so raising the offered load used to
+    steal driver cycles (pump + batch planning) and the measured rate
+    DROPPED as the writer target rose — the round-9 120k-writer
+    inversion. Out of process, the writer costs the box only PG-server
+    work, like a real producing application would. Emits one
+    ``W <inserted>`` line per wave and ``DONE <secs>`` at the end."""
+    from go_pq_cdc_kafka_spark.sources import wire
+
+    dsn, tbl = sys.argv[2], sys.argv[3]
+    n_rows, target_rate, warm = (int(x) for x in sys.argv[4:7])
+    wave = max(5_000, target_rate // 8)
+    wconn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
+    t0 = time.monotonic()
+    sent = 0
+    while sent < n_rows:
+        n = min(wave, n_rows - sent)
+        lo = warm + sent + 1
+        wconn.simple_query(
+            f'INSERT INTO "{tbl}" (id, name) '
+            f"SELECT g, 'u' || g FROM generate_series({lo}, {lo + n - 1}) g"
+        )
+        sent += n
+        print(f"W {sent}", flush=True)
+        ahead = sent / target_rate - (time.monotonic() - t0)
+        if ahead > 0:
+            time.sleep(ahead)
+    wconn.close()
+    print(f"DONE {time.monotonic() - t0:.3f}", flush=True)
+
+
 def pct(sorted_vals: list[float], q: float) -> float:
     if not sorted_vals:
         return 0.0
@@ -62,6 +95,9 @@ def pct(sorted_vals: list[float], q: float) -> float:
 
 
 def main() -> None:
+    if sys.argv[1:2] == ["--writer"]:
+        _writer_proc_main()
+        return
     dsn = os.environ.get("SPARK_GRAFT_LIVE_PG")
     if not dsn:
         print(json.dumps({"skipped": "SPARK_GRAFT_LIVE_PG not set"}))
@@ -224,34 +260,70 @@ def main() -> None:
             time.sleep(0.5)
         batches.clear()
 
-        # --- paced writer (its own connection; generate_series waves) ----
+        # --- paced writer -------------------------------------------------
+        # DEFAULT: its own PROCESS (SB_WRITER_PROC=0 restores the legacy
+        # in-driver thread). The round-10 writer-rate ladder showed the
+        # thread variant's sustained rate FALLING as the writer target
+        # rose past saturation (85.0k at 120k target → 64.0k at 200k,
+        # constant batch size but addBatch p50 4.6→5.8 s and latestOffset
+        # 0.8→2.1 s): the writer thread's protocol work shares the driver
+        # GIL with the replication pump and batch planning, so offered
+        # load was stealing measured capacity — a harness artifact, not a
+        # pipeline backpressure defect. Out of process, the curve is flat
+        # at the pipeline's ceiling (writer cost = PG-server work only,
+        # as with a real producing application).
+        writer_proc_mode = os.environ.get("SB_WRITER_PROC", "1") != "0"
         wave = max(5_000, target_rate // 8)
         writer_done = threading.Event()
         writer_stats = {"inserted": 0, "t0": 0.0, "t_end": 0.0}
+        out["writer_mode"] = "process" if writer_proc_mode else "thread"
 
-        def writer() -> None:
-            wconn = wire.ReplicationConnection(**wire.parse_dsn(dsn)).connect()
-            try:
-                t0 = time.monotonic()
-                writer_stats["t0"] = t0
-                sent = 0
-                while sent < n_rows:
-                    n = min(wave, n_rows - sent)
-                    lo = WARM + sent + 1
-                    wconn.simple_query(
-                        f'INSERT INTO "{tbl}" (id, name) '
-                        f"SELECT g, 'u' || g FROM generate_series({lo}, {lo + n - 1}) g"
-                    )
-                    sent += n
-                    writer_stats["inserted"] = sent
-                    # pace: sleep until this wave's scheduled completion
-                    ahead = sent / target_rate - (time.monotonic() - t0)
-                    if ahead > 0:
-                        time.sleep(ahead)
-                writer_stats["t_end"] = time.monotonic()
-            finally:
-                wconn.close()
+        if writer_proc_mode:
+            wproc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--writer",
+                 dsn, tbl, str(n_rows), str(target_rate), str(WARM)],
+                stdout=subprocess.PIPE, text=True,
+            )
+
+            def writer() -> None:
+                writer_stats["t0"] = time.monotonic()
+                for line in wproc.stdout:
+                    parts = line.split()
+                    if parts[:1] == ["W"]:
+                        writer_stats["inserted"] = int(parts[1])
+                    elif parts[:1] == ["DONE"]:
+                        writer_stats["t_end"] = (
+                            writer_stats["t0"] + float(parts[1])
+                        )
                 writer_done.set()
+        else:
+
+            def writer() -> None:
+                wconn = wire.ReplicationConnection(
+                    **wire.parse_dsn(dsn)
+                ).connect()
+                try:
+                    t0 = time.monotonic()
+                    writer_stats["t0"] = t0
+                    sent = 0
+                    while sent < n_rows:
+                        n = min(wave, n_rows - sent)
+                        lo = WARM + sent + 1
+                        wconn.simple_query(
+                            f'INSERT INTO "{tbl}" (id, name) '
+                            f"SELECT g, 'u' || g "
+                            f"FROM generate_series({lo}, {lo + n - 1}) g"
+                        )
+                        sent += n
+                        writer_stats["inserted"] = sent
+                        # pace: sleep until this wave's scheduled end
+                        ahead = sent / target_rate - (time.monotonic() - t0)
+                        if ahead > 0:
+                            time.sleep(ahead)
+                    writer_stats["t_end"] = time.monotonic()
+                finally:
+                    wconn.close()
+                    writer_done.set()
 
         wthread = threading.Thread(target=writer, daemon=True)
         t_start = time.monotonic()
@@ -455,6 +527,11 @@ def main() -> None:
             broker_proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             broker_proc.kill()
+        try:
+            if writer_proc_mode and wproc.poll() is None:
+                wproc.kill()
+        except NameError:
+            pass  # failed before the writer started
         if spark is not None:
             for sq in spark.streams.active:
                 try:
