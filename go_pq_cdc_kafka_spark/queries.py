@@ -11534,3 +11534,984 @@ def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_rows", "n_nulls", "n_distinct")
         .orderBy("column_name")
     )
+
+
+# ===========================================================================
+# Round 10: distribution tests, information theory, inequality, cohort LTV
+# (statistical comparisons a 100 TB curation pipeline runs between corpus
+# slices — all exact-integer or micro-quantized so the DuckDB oracle
+# matches bit-for-bit; every window sits on a bounded aggregate panel)
+# ===========================================================================
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+WITH panel AS (
+  SELECT n_chars,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c_ot
+  FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars,
+         SUM(c_en) OVER (ORDER BY n_chars
+                         ROWS UNBOUNDED PRECEDING) AS cum_en,
+         SUM(c_ot) OVER (ORDER BY n_chars
+                         ROWS UNBOUNDED PRECEDING) AS cum_ot,
+         SUM(c_en) OVER () AS n_en,
+         SUM(c_ot) OVER () AS n_ot
+  FROM panel
+),
+d AS (
+  SELECT n_chars, n_en, n_ot,
+         ABS(cum_en * n_ot - cum_ot * n_en) AS d_scaled
+  FROM cum
+),
+m AS (SELECT *, MAX(d_scaled) OVER () AS max_d FROM d)
+SELECT CAST(MAX(n_en) AS BIGINT) AS n_en,
+       CAST(MAX(n_ot) AS BIGINT) AS n_other,
+       ROUND(CAST(MAX(max_d) AS DOUBLE)
+             / (CAST(MAX(n_en) AS DOUBLE) * CAST(MAX(n_ot) AS DOUBLE)),
+             6) AS ks_stat,
+       CAST(MIN(n_chars) AS BIGINT) AS ks_at_nchars
+FROM m WHERE d_scaled = max_d
+""",
+    category="aggregation",
+    description="Two-sample Kolmogorov-Smirnov statistic between the "
+    "document-length (n_chars) distributions of English vs non-English "
+    "docs — the drift test a curation pipeline runs between corpus "
+    "slices before mixing them. The KS supremum is computed EXACTLY in "
+    "integers: per length value the cross-multiplied CDF gap "
+    "|cum_en*n_ot - cum_ot*n_en| (int64), max over the panel, divided "
+    "out as a double only at the end. Scale posture: one groupBy on "
+    "n_chars (distinct values bounded by max document length, not "
+    "corpus size); every window runs on that bounded panel.",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    panel = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("c_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("long")
+        .alias("c_ot"),
+    )
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = panel.select(
+        "n_chars",
+        F.sum("c_en").over(w_cum).alias("cum_en"),
+        F.sum("c_ot").over(w_cum).alias("cum_ot"),
+        F.sum("c_en").over(w_all).alias("n_en"),
+        F.sum("c_ot").over(w_all).alias("n_ot"),
+    )
+    dd = cum.select(
+        "n_chars",
+        "n_en",
+        "n_ot",
+        F.abs(
+            F.col("cum_en") * F.col("n_ot") - F.col("cum_ot") * F.col("n_en")
+        ).alias("d_scaled"),
+    )
+    m = dd.withColumn("max_d", F.max("d_scaled").over(w_all))
+    return m.filter(F.col("d_scaled") == F.col("max_d")).agg(
+        F.max("n_en").cast("long").alias("n_en"),
+        F.max("n_ot").cast("long").alias("n_other"),
+        F.round(
+            F.max("max_d").cast("double")
+            / (F.max("n_en").cast("double") * F.max("n_ot").cast("double")),
+            6,
+        ).alias("ks_stat"),
+        F.min("n_chars").cast("long").alias("ks_at_nchars"),
+    )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+WITH joint AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM events GROUP BY event_type, dayofweek(ts) + 1
+),
+marg AS (
+  SELECT event_type, dow, c_xy,
+         SUM(c_xy) OVER (PARTITION BY event_type) AS c_x,
+         SUM(c_xy) OVER (PARTITION BY dow) AS c_y,
+         SUM(c_xy) OVER () AS n
+  FROM joint
+),
+terms AS (
+  SELECT c_xy, c_x, c_y, n,
+         CAST(ROUND(1000000 * c_xy
+                    * ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                         / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))))
+              AS BIGINT) AS mi_micro,
+         CAST(ROUND(1000000 * c_xy * ln(CAST(c_xy AS DOUBLE))) AS BIGINT)
+           AS xy_xlogx
+  FROM marg
+),
+hx AS (
+  SELECT SUM(CAST(ROUND(1000000 * c_x * ln(CAST(c_x AS DOUBLE))) AS BIGINT))
+           AS sx
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_x
+        FROM events GROUP BY event_type)
+),
+hy AS (
+  SELECT SUM(CAST(ROUND(1000000 * c_y * ln(CAST(c_y AS DOUBLE))) AS BIGINT))
+           AS sy
+  FROM (SELECT dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS c_y
+        FROM events GROUP BY dayofweek(ts) + 1)
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(SUM(mi_micro) / 1000000.0 / MAX(n), 6) AS mi_nats,
+       ROUND(ln(MAX(n)) - (SELECT sx FROM hx) / 1000000.0 / MAX(n), 6)
+         AS h_event_type,
+       ROUND(ln(MAX(n)) - (SELECT sy FROM hy) / 1000000.0 / MAX(n), 6)
+         AS h_dow
+FROM terms
+""",
+    category="aggregation",
+    description="Mutual information (nats) between event type and "
+    "day-of-week, plus both marginal entropies — the dependence screen "
+    "run before treating features as independent. Each c*ln(.) term is "
+    "micro-quantized to int64 from EXACT integer counts (the "
+    "text_entropy_by_source trick), so the shuffle-order-dependent "
+    "float sum never exists; the joint panel is |types| x 7 cells, "
+    "marginals ride window sums over it. Day-of-week numbering pinned "
+    "to Sunday=1 on both engines.",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    joint = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    w_x = Window.partitionBy("event_type")
+    w_y = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    marg = joint.select(
+        "c_xy",
+        F.sum("c_xy").over(w_x).alias("c_x"),
+        F.sum("c_xy").over(w_y).alias("c_y"),
+        F.sum("c_xy").over(w_all).alias("n"),
+    )
+    micro = lambda col: F.round(1000000 * col).cast("long")  # noqa: E731
+    terms = marg.select(
+        "c_xy",
+        "c_x",
+        "c_y",
+        "n",
+        micro(
+            F.col("c_xy")
+            * F.log(
+                F.col("c_xy").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            )
+        ).alias("mi_micro"),
+    )
+    # marginal xlogx sums from their own (bounded) one-column aggregates
+    sx = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_x"))
+        .agg(
+            F.sum(micro(F.col("c_x") * F.log(F.col("c_x").cast("double"))))
+            .cast("long")
+            .alias("sx")
+        )
+    )
+    sy = (
+        e.groupBy(F.dayofweek("ts").cast("long").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_y"))
+        .agg(
+            F.sum(micro(F.col("c_y") * F.log(F.col("c_y").cast("double"))))
+            .cast("long")
+            .alias("sy")
+        )
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum("mi_micro") / 1e6 / F.max("n"), 6).alias("mi_nats"),
+        F.max("n").alias("_n"),
+    )
+    # 1-row broadcast attaches (the allowlisted pattern) for the marginals
+    out = agg.join(F.broadcast(sx)).join(F.broadcast(sy))
+    return out.select(
+        "n_events",
+        "mi_nats",
+        F.round(
+            F.log(F.col("_n").cast("double"))
+            - F.col("sx").cast("double") / 1e6 / F.col("_n"),
+            6,
+        ).alias("h_event_type"),
+        F.round(
+            F.log(F.col("_n").cast("double"))
+            - F.col("sy").cast("double") / 1e6 / F.col("_n"),
+            6,
+        ).alias("h_dow"),
+    )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_pairs,
+       ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) - 1 AS DOUBLE)),
+             9) AS simpson
+FROM counts GROUP BY source
+ORDER BY source
+""",
+    category="text",
+    description="Simpson diversity index of the token distribution per "
+    "source (probability two tokens drawn without replacement are the "
+    "same type) — the repetitiveness screen next to entropy and hapax "
+    "rate. Exact: the numerator Sum(c*(c-1)) and denominator N(N-1) are "
+    "pure int64 from token counts; the only double is the final ratio. "
+    "One explode + two map-side-combinable aggregates, vocabulary-"
+    "bounded.",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sum_pairs"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "sum_pairs",
+            F.round(
+                F.col("sum_pairs").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("n_tokens") - 1).cast("double")
+                ),
+                9,
+            ).alias("simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o GROUP BY o.o_custkey
+),
+tagged AS (
+  SELECT n.n_name AS nation, r.cents
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+tot AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM tagged GROUP BY nation
+),
+terms AS (
+  SELECT t.nation, tt.n, tt.total,
+         CAST(ROUND(1000000
+                    * (CAST(t.cents AS DOUBLE) * CAST(tt.n AS DOUBLE)
+                       / CAST(tt.total AS DOUBLE))
+                    * ln(CAST(t.cents AS DOUBLE) * CAST(tt.n AS DOUBLE)
+                         / CAST(tt.total AS DOUBLE))) AS BIGINT) AS th_micro
+  FROM tagged t JOIN tot tt ON tt.nation = t.nation
+)
+SELECT nation,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(total) AS BIGINT) AS total_cents,
+       ROUND(SUM(th_micro) / 1000000.0 / MAX(n), 6) AS theil_t
+FROM terms GROUP BY nation
+ORDER BY nation
+""",
+    category="aggregation",
+    description="Theil T inequality index of customer revenue per nation "
+    "(the decomposable complement to agg_gini_customer_revenue: T = "
+    "mean((x/mu) * ln(x/mu))). Revenue rides exact integer cents; each "
+    "customer's transcendental term is computed from the SAME int64 "
+    "triple (cents, n, total) in both engines and micro-quantized to "
+    "int64 before the sum, so shuffle order cannot perturb the result. "
+    "Two aggregates + a broadcast-size nation-panel join back to "
+    "customer rows — entity-grain, never corpus-grain.",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tagged = (
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "cents")
+    )
+    tot = tagged.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    ratio = (
+        F.col("cents").cast("double")
+        * F.col("n").cast("double")
+        / F.col("total").cast("double")
+    )
+    terms = tagged.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n",
+        "total",
+        F.round(1000000 * ratio * F.log(ratio)).cast("long").alias("th_micro"),
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max("total").cast("long").alias("total_cents"),
+            F.round(F.sum("th_micro") / 1e6 / F.max("n"), 6).alias("theil_t"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS ym,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+coh AS (
+  SELECT o_custkey, MIN(ym) AS m0 FROM om GROUP BY o_custkey
+),
+sizes AS (
+  SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM coh GROUP BY m0
+),
+panel AS (
+  SELECT c.m0, om.ym - c.m0 AS age_months,
+         CAST(SUM(om.cents) AS BIGINT) AS rev_cents
+  FROM om JOIN coh c ON c.o_custkey = om.o_custkey
+  GROUP BY c.m0, om.ym - c.m0
+),
+cum AS (
+  SELECT p.m0, p.age_months, s.cohort_size,
+         SUM(p.rev_cents) OVER (PARTITION BY p.m0 ORDER BY p.age_months
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+  FROM panel p JOIN sizes s ON s.m0 = p.m0
+)
+SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       cohort_size,
+       CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+       CAST(cum_rev_cents // cohort_size AS BIGINT) AS ltv_cents_per_cust
+FROM cum
+WHERE age_months <= 11
+ORDER BY cohort_month, age_months
+""",
+    category="analytics",
+    description="Cohort LTV curve: customers cohorted by first-order "
+    "month, cumulative revenue per cohort by month age (first 12 "
+    "months), and LTV-per-customer — the unit-economics table next to "
+    "events_retention_cohorts. Month arithmetic is integer (y*12+m-1) "
+    "on both engines, money is integer cents, LTV is integer division. "
+    "Scale posture: two entity-grain aggregates + a (cohorts x ages) "
+    "panel; the running sum windows over the bounded panel.",
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("ym").alias("m0"))
+    sizes = coh.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    panel = (
+        om.join(coh, "o_custkey")
+        .groupBy("m0", (F.col("ym") - F.col("m0")).alias("age_months"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = panel.join(F.broadcast(sizes), "m0").select(
+        "m0",
+        "age_months",
+        "cohort_size",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+    return (
+        cum.filter(F.col("age_months") <= 11)
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("m0 div 12").cast("int"),
+                (F.col("m0") % 12 + 1).cast("int"),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "cohort_size",
+            F.col("cum_rev_cents").cast("long").alias("cum_rev_cents"),
+            F.expr("cum_rev_cents div cohort_size")
+            .cast("long")
+            .alias("ltv_cents_per_cust"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+@register(
+    "agg_spearman_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purchases
+  FROM events GROUP BY date_trunc('day', ts)
+),
+ranked AS (
+  SELECT
+    2 * RANK() OVER (ORDER BY clicks)
+      + COUNT(*) OVER (PARTITION BY clicks) - 1 AS rx2,
+    2 * RANK() OVER (ORDER BY purchases)
+      + COUNT(*) OVER (PARTITION BY purchases) - 1 AS ry2
+  FROM daily
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM ranked
+)
+SELECT n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS rho_spearman
+FROM s
+""",
+    category="aggregation",
+    description="Spearman rank correlation (average-rank tie convention) "
+    "between daily click and purchase counts. Ties are handled exactly: "
+    "2*avg_rank = 2*RANK() + tie_count - 1 stays integer, and Pearson "
+    "over the doubled ranks equals Pearson over average ranks (affine "
+    "invariance), so every moment is an int64 sum over the bounded "
+    "daily panel — the OLS/corr determinism trick applied to rank "
+    "statistics. One corpus aggregate to the day panel; all windows "
+    "ride the panel.",
+)
+def agg_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+    # bounded: both rank windows run on the day-level panel (rows = days
+    # in the calendar span, never corpus rows) produced by the aggregate
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("clicks"))
+        + F.count(F.lit(1)).over(Window.partitionBy("clicks"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("purchases"))
+        + F.count(F.lit(1)).over(Window.partitionBy("purchases"))
+        - 1
+    ).cast("long")
+    ranked = daily.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@register(
+    "ts_dow_seasonality",
+    oracle="""
+WITH rows_q AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+dowp AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(v_micro) AS BIGINT) AS s_d
+  FROM rows_q GROUP BY event_type, dow
+),
+means AS (
+  SELECT event_type, dow, s_d // n_d AS dow_mean_micro,
+         SUM(s_d) OVER (PARTITION BY event_type)
+           // SUM(n_d) OVER (PARTITION BY event_type) AS overall_mean_micro,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s_d // n_d DESC, dow) AS rn_peak,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s_d // n_d ASC, dow) AS rn_trough
+  FROM dowp
+)
+SELECT event_type,
+       CAST(MAX(overall_mean_micro) AS BIGINT) AS overall_mean_micro,
+       CAST(MAX(CASE WHEN rn_peak = 1 THEN dow END) AS BIGINT) AS peak_dow,
+       CAST(MAX(CASE WHEN rn_peak = 1 THEN dow_mean_micro END) AS BIGINT)
+         AS peak_mean_micro,
+       CAST(MAX(CASE WHEN rn_trough = 1 THEN dow END) AS BIGINT)
+         AS trough_dow,
+       CAST(MAX(CASE WHEN rn_trough = 1 THEN dow_mean_micro END) AS BIGINT)
+         AS trough_mean_micro,
+       CAST((1000000 * (MAX(CASE WHEN rn_peak = 1 THEN dow_mean_micro END)
+                        - MAX(CASE WHEN rn_trough = 1 THEN dow_mean_micro END)))
+            // MAX(overall_mean_micro) AS BIGINT) AS amplitude_ppm
+FROM means GROUP BY event_type
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Day-of-week seasonality profile per event type: the "
+    "peak and trough weekday by mean event value and the peak-to-trough "
+    "amplitude as ppm of the overall mean — the weekly-cycle screen a "
+    "metrics pipeline runs before alerting on a Monday dip. Values are "
+    "micro-quantized to int64 at the row, means are integer division, "
+    "argmax/argmin are deterministic (mean, then weekday) row_numbers — "
+    "zero float anywhere. One corpus aggregate to the (types x 7) "
+    "panel; every window rides the panel.",
+)
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dowp = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("s_d"),
+    )
+    mean_c = F.expr("s_d div n_d")
+    w_t = Window.partitionBy("event_type")
+    means = dowp.select(
+        "event_type",
+        "dow",
+        mean_c.alias("dow_mean_micro"),
+        F.row_number()
+        .over(w_t.orderBy(mean_c.desc(), F.col("dow")))
+        .alias("rn_peak"),
+        F.row_number()
+        .over(w_t.orderBy(mean_c.asc(), F.col("dow")))
+        .alias("rn_trough"),
+        F.expr(
+            "sum(s_d) over (partition by event_type) "
+            "div sum(n_d) over (partition by event_type)"
+        ).alias("overall_mean_micro"),
+    )
+    peak = lambda col: F.max(F.when(F.col("rn_peak") == 1, col))  # noqa: E731
+    trough = lambda col: F.max(  # noqa: E731
+        F.when(F.col("rn_trough") == 1, col)
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.max("overall_mean_micro").cast("long").alias("overall_mean_micro"),
+            peak(F.col("dow")).cast("long").alias("peak_dow"),
+            peak(F.col("dow_mean_micro")).cast("long").alias("peak_mean_micro"),
+            trough(F.col("dow")).cast("long").alias("trough_dow"),
+            trough(F.col("dow_mean_micro"))
+            .cast("long")
+            .alias("trough_mean_micro"),
+        )
+        .select(
+            "event_type",
+            "overall_mean_micro",
+            "peak_dow",
+            "peak_mean_micro",
+            "trough_dow",
+            "trough_mean_micro",
+            F.expr(
+                "(1000000 * (peak_mean_micro - trough_mean_micro)) "
+                "div overall_mean_micro"
+            )
+            .cast("long")
+            .alias("amplitude_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_gap_profile",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT event_type, (t_us - prev_us) // 1000000 AS gap_s
+  FROM seq WHERE prev_us IS NOT NULL
+),
+hist AS (
+  SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gaps GROUP BY event_type, gap_s
+),
+cum AS (
+  SELECT event_type, gap_s, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                      ROWS UNBOUNDED PRECEDING) AS cum_c,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN gap_s END) AS BIGINT)
+         AS p50_gap_s,
+       CAST(MIN(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN gap_s END)
+            AS BIGINT) AS p90_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM cum GROUP BY event_type
+ORDER BY event_type
+""",
+    category="analytics",
+    description="Inter-event gap profile: per event type the exact "
+    "lower-median and ceil-p90 of seconds since the user's previous "
+    "event (any type) — the pacing signal behind session-timeout "
+    "choices (ts_sessionize_gaps' 30-min cut) and bot detection. Gaps "
+    "are integer microseconds floored to seconds; percentiles come "
+    "from cumulative counts over the (type x distinct-gap) histogram "
+    "with the explicit (n+1)/2, (9n+9)/10 rank convention, never an "
+    "engine quantile. Scale posture: the lag window partitions by "
+    "user (millions of small partitions); the percentile windows ride "
+    "the histogram panel, bounded by the time span in seconds, not "
+    "corpus size.",
+)
+def events_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The cast pins the
+    # session timezone to UTC-equivalent instants on both rows, so the
+    # DIFFERENCE is timezone-invariant and matches DuckDB's epoch_us.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "event_type",
+        us.alias("t_us"),
+        F.lag(us).over(w_u).alias("prev_us"),
+    )
+    gaps = seq.filter(F.col("prev_us").isNotNull()).select(
+        "event_type",
+        F.expr("(t_us - prev_us) div 1000000").alias("gap_s"),
+    )
+    hist = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_t = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "gap_s",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_t).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.min(
+                F.when(F.col("cum_c") >= F.expr("(n + 1) div 2"), F.col("gap_s"))
+            )
+            .cast("long")
+            .alias("p50_gap_s"),
+            F.min(
+                F.when(
+                    F.col("cum_c") >= F.expr("(9 * n + 9) div 10"),
+                    F.col("gap_s"),
+                )
+            )
+            .cast("long")
+            .alias("p90_gap_s"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok) AS rn
+  FROM counts
+),
+pts AS (
+  SELECT source,
+         CAST(ROUND(1000000 * ln(CAST(rn AS DOUBLE))) AS BIGINT) AS x,
+         CAST(ROUND(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked WHERE rn <= 128
+),
+s AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM pts GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_ranks,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+FROM s ORDER BY source
+""",
+    category="text",
+    description="Zipf's-law fit per source: OLS slope of ln(frequency) "
+    "on ln(rank) over the top-128 token ranks, with R^2 — natural text "
+    "slopes near -1, so a source whose slope collapses toward 0 is "
+    "boilerplate/spam (the corpus-health screen next to entropy). "
+    "ln terms are micro-quantized int64 from exact integer ranks and "
+    "counts, the regression rides decimal(38,0) moment sums (the "
+    "agg_ols_regression pattern), rank ties break on token text. The "
+    "rank window partitions by source over the vocabulary-bounded "
+    "count table.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("tok"))
+    pts = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 128)
+        .select(
+            "source",
+            F.round(1000000 * F.log(F.col("rn").cast("double")))
+            .cast("long")
+            .alias("x"),
+            F.round(1000000 * F.log(F.col("c").cast("double")))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("decimal(38,0)").alias("syy"),
+    )
+    cov = F.expr("cast(n * sxy - sx * sy as double)")
+    varx = F.expr("cast(n * sxx - sx * sx as double)")
+    vary = F.expr("cast(n * syy - sy * sy as double)")
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(cov * cov / (varx * vary), 6).alias("r_squared"),
+    ).orderBy("source")
+
+
+@register(
+    "sim_knn_label_eval",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding,
+         {SIM.norm_sql("embedding")} AS nrm
+  FROM embeddings WHERE vec_id < 600 AND vec_id % 17 = 3
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label, embedding,
+         {SIM.norm_sql("embedding")} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+         {SIM.cosine_from_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
+           AS cos_sim
+  FROM c, q
+  WHERE c.neighbor_id != q.query_id
+),
+knn AS (
+  SELECT query_id, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM knn WHERE rk <= 5
+  GROUP BY query_id, true_label, label
+),
+winner AS (
+  SELECT query_id, true_label, label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM winner WHERE vr = 1
+GROUP BY true_label
+ORDER BY true_label
+""",
+    category="similarity",
+    description="Leave-one-out 5-NN label evaluation over the embedding "
+    "table: for a deterministic bounded probe set (vec_id < 600, "
+    "hash-strided — always replica-0 rows, so the probe count is "
+    "constant at every SF), the majority label of the 5 nearest "
+    "non-self neighbors by exact cosine, scored against the probe's "
+    "own label per class — the standard embedding-quality eval before "
+    "trusting vectors for dedup or retrieval. Votes tie-break "
+    "(count desc, label) and ranks tie-break (cos desc, neighbor_id), "
+    "so the verdict is engine-identical. Probe side is broadcast; "
+    "scoring is one map-only pass over corpus partitions.",
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # limit(64) is a no-op on the <=36-row probe filter; it puts a
+    # GlobalLimit under the broadcast so the product-join plan gate can
+    # PROVE the build side bounded (the sim_cosine_topk convention)
+    q = (
+        e.filter((F.col("vec_id") < 600) & (F.col("vec_id") % 17 == 3))
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("_qv"),
+            SIM.norm(F.col("embedding")).alias("_qn"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_clabel"),
+        F.col("embedding").alias("_cv"),
+        SIM.norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "_clabel",
+            SIM.cosine_from_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w_rk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    knn = scored.withColumn("rk", F.row_number().over(w_rk)).filter(
+        F.col("rk") <= 5
+    )
+    votes = knn.groupBy("query_id", "true_label", "_clabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_clabel")
+    )
+    winner = votes.withColumn("vr", F.row_number().over(w_v)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        winner.groupBy(F.col("true_label").cast("long").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("_clabel") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
