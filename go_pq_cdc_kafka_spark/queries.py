@@ -12515,3 +12515,594 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@register(
+    "text_js_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+  FROM documents WHERE lang = 'en'
+),
+toks2 AS (
+  SELECT d.lang, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+  FROM documents d WHERE lang != 'en'
+),
+cp AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+rest AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM toks2 GROUP BY lang, tok
+),
+pair AS (
+  SELECT r.lang,
+         COALESCE(p.c1, 0) AS c1, r.c2
+  FROM rest r LEFT JOIN cp p ON p.tok = r.tok
+  UNION ALL
+  SELECT l.lang, p.c1, 0 AS c2
+  FROM cp p CROSS JOIN (SELECT DISTINCT lang FROM toks2) l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rest r WHERE r.lang = l.lang AND r.tok = p.tok
+  )
+),
+tot AS (
+  SELECT lang, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pair GROUP BY lang
+),
+terms AS (
+  SELECT p.lang, t.n1, t.n2,
+         CASE WHEN p.c1 > 0 THEN
+           CAST(ROUND(1000000 * p.c1
+                      * ln(2.0 * p.c1 * t.n2
+                           / (CAST(p.c1 AS DOUBLE) * t.n2
+                              + CAST(p.c2 AS DOUBLE) * t.n1)))
+                AS BIGINT) ELSE 0 END AS s1_micro,
+         CASE WHEN p.c2 > 0 THEN
+           CAST(ROUND(1000000 * p.c2
+                      * ln(2.0 * p.c2 * t.n1
+                           / (CAST(p.c1 AS DOUBLE) * t.n2
+                              + CAST(p.c2 AS DOUBLE) * t.n1)))
+                AS BIGINT) ELSE 0 END AS s2_micro
+  FROM pair p JOIN tot t ON t.lang = p.lang
+)
+SELECT lang,
+       CAST(MAX(n1) AS BIGINT) AS n_tokens_en,
+       CAST(MAX(n2) AS BIGINT) AS n_tokens_lang,
+       ROUND((SUM(s1_micro) / 1000000.0 / MAX(n1)
+              + SUM(s2_micro) / 1000000.0 / MAX(n2)) / 2, 6) AS js_nats
+FROM terms GROUP BY lang
+ORDER BY lang
+""",
+    category="text",
+    description="Jensen-Shannon divergence (nats) between the English "
+    "token distribution and each other language's — the symmetric, "
+    "bounded (<= ln 2) corpus-mixing distance a data pipeline checks "
+    "before blending sources. The mixture ratios p/m and q/m reduce to "
+    "pure integer ratios 2*c1*n2/(c1*n2+c2*n1), so each transcendental "
+    "term is a function of an exact int64 4-tuple, micro-quantized "
+    "before the sum (the entropy-trick generalized to two "
+    "distributions); one-sided tokens fall out naturally (ratio = 2). "
+    "Vocabulary-bounded: two token aggregates + one vocab-grain "
+    "full-alignment join, never corpus-pair work.",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cp = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    rest = (
+        toks.filter(F.col("lang") != "en")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    # full vocab alignment per language: outer-join EN counts onto each
+    # language's vocab, then add EN-only tokens missing from that language
+    langs = rest.select("lang").distinct()
+    joined = rest.join(cp, "tok", "left").select(
+        "lang", F.coalesce(F.col("c1"), F.lit(0)).alias("c1"), "c2"
+    )
+    en_only = (
+        cp.join(F.broadcast(langs))
+        .join(rest.select("lang", "tok"), ["lang", "tok"], "left_anti")
+        .select("lang", "c1", F.lit(0).cast("long").alias("c2"))
+    )
+    pair = joined.unionByName(en_only)
+    tot = pair.groupBy("lang").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    den = (
+        F.col("c1").cast("double") * F.col("n2").cast("double")
+        + F.col("c2").cast("double") * F.col("n1").cast("double")
+    )
+    micro = lambda c_: F.round(1000000 * c_).cast("long")  # noqa: E731
+    terms = pair.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "n1",
+        "n2",
+        F.when(
+            F.col("c1") > 0,
+            micro(
+                F.col("c1")
+                * F.log(2.0 * F.col("c1") * F.col("n2") / den)
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("s1_micro"),
+        F.when(
+            F.col("c2") > 0,
+            micro(
+                F.col("c2")
+                * F.log(2.0 * F.col("c2") * F.col("n1") / den)
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("s2_micro"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.max("n1").cast("long").alias("n_tokens_en"),
+            F.max("n2").cast("long").alias("n_tokens_lang"),
+            F.round(
+                (
+                    F.sum("s1_micro") / 1e6 / F.max("n1")
+                    + F.sum("s2_micro") / 1e6 / F.max("n2")
+                )
+                / 2,
+                6,
+            ).alias("js_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_burstiness_fano",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, UNNEST({T.TOKENS_SQL.format(c="text")}) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (
+  SELECT tok,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c * c) AS BIGINT) AS total_sq,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM per_doc GROUP BY tok
+),
+top AS (
+  SELECT tok, total, total_sq, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY total DESC, tok) AS rn
+  FROM stats
+)
+SELECT tok, CAST(rn AS BIGINT) AS rn, total, doc_freq,
+       CAST((1000000 * ((SELECT n_docs FROM nd) * total_sq
+                        - total * total))
+            // ((SELECT n_docs FROM nd) * total) AS BIGINT)
+         AS fano_micro
+FROM top WHERE rn <= 25
+ORDER BY rn
+""",
+    category="text",
+    description="Burstiness (Fano factor: variance/mean of the per-"
+    "document count, zeros included) for the 25 highest-frequency "
+    "tokens — function words sit near the Poisson baseline (~1) while "
+    "topical/boilerplate tokens burst far above it, so the panel "
+    "separates glue vocabulary from content and template artifacts. "
+    "Fano = (N*Sum(c^2) - Sum(c)^2) / (N*Sum(c)) over all N docs "
+    "reduces to the non-zero counts' moments, kept exact in int64 and "
+    "emitted as truncating-division micro units (numerator >= 0, so "
+    "floor division agrees cross-engine). Per-doc counts + one "
+    "vocabulary aggregate + a top-25 rank over it.",
+)
+def text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    per_doc = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("total_sq"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    # bounded: the rank window runs on the vocabulary-grain stats table
+    w = Window.orderBy(F.col("total").desc(), F.col("tok"))
+    top = (
+        stats.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 25)
+        .join(F.broadcast(n_docs))
+    )
+    return top.select(
+        "tok",
+        "rn",
+        "total",
+        "doc_freq",
+        F.expr("(1000000 * (n_docs * total_sq - total * total)) div (n_docs * total)")
+        .cast("long")
+        .alias("fano_micro"),
+    ).orderBy("rn")
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, priority
+),
+m AS (
+  SELECT segment, priority, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY segment) AS HUGEINT) AS rt,
+         CAST(SUM(n_obs) OVER (PARTITION BY priority) AS HUGEINT) AS ct,
+         CAST(SUM(n_obs) OVER () AS HUGEINT) AS n
+  FROM cells
+),
+chi AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT segment) AS HUGEINT) AS r,
+         CAST(COUNT(DISTINCT priority) AS HUGEINT) AS k,
+         SUM(CAST(ROUND(1000000.0
+                        * CAST(n * n_obs - rt * ct AS DOUBLE)
+                        * CAST(n * n_obs - rt * ct AS DOUBLE)
+                        / CAST(n * rt * ct AS DOUBLE))
+                  AS HUGEINT)) AS chi2_micro_n
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(r AS BIGINT) AS n_segments,
+       CAST(k AS BIGINT) AS n_priorities,
+       ROUND(CAST(chi2_micro_n AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE),
+             6) AS chi2,
+       ROUND(sqrt(CAST(chi2_micro_n AS DOUBLE) / 1000000.0
+                  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+                  / CAST(LEAST(r - 1, k - 1) AS DOUBLE)), 6) AS cramers_v
+FROM chi
+""",
+    category="aggregation",
+    description="Cramer's V effect size for the segment x priority "
+    "contingency table — the normalized [0,1] companion to "
+    "agg_chi_square_independence's raw per-cell contributions, the "
+    "number an experimenter actually compares across tables. Each "
+    "cell's chi-square term (N*O - R*C)^2 / (N*R*C) is computed from "
+    "exact HUGEINT/decimal(38,0) products and micro-quantized before "
+    "the 25-term sum; V = sqrt(chi2 / (N * min(r-1, k-1))). One join + "
+    "one aggregate; windows ride the 25-cell panel.",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    m = cells.select(
+        "segment",
+        "priority",
+        "n_obs",
+        dec(F.sum("n_obs").over(Window.partitionBy("segment"))).alias("rt"),
+        dec(F.sum("n_obs").over(Window.partitionBy("priority"))).alias("ct"),
+        dec(F.sum("n_obs").over(Window.partitionBy())).alias("n"),
+    )
+    dev = F.expr("cast(n * n_obs - rt * ct as double)")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("segment").cast("decimal(38,0)").alias("r"),
+        F.countDistinct("priority").cast("decimal(38,0)").alias("k"),
+        F.sum(
+            F.round(
+                1000000.0
+                * dev
+                * dev
+                / F.expr("cast(n * rt * ct as double)")
+            ).cast("decimal(38,0)")
+        ).alias("chi2_micro_n"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("r").cast("long").alias("n_segments"),
+        F.col("k").cast("long").alias("n_priorities"),
+        F.round(
+            F.col("chi2_micro_n").cast("double") / 1e6 / F.col("n").cast("double"),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro_n").cast("double")
+                / 1e6
+                / F.col("n").cast("double")
+                / F.col("n").cast("double")
+                / F.least(F.col("r") - 1, F.col("k") - 1).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, value,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+conv AS (
+  SELECT COALESCE(prev_type, 'direct') AS touch,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v_micro) AS BIGINT) AS revenue_micro
+FROM conv GROUP BY touch
+ORDER BY touch
+""",
+    category="analytics",
+    description="Last-touch attribution: each purchase's value credited "
+    "to the event type the user did immediately before it ('direct' "
+    "when the purchase opens the stream) — the simplest attribution "
+    "model every growth team starts from. One per-user lag window "
+    "(millions of small partitions) + one bounded per-touch aggregate; "
+    "values micro-quantized to int64.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        F.lag("event_type").over(w_u).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("prev_type"), F.lit("direct")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("v_micro").cast("long").alias("revenue_micro"),
+        )
+        .orderBy("touch")
+    )
+
+
+@register(
+    "ts_changepoint_meanshift",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS v_micro
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+cum AS (
+  SELECT event_type, day, v_micro,
+         CAST(SUM(v_micro) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS st,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS HUGEINT) AS t,
+         CAST(SUM(v_micro) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, st, t, s, n,
+         CAST(ROUND(ABS(CAST(st * (n - t) - (s - st) * t AS DOUBLE))
+                    / CAST(t * (n - t) AS DOUBLE)) AS BIGINT)
+           AS shift_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ABS(CAST(st * (n - t) - (s - st) * t AS DOUBLE))
+                    / CAST(t * (n - t) AS DOUBLE) DESC, day
+         ) AS rn
+  FROM cum WHERE t < n
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       MAX(CASE WHEN rn = 1 THEN day END) AS change_day,
+       CAST(MAX(CASE WHEN rn = 1 THEN st // t END) AS BIGINT)
+         AS mean_pre_micro,
+       CAST(MAX(CASE WHEN rn = 1 THEN (s - st) // (n - t) END) AS BIGINT)
+         AS mean_post_micro,
+       CAST(MAX(CASE WHEN rn = 1 THEN shift_micro END) AS BIGINT)
+         AS shift_micro
+FROM scored GROUP BY event_type
+ORDER BY event_type
+""",
+    category="timeseries",
+    description="Binary change-point detection per event type: the day "
+    "split that maximizes |mean(before) - mean(after)| of the daily "
+    "value series, with the pre/post means — the first cut of any "
+    "regime-shift monitor (binary segmentation's root step). The shift "
+    "score's numerator st*(n-t) - (s-st)*t stays exact in "
+    "decimal(38,0)/HUGEINT; the argmax compares the IDENTICAL double "
+    "expression in both engines and tie-breaks on day. Everything "
+    "below the one corpus aggregate rides the bounded (types x days) "
+    "panel.",
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v_micro")
+    )
+    w_t = Window.partitionBy("event_type")
+    w_cum = w_t.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    cum = daily.select(
+        "event_type",
+        "day",
+        dec(F.sum("v_micro").over(w_cum)).alias("st"),
+        dec(F.row_number().over(w_t.orderBy("day"))).alias("t"),
+        dec(F.sum("v_micro").over(w_t)).alias("s"),
+        dec(F.count(F.lit(1)).over(w_t)).alias("n"),
+    )
+    score = F.abs(
+        F.expr("cast(st * (n - t) - (s - st) * t as double)")
+    ) / F.expr("cast(t * (n - t) as double)")
+    scored = (
+        cum.filter(F.col("t") < F.col("n"))
+        .select(
+            "event_type",
+            "day",
+            "st",
+            "t",
+            "s",
+            "n",
+            F.round(score).cast("long").alias("shift_micro"),
+            F.row_number()
+            .over(w_t.orderBy(score.desc(), F.col("day")))
+            .alias("rn"),
+        )
+    )
+    pick = lambda col: F.max(F.when(F.col("rn") == 1, col))  # noqa: E731
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            pick(F.col("day")).alias("change_day"),
+            pick(F.expr("st div t")).cast("long").alias("mean_pre_micro"),
+            pick(F.expr("(s - st) div (n - t)")).cast("long").alias(
+                "mean_post_micro"
+            ),
+            pick(F.col("shift_micro")).cast("long").alias("shift_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quality_near_dup_rate_by_source",
+    oracle=f"""
+WITH pairs AS ({DD.ngram_jaccard_pairs_sql(threshold=0.5, max_df=64)}),
+dup_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  )
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup,
+       CAST((1000000 * SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    category="quality",
+    description="Near-duplicate contamination rate per source: the share "
+    "of each source's documents participating in at least one valved "
+    "n-gram-Jaccard near-dup pair (threshold 0.5, max_df 64) in integer "
+    "ppm — the per-feed health metric that tells a crawl operator WHICH "
+    "feed is flooding the corpus, where the pair inventory alone only "
+    "says THAT duplicates exist. Reuses the session-cached valved pair "
+    "index (shared with the dedup/split/containment queries, built "
+    "once), distincts it to doc grain, and left-joins back to the "
+    "corpus — one extra semi-structure pass, no new pair work.",
+)
+def quality_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    pairs = _valved_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_near_dup",
+            F.expr("(1000000 * n_near_dup) div n_docs")
+            .cast("long")
+            .alias("dup_rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "analytics_basket_size_distribution",
+    oracle="""
+WITH baskets AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS basket_size,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+       CAST((1000000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS BIGINT)
+         AS share_ppm
+FROM baskets GROUP BY basket_size
+ORDER BY basket_size
+""",
+    category="analytics",
+    description="Basket-size distribution: orders histogrammed by line "
+    "count with revenue and integer-ppm share — the order-composition "
+    "panel behind pricing and bundling decisions (the Q13-style "
+    "customer-order distribution's order-grain sibling). Two "
+    "map-side-combinable aggregates; the share window rides the "
+    "bounded distinct-size panel; money in exact cents.",
+)
+def analytics_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("basket_size"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    hist = baskets.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+    )
+    # bounded: the share window rides the distinct-basket-size panel
+    return hist.select(
+        "basket_size",
+        "n_orders",
+        "revenue_cents",
+        F.expr(
+            "(1000000 * n_orders) div sum(n_orders) over ()"
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy("basket_size")
