@@ -252,6 +252,7 @@ def cosine_dedup_pairs(
     id_col: str = "vec_id",
     vec: str = "embedding",
     persist: bool = True,
+    pair_join: str = "shuffle_hash",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup flavor): self-join
     restricted to LSH buckets instead of all |N|² pairs; each candidate pair
@@ -312,9 +313,16 @@ def cosine_dedup_pairs(
         F.col("a._id").alias("vec_a"),
         F.col("b._id").alias("vec_b"),
     )
-    # shuffle_hash: doc-id keys are uniform (no skew-split needed) and the
-    # probe/build sides are LSH-bounded candidates vs the vector table —
-    # SMJ would pay two corpus sorts for nothing
+    # pair_join picks the physical strategy for the two scoring joins:
+    # - "shuffle_hash" (default): doc-id keys are uniform and at <=sf10
+    #   scale both sides' partitions fit one task's memory slice — SMJ
+    #   would pay two sorts for nothing (measured 17s at 200k vectors).
+    # - "merge": the sf100 sweep caught the SHJ failing at 2M vectors —
+    #   AQE under-estimates the LSH candidate-pair side (join-output
+    #   stats, not scan stats), coalesces its shuffle, and the hinted
+    #   hash build then needs >1 GB in a single task ("Can't acquire
+    #   1073741824 bytes memory to build hash relation"). Sort-merge
+    #   spills instead of dying; callers switch on corpus size.
     pa = qv.select(
         F.col("_id").alias("vec_a"), F.col("_qx").alias("_xa"),
         F.col("_n").alias("_na"),
@@ -324,9 +332,9 @@ def cosine_dedup_pairs(
         F.col("_n").alias("_nb"),
     )
     return (
-        cand.hint("shuffle_hash")
+        cand.hint(pair_join)
         .join(pa, "vec_a")
-        .hint("shuffle_hash")
+        .hint(pair_join)
         .join(pb, "vec_b")
         .select(
             "vec_a",

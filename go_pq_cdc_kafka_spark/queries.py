@@ -1463,9 +1463,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # bounded scalar action (one row-count job over parquet metadata) —
     # the same class of driver-side scalar the IVF centroid table uses
-    planes = _cosine_planes(e.count())
+    n = e.count()
+    planes = _cosine_planes(n)
+    # sf100 lesson: past ~1M vectors the hinted shuffle-hash scoring joins
+    # can hit a >1 GB single-task hash build (AQE coalesces the candidate
+    # side on an under-estimate); sort-merge spills gracefully there and
+    # costs nothing measurable at the sizes where SHJ also works.
     return SIM.cosine_dedup_pairs(
-        e, dim=64, threshold=0.4, planes=planes
+        e, dim=64, threshold=0.4, planes=planes,
+        pair_join="merge" if n > 1_000_000 else "shuffle_hash",
     ).orderBy("vec_a", "vec_b")
 
 
