@@ -335,6 +335,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     persist: bool = True,
+    pair_join: str = "shuffle_hash",
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -404,22 +405,26 @@ def minhash_lsh_pairs(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )  # no distinct: LEFT SEMI dedups the build side for free
     shc = _pin(
-        sh.join(cand_docs.hint("shuffle_hash"), "doc_id", "semi"), persist
+        sh.join(cand_docs.hint(pair_join), "doc_id", "semi"), persist
     )
     sizes = shc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
-    # shuffle_hash on the candidate side: doc-id join keys are uniform
+    # pair_join ("shuffle_hash" default): doc-id join keys are uniform
     # (no skew-split needed) and the build side is the per-partition
     # slice of the candidate set — LSH-bounded and far smaller than the
-    # index it probes; SMJ would pay two index sorts here
+    # index it probes, so skipping SMJ's two index sorts wins at <=sf10.
+    # The sf100 sweep (5M docs) caught the hash build dying ("not enough
+    # memory to build hash map"): AQE coalesces the under-estimated
+    # candidate shuffle and one task then has to build the whole slice.
+    # Callers switch to "merge" past ~1M docs — sort-merge spills.
     shared = (
-        cand.hint("shuffle_hash")
+        cand.hint(pair_join)
         .join(
             shc.select(F.col("doc_id").alias("doc_a"), "shingle"),
             "doc_a",
         )
-        .hint("shuffle_hash")
+        .hint(pair_join)
         .join(
             shc.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
@@ -431,13 +436,13 @@ def minhash_lsh_pairs(
         shared.join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-            ).hint("shuffle_hash"),
+            ).hint(pair_join),
             "doc_a",
         )
         .join(
             sizes.select(
                 F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-            ).hint("shuffle_hash"),
+            ).hint(pair_join),
             "doc_b",
         )
         .withColumn(

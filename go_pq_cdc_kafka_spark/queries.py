@@ -1122,9 +1122,17 @@ def dedup_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard verification.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    # sf100 lesson (same class as dedup_embedding_cosine): past ~1M docs
+    # the hinted shuffle-hash verification joins can exceed one task's
+    # hash-build budget after AQE coalesces the under-estimated candidate
+    # shuffle; sort-merge spills gracefully there. Count BEFORE the
+    # spread repartition so it stays a footer-only metadata job.
+    n = raw.count()
+    d = spread_small_scan(raw)
     return DD.minhash_lsh_pairs(
-        d, num_perms=16, bands=4, threshold=0.5
+        d, num_perms=16, bands=4, threshold=0.5,
+        pair_join="merge" if n > 1_000_000 else "shuffle_hash",
     ).orderBy("doc_a", "doc_b")
 
 
