@@ -686,27 +686,56 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash fingerprint: distinct tokens hashed to 60 bits, each
-    of the low ``bits`` positions votes ±1, sign vector packs to a BIGINT."""
+    of the low ``bits`` positions votes ±1, sign vector packs to a BIGINT.
+
+    ``bits`` <= 60 rides one 60-bit token hash and returns one ``simhash``
+    column (byte-identical to every prior round — the oracle-gated path).
+    60 < ``bits`` <= 120 returns a second ``simhash_hi`` word whose votes
+    come from an INDEPENDENT second 60-bit hash (md5 hex chars 17..31 —
+    the md5 is already computed per token, so the second word costs no
+    extra hashing). The sf100 sweep motivated the widening: at 5M docs
+    the 60-bit ceiling capped band width at 15 bits, and 4*C(5M,2)/2^15
+    ~ 1.5e9 RANDOM band collisions put a quadratic straggler task in the
+    banded self-join — width must keep growing with log2(n) for the
+    candidate count to stay ~linear (see _simhash_bits in queries.py)."""
+    if bits > 120:
+        raise ValueError("simhash supports at most 120 bits (2x60-bit words)")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("w"),
     ).withColumn("hv", T.hash64(F.col("w")))
+    lo_bits = min(bits, 60) if bits <= 60 else bits // 2
+    hi_bits = bits - lo_bits
+    if hi_bits:
+        toks = toks.withColumn(
+            "hv2",
+            F.conv(F.substring(F.md5(F.col("w")), 17, 15), 16, 10).cast("long"),
+        )
     # One groupBy with `bits` sum-aggregates — NOT a per-bit explode: the
     # explode version shuffles bits× the token count; this shuffles the
     # token rows once and folds all bit votes map-side (partial agg).
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
-    packed = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.cast("long").alias("simhash"))
+    aggs = [
+        F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+        for b in range(lo_bits)
+    ] + [
+        F.sum(F.expr(f"(shiftright(hv2, {b}) & 1) * 2 - 1")).alias(f"t{b}")
+        for b in range(hi_bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+
+    def _pack(prefix: str, n: int):
+        packed = None
+        for b in range(n):
+            term = F.when(
+                F.col(f"{prefix}{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            packed = term if packed is None else packed + term
+        return packed.cast("long")
+
+    cols = ["doc_id", _pack("s", lo_bits).alias("simhash")]
+    if hi_bits:
+        cols.append(_pack("t", hi_bits).alias("simhash_hi"))
+    return votes.select(*cols)
 
 
 def simhash_sql(bits: int = 32) -> str:
@@ -933,21 +962,50 @@ def simhash_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
+    two_words = bits > 60
+    if two_words and bands % 2:
+        raise ValueError("two-word fingerprints need an even band count")
     fp = simhash(df, text_col, id_col, bits)
-    banded = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-                        F.lit(mask).cast("long")
-                    )
-                    for b in range(bands)
-                ]
+    if two_words:
+        # word boundary aligned to a band boundary: the low word holds
+        # bands [0, bands/2), the high word the rest — every band is a
+        # contiguous slice of ONE word, so the pigeonhole completeness
+        # argument (a pair within distance < bands agrees on some band)
+        # carries over to the widened fingerprint unchanged.
+        band_exprs = [
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit(mask).cast("long")
             )
-        ).alias("band_id", "band_key"),
+            for b in range(bands // 2)
+        ] + [
+            F.shiftright(F.col("simhash_hi"), b * width).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            for b in range(bands // 2)
+        ]
+        fp_cols = ["doc_id", "simhash", "simhash_hi"]
+    else:
+        band_exprs = [
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            for b in range(bands)
+        ]
+        fp_cols = ["doc_id", "simhash"]
+    banded = fp.select(
+        *fp_cols,
+        F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
     )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    if two_words:
+        hamming = (
+            hamming
+            + F.bit_count(
+                F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+            ).cast("int")
+        ).cast("int")
     cand = (
         banded.alias("a")
         .join(
@@ -961,9 +1019,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("int").alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )

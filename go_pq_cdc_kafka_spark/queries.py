@@ -5356,12 +5356,18 @@ def _simhash_bits(n: int, bands: int = 4) -> int:
     sweep caught: 4 * C(500k,2) / 256 ~ 2e9 candidate rows (4 GiB task
     pages, unbounded spill). Floor of 8 bits (32-bit fingerprint) keeps
     n <= ~6k — including the sf0.01 oracle gate, whose static SQL twin
-    uses bits=32 — byte-identical to the unscaled version; ceiling of 15
-    bits because hash64 yields 60 usable bits (bands * 15)."""
+    uses bits=32 — byte-identical to the unscaled version. The original
+    15-bit ceiling (hash64's 60 usable bits / 4 bands) was exactly what
+    the round-10 sf100 sweep caught: at 5M docs width saturated at 15
+    and 4 * C(5M,2) / 2^15 ~ 1.5e9 RANDOM collisions parked a quadratic
+    straggler task in the banded self-join. simhash now widens to a
+    second independent 60-bit word past 60 bits (operators/dedup.py),
+    raising the ceiling to 30-bit bands — good to n ~ 25 * 2^30 ~ 2.7e10
+    docs before the same wall returns."""
     import math
 
     width = max(8, math.ceil(math.log2(max(n, 26) / 25)))
-    return bands * min(15, width)
+    return bands * min(30, width)
 
 
 @register(

@@ -487,3 +487,51 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
     assert any(len({r.doc_id for r in rows if r.cluster_id == c}) > 1
                for c in by_cluster)
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_simhash_two_word_banding_equals_brute_force(spark):
+    """The widened (>60-bit) fingerprint introduced by the round-10 sf100
+    sweep: two independent 60-bit words, bands aligned to word
+    boundaries. The banded candidate join + exact verification must
+    equal brute-force all-pairs Hamming over BOTH words — exactness and
+    pigeonhole completeness of the two-word layout in one assert."""
+    from go_pq_cdc_kafka_spark.operators.dedup import simhash, simhash_pairs
+
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + k) % 23}" for k in range(12)))
+        for i in range(40)
+    ]
+    # exact dups + a one-token near-dup guarantee non-trivial low-distance
+    # pairs inside the completeness regime
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    rows.append((200, rows[0][1].replace("tok0", "tokX")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r.doc_id: (r.simhash, r.simhash_hi)
+        for r in simhash(docs, bits=72).collect()
+    }
+    assert all(0 <= lo < (1 << 36) and 0 <= hi < (1 << 36)
+               for lo, hi in fp.values())
+    brute = {
+        (a, b): bin(fp[a][0] ^ fp[b][0]).count("1")
+        + bin(fp[a][1] ^ fp[b][1]).count("1")
+        for a in fp
+        for b in fp
+        if a < b
+    }
+    # pigeonhole completeness holds for hamming < bands: at max_hamming
+    # = bands - 1 = 3 the banded result must EQUAL brute force
+    want = {k: h for k, h in brute.items() if h <= 3}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, bits=72, bands=4, max_hamming=3).collect()
+    }
+    assert want and got == want
+    # beyond the guarantee the banding is a recall tail: every reported
+    # pair must still carry the exact two-word hamming
+    tail = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, bits=72, bands=4, max_hamming=8).collect()
+    }
+    assert all(brute[k] == h for k, h in tail.items())
+    assert set(tail) <= {k for k, h in brute.items() if h <= 8}
