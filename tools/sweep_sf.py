@@ -93,6 +93,21 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: {type(e).__name__} ({wall}s)", flush=True)
         spark.catalog.clearCache()
+        # clearCache() empties the SQL cache only. localCheckpoint blocks
+        # (the valved pair index, CC/BFS per-round edge state, branch-reuse
+        # rollups) live as persistent RDDs OUTSIDE the cache manager and,
+        # having truncated lineage, cannot be evicted-and-recomputed — the
+        # sf100 sweep caught them starving a later query's sorter
+        # ("Unable to acquire 65536 bytes of memory, got 0" in
+        # join_multiway_fact after the graph family ran). Drop them and
+        # the module-level index cache that references them, so every
+        # sweep entry is measured cold against a clean block manager.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            it.next().unpersist()
+        from go_pq_cdc_kafka_spark import queries as _q
+        _q._PAIR_INDEX_CACHE.clear()
     n_resumed = sum(1 for r in results.values() if r.get("resumed"))
     # registry-freeze stamp: the artifact carries the registry size it ran
     # against, and a FULL sweep (no SPARK_GRAFT_SWEEP_ONLY subset) must
