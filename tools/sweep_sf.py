@@ -102,10 +102,9 @@ def main() -> int:
         # join_multiway_fact after the graph family ran). Drop them and
         # the module-level index cache that references them, so every
         # sweep entry is measured cold against a clean block manager.
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        it = jmap.values().iterator()
-        while it.hasNext():
-            it.next().unpersist()
+        # py4j exposes the Java map as a dict-like view — iterate directly
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist()
         from go_pq_cdc_kafka_spark import queries as _q
         _q._PAIR_INDEX_CACHE.clear()
     n_resumed = sum(1 for r in results.values() if r.get("resumed"))
