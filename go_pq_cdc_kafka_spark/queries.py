@@ -12703,9 +12703,11 @@ top AS (
   FROM stats
 )
 SELECT tok, CAST(rn AS BIGINT) AS rn, total, doc_freq,
-       CAST((1000000 * ((SELECT n_docs FROM nd) * total_sq
-                        - total * total))
-            // ((SELECT n_docs FROM nd) * total) AS BIGINT)
+       CAST((1000000 * (CAST((SELECT n_docs FROM nd) AS HUGEINT)
+                          * CAST(total_sq AS HUGEINT)
+                        - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)))
+            // (CAST((SELECT n_docs FROM nd) AS HUGEINT)
+                * CAST(total AS HUGEINT)) AS BIGINT)
          AS fano_micro
 FROM top WHERE rn <= 25
 ORDER BY rn
@@ -12742,14 +12744,22 @@ def text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .join(F.broadcast(n_docs))
     )
+    # decimal(38,0) through the numerator: 1e6 * n_docs * total_sq
+    # overflows int64 past ~1e9 corpus tokens (the sf100 sweep caught the
+    # ANSI ArithmeticException); the RESULT still fits a BIGINT
     return top.select(
         "tok",
         "rn",
         "total",
         "doc_freq",
-        F.expr("(1000000 * (n_docs * total_sq - total * total)) div (n_docs * total)")
-        .cast("long")
-        .alias("fano_micro"),
+        F.expr(
+            "cast((1000000 * (cast(n_docs as decimal(38,0))"
+            "                 * cast(total_sq as decimal(38,0))"
+            "               - cast(total as decimal(38,0))"
+            "                 * cast(total as decimal(38,0))))"
+            "     div (cast(n_docs as decimal(38,0))"
+            "          * cast(total as decimal(38,0))) as long)"
+        ).alias("fano_micro"),
     ).orderBy("rn")
 
 
