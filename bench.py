@@ -56,6 +56,15 @@ def main() -> None:
     ncpus = os.cpu_count() or 1
     load_warning = load_1m / ncpus > 0.25
 
+    # box fingerprint BEFORE Spark exists (round-10 lesson: a silent VM
+    # swap between rounds read as a +32% code regression until an A/B
+    # re-run attributed it; the stamp makes the box delta visible in the
+    # artifact itself — see tools/boxscore.py)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from boxscore import box_score
+
+    box = box_score()
+
     from go_pq_cdc_kafka_spark.queries import REGISTRY
     from go_pq_cdc_kafka_spark.session import get_spark
 
@@ -144,6 +153,7 @@ def main() -> None:
                 "runs": all_runs,
                 "load_1m": round(load_1m, 2),
                 "load_warning": load_warning,
+                **box,
                 # provenance for scale steps: larger SFs are run with
                 # SPARK_GRAFT_DRIVER_MEM sized to the data (the 8g default
                 # is tuned for sf<=1 on this box)

@@ -4775,13 +4775,27 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = SIM.train_centroids(e, n_centroids=k, iters=3)
         res = SIM.semantic_dedup(e, cents, threshold=0.4)
     else:
-        k = min(4096, max(256, n // 128))
+        import math
+
+        # k at the two-level-assignment optimum, not a fixed cap: total
+        # score-op mass is N*(c + k/c) assignment + N^2/k within-cluster
+        # pairs; with c = sqrt(k) this is N*2*sqrt(k) + N^2/k, minimized
+        # at k = N^(2/3) — total Theta(N^(4/3)). The round-10 cap of 4096
+        # let the average cluster grow with N past 500k vectors (at 2M:
+        # 488 members -> ~1e9 pair scores, the attributed superlinear
+        # term of the 856 s sf100 wall; at k=N^(2/3) the same corpus does
+        # ~256M pair + ~500M assignment scores). N^(4/3) is inherent to
+        # exact within-cluster scoring with a two-level quantizer — a
+        # deeper assignment tree (N^(5/4) at three levels) is the next
+        # step beyond ~1e8 vectors, not a bigger flat k.
+        k = max(256, min(65_536, round(n ** (2.0 / 3.0))))
+        coarse_n = max(16, min(1024, round(math.sqrt(k))))
         cents = e.orderBy("vec_id").limit(k).select(
             F.col("vec_id").cast("long").alias("centroid_id"),
             F.col("embedding").alias("centroid_vec"),
         )
         assigned = SIM.hierarchical_assign(
-            e, cents, coarse_n=64, id_col="vec_id", vec="embedding",
+            e, cents, coarse_n=coarse_n, id_col="vec_id", vec="embedding",
             out_id="vec_id",
         )
         res = SIM.semantic_dedup(e, cents, threshold=0.4, assigned=assigned)
@@ -12813,13 +12827,52 @@ FROM chi
 def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cells = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_orderpriority").alias("priority"),
+    # Pre-aggregate the fact side to the CUSTOMER grain before touching the
+    # dimension (round-10 verdict task: the raw 150M-orders x 15M-customers
+    # shuffle join dominated 267 s at sf100 for a 25-cell answer). Pivoting
+    # on priority makes the pre-aggregate custkey-keyed, so map-side
+    # partial aggregation absorbs the ~10 orders/customer fan-in BEFORE the
+    # shuffle: the join input drops from |orders| rows to |customers| rows
+    # x one small count vector (priority cardinality is schema-bounded at
+    # 5). The pivot's internal distinct-values scan is one
+    # dictionary-encoded column — the same bounded-scalar class as the
+    # corpus .count() the dedup family uses. Unpivoting after the
+    # segment-level sum and dropping empty cells reproduces the exact
+    # join-then-group contingency table (a cell absent from the join
+    # output == a zero count == filtered here), so the oracle is unchanged.
+    pc = o.groupBy("o_custkey").pivot("o_orderpriority").agg(
+        F.count(F.lit(1))
+    )
+    pris = [p for p in pc.columns if p != "o_custkey"]
+    seg = (
+        pc.join(c, pc["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(f"`{p}`"), F.lit(0)))
+                .cast("long")
+                .alias(f"_n_{i}")
+                for i, p in enumerate(pris)
+            ]
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    cells = (
+        seg.select(
+            "segment",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("priority"),
+                            F.col(f"_n_{i}").alias("n_obs"),
+                        )
+                        for i, p in enumerate(pris)
+                    ]
+                )
+            ).alias("_pn"),
+        )
+        .select("segment", F.col("_pn.priority"), F.col("_pn.n_obs"))
+        .filter(F.col("n_obs") > 0)
     )
     dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
     m = cells.select(

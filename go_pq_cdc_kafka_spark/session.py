@@ -177,8 +177,19 @@ def get_spark(
     conf = {
         **RUNTIME_CONFS,
         # one shuffle partition per core locally; on a cluster AQE coalesces
-        # from this initial value, so a generous default is safe
-        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # from this initial value, so a generous default is safe.
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS raises the initial count for
+        # big-SF runs: shuffle-partition count is spill GEOMETRY — at
+        # sf100 a 50 GB shuffle over 32 partitions is a 1.5 GB sort per
+        # task (guaranteed multi-pass spill), over 192 it is ~260 MB
+        # (mostly in-memory). AQE coalesces small stages back down, so
+        # the higher initial value costs small queries nothing — the
+        # same reasoning as a real cluster's default of 200+.
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions
+            or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+            or cpus
+        ),
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",

@@ -147,10 +147,17 @@ def main() -> None:
     )
     admin.simple_query(f'CREATE PUBLICATION "{pub}" FOR TABLE "{tbl}"')
 
+    # box fingerprint before the JVM/writer exist (tools/boxscore.py):
+    # stream throughput numbers are box-bound, so the artifact carries the
+    # box delta a cross-round comparison must divide out (round-10 lesson)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from boxscore import box_score
+
     out: dict = {
         "n_rows": n_rows,
         "writer_target_rows_per_sec": target_rate,
         "baseline_rows_per_sec": 66700,
+        **box_score(),
     }
     spark = None
     try:

@@ -30,6 +30,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -55,6 +56,13 @@ def main() -> int:
                     resumed[name.strip()] = float(wall)
                 except ValueError:
                     pass
+
+    # box fingerprint before the JVM exists (see tools/boxscore.py) — a
+    # sweep artifact on a swapped VM self-identifies instead of reading
+    # as a code regression (round-10 lesson)
+    from boxscore import box_score
+
+    box = box_score()
 
     from go_pq_cdc_kafka_spark.queries import REGISTRY
     from go_pq_cdc_kafka_spark.session import get_spark
@@ -107,6 +115,39 @@ def main() -> int:
             jrdd.unpersist()
         from go_pq_cdc_kafka_spark import queries as _q
         _q._PAIR_INDEX_CACHE.clear()
+    # value-level invariant tier for iterative operators (round-11: the
+    # institutionalized fix for the CC silent-wrong-labels episode — the
+    # sweep proves execution, these prove VALUES at the same scale).
+    # On by default for full sweeps; SPARK_GRAFT_SWEEP_INVARIANTS=0 skips
+    # (e.g. a quick subset re-run), =1 forces them for subset sweeps too.
+    inv_flag = os.environ.get("SPARK_GRAFT_SWEEP_INVARIANTS", "")
+    run_invariants = inv_flag == "1" or (not only and inv_flag != "0")
+    invariants: dict[str, dict] = {}
+    if run_invariants:
+        from go_pq_cdc_kafka_spark import queries as _q
+        from invariant_check import CHECKS
+
+        for iname, ifn in CHECKS.items():
+            t0 = time.time()
+            try:
+                ires = ifn(spark, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                ires = {
+                    "status": "fail",
+                    "err": f"{type(e).__name__}: {str(e)[:300]}",
+                }
+            ires["sec"] = round(time.time() - t0, 1)
+            invariants[iname] = ires
+            if ires["status"] != "ok":
+                failed.append(f"invariant:{iname}")
+            print(f"inv-{ires['status']:4} {iname}: {json.dumps(ires)}", flush=True)
+            spark.catalog.clearCache()
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist()
+            _q._PAIR_INDEX_CACHE.clear()
+
     n_resumed = sum(1 for r in results.values() if r.get("resumed"))
     # registry-freeze stamp: the artifact carries the registry size it ran
     # against, and a FULL sweep (no SPARK_GRAFT_SWEEP_ONLY subset) must
@@ -131,6 +172,11 @@ def main() -> int:
         "failed": failed,
         "skipped": sorted(skip & set(results)),
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "shuffle_partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", ""
+        ) or None,
+        **box,
+        "invariants": invariants or None,
         "wall_total_sec": round(
             sum(r.get("sec", 0.0) for r in results.values()), 1
         ),
