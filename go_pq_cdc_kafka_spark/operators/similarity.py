@@ -274,20 +274,66 @@ def cosine_dedup_pairs(
     corpus-scaled (O(N) rows), so broadcasting it is exactly the
     mis-broadcast the hint policy bans at scale.
 
-    This shape replaced the round-6 exploded-dims one (posexplode to
-    (id, dim, q) rows, candidate×64 equi-join, one giant hash aggregate):
-    at sf10 that put ~cand×64 = 300M rows through a shuffle+aggregate —
-    the sweep's heaviest single stage. Per-pair fold over two stored
-    64-long arrays does the same integer math with shuffle volume =
-    candidates × one array, no aggregate stage. Overflow headroom:
+    Shape history, each step bought by a scale measurement:
+
+    - round 6: exploded-dims (posexplode to (id, dim, q) rows,
+      candidate×64 equi-join, giant hash aggregate) — ~cand×64 = 300M
+      rows through a shuffle+aggregate at sf10, the sweep's heaviest
+      stage. Replaced by per-pair folds over stored arrays.
+    - rounds 8-10: id-keyed scoring — generate (vec_a, vec_b) id pairs
+      bucket-locally, then TWO doc-id joins re-attach the quantized
+      arrays. The round-11 sf100 stage profile attributed the 925 s
+      wall: the second scoring join sorts the full candidate spine
+      (128.6M pairs × ~550 B of array payload ≈ 70 GB) — candidates are
+      CHEAP (48 s including the bucket self-join), carrying arrays per
+      candidate is not.
+    - round 11 (this shape): BUCKET-LOCAL scoring — arrays and norms ride
+      the bucketed table itself (one persist), one self-join on the
+      bucket key scores pairs in the join projection. Array bytes cross
+      the wire once per VECTOR (2M × 530 B ≈ 1 GB), never per candidate;
+      the pair spine exists only inside the join's fused
+      project+filter. Measured 619.5 → 393.9 s at sf100 back-to-back,
+      result-identical at sf0.1/sf1 (exceptAll both ways = 0).
+
+    Skew note: the hottest sf100 bucket holds 1002 vectors → ~500k pairs,
+    ~0.4% of the 128.6M total — AQE's skew-split has nothing to do, and a
+    single key group never dominates a task. Overflow headroom:
     |x| <= ~400 keeps the 64-dim long sum under 2^63 (unit-normalized
     embeddings are O(1))."""
     qarr = F.transform(
         F.col(vec), lambda x: F.round(x.cast("double") * 1e6).cast("long")
     )
-    qv = df.select(F.col(id_col).alias("_id"), qarr.alias("_qx")).select(
+
+    # Buckets from INTEGER plane dots over the quantized array (round 11):
+    # sign(Σ ±q_d) in pure long arithmetic — engine-identical by integer
+    # exactness, like the pair dot itself. The previous DECIMAL-dot
+    # buckets (rademacher_lsh_buckets on the raw floats) were the single
+    # heaviest stage of the rewritten query at sf100: 15 planes × 2M
+    # vectors of BigDecimal accumulation ≈ 80 s per build. The SQL twin
+    # (cosine_dedup_pairs_sql) computes the same integer projection, so
+    # oracle parity is preserved bit-for-bit; sign flips vs the float
+    # formulation are possible only within 1e-6 quantization of a zero
+    # projection, and both engines flip together.
+    def int_bucket(qx: Column) -> Column:
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            plane = F.array(
+                *[F.lit(s).cast("long") for s in _plane_signs(p, dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with(qx, plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(proj > 0, 1).otherwise(0).cast(
+                "long"
+            ) * F.lit(1 << p).cast("long")
+        return bucket
+
+    qvb = df.select(F.col(id_col).alias("_id"), qarr.alias("_qx")).select(
         "_id",
         "_qx",
+        int_bucket(F.col("_qx")).alias("bucket"),
         F.sqrt(
             F.aggregate(
                 "_qx",
@@ -299,43 +345,38 @@ def cosine_dedup_pairs(
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        qv = qv.persist(StorageLevel.MEMORY_AND_DISK)
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        rademacher_lsh_buckets(df, vec, dim, planes).alias("bucket"),
-    )
-    a_, b_ = b.alias("a"), b.alias("b")
-    cand = a_.join(
-        b_,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("vec_a"),
-        F.col("b._id").alias("vec_b"),
-    )
-    # pair_join picks the physical strategy for the two scoring joins:
-    # - "shuffle_hash" (default): doc-id keys are uniform and at <=sf10
-    #   scale both sides' partitions fit one task's memory slice — SMJ
-    #   would pay two sorts for nothing (measured 17s at 200k vectors).
-    # - "merge": the sf100 sweep caught the SHJ failing at 2M vectors —
-    #   AQE under-estimates the LSH candidate-pair side (join-output
-    #   stats, not scan stats), coalesces its shuffle, and the hinted
-    #   hash build then needs >1 GB in a single task ("Can't acquire
-    #   1073741824 bytes memory to build hash relation"). Sort-merge
-    #   spills instead of dying; callers switch on corpus size.
-    pa = qv.select(
+        qvb = qvb.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize NOW: a merge self-join submits its two sort stages
+        # concurrently, and against a lazily-persisted cache BOTH stages
+        # compute the quantize+bucket+norm projection before any block is
+        # stored (measured as twin ~80 s stages in the round-11 sf100
+        # event log). One eager pass builds the cache once; the count is
+        # a bounded scalar action of the same class the callers already
+        # use for corpus sizing.
+        qvb.count()
+    # both sides derive from qvb: RENAME the bucket per side — an
+    # un-renamed self-join condition resolves to one attribute and folds
+    # to literal true (accidental all-pairs; caught by the round-11
+    # profiler's first run)
+    aa = qvb.select(
         F.col("_id").alias("vec_a"), F.col("_qx").alias("_xa"),
-        F.col("_n").alias("_na"),
+        F.col("_n").alias("_na"), F.col("bucket").alias("bucket_a"),
     )
-    pb = qv.select(
+    bb = qvb.select(
         F.col("_id").alias("vec_b"), F.col("_qx").alias("_xb"),
-        F.col("_n").alias("_nb"),
+        F.col("_n").alias("_nb"), F.col("bucket").alias("bucket_b"),
     )
+    # pair_join picks the self-join strategy: shuffle_hash at <=1M vectors
+    # (skips SMJ's sorts; the per-partition build slice is corpus/N_part —
+    # MBs), merge beyond (spills gracefully; the sf100 SHJ hash build died
+    # on an AQE-coalesced partition in the round-10 id-keyed shape, and
+    # the same caution applies to any corpus-scaled build side).
     return (
-        cand.hint(pair_join)
-        .join(pa, "vec_a")
-        .hint(pair_join)
-        .join(pb, "vec_b")
+        aa.join(
+            bb.hint(pair_join),
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select(
             "vec_a",
             "vec_b",
@@ -360,23 +401,30 @@ def cosine_dedup_pairs_sql(
     buckets, same micro-unit fixed-point dot/norm (integer-exact in both
     engines), same round-12 cosine."""
 
-    def bucket_sql(v: str) -> str:
+    def bucket_sql(qv: str) -> str:
+        # integer plane dots over the quantized list — the exact twin of
+        # the Spark side's int_bucket (sign decisions are long-arithmetic
+        # identical in both engines)
         terms = []
         for p in range(planes):
             signs = _plane_signs(p, dim)
-            plane_lit = "[" + ", ".join(f"{float(s)}" for s in signs) + "]::DOUBLE[]"
-            terms.append(f"(CASE WHEN {exact_dot_sql(v, plane_lit)} > 0 THEN {1 << p} ELSE 0 END)")
+            plane_lit = "[" + ", ".join(str(s) for s in signs) + "]::BIGINT[]"
+            proj = (
+                f"list_sum(list_transform(list_zip({qv}, {plane_lit}), "
+                f"t -> t[1] * t[2]))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
         return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {bucket_sql("embedding")} AS bucket FROM {table}
-),
-q AS (
+WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
   FROM {table}
+),
+bucketed AS (
+  SELECT vec_id, {bucket_sql("qv")} AS bucket FROM q
 ),
 norms AS (
   SELECT vec_id,

@@ -104,6 +104,46 @@ def _guarded_start(
     return query
 
 
+#: per-task produce result: row count plus the stage decomposition the
+#: bottleneck hunt reads (pull = upstream decode/transform wait, marshal =
+#: row assembly, send = wire encode + broker RTT, txn = KIP-98 RPCs)
+_PRODUCE_SCHEMA = (
+    "produced long, t_pull double, t_marshal double, t_send double, "
+    "t_txn double"
+)
+
+
+def _collect_produced(acked: DataFrame) -> int:
+    """Run the produce plan, propagate failures, return the row total.
+    With SB_PROFILE=1 also print one JSON line aggregating the per-task
+    stage timers (sums across tasks — divide by task count for means)."""
+    row = acked.agg(
+        F.sum("produced").alias("n"),
+        F.sum("t_pull").alias("pull"),
+        F.sum("t_marshal").alias("marshal"),
+        F.sum("t_send").alias("send"),
+        F.sum("t_txn").alias("txn"),
+        F.count(F.lit(1)).alias("tasks"),
+    ).first()
+    if os.environ.get("SB_PROFILE") == "1":
+        import json as _json
+
+        print(
+            "SB_PROFILE " + _json.dumps(
+                {
+                    "produced": row.n,
+                    "tasks": row.tasks,
+                    "t_pull_sum": round(row.pull or 0.0, 3),
+                    "t_marshal_sum": round(row.marshal or 0.0, 3),
+                    "t_send_sum": round(row.send or 0.0, 3),
+                    "t_txn_sum": round(row.txn or 0.0, 3),
+                }
+            ),
+            flush=True,
+        )
+    return row.n or 0
+
+
 def _wire_produce_fn(
     wire_kwargs: dict,
     batch_caps: tuple[int, int],
@@ -137,9 +177,22 @@ def _wire_produce_fn(
     max_count, max_bytes = batch_caps
 
     def produce(iterator):
+        import time as _time
+
         import pandas as pd
 
         from go_pq_cdc_kafka_spark.streaming.kafka_wire import KafkaWireProducer
+
+        # stage accounting (SB_PROFILE=1): where does the micro-batch wall
+        # go INSIDE addBatch? t_pull = waiting on the upstream iterator
+        # (source read + pgoutput decode + envelope/routing transforms all
+        # surface here — mapInPandas is pull-based, so upstream cost is
+        # the gap between Arrow batches), t_marshal = the row-assembly
+        # loop, t_send = send_records (wire encode + broker RTT + acks),
+        # t_txn = KIP-98 RPC overhead. Timer calls are per-Arrow-batch and
+        # per-flush, so the accounting itself costs microseconds per
+        # 10k-row batch.
+        t_pull = t_marshal = t_send = t_txn = 0.0
 
         kwargs = dict(wire_kwargs)
         txn_prefix = kwargs.pop("transactional_id", None)
@@ -177,15 +230,30 @@ def _wire_produce_fn(
             return floors[k]
 
         def flush():
-            nonlocal pending, pending_bytes, total
+            nonlocal pending, pending_bytes, total, t_send
             if pending:
+                _t0 = _time.perf_counter()
                 prod.send_records(pending)
+                t_send += _time.perf_counter() - _t0
                 total += len(pending)
                 pending = []
                 pending_bytes = 0
 
+        def timed_pull(it):
+            nonlocal t_pull
+            while True:
+                _t0 = _time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    t_pull += _time.perf_counter() - _t0
+                    return
+                t_pull += _time.perf_counter() - _t0
+                yield item
+
         try:
-            for pdf in iterator:
+            for pdf in timed_pull(iter(iterator)):
+                _tm0, _snd0 = _time.perf_counter(), t_send
                 if len(pdf) == 0:
                     continue
                 if prod is None:
@@ -246,8 +314,11 @@ def _wire_produce_fn(
                     pending_bytes += len(key or b"") + len(value or b"")
                     if len(pending) >= max_count or pending_bytes >= max_bytes:
                         flush()
+                # body time minus whatever flush() spent sending inside it
+                t_marshal += (_time.perf_counter() - _tm0) - (t_send - _snd0)
             if prod is not None:
                 flush()
+                _tx0 = _time.perf_counter()
                 if eos_group is not None:
                     by_topic: dict[str, dict[int, int]] = {}
                     for (st, sp), nxt in nexts.items():
@@ -256,6 +327,7 @@ def _wire_produce_fn(
                         prod.send_offsets_to_transaction(eos_group, st, offs)
                 if kwargs.get("transactional_id") is not None:
                     prod.commit_transaction()
+                t_txn += _time.perf_counter() - _tx0
             committed = True
         finally:
             if prod is not None:
@@ -265,7 +337,15 @@ def _wire_produce_fn(
                     except Exception:
                         pass  # fencing by the retry also cleans this up
                 prod.close()
-        yield pd.DataFrame({"produced": [total]})
+        yield pd.DataFrame(
+            {
+                "produced": [total],
+                "t_pull": [round(t_pull, 4)],
+                "t_marshal": [round(t_marshal, 4)],
+                "t_send": [round(t_send, 4)],
+                "t_txn": [round(t_txn, 4)],
+            }
+        )
 
     return produce
 
@@ -283,9 +363,8 @@ def write_kafka_wire(
     df = ordered_records(records_df, order_col) if strict_order else records_df
     wire_kwargs = cfg.wire_kwargs()
     caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
-    acked = df.mapInPandas(_wire_produce_fn(wire_kwargs, caps), schema="produced long")
-    row = acked.agg(F.sum("produced").alias("n")).first()
-    return int(row["n"] or 0)
+    acked = df.mapInPandas(_wire_produce_fn(wire_kwargs, caps), schema=_PRODUCE_SCHEMA)
+    return int(_collect_produced(acked))
 
 
 def write_kafka_wire_eos(
@@ -351,10 +430,9 @@ def write_kafka_wire_eos(
     caps = (cfg.producer_batch_size, parse_size(cfg.producer_batch_bytes))
     acked = records_df.mapInPandas(
         _wire_produce_fn(wire_kwargs, caps, eos_group=group),
-        schema="produced long",
+        schema=_PRODUCE_SCHEMA,
     )
-    row = acked.agg(F.sum("produced").alias("n")).first()
-    return int(row["n"] or 0)
+    return int(_collect_produced(acked))
 
 
 def _align_by_source(records_df: DataFrame) -> DataFrame:
@@ -530,9 +608,9 @@ class CdcPipeline:
                 df = batch_df
             acked = df.mapInPandas(
                 _wire_produce_fn(wire_kwargs, batch_caps),
-                schema="produced long",
+                schema=_PRODUCE_SCHEMA,
             )
-            acked.agg(F.sum("produced")).first()  # run + propagate failures
+            _collect_produced(acked)  # run + propagate failures
 
         return _guarded_start(
             checkpoint_location,
@@ -611,9 +689,9 @@ class CdcPipeline:
                 _wire_produce_fn(
                     wire_kwargs, batch_caps, eos_group=group, eos_filter=True
                 ),
-                schema="produced long",
+                schema=_PRODUCE_SCHEMA,
             )
-            acked.agg(F.sum("produced")).first()  # run + propagate failures
+            _collect_produced(acked)  # run + propagate failures
 
         return _guarded_start(
             checkpoint_location,

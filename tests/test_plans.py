@@ -125,23 +125,30 @@ def test_lsh_ops_no_cartesian(spark):
 
 
 def test_cosine_dedup_pair_scoring_reads_pinned_quantized_arrays(spark):
-    """dedup_embedding_cosine scores candidate pairs as a per-pair
-    zip_with/aggregate LONG fold over two STORED quantized arrays. The
-    load-bearing property is that quantization (and the norm) is computed
-    once per VECTOR behind a persist barrier — Catalyst collapses
-    projection-level vector math past joins and re-evaluates it per
-    candidate pair (measured 6x the whole query when norms collapsed that
-    way). The round-6 exploded-dims alternative (posexplode to (id, dim)
-    rows + a giant pair×64 hash aggregate) was the sf10 sweep's heaviest
-    stage (332 s -> 40 s at 60M rows when replaced); posexplode must not
-    reappear in the pair path."""
+    """dedup_embedding_cosine scores pairs BUCKET-LOCALLY (round 11): the
+    quantized arrays and norms ride the persisted bucketed table, ONE
+    self-join on the bucket key scores pairs inside the join's fused
+    project+filter, and array bytes cross the wire once per vector —
+    never once per candidate (the round-10 id-keyed shape sorted the
+    128.6M-pair sf100 candidate spine with ~550 B of array payload per
+    row; the sf100 stage profile attributed ~500 of its 619 s to that
+    second scoring join). Load-bearing properties: quantization + norm
+    computed once per vector behind a persist barrier (Catalyst would
+    otherwise collapse the vector math past the join and re-evaluate per
+    pair — measured 6x), exactly one pair join, no posexplode, never a
+    corpus-scaled broadcast."""
     plan = plan_of(spark, "dedup_embedding_cosine")
     # quantized arrays + norms come from the cache, not recomputation
     assert "InMemoryTableScan" in plan
     assert "posexplode" not in plan
-    # pair joins are shuffled hash joins on uniform doc-id keys — never a
-    # corpus-scaled broadcast of the vector or norm table, never SMJ sorts
-    assert op_count(plan, "ShuffledHashJoin") >= 2
+    # ONE bucket-keyed self-join (shuffled hash at oracle scale; merge past
+    # 1M vectors), zero id-keyed array re-attachment joins, no broadcast of
+    # a corpus-scaled side
+    assert (
+        op_count(plan, "ShuffledHashJoin") + op_count(plan, "SortMergeJoin")
+        == 1
+    )
+    assert "BroadcastHashJoin" not in plan
     # the dot is the integer zip_with fold in the post-join projection
     assert "zip_with" in plan and "aggregate(" in plan
 

@@ -163,18 +163,22 @@ def main() -> None:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # rename the bucket on each side: both frames derive from qvb, so
+        # an un-renamed self-join condition resolves both sides to the SAME
+        # attribute and Catalyst folds it to true (→ accidental all-pairs)
         aa = qvb.select(
             F.col("_id").alias("vec_a"), F.col("_qx").alias("_xa"),
-            F.col("_n").alias("_na"), "bucket",
+            F.col("_n").alias("_na"), F.col("bucket").alias("bucket_a"),
         )
         bb = qvb.select(
             F.col("_id").alias("vec_b"), F.col("_qx").alias("_xb"),
-            F.col("_n").alias("_nb"), "bucket",
+            F.col("_n").alias("_nb"), F.col("bucket").alias("bucket_b"),
         )
         local = (
             aa.join(
                 bb.hint("merge"),
-                (aa["bucket"] == bb["bucket"]) & (aa["vec_a"] < bb["vec_b"]),
+                (F.col("bucket_a") == F.col("bucket_b"))
+                & (F.col("vec_a") < F.col("vec_b")),
             )
             .select(
                 "vec_a",
@@ -216,6 +220,107 @@ def main() -> None:
                 d, num_perms=16, bands=4, threshold=0.5, pair_join=pj
             ).orderBy("doc_a", "doc_b")
         )
+        _cold(spark)
+
+    elif which == "cosine_bl":
+        # bucket-local variants only, with event logging for per-stage
+        # attribution: (a) long quantized arrays, (b) int32 quantized
+        # arrays (same integer values — micro-units fit int32 for unit-
+        # scale embeddings — so cos_sim is bit-identical; halves the
+        # array bytes the join carries)
+        from pyspark.storagelevel import StorageLevel
+
+        from go_pq_cdc_kafka_spark.queries import _cosine_planes
+
+        e = load_table(spark, sf_dir, "embeddings")
+        n = e.count()
+        planes = _cosine_planes(n)
+        out["n"], out["planes"] = n, planes
+        for label, elem_t in (("long", "long"), ("int", "int")):
+            qarr = F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1e6).cast(elem_t),  # noqa: B023
+            )
+            qvb = (
+                e.select(
+                    F.col("vec_id").alias("_id"),
+                    qarr.alias("_qx"),
+                    SIM.rademacher_lsh_buckets(e, "embedding", 64, planes).alias(
+                        "bucket"
+                    ),
+                )
+                .select(
+                    "_id",
+                    "_qx",
+                    "bucket",
+                    F.sqrt(
+                        F.aggregate(
+                            "_qx",
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+                        ).cast("double")
+                    ).alias("_n"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            aa = qvb.select(
+                F.col("_id").alias("vec_a"), F.col("_qx").alias("_xa"),
+                F.col("_n").alias("_na"), F.col("bucket").alias("bucket_a"),
+            )
+            bb = qvb.select(
+                F.col("_id").alias("vec_b"), F.col("_qx").alias("_xb"),
+                F.col("_n").alias("_nb"), F.col("bucket").alias("bucket_b"),
+            )
+            local = (
+                aa.join(
+                    bb.hint("merge"),
+                    (F.col("bucket_a") == F.col("bucket_b"))
+                    & (F.col("vec_a") < F.col("vec_b")),
+                )
+                .select(
+                    "vec_a",
+                    "vec_b",
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                "_xa", "_xb",
+                                lambda x, y: x.cast("long") * y.cast("long"),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).cast("double")
+                        / (F.col("_na") * F.col("_nb")),
+                        12,
+                    ).alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") >= 0.4)
+                .orderBy("vec_a", "vec_b")
+            )
+            out[f"t_bucket_local_{label}"] = _noop(local)
+            _cold(spark)
+
+    elif which == "cramers":
+        # same-box A/B for the round-11 contingency rewrite: the OLD
+        # raw-join shape vs the registry's pivoted pre-aggregate shape
+        from go_pq_cdc_kafka_spark.queries import REGISTRY
+
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        old_cells = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy(
+                F.col("c_mktsegment").alias("segment"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        )
+        out["t_cells_old_join_then_group"] = _noop(old_cells)
+        _cold(spark)
+        out["t_full_new"] = _noop(REGISTRY["agg_cramers_v"].fn(spark, sf_dir))
         _cold(spark)
 
     elif which == "windows":
