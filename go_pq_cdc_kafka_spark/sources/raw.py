@@ -136,8 +136,17 @@ def _emit_transaction(
     decode is stateless given the relation registry plus Begin's
     commit-timestamp state, so slicing cannot change any decoded event —
     only which worker emits it. Protocol-v2 streamed transactions carry
-    per-message xids and abort semantics; they always stay whole."""
-    first_tag = open_tx[0][1][0]
+    per-message xids and abort semantics; they always stay whole.
+
+    ``open_tx`` holds RAW XLogData frames (round 11): wal_start is
+    unpacked here in one pass, and the 25-byte header is NOT stripped —
+    the msg column ships whole frames and the executor decoders strip
+    (decode_raw_frames), so the per-frame bytes copy leaves the driver
+    GIL entirely."""
+    import struct
+
+    unpack = struct.unpack_from
+    first_tag = open_tx[0][25]
     n = len(open_tx)
     if (
         split_frames
@@ -145,8 +154,9 @@ def _emit_transaction(
         and n >= split_frames
         and first_tag == 0x42  # 'B' — non-streamed Begin
     ):
-        b_lsn, b_msg = open_tx[0]
-        c_lsn, c_msg = open_tx[-1]
+        (b_lsn,) = unpack(">q", open_tx[0], 1)
+        (c_lsn,) = unpack(">q", open_tx[-1], 1)
+        b_msg, c_msg = open_tx[0], open_tx[-1]
         body = open_tx[1:-1]
         # append order IS seq order (seq = arange at batch assembly):
         # Begins first, body, then Commits — each group's slice sorts to
@@ -154,17 +164,17 @@ def _emit_transaction(
         lsns.extend([b_lsn] * groups)
         grps.extend(range(groups))
         msgs.extend([b_msg] * groups)
-        lsns.extend([t[0] for t in body])
+        lsns.extend([unpack(">q", f, 1)[0] for f in body])
         grps.extend(i % groups for i in range(len(body)))
-        msgs.extend([t[1] for t in body])
+        msgs.extend(body)
         lsns.extend([c_lsn] * groups)
         grps.extend(range(groups))
         msgs.extend([c_msg] * groups)
         return txgrp
     grp = txgrp % groups
-    lsns.extend([t[0] for t in open_tx])
+    lsns.extend([unpack(">q", f, 1)[0] for f in open_tx])
     grps.extend([grp] * n)
-    msgs.extend([t[1] for t in open_tx])
+    msgs.extend(open_tx)
     return txgrp + 1
 
 
@@ -238,18 +248,26 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         cap = max(100_000, 2 * self.max_frames)
 
         def pump() -> None:
+            # HOT LOOP — this single thread must keep realtime pace with
+            # the replication socket, and every Python op here is paid per
+            # frame under the driver GIL. The round-11 stream profile
+            # attributed the ~96-106k rows/s ceiling to exactly this path,
+            # so the loop does the MINIMUM per frame: one byte test for
+            # keepalives, one byte test for Relation, one deque append of
+            # the RAW frame. wal_start unpack, the 25-byte header strip,
+            # and tuple packing all moved off this thread (unpack to
+            # read()'s release loop, the strip all the way into the
+            # executor decoders — see decode_raw_frames).
+            append = dq.append
             try:
                 for frame in fs(after_lsn):
                     if frame[0] != 119:  # not XLogData ('w'): keepalive
                         continue
-                    (wal_start,) = struct.unpack_from(">q", frame, 1)
-                    msg = frame[25:]
-                    tag = msg[0]
-                    if tag == 82:  # Relation: registry only — the batch
-                        # preamble replays it to every group, so the data
-                        # path would only duplicate it into one group
-                        (relid,) = struct.unpack_from(">i", msg, 1)
-                        self._relations[relid] = msg
+                    if frame[25] == 82:  # Relation: registry only — the
+                        # batch preamble replays it to every group, so the
+                        # data path would only duplicate it into one group
+                        (relid,) = struct.unpack_from(">i", frame, 26)
+                        self._relations[relid] = bytes(frame[25:])
                         continue
                     # NO per-frame lsn filter here: the first records of a
                     # transaction share wal_start with the PREVIOUS commit
@@ -259,11 +277,12 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
                     # discarded per-TRANSACTION at release time instead
                     # (read() compares the commit lsn to the resume
                     # offset).
-                    while len(dq) >= cap:
-                        if stopping.is_set():
-                            return  # stop() with a full queue: exit, don't spin
-                        _time.sleep(0.005)
-                    dq.append((wal_start, tag, msg))
+                    if len(dq) >= cap:
+                        while len(dq) >= cap:
+                            if stopping.is_set():
+                                return  # stop() with a full queue: exit
+                            _time.sleep(0.005)
+                    append(frame)
             except Exception as e:  # surfaced on the next read()
                 self._err = e
 
@@ -274,10 +293,10 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         #: replayed history and must be discarded at release time
         self._pump_start_lsn = after_lsn
 
-    def _drain(self, deadline: float) -> list[tuple[int, int, bytes]]:
+    def _drain(self, deadline: float) -> list[bytes]:
         import time
 
-        out: list[tuple[int, int, bytes]] = []
+        out: list[bytes] = []
         dq = self._dq
         while len(out) < self.max_frames:
             try:
@@ -312,6 +331,7 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         self._open_tx = []  # replayed whole by the slot on reconnect
 
     def read(self, start: dict):
+        import struct
         import time
 
         if self._thread is not None:
@@ -323,9 +343,10 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         grps: list[int] = []
         msgs: list[bytes] = []
         end_lsn = start["lsn"]
-        for wal_start, tag, msg in drained:
-            self._open_tx.append((wal_start, msg))
-            if tag == 67:  # Commit: release (or discard) the transaction
+        for frame in drained:
+            self._open_tx.append(frame)
+            if frame[25] == 67:  # Commit: release (or discard) the txn
+                (wal_start,) = struct.unpack_from(">q", frame, 1)
                 if wal_start <= self._pump_start_lsn:
                     # replayed history below the resume offset
                     self._open_tx = []
@@ -363,22 +384,20 @@ class PgRawStreamReader(SimpleDataSourceStreamReader):
         lsns: list[int] = []
         grps: list[int] = []
         msgs: list[bytes] = []
-        open_tx: list[tuple[int, bytes]] = []
+        open_tx: list[bytes] = []
         txgrp = 0
         frames = fs(start["lsn"])
         try:
             for frame in frames:
                 if frame[0] != 119:
                     continue
-                (wal_start,) = struct.unpack_from(">q", frame, 1)
-                msg = frame[25:]
-                tag = msg[0]
-                if tag == 82:
-                    (relid,) = struct.unpack_from(">i", msg, 1)
-                    relations[relid] = msg
+                if frame[25] == 82:
+                    (relid,) = struct.unpack_from(">i", frame, 26)
+                    relations[relid] = bytes(frame[25:])
                     continue
-                open_tx.append((wal_start, msg))
-                if tag == 67:
+                open_tx.append(frame)
+                if frame[25] == 67:
+                    (wal_start,) = struct.unpack_from(">q", frame, 1)
                     # per-TRANSACTION replay window (frame-level lsn
                     # filtering is wrong: a tx's first records share
                     # wal_start with the previous commit)
@@ -463,7 +482,15 @@ def decode_raw_frames(
         decoder = PO.PgOutputDecoder()
         events: list[dict] = []
         for lsn, msg in zip(pdf["lsn"], pdf["msg"]):
-            events.extend(decoder.decode(int(lsn), bytes(msg)))
+            m = bytes(msg)
+            # data rows arrive as WHOLE XLogData frames ('w' + 24-byte
+            # header) since round 11 — the strip happens here, in
+            # executor parallel, not under the driver GIL. Relation
+            # preamble rows are already bare pgoutput messages ('R');
+            # no pgoutput tag is lowercase, so the byte test is exact.
+            if m and m[0] == 119:
+                m = m[25:]
+            events.extend(decoder.decode(int(lsn), m))
         if not events:
             return
         yield pd.DataFrame(

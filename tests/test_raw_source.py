@@ -20,6 +20,14 @@ from tests.test_wire import (
 )
 
 
+def _tag(msg) -> bytes:
+    """pgoutput tag of a msg-column row: data rows ship whole XLogData
+    frames since round 11 (executor decoders strip the 25-byte header);
+    relation preamble rows stay bare."""
+    m = bytes(msg)
+    return m[25:26] if m[:1] == b"w" else m[:1]
+
+
 def _frames_two_txs():
     return [
         xlogdata(1, rel_msg()),
@@ -147,7 +155,7 @@ def test_large_transaction_splits_across_groups_with_replicated_brackets():
     total_inserts = 0
     for g, rs in by_grp.items():
         rs = sorted(rs, key=lambda r: (r["lsn"], r["seq"]))
-        tags = [bytes(r["msg"])[:1] for r in rs]
+        tags = [_tag(r["msg"]) for r in rs]
         # every group: Begin first, Commit last, inserts in between
         assert tags[0] == b"B" and tags[-1] == b"C", (g, tags)
         assert all(t == b"I" for t in tags[1:-1])
