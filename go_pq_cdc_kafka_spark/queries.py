@@ -12821,8 +12821,11 @@ FROM chi
     "number an experimenter actually compares across tables. Each "
     "cell's chi-square term (N*O - R*C)^2 / (N*R*C) is computed from "
     "exact HUGEINT/decimal(38,0) products and micro-quantized before "
-    "the 25-term sum; V = sqrt(chi2 / (N * min(r-1, k-1))). One join + "
-    "one aggregate; windows ride the 25-cell panel.",
+    "the 25-term sum; V = sqrt(chi2 / (N * min(r-1, k-1))). The "
+    "contingency cells come from a customer-grain pivot pre-aggregate "
+    "(round 11): map-side combine absorbs the ~10 orders/customer "
+    "fan-in BEFORE the shuffle and the dimension join probes "
+    "|customers| rows, not |orders|; windows ride the 25-cell panel.",
 )
 def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
