@@ -115,6 +115,17 @@ def main() -> int:
             jrdd.unpersist()
         from go_pq_cdc_kafka_spark import queries as _q
         _q._PAIR_INDEX_CACHE.clear()
+        # Force the ContextCleaner's reference-queue sweep NOW: local-mode
+        # shuffle files persist on disk until the driver JVM garbage-
+        # collects the shuffle objects, and the default periodic GC
+        # (spark.cleaner.periodicGC.interval = 30min) lets a 60-query
+        # sweep accumulate ~50 GB of dead shuffle files between sweeps —
+        # the round-11 attempt-1 frozen pass lost join_multiway_fact and
+        # quality_near_dup_rate_by_source to exactly that ENOSPC (the
+        # disk freed itself minutes later when the periodic GC fired).
+        # One System.gc() per query bounds the accumulation at one
+        # query's footprint for 1-3 s of GC pause per entry.
+        spark.sparkContext._jvm.System.gc()
     # value-level invariant tier for iterative operators (round-11: the
     # institutionalized fix for the CC silent-wrong-labels episode — the
     # sweep proves execution, these prove VALUES at the same scale).
