@@ -253,6 +253,7 @@ def cosine_dedup_pairs(
     vec: str = "embedding",
     persist: bool = True,
     pair_join: str = "shuffle_hash",
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup flavor): self-join
     restricted to LSH buckets instead of all |N|² pairs; each candidate pair
@@ -346,14 +347,20 @@ def cosine_dedup_pairs(
         from pyspark.storagelevel import StorageLevel
 
         qvb = qvb.persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize NOW: a merge self-join submits its two sort stages
-        # concurrently, and against a lazily-persisted cache BOTH stages
-        # compute the quantize+bucket+norm projection before any block is
-        # stored (measured as twin ~80 s stages in the round-11 sf100
-        # event log). One eager pass builds the cache once; the count is
-        # a bounded scalar action of the same class the callers already
-        # use for corpus sizing.
-        qvb.count()
+        if eager:
+            # materialize NOW: a merge self-join submits its two sort
+            # stages concurrently, and against a lazily-persisted cache
+            # BOTH stages compute the quantize+bucket+norm projection
+            # before any block is stored (measured as twin ~80 s stages
+            # in the round-11 sf100 event log). One eager pass builds the
+            # cache once; the count is a bounded scalar action of the
+            # same class the callers already use for corpus sizing.
+            # Pass eager=False for plan-only inspection (EXPLAIN, plan
+            # tests, oracle-harness setup) — construction then stays
+            # side-effect-free at the cost of the duplicated first
+            # computation if the plan IS later executed (round-11
+            # advice).
+            qvb.count()
     # both sides derive from qvb: RENAME the bucket per side — an
     # un-renamed self-join condition resolves to one attribute and folds
     # to literal true (accidental all-pairs; caught by the round-11

@@ -12837,15 +12837,17 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial aggregation absorbs the ~10 orders/customer fan-in BEFORE the
     # shuffle: the join input drops from |orders| rows to |customers| rows
     # x one small count vector (priority cardinality is schema-bounded at
-    # 5). The pivot's internal distinct-values scan is one
-    # dictionary-encoded column — the same bounded-scalar class as the
-    # corpus .count() the dedup family uses. Unpivoting after the
-    # segment-level sum and dropping empty cells reproduces the exact
+    # 5, so the five literals are passed explicitly — pivot() without
+    # values would run an extra distinct-values job over orders on every
+    # invocation; round-11 advice). Unpivoting after the segment-level sum
+    # and dropping empty cells (n_obs > 0) reproduces the exact
     # join-then-group contingency table (a cell absent from the join
-    # output == a zero count == filtered here), so the oracle is unchanged.
-    pc = o.groupBy("o_custkey").pivot("o_orderpriority").agg(
-        F.count(F.lit(1))
-    )
+    # output == a zero count == filtered here), so the oracle is unchanged
+    # even if a priority value were absent from the data.
+    pc = o.groupBy("o_custkey").pivot(
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    ).agg(F.count(F.lit(1)))
     pris = [p for p in pc.columns if p != "o_custkey"]
     seg = (
         pc.join(c, pc["o_custkey"] == c["c_custkey"])

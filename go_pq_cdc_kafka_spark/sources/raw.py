@@ -485,9 +485,12 @@ def decode_raw_frames(
             m = bytes(msg)
             # data rows arrive as WHOLE XLogData frames ('w' + 24-byte
             # header) since round 11 — the strip happens here, in
-            # executor parallel, not under the driver GIL. Relation
-            # preamble rows are already bare pgoutput messages ('R');
-            # no pgoutput tag is lowercase, so the byte test is exact.
+            # executor parallel, not under the driver GIL. The byte test
+            # is exact because of what the pump puts in the msg column,
+            # NOT tag case (protocol v2's Stream Commit tag is a
+            # lowercase 'c'): the only bare pgoutput rows emitted are
+            # Relation preambles ('R'); every data row ships as a whole
+            # 'w' frame, so first-byte 'w' ⇔ strip-needed.
             if m and m[0] == 119:
                 m = m[25:]
             events.extend(decoder.decode(int(lsn), m))

@@ -253,13 +253,21 @@ def _wire_produce_fn(
 
         try:
             for pdf in timed_pull(iter(iterator)):
-                _tm0, _snd0 = _time.perf_counter(), t_send
                 if len(pdf) == 0:
                     continue
                 if prod is None:
+                    # first-batch producer construction (socket + API
+                    # negotiation + InitProducerId) and begin_transaction
+                    # are KIP-98/RPC cost, not row assembly — book them
+                    # under t_txn so t_marshal stays comparable across
+                    # rounds (round-11 advice: the init branch inside the
+                    # _tm0 window skewed the stage attribution).
+                    _in0 = _time.perf_counter()
                     prod = KafkaWireProducer(**kwargs)
                     if kwargs.get("transactional_id") is not None:
                         prod.begin_transaction()
+                    t_txn += _time.perf_counter() - _in0
+                _tm0, _snd0 = _time.perf_counter(), t_send
                 if eos_group is not None:
                     if eos_filter:
                         import numpy as np
