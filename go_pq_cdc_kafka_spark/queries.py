@@ -13194,3 +13194,477 @@ def analytics_basket_size_distribution(spark: SparkSession, sf_dir: str) -> Data
         .cast("long")
         .alias("share_ppm"),
     ).orderBy("basket_size")
+
+
+# ===========================================================================
+# Round 12: Bloom runtime filter, RAKE keywords, apportioned stratified
+# sampling, exact covariance spectrum, ACF correlogram
+# ===========================================================================
+
+from go_pq_cdc_kafka_spark.operators import bloom as BF  # noqa: E402
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type = 'SMALL' AND p.p_size <= 15
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    category="join",
+    description="Bloom-filter runtime join pruning: the semi-join reduction "
+    "play for the case where even the dimension's FILTERED key set is too "
+    "large to broadcast exactly — a constant-size bitmap (corpus-adaptive "
+    "~16 bits/key, k=3, ~0.15% false positives) built distributed "
+    "(map-side probe explode, word-index OR-aggregate, one sparse-map "
+    "row), broadcast, and probed with pure codegen expressions, so the "
+    "fact side is reduced BEFORE the shuffle join pays for it. False "
+    "positives are eliminated by the exact merge join that follows, so "
+    "the result equals the plain join's — the oracle IS the plain join. "
+    "Spark's own runtime bloomFilter rewrite does this implicitly below "
+    "fixed thresholds; this operator guarantees it at any dimension size "
+    "(operators/bloom.py).",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    keys = p.select("p_partkey")
+    # bounded scalar action (key-count for the bitmap geometry) — same
+    # class as the dedup family's corpus .count()
+    m_bits = BF.bloom_geometry(keys.count())
+    flt = BF.bloom_build(keys, "p_partkey", m_bits)
+    reduced = BF.bloom_probe(li, "l_partkey", flt, m_bits)
+    # the exact join is hinted merge to model the dim-too-big-to-broadcast
+    # case (same modeling as join_semi_reduced_fact); it removes the
+    # bitmap's false positives, so correctness never depends on geometry
+    joined = reduced.join(p.hint("merge"), reduced["l_partkey"] == p["p_partkey"])
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_RAKE_STOP = (
+    "a", "an", "and", "as", "at", "be", "by", "for", "in", "is",
+    "of", "on", "or", "the", "to", "with",
+)
+_RAKE_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _RAKE_STOP) + ")"
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+tok0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'tok': t[i]}} for i in generate_series(1, len(t))]) AS u
+  FROM tl
+),
+tok AS (
+  SELECT doc_id, u.pos AS pos,
+         regexp_replace(u.tok, '[^a-z0-9]', '', 'g') AS core,
+         (regexp_replace(u.tok, '[^a-z0-9]', '', 'g') IN {_RAKE_STOP_SQL}
+          OR regexp_matches(u.tok, '[.,;:!?]')
+          OR regexp_replace(u.tok, '[^a-z0-9]', '', 'g') = '') AS brk
+  FROM tok0
+),
+seg AS (
+  SELECT doc_id, pos, core, brk,
+         SUM(CASE WHEN brk THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok
+),
+ph AS (
+  SELECT doc_id, grp,
+         string_agg(core, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM seg WHERE NOT brk GROUP BY doc_id, grp
+),
+ph4 AS (SELECT phrase, plen FROM ph WHERE plen <= 4),
+member AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS word FROM ph4
+),
+ws AS (
+  SELECT word,
+         CAST((1000000 * SUM(plen)) // COUNT(*) AS BIGINT) AS score_ppm
+  FROM member GROUP BY word
+),
+pd AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph4 GROUP BY phrase
+),
+scored AS (
+  SELECT m.phrase, m.n_occ, CAST(SUM(ws.score_ppm) AS BIGINT) AS rake_ppm
+  FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS word
+        FROM pd) m
+  JOIN ws USING (word)
+  GROUP BY m.phrase, m.n_occ
+)
+SELECT phrase, n_occ, rake_ppm
+FROM scored ORDER BY rake_ppm DESC, phrase LIMIT 20
+""",
+    category="text",
+    description="RAKE keyword extraction (Rose et al. 2010): candidate "
+    "phrases are maximal runs of non-delimiter tokens (delimiters = "
+    "stopword cores, punctuation-bearing tokens, empty cores), capped at "
+    "4 words; word score = deg/freq over phrase occurrences in integer "
+    "ppm ((1e6*Σplen) div count — deg counts the whole phrase length, "
+    "RAKE's co-occurrence degree); phrase score = Σ member-word scores "
+    "(multiplicity kept); global top-20 on the unique (score, phrase) "
+    "order. Spark side segments each document INSIDE one aggregate HOF "
+    "over the token array (struct accumulator carrying closed phrases + "
+    "the open run) — phrase extraction is map-only, the only shuffles "
+    "are the two vocabulary-bounded aggregates and the word-score join. "
+    "The SQL twin derives the same runs via a per-doc break-count "
+    "cumulative window.",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    empty = F.expr("cast(array() as array<string>)")
+
+    def step(acc, w):
+        core = F.regexp_replace(w, "[^a-z0-9]", "")
+        brk = (
+            core.isin(*_RAKE_STOP)
+            | w.rlike("[.,;:!?]")
+            | (core == F.lit(""))
+        )
+        closed = F.when(
+            brk & (F.size(acc["cur"]) > 0),
+            F.concat(acc["done"], F.array(F.array_join(acc["cur"], " "))),
+        ).otherwise(acc["done"])
+        cur = F.when(brk, empty).otherwise(F.concat(acc["cur"], F.array(core)))
+        return F.struct(closed.alias("done"), cur.alias("cur"))
+
+    phrases = F.aggregate(
+        T.tokens(F.col("text")),
+        F.struct(empty.alias("done"), empty.alias("cur")),
+        step,
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["done"], F.array(F.array_join(acc["cur"], " "))),
+        ).otherwise(acc["done"]),
+    )
+    ph4 = (
+        d.select(F.explode(phrases).alias("phrase"))
+        .select("phrase", F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"))
+        .filter(F.col("plen") <= 4)
+        # two consumers (word stats + phrase counts) — checkpoint so the
+        # corpus segmentation runs once (same discipline as
+        # text_collocation_lift's unigram table)
+        .localCheckpoint(eager=False)
+    )
+    ws = (
+        ph4.select("plen", F.explode(F.split(F.col("phrase"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.expr("(1000000 * sum(plen)) div count(*)").cast("long").alias("score_ppm"))
+    )
+    pd_ = ph4.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    return (
+        pd_.select("phrase", "n_occ", F.explode(F.split(F.col("phrase"), " ")).alias("word"))
+        .join(ws, "word")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("score_ppm").cast("long").alias("rake_ppm"))
+        .orderBy(F.col("rake_ppm").desc(), "phrase")
+        .limit(20)
+    )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+  FROM documents GROUP BY source
+),
+wts AS (SELECT source, n, n * s2 - s1 * s1 AS w FROM s),
+alloc0 AS (
+  SELECT source, w,
+         (500 * w) // SUM(w) OVER () AS base,
+         500 * w - ((500 * w) // SUM(w) OVER ()) * SUM(w) OVER () AS rem
+  FROM wts
+),
+ranked AS (
+  SELECT source, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+         500 - SUM(base) OVER () AS leftover
+  FROM alloc0
+),
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+  FROM ranked
+),
+rd AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {{h}}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT a.source, a.alloc,
+       CAST(COUNT(r.n_chars) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS sum_chars
+FROM alloc a
+LEFT JOIN rd r ON r.source = a.source AND r.rn <= a.alloc
+GROUP BY a.source, a.alloc
+ORDER BY a.source
+""".format(h="CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"),
+    category="sampling",
+    description="Variance-optimal stratified sampling with exact Hamilton "
+    "(largest-remainder) apportionment: a 500-doc budget is allocated "
+    "across sources proportional to the integer variance mass "
+    "N_h*Σ(x-x̄)² = N_h*S2_h - S1_h² (the square-free surrogate for "
+    "Neyman's N_h*σ_h — exact Neyman needs a cross-engine sqrt; the "
+    "surrogate keeps every division an integer floor-div), remainders "
+    "settled by the classic largest-remainder rank so Σalloc = 500 "
+    "exactly. Each stratum then contributes its alloc_h lowest-hash "
+    "documents (the shared 60-bit md5 hash, stable under appends). "
+    "Windows ride the sources-bounded panel; the per-stratum top-k is "
+    "rank-filtered, which Spark executes with WindowGroupLimit pushdown "
+    "(per-partition local limit before the full sort).",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))).cast("decimal(38,0)").alias("s2"),
+    )
+    wts = s.select("source", (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("w"))
+    wall = Window.partitionBy()
+    alloc0 = wts.select(
+        "source",
+        "w",
+        F.expr("(500 * w) div (sum(w) over ())").alias("base"),
+        (
+            F.lit(500) * F.col("w")
+            - F.expr("(500 * w) div (sum(w) over ())") * F.sum("w").over(wall)
+        ).alias("rem"),
+    )
+    ranked = alloc0.select(
+        "source",
+        "base",
+        F.row_number().over(Window.partitionBy().orderBy(F.col("rem").desc(), "source")).alias("rk"),
+        (F.lit(500) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "source",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
+    # literal rank cap first (no stratum can be allocated more than the
+    # whole 500 budget): the rn <= 500 filter is a rank-vs-literal
+    # predicate, so Spark's WindowGroupLimit pushes a per-partition local
+    # top-500 below the window sort — the full per-source sort never
+    # happens; the data-dependent rn <= alloc cut then runs on the
+    # bounded (sources x 500) survivor set
+    rd = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                T.hash64(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 500)
+    return (
+        alloc
+        .join(F.broadcast(rd), (alloc["source"] == rd["source"]) & (rd["rn"] <= alloc["alloc"]), "left")
+        .groupBy(alloc["source"].alias("source"), "alloc")
+        .agg(
+            F.count("n_chars").cast("long").alias("n_sampled"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "emb_covariance_spectrum",
+    oracle="""
+WITH pairs AS (
+  SELECT a.i AS di, b.j AS dj,
+         CAST(ROUND(embedding[a.i] * 1000000) AS BIGINT) AS qi,
+         CAST(ROUND(embedding[b.j] * 1000000) AS BIGINT) AS qj
+  FROM embeddings, generate_series(1, 64) a(i), generate_series(1, 64) b(j)
+  WHERE b.j > a.i
+),
+s AS (
+  SELECT di, dj, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(qi AS HUGEINT) * qj) AS HUGEINT) AS sqq,
+         CAST(SUM(CAST(qi AS HUGEINT)) AS HUGEINT) AS sqi,
+         CAST(SUM(CAST(qj AS HUGEINT)) AS HUGEINT) AS sqj
+  FROM pairs GROUP BY di, dj
+),
+c AS (SELECT di, dj, n, n * sqq - sqi * sqj AS cnum FROM s)
+SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+       CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CAST(cnum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) AS cov
+FROM c ORDER BY abs(cnum) DESC, di, dj LIMIT 15
+""",
+    category="similarity",
+    description="Exact embedding covariance spectrum — the PCA-prep / "
+    "whitening diagnostic: top-15 off-diagonal covariances by magnitude "
+    "over all 2016 dim pairs, every sum carried in micro-unit integers "
+    "(decimal(38,0)/HUGEINT, cnum = N·Σqiqj − Σqi·Σqj) so both engines "
+    "rank and divide the SAME integers — only the displayed cov is a "
+    "round-6 double. The 2016-pair expansion happens map-side inside one "
+    "nested-transform explode and is absorbed by partial aggregation: "
+    "the shuffle carries 2016 groups × 4 sums regardless of corpus size "
+    "(the O(N·d²) multiply work is inherent to exact covariance; the "
+    "64×64 eigensolve downstream is a driver-side constant).",
+)
+def emb_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
+        ).alias("qv")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.lit(63)),
+                lambda j: F.struct(
+                    (i + 1).alias("di"),
+                    (j + 1).alias("dj"),
+                    F.col("qv")[i].alias("qi"),
+                    F.col("qv")[j].alias("qj"),
+                ),
+            ),
+        )
+    )
+    pairs = q.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.di").alias("di"),
+        F.col("p.dj").alias("dj"),
+        F.col("p.qi").cast("decimal(38,0)").alias("qi"),
+        F.col("p.qj").cast("decimal(38,0)").alias("qj"),
+    )
+    s = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("qi * qj")).cast("decimal(38,0)").alias("sqq"),
+        F.sum("qi").cast("decimal(38,0)").alias("sqi"),
+        F.sum("qj").cast("decimal(38,0)").alias("sqj"),
+    )
+    c = s.select(
+        "di", "dj", "n", F.expr("n * sqq - sqi * sqj").alias("cnum")
+    )
+    return (
+        c.select(
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dim_j"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(
+                F.expr("cast(cnum as double)")
+                / (F.expr("cast(n as double)") * F.expr("cast(n as double)") * F.lit(1e12)),
+                6,
+            ).alias("cov"),
+            F.abs(F.col("cnum")).alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), "dim_i", "dim_j")
+        .limit(15)
+        .drop("_a")
+    )
+
+
+@register(
+    "ts_acf_panel",
+    oracle=f"""
+WITH daily AS ({_DAILY_COUNTS_SQL}),
+px AS (
+  SELECT a.event_type, CAST(k.k AS BIGINT) AS lag, a.n AS x, b.n AS y
+  FROM daily a
+  CROSS JOIN generate_series(1, 7) AS k(k)
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + to_days(CAST(k.k AS INTEGER))
+),
+sums AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM px GROUP BY event_type, lag
+)
+SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+FROM sums
+ORDER BY event_type, lag
+""",
+    category="timeseries",
+    description="ACF correlogram panel: lagged Pearson r at calendar lags "
+    "1..7 days of each event type's daily count series — the "
+    "seasonality-detection sweep (a weekly cycle shows as the lag-7 "
+    "peak). Generalizes ts_autocorr_lag1 to a panel: pairs come from a "
+    "lag-join on the bounded (types × days) aggregate (never corpus "
+    "rows), one integer-sum aggregate per (type, lag), final r the only "
+    "double. Missing days simply contribute no pair at that lag, "
+    "identically in both engines.",
+)
+def ts_acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(load_table(spark, sf_dir, "events"))
+    a = daily.select(
+        "event_type",
+        "day",
+        F.col("n").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("tday", F.expr("day + make_interval(0, 0, 0, lag)"))
+    b = daily.select(
+        F.col("event_type").alias("btype"),
+        F.col("day").alias("bday"),
+        F.col("n").alias("y"),
+    )
+    px = a.join(
+        b, (F.col("event_type") == F.col("btype")) & (F.col("tday") == F.col("bday"))
+    ).select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    sums = px.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return sums.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / F.sqrt(
+                F.expr("cast(n * sxx - sx * sx as double)")
+                * F.expr("cast(n * syy - sy * sy as double)")
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
