@@ -999,3 +999,19 @@ def test_rfm_and_frontier_plans_have_no_global_window(spark):
     for q in ("analytics_rfm_segments", "window_pareto_frontier"):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
+
+
+def test_bloom_prefilter_reduces_fact_before_shuffle_join(spark):
+    plan = plan_of(spark, "join_bloom_prefilter")
+    # the one-row bloom table attaches to the fact via broadcast (the
+    # constant-key join folds to a one-row-build BNLJ carrying the probe
+    # predicates) — the fact side must not shuffle before the reduction
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the exact join that removes false positives is the modeled
+    # non-broadcastable merge join
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    # parents print first: the SMJ consumes the already-probed fact, so
+    # its node header precedes the probe join's in the tree
+    probe = plan.index("BroadcastNestedLoopJoin") if "BroadcastNestedLoopJoin" in plan else plan.index("BroadcastHashJoin")
+    assert plan.index("SortMergeJoin") < probe
