@@ -46,17 +46,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition a scan that planned fewer partitions than the
-    session's parallelism — the small-file/single-row-group case, where one
-    task would otherwise run the whole CPU-heavy downstream map (tokenizing
-    every document serially on one core while 31 idle).
+def spread_small_scan(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    key_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Repartition a scan that planned fewer partitions than the session's
+    parallelism — the small-file/single-row-group case, where one task would
+    otherwise run the whole CPU-heavy downstream map (tokenizing every
+    document serially on one core while 31 idle).
+
+    ``key_cols`` (round-12) opts into a DETERMINISTIC-hash spread —
+    ``repartition(n, xxhash64(keys))`` — instead of round-robin
+    ``repartition(n)``: a keyless repartition first pays a full local sort
+    of its input (``spark.sql.execution.sortBeforeRepartition``, on since
+    SPARK-23207 so retried map tasks reproduce the same row→partition
+    assignment), while hash partitioning is retry-deterministic by
+    construction and skips that sort (guide §2.5's deterministic-key
+    advice). Measured round-12: the full-width lineitem spread dropped
+    1.07 s → 0.64 s at sf0.1, entirely the skipped sort in the single scan
+    task. The keys must be high-cardinality (a unique id, or the full
+    consumed projection) — and note the trade: referencing columns in the
+    repartition expression blocks column pruning below it, so only pass
+    columns the downstream plan reads anyway (the no-key round-robin
+    default keeps pruning intact for callers that project after
+    spreading).
 
     At production scale the input's own splits exceed the core count and
     this is a no-op, so the full-payload shuffle is only ever paid when the
     data is small enough for it to be cheap."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key_cols:
+            return df.repartition(
+                target, F.xxhash64(*[F.col(c) for c in key_cols])
+            )
         return df.repartition(target)
     return df
 

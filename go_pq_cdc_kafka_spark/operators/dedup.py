@@ -300,17 +300,29 @@ def _mh_consts(p: int) -> tuple[int, int]:
     return a, b
 
 
-def _signatures_from_index(sh: DataFrame, num_perms: int) -> DataFrame:
-    h30 = (T.hash64(F.col("shingle")) % F.lit(_H30)).alias("h30")
-    hashed = sh.select("doc_id", h30)
+#: Spark-SQL twin of functions.text.hash64 (same ops, same result); used to
+#: build the signature projection as ONE expression string — the Column-
+#: algebra form cost ~130 py4j round trips per construction, which the
+#: round-12 bench measured as real wall time (construction is inside the
+#: timed region for every caller).
+_HASH64_SPARK_SQL = "CAST(conv(substring(md5({c}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _signatures_from_index(
+    sh: DataFrame, num_perms: int, with_count: bool = False
+) -> DataFrame:
+    hashed = sh.selectExpr(
+        "doc_id", f"{_HASH64_SPARK_SQL.format(c='shingle')} % {_H30} AS h30"
+    )
     aggs = []
     for p in range(num_perms):
         a, b = _mh_consts(p)
-        aggs.append(
-            F.min((F.lit(a) * F.col("h30") + F.lit(b)) % F.lit(_MH_MOD)).alias(
-                f"mh{p}"
-            )
-        )
+        aggs.append(F.expr(f"min(({a} * h30 + {b}) % {_MH_MOD}) AS mh{p}"))
+    if with_count:
+        # index rows per doc == |distinct shingles| (shingle_index is
+        # distinct by construction), so the Jaccard size table rides the
+        # signature pass for free — no separate size aggregation stage.
+        aggs.append(F.expr("CAST(count(1) AS BIGINT) AS n_sh"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
@@ -336,6 +348,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     persist: bool = True,
     pair_join: str = "shuffle_hash",
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -344,13 +357,30 @@ def minhash_lsh_pairs(
     verified with exact shingle Jaccard so the output is deterministic and
     threshold-exact (LSH only prunes, never admits).
 
-    The shingle index feeds the signatures AND the verification semi-
-    filter, the banded signatures feed both self-join sides, and the
-    candidate pairs feed the doc filter plus the verify joins — all are
-    pinned (see ``_pin``) so tokenization/signature/banding cost is paid
-    once.
+    Round-12 restructure (results bit-identical, exceptAll-verified):
 
-    Every join carries an explicit ``merge`` hint — same rationale as
+    - the per-doc size table ``n_sh`` rides the signature groupBy
+      (``with_count=True``) instead of a separate aggregation over the
+      semi-filtered index — one whole aggregation stage (over candidate
+      shingle mass, the larger relation) removed from the verify phase;
+    - ``banded`` is a cheap map over the PINNED signature table
+      (posexplode of B concat keys) instead of its own pinned
+      materialization — one persist barrier less, and the self-join sides
+      re-derive it from the signature cache for pennies;
+    - shared subtrees referenced from concurrently-submitted join branches
+      (signatures, candidates, semi-filtered index) are eagerly
+      materialized after persist when ``eager`` — a merge/hash join
+      submits both input stages at once, and against a lazily-persisted
+      cache BOTH compute the subtree before any block lands (the round-11
+      sf100 event log measured this as twin ~80 s stages on the
+      embedding-cosine path; same class here). ``eager=False`` keeps
+      construction side-effect-free for plan-only inspection.
+
+    The shingle index feeds the signatures AND the verification semi-
+    filter; the candidate pairs feed the doc filter plus the verify joins —
+    all pinned (see ``_pin``) so tokenization/signature cost is paid once.
+
+    Every join carries an explicit hint — same rationale as
     :func:`ngram_jaccard_pairs`: Catalyst's static stats don't model
     explode fan-out, so the shingle index / banded signatures / pair and
     size aggregates all inherit tiny estimates and get picked as hash-join
@@ -359,33 +389,37 @@ def minhash_lsh_pairs(
     with the corpus, so none may ever broadcast, at this or any scale."""
     r = num_perms // bands
     sh = _pin(shingle_index(df, text_col, id_col, n), persist)
-    sig = _signatures_from_index(sh, num_perms)
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
-        for b in range(bands)
-    ]
+    sig = _pin(_signatures_from_index(sh, num_perms, with_count=True), persist)
+    if persist and eager:
+        # one pass materializes the shingle index AND the signatures
+        sig.count()
+    band_key = lambda b: (  # noqa: E731
+        "concat_ws('|', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+    )
     # ONE self-equi-join on (band_id, band_key) instead of B separate
     # self-joins: posexplode rewrites B join branches (each of which would
     # recompute the signature subtree) into a single shuffle on a uniform
-    # md5-derived key.
-    banded = _pin(
-        sig.select(
-            "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
-        ),
-        persist,
+    # md5-derived key. Derived map-side from the pinned signatures.
+    banded = sig.selectExpr(
+        "doc_id",
+        "posexplode(array(" + ", ".join(band_key(b) for b in range(bands)) + ")) "
+        "AS (band_id, band_key)",
     )
     cand = (
         banded.alias("a")
         .join(
             banded.hint("merge").alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_key = b.band_key "
+                "AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
         .distinct()
     )
     cand = _pin(cand, persist)
+    if persist and eager:
+        cand.count()
 
     # Verify ONLY the LSH candidates (this is the point of LSH: exact
     # Jaccard cost scales with |candidates|, not with shared-shingle mass
@@ -395,21 +429,18 @@ def minhash_lsh_pairs(
     # (doc, shingle)-keyed join re-shuffles the ENTIRE corpus index a
     # second time; with it, verification shuffle volume scales with
     # candidate-doc mass (near-dup rate x corpus), not corpus size. The
-    # semi join is one doc_id-keyed pass over the pinned index, and the
-    # per-doc shingle sizes come from the filtered slice (exact: a doc
-    # keeps ALL its shingles or none). shuffle_hash on the filter side:
-    # its pre-explode estimate is tiny (Catalyst doesn't model explode
-    # fan-out), so unhinted it could be picked as a broadcast build even
-    # when corpus-scaled.
-    cand_docs = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    # semi join is one doc_id-keyed pass over the pinned index.
+    # shuffle_hash on the filter side: its pre-explode estimate is tiny
+    # (Catalyst doesn't model explode fan-out), so unhinted it could be
+    # picked as a broadcast build even when corpus-scaled.
+    cand_docs = cand.selectExpr(
+        "explode(array(doc_a, doc_b)) AS doc_id"
     )  # no distinct: LEFT SEMI dedups the build side for free
     shc = _pin(
         sh.join(cand_docs.hint(pair_join), "doc_id", "semi"), persist
     )
-    sizes = shc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
+    if persist and eager:
+        shc.count()
     # pair_join ("shuffle_hash" default): doc-id join keys are uniform
     # (no skew-split needed) and the build side is the per-partition
     # slice of the candidate set — LSH-bounded and far smaller than the
@@ -420,35 +451,27 @@ def minhash_lsh_pairs(
     # Callers switch to "merge" past ~1M docs — sort-merge spills.
     shared = (
         cand.hint(pair_join)
-        .join(
-            shc.select(F.col("doc_id").alias("doc_a"), "shingle"),
-            "doc_a",
-        )
+        .join(shc.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
         .hint(pair_join)
-        .join(
-            shc.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
+        .join(shc.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS shared"))
     )
+    # sizes come from the pinned signature table (one row per doc — the
+    # smallest corpus-scaled relation here; n_sh over the semi-filtered
+    # slice is identical because a candidate doc keeps ALL its shingles)
     return (
         shared.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-            ).hint(pair_join),
+            sig.selectExpr("doc_id AS doc_a", "n_sh AS na").hint(pair_join),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-            ).hint(pair_join),
+            sig.selectExpr("doc_id AS doc_b", "n_sh AS nb").hint(pair_join),
             "doc_b",
         )
         .withColumn(
             "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+            F.expr("CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE)"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

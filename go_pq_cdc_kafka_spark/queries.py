@@ -92,9 +92,32 @@ ORDER BY l_returnflag, l_linestatus
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1)).cast("long")
+    # Round-12: the fixture files are single-row-group parquet, so the scan
+    # plus the eight DECIMAL(27,6) partial sums ran in ONE task (908 ms of
+    # the 1.33 s wall at sf0.1 — event-log stage s50). Spreading the
+    # filtered 6-column projection moves the decimal work onto every core;
+    # the shuffle carries only the projected columns and the spread is a
+    # no-op once the input's own splits exceed the core count (guide §2.2/
+    # §2.3: project before the exchange, size partitions from the data).
+    proj = (
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    base = spread_small_scan(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        ).select(*proj),
+        # hash-spread on the consumed projection itself: every column is
+        # read downstream anyway (no pruning lost) and the deterministic
+        # key skips round-robin's per-task input sort
+        key_cols=proj,
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        base.groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
@@ -708,7 +731,16 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _orders_changelog_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic changelog over orders: snapshot, then updates on
     keys %10==0 (price bump), then deletes on keys %7==0. Mirrors the
-    reference E2E recipe (FIXTURES.md §2)."""
+    reference E2E recipe (FIXTURES.md §2).
+
+    Round-12 note: a single-scan variant (one decode, conditional
+    struct-array explode per row) was prototyped to remove two of the three
+    input passes — and measured SLOWER at sf0.1 (0.62 s vs 0.36 s for the
+    bare changelog, and +0.6 s on each consumer): the per-row
+    array-of-struct build + higher-order filter + Generate costs more CPU
+    than two extra scan branches that run concurrently and codegen to
+    trivial projections. The three passes stay — they are map-parallel and
+    the branches share the parquet page cache."""
     o = load_table(spark, sf_dir, "orders")
     snap = o.select(
         F.col("o_orderkey").alias("pk"),
@@ -1129,10 +1161,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle; sort-merge spills gracefully there. Count BEFORE the
     # spread repartition so it stays a footer-only metadata job.
     n = raw.count()
-    d = spread_small_scan(raw)
+    d = spread_small_scan(raw, key_cols=("doc_id",))
+    # eager rides the same switch: below ~1M docs the three materialization
+    # barriers cost more than the duplicated cheap subtrees they prevent
+    # (round-12 A/B: 2.0 s lazy vs 2.3 s eager at sf0.1); past it the
+    # race duplicates corpus-scale passes (round-11 sf100 event log: twin
+    # ~80 s stages), so serialize the cache builds.
     return DD.minhash_lsh_pairs(
         d, num_perms=16, bands=4, threshold=0.5,
         pair_join="merge" if n > 1_000_000 else "shuffle_hash",
+        eager=n > 1_000_000,
     ).orderBy("doc_a", "doc_b")
 
 
