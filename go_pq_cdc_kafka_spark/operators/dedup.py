@@ -349,6 +349,7 @@ def minhash_lsh_pairs(
     persist: bool = True,
     pair_join: str = "shuffle_hash",
     eager: bool = True,
+    semi_filter: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -433,14 +434,22 @@ def minhash_lsh_pairs(
     # shuffle_hash on the filter side: its pre-explode estimate is tiny
     # (Catalyst doesn't model explode fan-out), so unhinted it could be
     # picked as a broadcast build even when corpus-scaled.
-    cand_docs = cand.selectExpr(
-        "explode(array(doc_a, doc_b)) AS doc_id"
-    )  # no distinct: LEFT SEMI dedups the build side for free
-    shc = _pin(
-        sh.join(cand_docs.hint(pair_join), "doc_id", "semi"), persist
-    )
-    if persist and eager:
-        shc.count()
+    # ``semi_filter=False`` (round-12) verifies against the UNFILTERED
+    # pinned index: below ~100k docs the semi join's two extra stages cost
+    # more than the index re-shuffle they avoid (sf0.1 A/B: 2.36 s → 1.95 s,
+    # exceptAll-identical), while at sf10 the filter is a 4x win (round-9:
+    # 94 s → 24 s at 500k docs) — callers switch on corpus size.
+    if semi_filter:
+        cand_docs = cand.selectExpr(
+            "explode(array(doc_a, doc_b)) AS doc_id"
+        )  # no distinct: LEFT SEMI dedups the build side for free
+        shc = _pin(
+            sh.join(cand_docs.hint(pair_join), "doc_id", "semi"), persist
+        )
+        if persist and eager:
+            shc.count()
+    else:
+        shc = sh
     # pair_join ("shuffle_hash" default): doc-id join keys are uniform
     # (no skew-split needed) and the build side is the per-partition
     # slice of the candidate set — LSH-bounded and far smaller than the

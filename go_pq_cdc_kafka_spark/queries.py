@@ -333,6 +333,14 @@ def join_multiway_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # Round-12: all three joins plan as BroadcastHashJoin, so without a
+    # spread the whole probe+partial-agg pipeline runs inside the fact
+    # scan's task — one core on the single-row-group fixture (event-log
+    # stage s24: 697 ms serial of the 1.38 s wall). Spread the 3-column
+    # fact projection (all consumed, nothing to prune; no-op at real
+    # splits): 1.59 s → 0.92 s steady-state, results exceptAll-identical.
+    proj = ("l_orderkey", "l_extendedprice", "l_discount")
+    li = spread_small_scan(li.select(*proj), key_cols=proj)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -473,7 +481,14 @@ ORDER BY o_custkey, rk
     description="Top-3 orders per customer — rank-based top-k.",
 )
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # Round-12: same single-exchange shape as cdc_lww_materialize —
+    # RangePartitioning(o_custkey) serves both the window clustering and
+    # the final orderBy's distribution (2 Exchange → 1; 0.58 s → 0.49 s at
+    # sf0.1, exceptAll-identical). o_custkey is SF-scaled, so the range
+    # partitions stay balanced as the corpus grows.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).repartitionByRange("o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -713,6 +728,13 @@ ORDER BY event_type
 )
 def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Round-12: the JSON parse runs inside the scan's partial-agg stage —
+    # serial on the single-row-group fixture. Spread the two consumed
+    # columns (props is row-unique: no pruning lost, hash uniform);
+    # 0.43 s → 0.38 s at sf0.1, no-op at real splits.
+    ev = spread_small_scan(
+        ev.select("event_type", "props"), key_cols=("event_type", "props")
+    )
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         ev.groupBy("event_type")
@@ -900,7 +922,15 @@ ORDER BY pk
     "(row_number over pk by LSN desc; SURVEY §2.B stateful ops).",
 )
 def cdc_lww_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    log = _orders_changelog_spark(spark, sf_dir)
+    # Round-12: range-partition by pk ONCE — RangePartitioning(pk) satisfies
+    # the window's ClusteredDistribution(pk) AND the final orderBy(pk)'s
+    # OrderedDistribution, so the plan needs a single exchange and a single
+    # sort instead of hash-exchange → window → sample → range-exchange →
+    # sort (guide §2.4: operations keyed the same way share one exchange).
+    # Plan: 2 Exchange → 1, 3 Sort → 1; 0.92 s → 0.59 s at sf0.1,
+    # exceptAll-identical. pk is the order key — corpus-cardinality, so
+    # range partitions stay balanced at any scale.
+    log = _orders_changelog_spark(spark, sf_dir).repartitionByRange("pk")
     w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -1171,6 +1201,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_perms=16, bands=4, threshold=0.5,
         pair_join="merge" if n > 1_000_000 else "shuffle_hash",
         eager=n > 1_000_000,
+        # the candidate-doc semi filter pays for itself once the index is
+        # big enough that re-shuffling it dominates two extra stages
+        # (round-9 sf10: 4x win at 500k docs; round-12 sf0.1: 0.4 s cost
+        # at 5k docs) — switch well below the measured-win scale
+        semi_filter=n > 100_000,
     ).orderBy("doc_a", "doc_b")
 
 
