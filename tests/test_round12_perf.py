@@ -1,0 +1,108 @@
+"""Round-12 optimization regression tests.
+
+Each optimization changed an operator's internals while keeping results
+bit-identical; these tests pin (a) the new plan shapes — deterministic-hash
+spread, single shared window/sort exchange, probe-side spread under
+broadcast joins, semi-filter bypass — and (b) result identity for the
+restructured MinHash verify path.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from go_pq_cdc_kafka_spark.catalog import load_table, spread_small_scan
+from go_pq_cdc_kafka_spark.operators import dedup as DD
+from go_pq_cdc_kafka_spark.queries import REGISTRY
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_spread_key_cols_plans_hash_partitioning_without_sort(spark):
+    """key_cols spread = hashpartitioning(xxhash64(...)) — deterministic, so
+    Spark must NOT insert the round-robin retry sort below the exchange."""
+    df = load_table(spark, SF, "documents")
+    plan = _plan(spread_small_scan(df, key_cols=("doc_id",)))
+    assert "xxhash64" in plan and "hashpartitioning" in plan
+    assert "roundrobin" not in plan.lower()
+    # no sort anywhere: the spread is the only operator above the scan
+    assert ") Sort" not in plan
+
+
+def test_spread_default_stays_round_robin_for_pruning(spark):
+    """The no-key default must remain round-robin: a content-hash over all
+    columns would block column pruning below the exchange (caught by
+    test_token_diversity_partial_final_aggs in round 12)."""
+    df = load_table(spark, SF, "documents")
+    plan = _plan(spread_small_scan(df))
+    assert "ROUND_ROBIN" in plan or "roundrobin" in plan.lower()
+
+
+def test_lww_and_topk_share_one_exchange(spark):
+    """RangePartitioning(key) serves both the window clustering and the
+    final orderBy — exactly one exchange node in each plan."""
+    for name in ("cdc_lww_materialize", "window_topk_per_group"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        import re
+
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, (name, n_exchange)
+        assert "rangepartitioning" in plan
+
+
+def test_multiway_fact_spread_keeps_broadcast_dims(spark):
+    """The probe-side spread must not change join strategy: dims still
+    broadcast, the fact side never sort-merge-joins at oracle SF."""
+    plan = _plan(REGISTRY["join_multiway_fact"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan  # the deterministic spread
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_filter_still_pushed(spark):
+    """Spreading after filter+project must leave the shipdate predicate in
+    PushedFilters and the read schema at the 7 referenced columns."""
+    plan = _plan(REGISTRY["agg_pricing_summary"].fn(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_minhash_semi_filter_bypass_is_result_identical(spark):
+    """semi_filter only prunes the verification input — never the answer."""
+    d = spread_small_scan(
+        load_table(spark, SF, "documents"), key_cols=("doc_id",)
+    )
+    kw = dict(num_perms=16, bands=4, threshold=0.5, eager=False)
+    with_semi = DD.minhash_lsh_pairs(d, semi_filter=True, **kw)
+    without = DD.minhash_lsh_pairs(d, semi_filter=False, **kw)
+    assert with_semi.exceptAll(without).count() == 0
+    assert without.exceptAll(with_semi).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_minhash_signature_carries_exact_sizes(spark):
+    """n_sh from the signature pass == the per-doc distinct-shingle count
+    the old separate aggregation produced."""
+    from go_pq_cdc_kafka_spark.operators.dedup import (
+        _signatures_from_index,
+        shingle_index,
+    )
+
+    d = load_table(spark, SF, "documents")
+    sh = shingle_index(d)
+    sig = _signatures_from_index(sh, 4, with_count=True)
+    direct = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct")
+    )
+    joined = sig.select("doc_id", "n_sh").join(direct, "doc_id")
+    assert joined.filter(F.col("n_sh") != F.col("n_direct")).count() == 0
