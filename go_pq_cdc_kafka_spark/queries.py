@@ -890,7 +890,16 @@ def cdc_avro_value_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "lsn", "type": ["null", "long"]},
         ],
     }
-    log = _orders_changelog_spark(spark, sf_dir)
+    # Round-12: the union of three narrow scans plans ≤3 partitions, so the
+    # pure-Python per-datum codec (necessarily row-wise — it's the
+    # from-spec byte encoder) ran on ≤3 cores: 9.0 s of the sweep's 9.5 s
+    # at sf0.1. Spread on the unique (pk, lsn) key before the Python
+    # boundary (guide §4: parallelize the expensive UDF stage; no-op once
+    # the input has real splits). All four columns are consumed by the
+    # encoder, so nothing prunable is lost.
+    log = spread_small_scan(
+        _orders_changelog_spark(spark, sf_dir), key_cols=("pk", "lsn")
+    )
     encoded = log.select(
         to_avro(value_schema, confluent_schema_id=1)(
             F.struct("pk", "op", "price", "lsn")
@@ -1479,6 +1488,10 @@ ORDER BY event_type
 )
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Round-12 note: a spread before this aggregate was prototyped and
+    # measured SLOWER (4.3 s → 5.8 s at sf0.1) — the rsd=0.01 HLL++
+    # sketches are 2^14 registers each, so 32 partial sketches per group
+    # cost more to build+merge than the serial single-sketch pass saves.
     return (
         ev.groupBy("event_type")
         .agg(
