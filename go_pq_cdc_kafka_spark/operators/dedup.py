@@ -1028,6 +1028,45 @@ def simhash_pairs(
         *fp_cols,
         F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
     )
+    # The band self-join MULTIPLIES: its output (random band collisions +
+    # real dup-cluster pairs) is orders of magnitude larger than its
+    # input, and the emission per band key is QUADRATIC in the key's doc
+    # count — at sf0.1 one band key held 2,566 docs = 3.3M of the 8.9M
+    # candidate checks, and AQE additionally coalesced the tiny-input
+    # ENSURE_REQUIREMENTS exchange into ONE partition, putting the whole
+    # join in a single 2.5 s task (event-log stage 25, round 12). AQE
+    # skew-join never fires here (it keys on the 256 MB partition-byte
+    # threshold; the blowup is in the OUTPUT). Two fixes compose:
+    #
+    # 1. SALT the self-join (guide §2.5): each doc carries its own salt
+    #    `pmod(xxhash64(doc_id), s)`; the table is replicated s ways on a
+    #    synthetic `_salt` and a pair (a, b) meets exactly once — in the
+    #    partition where `_salt == a's own salt`. Side A filters to its
+    #    own salt POST-shuffle, so both join children share ONE exchange
+    #    (ReusedExchange) and the per-key comparison count is unchanged
+    #    (sum over salts of (n/s)·n = n²) — only the tail splits s ways.
+    #    The cost is an s× larger band-table shuffle (rows are ~32 bytes;
+    #    the table is fingerprint-sized, the smallest corpus-scaled
+    #    relation here).
+    # 2. An explicit repartition on the salted key is exempt from AQE
+    #    coalescing; max(defaultParallelism, shuffle.partitions) never
+    #    lowers a bigger configured production shuffle width.
+    sess = banded.sparkSession
+    n_part = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
+    n_salt = 8
+    salted = banded.select(
+        *banded.columns,
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt))
+        .cast("int")
+        .alias("_osalt"),
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_salt)])
+        ).alias("_salt"),
+    ).repartition(n_part, "band_id", "band_key", "_salt")
+    side_a = salted.filter(F.col("_salt") == F.col("_osalt"))
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
@@ -1039,13 +1078,14 @@ def simhash_pairs(
             ).cast("int")
         ).cast("int")
     cand = (
-        banded.alias("a")
+        side_a.alias("a")
         .join(
             # merge hint: corpus-sized banded self-join must never
             # broadcast — same rationale as minhash_lsh_pairs
-            banded.hint("merge").alias("b"),
+            salted.hint("merge").alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

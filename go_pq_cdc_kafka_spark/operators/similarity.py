@@ -664,6 +664,13 @@ def train_centroids(
         # trained clusters are engine-specific (invariant-checked), so
         # Lloyd assignment uses the fast double scorer
         assigned = ivf_assign(corpus, cents, id_col, vec, "_m_id", exact=False)
+        # NOTE (round 12): a single groupBy(cluster) with `dim` positional
+        # sum aggregates was prototyped to drop one exchange per round and
+        # measured SLOWER (+1.5 s over 3 rounds at sf0.1): each round
+        # whole-stage-codegens a fresh 64-buffer aggregate method, and the
+        # compilation costs more than the exchange it saves. Kept the
+        # posexplode form; the real lever was spreading the corpus scan
+        # at the call sites.
         means = (
             assigned.select("cluster", F.posexplode(F.col(vec)).alias("pos", "val"))
             .groupBy("cluster", "pos")

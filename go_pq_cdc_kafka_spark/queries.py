@@ -1611,7 +1611,12 @@ ORDER BY query_id
 def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # Lloyd training drives jobs at construction; unspread, every
+    # assignment round ran its |C|×k double-HOF scoring inside the serial
+    # single-row-group scan task (round 12: ~3 s construct at sf0.1).
+    e = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), key_cols=("vec_id",)
+    )
     q = e.filter(F.col("vec_id") < 5).limit(5)  # limit == no-op bound on the unique-key filter (plan-gate proof)
     ivf = SIM.ivf_topk(
         q, e, dim=64, k=5, n_centroids=8, nprobe=2, train_iters=3
@@ -4838,7 +4843,12 @@ FROM embeddings
     "(balanced by the trained quantizer).",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # count from the bare scan (cheapest), then spread for the Lloyd
+    # rounds + within-cluster scoring — unspread, every training
+    # assignment ran serially in the single-row-group scan task (6.3 s
+    # of construct at sf0.1, round 12).
+    base = load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(base, key_cols=("vec_id",))
     # k grows with the corpus (SemDeDup's own k does, for exactly this
     # reason): the round-6 sf10 sweep caught the constant k=8 making
     # ~N^2/8 within-cluster pairs at 500k vectors. Small corpora keep the
@@ -4850,7 +4860,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariants (assignment totality, per-cluster keep bounds), not
     # cluster ids, so k and the assignment strategy are performance
     # dials at every SF.
-    n = e.count()  # bounded scalar action, same class as the k*dim collect
+    n = base.count()  # bounded scalar action, same class as the k*dim collect
     # 0.4 matches dedup_embedding_cosine's fixture threshold: the synthetic
     # corpus is near-uniform (typical cos ~0.2), with planted similar pairs
     # above 0.4 — production text embeddings would use ~0.95
@@ -7988,12 +7998,23 @@ ORDER BY l_returnflag
     "weighted form none of the built-in percentile aggregates cover.",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("long").alias("wt"),
+    # three consumers (percentile cuts, the staged window, totals) each
+    # re-scanned the single-row-group fixture serially; one keyed spread
+    # of the 5-column projection canonicalizes identically under all
+    # three, so ReuseExchange decodes the corpus ONCE and every branch —
+    # including the percentile_approx partials — reads it 32-wide.
+    # Cut values may shift with partial-merge order; bucket ids stay
+    # monotone in price for ANY cuts, so the decomposed running sum (and
+    # the result) is unchanged — only balance moves.
+    li = spread_small_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("wt"),
+        ),
+        key_cols=("l_orderkey", "l_linenumber"),
     )
     stats = li.agg(
         F.percentile_approx(
@@ -12589,12 +12610,19 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             SIM.norm(F.col("embedding")).alias("_qn"),
         )
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("_clabel"),
-        F.col("embedding").alias("_cv"),
-        SIM.norm(F.col("embedding")).alias("_cn"),
-    )
+    # the corpus side of the broadcast join fuses scoring into the scan
+    # stage; single-row-group fixtures plan that as ONE task running every
+    # |C|×|Q| decimal-HOF cosine serially (4.7 s of the 7.8 s sweep wall at
+    # sf0.1). Spread the projected corpus first (no-op at real splits) and
+    # compute the norm after the exchange so it parallelizes too.
+    c = spread_small_scan(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("_clabel"),
+            F.col("embedding").alias("_cv"),
+        ),
+        key_cols=("neighbor_id",),
+    ).withColumn("_cn", SIM.norm(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -13621,7 +13649,14 @@ FROM c ORDER BY abs(cnum) DESC, di, dj LIMIT 15
     "64×64 eigensolve downstream is a driver-side constant).",
 )
 def emb_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # single-row-group fixture files plan ONE scan task, which would run
+    # all N·2016 pair products serially; spread on the pk first (no-op at
+    # real splits). vec_id is consumed by the exchange itself, so pruning
+    # loses nothing.
+    e = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        key_cols=("vec_id",),
+    )
     q = e.select(
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
@@ -13644,14 +13679,23 @@ def emb_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.di").alias("di"),
         F.col("p.dj").alias("dj"),
-        F.col("p.qi").cast("decimal(38,0)").alias("qi"),
-        F.col("p.qj").cast("decimal(38,0)").alias("qj"),
+        F.col("p.qi").alias("qi"),
+        F.col("p.qj").alias("qj"),
     )
+    # per-row product in LONG (Decimal.* always routes through
+    # java.math.BigDecimal — it was the hot loop: N·2016 BigDecimal
+    # multiplies), summed in decimal(38,0): exact as long as
+    # |q| = |round(e*1e6)| < 3.03e9, i.e. |e| < ~3e3 — unit-norm
+    # embedding components are |e| <= 1, six orders inside the bound.
+    # The SUMS stay decimal: Σqi·qj grows with corpus size and leaves
+    # long range past ~9.2e6 rows per dim pair.
     s = pairs.groupBy("di", "dj").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(F.expr("qi * qj")).cast("decimal(38,0)").alias("sqq"),
-        F.sum("qi").cast("decimal(38,0)").alias("sqi"),
-        F.sum("qj").cast("decimal(38,0)").alias("sqj"),
+        F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sqi"),
+        F.sum(F.col("qj").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sqj"),
     )
     c = s.select(
         "di", "dj", "n", F.expr("n * sqq - sqi * sqj").alias("cnum")
