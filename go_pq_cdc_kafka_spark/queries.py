@@ -1554,10 +1554,17 @@ def _cosine_planes(n: int) -> int:
     "matching the static SQL twin).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    base = load_table(spark, sf_dir, "embeddings")
     # bounded scalar action (one row-count job over parquet metadata) —
-    # the same class of driver-side scalar the IVF centroid table uses
-    n = e.count()
+    # the same class of driver-side scalar the IVF centroid table uses;
+    # count the BARE scan so it stays a footer-only metadata job
+    n = base.count()
+    # keyed spread (round 12): the quantize+bucket+norm projection that
+    # cosine_dedup_pairs eagerly materializes fuses into the scan stage,
+    # which plans ONE task over the single-row-group fixture; vec_id and
+    # embedding are both consumed downstream so nothing prunable is lost.
+    # No-op at real splits.
+    e = spread_small_scan(base, key_cols=("vec_id",))
     planes = _cosine_planes(n)
     # sf100 lesson: past ~1M vectors the hinted shuffle-hash scoring joins
     # can hit a >1 GB single-task hash build (AQE coalesces the candidate
@@ -1789,8 +1796,14 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lo", F.col("p_size").cast("double"))
         .withColumn("hi", (F.col("p_size") + 10).cast("double"))
     )
+    # spread the 1-column point projection (round 12): the broadcast-bucket
+    # probe expands ~11x and feeds the partial aggregate, all inside the
+    # single-row-group scan task otherwise. Round-robin, not keyed:
+    # l_quantity has only 50 distinct values, far too few for an even hash
+    # spread (guide §2.5's 20-100x rule).
     joined = RJ.point_in_interval_join(
-        li.select("l_quantity"), sizes, "l_quantity", "lo", "hi", bucket_width=10.0
+        spread_small_scan(li.select("l_quantity")),
+        sizes, "l_quantity", "lo", "hi", bucket_width=10.0
     )
     return (
         joined.groupBy("p_size")
@@ -2189,7 +2202,16 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_pq_cdc_kafka_spark.sources.avro import read_avro, write_avro
 
-    o = load_table(spark, sf_dir, "orders")
+    # spread before the Python-boundary encoder (guide §4 / round-12, same
+    # fix as cdc_avro_value_roundtrip): the single-row-group orders scan
+    # plans ONE partition, so the from-spec pure-Python OCF encoder — and,
+    # because write_avro emits one container file per partition, the
+    # binaryFile decode on the way back — ran on one core. The key is the
+    # pk; every column is consumed by the encoder so nothing prunable is
+    # lost. No-op at real splits.
+    o = spread_small_scan(
+        load_table(spark, sf_dir, "orders"), key_cols=("o_orderkey",)
+    )
     base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_"), "orders")
     write_avro(o, base, codec="deflate")
     back = read_avro(spark, base)
@@ -2255,21 +2277,31 @@ def scan_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_evo_"), "mixed")
-    # v1 files: odd keys, legacy column, NO cents (written first)
+    # v1 files: odd keys, legacy column, NO cents (written first).
+    # spread AFTER the projection (round 12): the encoder consumes every
+    # projected column, the single-row-group scan plans one partition, and
+    # write_avro parallelism (and the binaryFile decode parallelism on the
+    # way back) is the partition count — same fix as scan_avro_roundtrip.
     write_avro(
-        o.filter(F.col("o_orderkey") % 2 == 1).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.lit("old").alias("legacy"),
+        spread_small_scan(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                F.col("o_orderkey").alias("pk"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit("old").alias("legacy"),
+            ),
+            key_cols=("pk",),
         ),
         base,
     )
     # v2 files: even keys, cents present — same directory
     write_avro(
-        o.filter(F.col("o_orderkey") % 2 == 0).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            cents.alias("cents"),
+        spread_small_scan(
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("pk"),
+                F.col("o_orderstatus").alias("status"),
+                cents.alias("cents"),
+            ),
+            key_cols=("pk",),
         ),
         base,
     )
@@ -5585,7 +5617,12 @@ def scan_avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_pq_cdc_kafka_spark.sources.avro import read_avro, write_avro
 
-    c = load_table(spark, sf_dir, "customer")
+    # spread before the Python-boundary encode/decode (round 12; see
+    # scan_avro_roundtrip) — customer is 15k rows at sf0.1, so the win is
+    # small, but the serial-encoder shape is the same
+    c = spread_small_scan(
+        load_table(spark, sf_dir, "customer"), key_cols=("c_custkey",)
+    )
     base = os.path.join(tempfile.mkdtemp(prefix="scan_avro_snappy_"), "customer")
     write_avro(c, base, codec="snappy")
     back = read_avro(spark, base)
@@ -11360,8 +11397,13 @@ FROM cp GROUP BY p_brand ORDER BY p_brand
     "uniform composite keys; no windows.",
 )
 def analytics_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # keyed spread of the 2-column fact projection (round 12): both key
+    # columns are consumed by the joins/aggregate, so pruning is intact,
+    # and the broadcast-join probes + partial distinct-aggregate leave the
+    # single-row-group scan task. No-op at real splits.
+    li = spread_small_scan(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        key_cols=("l_orderkey", "l_partkey"),
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
