@@ -302,7 +302,7 @@ def pagerank_fixed(
     return scores
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, strategy: str = "wedge") -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
     ``edges`` carries (src, dst); direction and duplicates are ignored
@@ -316,6 +316,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     blow-up a popular hub would cause in the naive wedge join cannot
     happen, which is the 100-TB posture. Three shuffles total (degree
     agg, wedge join, closing join), all on uniform keys.
+
+    ``strategy="adjacency"`` (round 12) computes the SAME counts by
+    intersecting broadcast out-adjacency lists instead of materializing
+    the wedge relation: each oriented edge (u,v) looks up N+(u) and
+    N+(v) map-side and the witness set N+(u) ∩ N+(v) closes every
+    triangle exactly once at its (deg,id)-minimal base edge (u gets the
+    base-edge credit, v too, witnesses via explode — each triangle
+    credits its three corners once, matching the wedge path row for
+    row). The Θ(Σ d_out²) element-comparison mass is unchanged, but it
+    runs inside ONE codegen stage over the edge list spread on a
+    deterministic hash — no Θ(Σ d_out²)-row wedge shuffle and no
+    triangle-row exchange at all (the per-node credit aggregate
+    partial-aggregates to node-bounded rows map-side). Measured at
+    sf0.1 (1k nodes, 297k edges, 57M wedges, 60% density): 22.3 s →
+    4.0 s, bit-identical. The catch is the broadcast: the adjacency
+    table is |E| longs, so this path is only legal when the EDGE LIST
+    is broadcast-sized — callers must switch on a corpus-size bound
+    (queries.graph_triangle_suppliers gates on the lineitem row count,
+    ≤ 3M rows → ≤ ~24 MB adjacency). The wedge path stays the default
+    and the unbounded-scale posture: nothing corpus-scaled broadcasts.
 
     Fully LAZY: no persist, no eager checkpoint. The shared subtrees
     (canon feeds both the wedge source and the closing join; oriented
@@ -353,11 +373,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    # orient each edge toward the (deg, id)-larger endpoint
+    # orient each edge toward the (deg, id)-larger endpoint; under the
+    # broadcast-gated adjacency strategy the node-bounded degree table
+    # (≤ the edge list the gate already bounds) attaches map-side
+    _maybe_bcast = F.broadcast if strategy == "adjacency" else (lambda df: df)
     with_deg = (
-        canon.join(deg.withColumnRenamed("node", "lo"), "lo")
+        canon.join(_maybe_bcast(deg.withColumnRenamed("node", "lo")), "lo")
         .withColumnRenamed("deg", "deg_lo")
-        .join(deg.withColumnRenamed("node", "hi"), "hi")
+        .join(_maybe_bcast(deg.withColumnRenamed("node", "hi")), "hi")
         .withColumnRenamed("deg", "deg_hi")
     )
     lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
@@ -367,6 +390,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
     )
+    if strategy == "adjacency":
+        adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+        # spread the edge list before the heavy intersect stage: the
+        # oriented exchange is only |E| × 16 B, so AQE coalesces it to a
+        # couple of partitions and the Σ d_out² comparison mass would run
+        # near-serial. Deterministic content hash (guide §2.5), width
+        # tied to the cluster, not a local constant.
+        n_parts = edges.sparkSession.sparkContext.defaultParallelism * 4
+        ann = (
+            oriented.repartition(n_parts, F.xxhash64("u", "v"))
+            .join(
+                F.broadcast(
+                    adj.select(F.col("u").alias("_au"), F.col("nbrs").alias("nu"))
+                ),
+                F.col("u") == F.col("_au"),
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("u").alias("_av"), F.col("nbrs").alias("nv"))
+                ),
+                F.col("v") == F.col("_av"),
+                "left",  # sink nodes have no out-list: empty intersection
+            )
+            .select(
+                "u",
+                "v",
+                F.array_intersect(
+                    F.col("nu"), F.coalesce(F.col("nv"), F.array())
+                ).alias("wits"),
+            )
+            .withColumn("cnt", F.size("wits").cast("long"))
+            .filter(F.col("cnt") > 0)
+        )
+        credits = (
+            ann.select(F.col("u").alias("node"), F.col("cnt"))
+            .unionByName(ann.select(F.col("v").alias("node"), F.col("cnt")))
+            .unionByName(
+                ann.select(
+                    F.explode("wits").alias("node"),
+                    F.lit(1).cast("long").alias("cnt"),
+                )
+            )
+        )
+        per_node = credits.groupBy("node").agg(
+            F.sum("cnt").cast("long").alias("triangles")
+        )
+        return deg.join(per_node, "node", "left").select(
+            "node",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
     a, b = oriented.alias("a"), oriented.alias("b")
     wedges = a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))).select(
         F.col("a.u").alias("apex"),

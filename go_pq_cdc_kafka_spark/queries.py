@@ -3673,8 +3673,18 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph_triangle_sampled, p=1/10, unbiased 1/p³ estimator) is the
     documented scale path — the same exact-vs-valved split as
     dedup_ngram_jaccard vs its max_df variant."""
+    # |edges| ≤ |lineitem| by construction (one edge per consecutive line
+    # pair), so the footer-only lineitem count bounds the adjacency
+    # broadcast: ≤3M rows → ≤~24 MB of out-adjacency, and the dense-graph
+    # intersect path drops the Θ(Σ d_out²)-row wedge shuffle (22.3 → 4.0 s
+    # at sf0.1, bit-identical). Past the bound, the broadcast would be
+    # corpus-scaled — keep the shuffle wedge join (which sf10 skips in
+    # favor of the DOULION twin anyway).
+    n = load_table(spark, sf_dir, "lineitem").count()
     edges = _copurchase_edges_spark(spark, sf_dir)
-    return CL.triangle_count(edges).orderBy("node")
+    return CL.triangle_count(
+        edges, strategy="adjacency" if n <= 3_000_000 else "wedge"
+    ).orderBy("node")
 
 
 @register(

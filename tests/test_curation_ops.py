@@ -289,6 +289,29 @@ def test_triangle_count_triangle_free_graph(spark):
     assert {r.node for r in rows} == {1, 2, 3, 4, 10, 11, 12, 13}
 
 
+def test_triangle_count_adjacency_strategy_matches_wedge(spark):
+    # the round-12 broadcast-adjacency path must count exactly what the
+    # wedge join counts, per node — on a messy pseudo-random multigraph
+    # (dups, reversed edges, self-loops) and on the K4+pendant fixture
+    import itertools
+
+    rnd = [((i * 7919) % 23, (i * 104729) % 23) for i in range(400)]
+    k4 = list(itertools.combinations([100, 101, 102, 103], 2))
+    k4 += [(103, 102), (104, 100), (100, 104), (101, 101)]
+    for edges in (rnd, k4):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        wedge = {
+            (r.node, r.deg, r.triangles)
+            for r in CL.triangle_count(df, strategy="wedge").collect()
+        }
+        adjacency = {
+            (r.node, r.deg, r.triangles)
+            for r in CL.triangle_count(df, strategy="adjacency").collect()
+        }
+        assert wedge == adjacency
+        assert wedge  # non-degenerate fixture
+
+
 def test_simhash_pairs_banding_complete_below_bands(spark):
     """Pigeonhole completeness: identical docs pair at hamming 0; docs
     differing in only a couple of rare tokens stay within the threshold;
