@@ -1045,9 +1045,15 @@ def _valved_pairs(
             del _PAIR_INDEX_CACHE[k]
         if len(_PAIR_INDEX_CACHE) > 8:
             _PAIR_INDEX_CACHE.clear()
-        d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+        raw = load_table(spark, sf_dir, "documents")
+        n = raw.count()  # footer-only metadata job
+        d = spread_small_scan(raw)
+        # the result is eagerly checkpointed for the four consumer
+        # queries, so the operator's internal pins only ever serve this
+        # ONE build — below the ~100k-doc boundary they are pure barrier
+        # cost (and linger uselessly after the checkpoint)
         df = DD.ngram_jaccard_pairs(
-            d, threshold=threshold, max_df=max_df
+            d, threshold=threshold, max_df=max_df, persist=n > 100_000
         ).localCheckpoint(eager=True)
         _PAIR_INDEX_CACHE[key] = df
     return df
@@ -1160,8 +1166,17 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle index (no all-pairs scan).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    return DD.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+    raw = load_table(spark, sf_dir, "documents")
+    n = raw.count()  # footer-only metadata job
+    d = spread_small_scan(raw)
+    # pins defend against re-deriving the corpus-scaled shingle index
+    # (3 consumers); below ~100k docs the three materialization barriers
+    # cost more than the recompute they avoid (round-12 A/B at 5k docs:
+    # 1.73 → 1.23 s, bit-identical) — same boundary as the minhash
+    # semi_filter switch
+    return DD.ngram_jaccard_pairs(
+        d, threshold=0.5, persist=n > 100_000
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -1215,6 +1230,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (round-9 sf10: 4x win at 500k docs; round-12 sf0.1: 0.4 s cost
         # at 5k docs) — switch well below the measured-win scale
         semi_filter=n > 100_000,
+        # pins ride the same boundary: they defend against re-deriving
+        # the corpus-scaled index/signature subtrees, and below it the
+        # materialization barriers cost more than the recompute (round-12
+        # A/B at 5k docs: 1.88 → 1.23 s, bit-identical)
+        persist=n > 100_000,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -7721,9 +7741,13 @@ def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract as the Jaccard form; only the denominator changes.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    n = raw.count()  # footer-only metadata job
+    d = spread_small_scan(raw)
+    # same persist valve as dedup_ngram_jaccard (round-12 A/B at 5k docs:
+    # 1.69 → 1.09 s, bit-identical)
     return DD.ngram_containment_pairs(
-        d, threshold=0.5, max_df=64
+        d, threshold=0.5, max_df=64, persist=n > 100_000
     ).orderBy("doc_a", "doc_b")
 
 
