@@ -423,16 +423,34 @@ def triangle_count(edges: DataFrame, strategy: str = "wedge") -> DataFrame:
             .withColumn("cnt", F.size("wits").cast("long"))
             .filter(F.col("cnt") > 0)
         )
-        credits = (
-            ann.select(F.col("u").alias("node"), F.col("cnt"))
-            .unionByName(ann.select(F.col("v").alias("node"), F.col("cnt")))
-            .unionByName(
-                ann.select(
-                    F.explode("wits").alias("node"),
-                    F.lit(1).cast("long").alias("cnt"),
+        # ONE pass over ann (round 12): a three-branch union re-derives the
+        # whole intersect subtree per branch — exchange reuse only dedups
+        # below the repartition, so the Θ(Σ d_out²) comparison mass ran
+        # 3×. Emitting every credit of an edge row as one exploded
+        # struct array (u and v get the base-edge count, each witness a
+        # 1) computes the intersect once; the explode's output mass is
+        # the same 2|E| + 3·triangles rows the union produced.
+        credits = ann.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"), F.col("cnt").alias("cnt")
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"), F.col("cnt").alias("cnt")
+                        ),
+                    ),
+                    F.transform(
+                        "wits",
+                        lambda w: F.struct(
+                            w.alias("node"),
+                            F.lit(1).cast("long").alias("cnt"),
+                        ),
+                    ),
                 )
-            )
-        )
+            ).alias("c")
+        ).select(F.col("c.node").alias("node"), F.col("c.cnt").alias("cnt"))
         per_node = credits.groupBy("node").agg(
             F.sum("cnt").cast("long").alias("triangles")
         )
@@ -452,10 +470,12 @@ def triangle_count(edges: DataFrame, strategy: str = "wedge") -> DataFrame:
         (F.least(F.col("x"), F.col("y")) == F.col("lo"))
         & (F.greatest(F.col("x"), F.col("y")) == F.col("hi")),
     ).select("apex", "x", "y")
+    # ONE pass over the closing join (round 12, same fix as the adjacency
+    # path): the three-corner union re-ran the wedge-closing join per
+    # branch (the join sits above the reusable exchanges); exploding the
+    # corner array credits all three corners from a single enumeration.
     per_node = (
-        tris.select(F.col("apex").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
+        tris.select(F.explode(F.array("apex", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
