@@ -1101,9 +1101,19 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+        # verify BEFORE the dedup exchange (round 12, guide §2.3): the
+        # hamming check is a constant-time xor per candidate, while the
+        # distinct shuffles its whole input — and the candidate set
+        # (random band collisions + real dups; 8.9M rows at sf0.1, the
+        # largest relation in this pipeline) is dominated by collisions
+        # that FAIL the check. Filter∘distinct ≡ distinct∘filter here
+        # because hamming is a function of the (doc_a, doc_b) dedup key,
+        # so results are bit-identical; the dedup exchange now carries
+        # only the near-dup tail.
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return cand
 
 
 def simhash_pairs_sql(
