@@ -334,32 +334,35 @@ def cosine_dedup_pairs(
     # oracle parity is preserved bit-for-bit; sign flips vs the float
     # formulation are possible only within 1e-6 quantization of a zero
     # projection, and both engines flip together.
-    def int_bucket(qx: Column) -> Column:
-        bucket = F.lit(0).cast("long")
-        for p in range(planes):
-            plane = F.array(
-                *[F.lit(s).cast("long") for s in _plane_signs(p, dim)]
-            )
-            proj = F.aggregate(
-                F.zip_with(qx, plane, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(proj > 0, 1).otherwise(0).cast(
-                "long"
-            ) * F.lit(1 << p).cast("long")
-        return bucket
+    #
+    # Round 12: the per-VECTOR folds (plane dots, norm) are built as
+    # expression STRINGS of the same zip_with/aggregate ops — identical
+    # semantics, ~70 py4j construction round trips per plane saved (the
+    # sim_rp_topk lesson). A fully UNROLLED `qx[0]-qx[1]+…` form was
+    # measured SLOWER here (2.3 → 6.2 s at sf0.1): 16 planes × 64
+    # GetArrayItem terms in one projection blow the codegen method
+    # budget and the whole stage falls back to interpreted eval — worse
+    # than the HOF fold. The per-PAIR dot below IS unrolled (64 terms
+    # only, and it runs per candidate, not per vector).
+    def _plane_sum(arr: str, signs: list[int]) -> str:
+        plane = ", ".join(f"CAST({s} AS BIGINT)" for s in signs)
+        return (
+            f"aggregate(zip_with({arr}, array({plane}), (x, s) -> x * s), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
 
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {_plane_sum('_qx', _plane_signs(p, dim))} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(planes)
+    )
     qvb = df.select(F.col(id_col).alias("_id"), qarr.alias("_qx")).select(
         "_id",
         "_qx",
-        int_bucket(F.col("_qx")).alias("bucket"),
-        F.sqrt(
-            F.aggregate(
-                "_qx",
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x * x,
-            ).cast("double")
+        F.expr(bucket_expr).alias("bucket"),
+        F.expr(
+            "SQRT(CAST(aggregate(_qx, CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x * x) AS DOUBLE))"
         ).alias("_n"),
     )
     if persist:
@@ -406,6 +409,12 @@ def cosine_dedup_pairs(
         .select(
             "vec_a",
             "vec_b",
+            # the zip_with/aggregate fold STAYS for the per-pair dot: a
+            # fully unrolled `_xa[0]*_xb[0] + …` 64-term codegen chain
+            # was prototyped round 12 and measured 3× SLOWER (1.9 vs
+            # 5.6 s on a 125k-pair A/B; 64 GetArrayItem+Add nodes beat
+            # the vectorized HOF loop nowhere) — the HOF fold is the
+            # fast path, not just the convenient one
             F.round(
                 F.aggregate(
                     F.zip_with("_xa", "_xb", lambda x, y: x * y),

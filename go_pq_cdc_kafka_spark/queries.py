@@ -1933,7 +1933,19 @@ ORDER BY l_returnflag
     "power sums (map-side combinable; one shuffle).",
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # keyed spread of the 3-column projection (round 12, same shape as
+    # agg_pricing_summary): the five DECIMAL(19,6) power-sum partials
+    # fused into the single-row-group scan task. The decimal sums are
+    # order-independent by construction (that is the whole point of the
+    # formula — see _STATS_FORMULA header), so repartitioning cannot move
+    # the result; all three columns are consumed by the aggregate.
+    # No-op at real splits.
+    li = spread_small_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        key_cols=("l_returnflag", "l_quantity", "l_extendedprice"),
+    )
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_STATS_FORMULA)
 
