@@ -1258,11 +1258,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # keyed corpus spread (round 12, the sim_knn_label_eval pattern): the
+    # per-pair decimal dots fuse into the single-row-group scan task
+    # otherwise; no-op at real splits, bit-identical (exceptAll 0/0)
+    c = spread_small_scan(e, key_cols=("vec_id",))
     return SIM.cosine_topk(
         # .limit(5) == no-op on the <=5-row unique-key filter; it puts a
         # GlobalLimit under the broadcast so the plan gate can PROVE the
         # BNLJ build side bounded instead of trusting the predicate
-        e.filter(F.col("vec_id") < 5).limit(5), e, k=5
+        e.filter(F.col("vec_id") < 5).limit(5), c, k=5
     ).orderBy("query_id", "rk")
 
 
@@ -1275,8 +1279,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # keyed corpus spread (round 12): the 4 decimal plane dots + norm per
+    # corpus vector ran inside the serial scan task; no-op at real splits
     return SIM.lsh_cosine_topk(
-        e.filter(F.col("vec_id") < 5), e, dim=64, k=5, planes=4
+        e.filter(F.col("vec_id") < 5),
+        spread_small_scan(e, key_cols=("vec_id",)),
+        dim=64, k=5, planes=4,
     ).orderBy("query_id", "rk")
 
 
@@ -1615,8 +1623,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # keyed corpus spread (round 12): cluster assignment scores |C|×k
+    # centroid dots per corpus vector inside the serial scan task
+    # otherwise; no-op at real splits
     return SIM.ivf_topk(
-        e.filter(F.col("vec_id") < 5), e, dim=64, k=5, n_centroids=8
+        e.filter(F.col("vec_id") < 5),
+        spread_small_scan(e, key_cols=("vec_id",)),
+        dim=64, k=5, n_centroids=8,
     ).orderBy("query_id", "rk")
 
 
@@ -6700,9 +6713,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # keyed corpus spread (round 12): the 16-plane decimal sketch + two
+    # norms per corpus vector ran inside the serial scan task (measured
+    # 2.7 → 1.2-1.6 s warm, exceptAll 0/0); no-op at real splits
     return SIM.rp_cosine_topk(
         e.filter(F.col("vec_id") < 5).limit(5),  # limit == no-op bound on the unique-key filter (plan-gate proof)
-        e, dim=64, out_dim=16, k=5, rerank=3
+        spread_small_scan(e, key_cols=("vec_id",)),
+        dim=64, out_dim=16, k=5, rerank=3
     ).orderBy("query_id", "rk")
 
 
@@ -8263,9 +8280,14 @@ ORDER BY e.query_id
 def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).limit(8)  # limit == no-op bound on the unique-key filter (plan-gate proof)
-    exact = SIM.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    # ONE keyed corpus spread feeds both tiers (round 12): the exact and
+    # LSH scorers each fused their per-vector decimal work into the
+    # serial scan task; the shared exchange also dedups the corpus decode
+    # across the two branches. No-op at real splits.
+    c = spread_small_scan(e, key_cols=("vec_id",))
+    exact = SIM.cosine_topk(q, c, k=5).select("query_id", "neighbor_id")
     approx = (
-        SIM.lsh_cosine_topk(q, e, dim=64, k=5, planes=4)
+        SIM.lsh_cosine_topk(q, c, dim=64, k=5, planes=4)
         .select("query_id", "neighbor_id")
         .withColumnRenamed("neighbor_id", "a_neighbor")
         .withColumnRenamed("query_id", "a_query")
