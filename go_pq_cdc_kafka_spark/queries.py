@@ -1561,7 +1561,12 @@ ORDER BY doc_id
     "bag fingerprint).",
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # keyed spread (round 12): the per-char rolling-hash HOF fused into
+    # the serial single-row-group scan task; no-op at real splits
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key_cols=("doc_id",),
+    )
     return d.select(
         "doc_id", T.rolling_fingerprint(F.col("text")).alias("roll_fp")
     ).orderBy("doc_id")
@@ -3555,6 +3560,9 @@ _BM25_TERMS = ("vector", "spark", "merge", "customer")
     "and corpus totals broadcast back; ties broken by doc_id.",
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here (round-12 A/B: 1.2-2.0 s spread vs 0.86-1.1 s
+    # unspread): the posting-list groupBys parallelize the scoring and
+    # the added full-payload exchange costs more than the serial tokenize
     d = load_table(spark, sf_dir, "documents")
     return SEARCH.bm25_topk(d, _BM25_TERMS, k=15).orderBy("rk")
 
@@ -5544,7 +5552,12 @@ ORDER BY doc_id
     "evaluation you fan over 100 TB before any dedup pass.",
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # keyed spread (round 12): the gopher-rule token scans fused into the
+    # serial single-row-group scan task; no-op at real splits
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key_cols=("doc_id",),
+    )
     g = T.gopher_rules(F.col("text"))
     return d.select(
         "doc_id",
@@ -6230,6 +6243,10 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id), so the only corpus shuffle is the final per-doc
     aggregation. A model too big to broadcast degrades gracefully: drop
     the broadcast hints and Catalyst plans shuffle joins instead."""
+    # NO spread here (round-12 A/B: 1.9 s spread vs 1.3 s unspread):
+    # aggregation-shaped — the groupBy(doc_id) exchange already
+    # parallelizes the model join + scoring, and the added full-payload
+    # exchange costs more than the 500-doc tokenize it parallelizes
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # tokens bound in their own projection first (Catalyst does not CSE
     # lambda arguments — see text.shingles_from_tokens)
@@ -6367,6 +6384,10 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one (doc_id, bucket) aggregation + a broadcast join + one
     final per-doc aggregation; the only corpus shuffles are the two
     doc-keyed groupBys."""
+    # NO spread here (round-12 A/B: 1.7-2.0 s spread vs 1.3-1.9 s
+    # unspread): the pipeline is aggregation-shaped — the 500-doc
+    # tokenize mass is cheaper than the extra full-payload exchange, and
+    # the (doc_id, bucket) groupBy already parallelizes the heavy part
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("t"))
     pairs = (
@@ -6776,7 +6797,12 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1000
         ).alias("w"),
     )
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # keyed spread (round 12): tokenize + feature explode fused into the
+    # serial single-row-group scan task; no-op at real splits
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key_cols=("doc_id",),
+    )
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
     docfeat = (
         toks.select(
@@ -7615,6 +7641,9 @@ ORDER BY doc_id, rank
     "corpus-enrichment pipeline.",
 )
 def text_keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here (round-12 A/B: 1.3 s spread vs 1.0 s unspread):
+    # aggregation-shaped — the tf/df groupBys parallelize the heavy part
+    # and the added exchange costs more than the serial tokenize
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
