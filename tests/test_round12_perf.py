@@ -106,3 +106,68 @@ def test_minhash_signature_carries_exact_sizes(spark):
     )
     joined = sig.select("doc_id", "n_sh").join(direct, "doc_id")
     assert joined.filter(F.col("n_sh") != F.col("n_direct")).count() == 0
+
+
+def test_triangle_plan_has_single_intersect_subtree(spark):
+    """The per-node credit union used to re-derive the adjacency intersect
+    once per corner branch (3x the dominant compute); the single-explode
+    credit pass must leave exactly ONE array_intersect in the plan's
+    operator list (it prints once in the Project detail and once in the
+    Filter that references its size)."""
+    from go_pq_cdc_kafka_spark.operators.cluster import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    plan = _plan(triangle_count(edges, strategy="adjacency"))
+    assert plan.count("array_intersect") <= 2, plan.count("array_intersect")
+    # wedge path: corners credit via ONE explode; the only union left is
+    # the (lo, hi) degree union — the 3-branch corner union re-ran the
+    # closing join per branch
+    # wedge path: the (apex, x, y) corners credit via ONE explode over
+    # the closing join instead of a 3-branch union that re-ran it (the
+    # remaining Union nodes in the printed plan are the lo/hi degree
+    # union, whose subtree legitimately replicates pre-AQE)
+    plan_w = _plan(triangle_count(edges, strategy="wedge"))
+    assert "explode(array(apex" in plan_w
+
+
+def test_simhash_hamming_filter_below_dedup_exchange(spark):
+    """The hamming verify must run BEFORE the candidate distinct: the
+    filter is constant-time per row while the distinct shuffles its whole
+    input, and at scale the candidate set is dominated by random band
+    collisions that fail the check. Pin: no bare candidate aggregate
+    without the hamming predicate below it."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 7}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(DD.simhash_pairs(docs, bits=32, bands=4, max_hamming=3))
+    # the distinct's partial HashAggregate sits above the hamming Filter:
+    # the Filter node must appear deeper (later operator id) than no
+    # aggregate that consumes it — cheap structural pin: the plan's first
+    # HashAggregate over (doc_a, doc_b, hamming) has a Filter child
+    # mentioning the threshold
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.find("<= 3")
+    assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos  # details section lists Filter under the agg
+
+
+def test_sim_corpus_spreads_plan_deterministic_hash(spark):
+    """The similarity queries spread the corpus with a keyed deterministic
+    hash; the plan must show hashpartitioning(xxhash64(vec_id)) and the
+    scan must stay pruned to the consumed columns."""
+    for name in ("sim_rp_topk", "sim_lsh_topk", "sim_ivf_topk"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "xxhash64(vec_id" in plan, name
+        assert "roundrobin" not in plan.lower(), name
+
+
+def test_agg_stats_spread_and_projection(spark):
+    """agg_stats spreads only the 3-column projection: deterministic-hash
+    exchange present, read schema pruned to the consumed columns."""
+    plan = _plan(REGISTRY["agg_stats"].fn(spark, SF))
+    assert "xxhash64" in plan and "hashpartitioning" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
