@@ -492,6 +492,45 @@ ORDER BY vec_a, vec_b
 # IVF (inverted-file) ANN — coarse quantize, probe one cluster
 # ---------------------------------------------------------------------------
 
+def _argmax_assign(
+    scored: DataFrame,
+    group: str,
+    ord_col: str,
+    pick: str,
+    payload: list[str],
+) -> DataFrame:
+    """Exact per-group argmax as one aggregation: returns, per ``group``,
+    the row maximizing (``ord_col``, then LOWEST ``pick``) — the same row
+    ``row_number() over (partition by group order by ord desc, pick asc)
+    = 1`` selects, provided ``pick`` is unique within each group.
+
+    Why not the window: a window needs ClusteredDistribution(group), i.e.
+    a full exchange of every scored row — for nearest-centroid assignment
+    that is N×k rows each carrying the vector payload. ``max(struct(...))``
+    partial-aggregates map-side, so the exchange carries N pre-reduced
+    rows (guide §2.3). Tie behavior is identical: struct comparison falls
+    to ``-pick`` only on exact ``ord_col`` ties (doubles compare the same
+    way the window sorts them — NaN greatest, -0.0 == 0.0, NULL smallest,
+    so a NULL score loses to any non-NULL exactly like the window's
+    default NULLS-LAST descending order), and ``pick`` uniqueness makes
+    the payload fields unreachable by the comparator."""
+    best = scored.groupBy(group).agg(
+        F.max(
+            F.struct(
+                F.col(ord_col),
+                (-F.col(pick)).alias("_negpick"),
+                *[F.col(c) for c in payload],
+                F.col(pick).alias("_pick"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        group,
+        *[F.col(f"_b.{c}").alias(c) for c in payload],
+        F.col("_b._pick").alias(pick),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -510,7 +549,17 @@ def ivf_assign(
     against the SQL oracle — required for the seeded, SQL-expressible IVF
     configuration). ``exact=False`` uses the double-accumulated twin —
     the right choice for trained centroids, whose contents are
-    engine-specific and invariant-checked anyway (~5x faster)."""
+    engine-specific and invariant-checked anyway (~5x faster).
+
+    ``nprobe=1`` (every corpus-scaled call site: index builds, Lloyd
+    rounds, SemDeDup assignment) computes the argmax as ONE aggregation
+    (:func:`_argmax_assign`) instead of a row_number window: the window
+    needs a full exchange of all N×k scored rows — each still carrying
+    the vector payload — where the aggregate partial-reduces every map
+    task's rows k-fold before the shuffle (guide §2.3, "aggregate before
+    you shuffle"). Verified row-identical against the window form for
+    both scorers at sf0.1 (round 12). ``nprobe>1`` (query-side probe
+    widening, bounded |Q|×k input) keeps the window."""
     _norm = norm if exact else fast_norm
     _cos = cosine_from_norms if exact else fast_cosine_from_norms
     cents = centroids.select(
@@ -518,10 +567,7 @@ def ivf_assign(
         F.col("centroid_vec"),
         _norm(F.col("centroid_vec")).alias("_centn"),
     )
-    w = Window.partitionBy("_aid").orderBy(
-        F.col("_ccos").desc(), F.col("centroid_id")
-    )
-    return (
+    scored = (
         df.select(
             F.col(id_col).alias("_aid"),
             F.col(vec).alias("_av"),
@@ -537,7 +583,21 @@ def ivf_assign(
                 F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_centn")
             ).alias("_ccos"),
         )
-        .withColumn("_rn", F.row_number().over(w))
+    )
+    if nprobe == 1:
+        return _argmax_assign(
+            scored, "_aid", "_ccos", "centroid_id", ["_av", "_an"]
+        ).select(
+            F.col("_aid").alias(out_id),
+            F.col("_av").alias(vec),
+            F.col("_an").alias("_vnorm"),
+            F.col("centroid_id").alias("cluster"),
+        )
+    w = Window.partitionBy("_aid").orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
         .select(
             F.col("_aid").alias(out_id),
@@ -580,12 +640,13 @@ def hierarchical_assign(
             F.col("_cn").alias("_con"),
         )
     )
-    wf = Window.partitionBy("centroid_id").orderBy(
-        F.col("_fc").desc(), F.col("coarse_id")
-    )
-    fine_map = (
-        cents.join(F.broadcast(coarse))
-        .select(
+    # all three argmax stages are aggregations, not windows (round 12,
+    # same rationale as ivf_assign nprobe=1): the routed and final stages
+    # are corpus-scaled — the window form exchanged N×coarse_n and
+    # N×(k/coarse_n) payload-carrying rows where the aggregate
+    # partial-reduces them to N map-side
+    fine_map = _argmax_assign(
+        cents.join(F.broadcast(coarse)).select(
             "centroid_id",
             "centroid_vec",
             "_cn",
@@ -593,15 +654,13 @@ def hierarchical_assign(
             fast_cosine_from_norms(
                 F.col("centroid_vec"), F.col("_cov"), F.col("_cn"), F.col("_con")
             ).alias("_fc"),
-        )
-        .withColumn("_rn", F.row_number().over(wf))
-        .filter(F.col("_rn") == 1)
-        .select("coarse_id", "centroid_id", "centroid_vec", "_cn")
-    )
-    wv = Window.partitionBy("_aid").orderBy(
-        F.col("_vc").desc(), F.col("coarse_id")
-    )
-    routed = (
+        ),
+        "centroid_id",
+        "_fc",
+        "coarse_id",
+        ["centroid_vec", "_cn"],
+    ).select("coarse_id", "centroid_id", "centroid_vec", "_cn")
+    routed = _argmax_assign(
         df.select(
             F.col(id_col).alias("_aid"),
             F.col(vec).alias("_av"),
@@ -616,17 +675,14 @@ def hierarchical_assign(
             fast_cosine_from_norms(
                 F.col("_av"), F.col("_cov"), F.col("_an"), F.col("_con")
             ).alias("_vc"),
-        )
-        .withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("_rn") == 1)
-        .select("_aid", "_av", "_an", "coarse_id")
-    )
-    wfin = Window.partitionBy("_aid").orderBy(
-        F.col("_ccos").desc(), F.col("centroid_id")
-    )
-    return (
-        routed.join(F.broadcast(fine_map), "coarse_id")
-        .select(
+        ),
+        "_aid",
+        "_vc",
+        "coarse_id",
+        ["_av", "_an"],
+    ).select("_aid", "_av", "_an", "coarse_id")
+    return _argmax_assign(
+        routed.join(F.broadcast(fine_map), "coarse_id").select(
             "_aid",
             "_av",
             "_an",
@@ -634,15 +690,16 @@ def hierarchical_assign(
             fast_cosine_from_norms(
                 F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_cn")
             ).alias("_ccos"),
-        )
-        .withColumn("_rn", F.row_number().over(wfin))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_aid").alias(out_id),
-            F.col("_av").alias(vec),
-            F.col("_an").alias("_vnorm"),
-            F.col("centroid_id").alias("cluster"),
-        )
+        ),
+        "_aid",
+        "_ccos",
+        "centroid_id",
+        ["_av", "_an"],
+    ).select(
+        F.col("_aid").alias(out_id),
+        F.col("_av").alias(vec),
+        F.col("_an").alias("_vnorm"),
+        F.col("centroid_id").alias("cluster"),
     )
 
 
