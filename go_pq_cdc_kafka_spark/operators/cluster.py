@@ -48,44 +48,62 @@ Scale notes (100-TB posture):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """(u,v) edge set → large-star rewiring: every neighbor v > u is
     re-pointed at m(u) = min(Γ(u) ∪ {u}). Input need not be symmetric;
-    symmetry is restored map-side (the paper's map phase)."""
+    symmetry is restored map-side (the paper's map phase).
+
+    The per-neighborhood minimum rides a whole-partition window over ONE
+    exchange of the symmetrized edges instead of a groupBy + re-join
+    (which keyed the same relation twice — guide §2.4). ``dedup=False``
+    lets :func:`connected_components` skip the output distinct when the
+    consumer is :func:`_small_star`, whose min is duplicate-insensitive
+    and whose own distinct canonicalizes the round's output — one full
+    exchange less per round; the set value is unchanged."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("_mv"))
-        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
-    )
-    return (
-        sym.join(mins, "u")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    out = (
+        sym.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """(u,v) edge set → small-star rewiring: orient every edge larger →
     smaller, then point each node u AND its (all smaller) neighbors at
-    m(u) = min(Γ(u) ∪ {u})."""
+    m(u) = min(Γ(u) ∪ {u}).
+
+    Same one-exchange shape as :func:`_large_star`: the min rides a
+    whole-partition window, and the per-source (u, m) row — emitted once
+    per group by the old groupBy+join+union form — is emitted per ROW as
+    the second element of an exploded pair and collapsed by the final
+    distinct (which the output needs anyway): set-identical, two joins
+    and one union fewer."""
     oriented = edges.select(
         F.greatest(F.col("u"), F.col("v")).alias("u"),
         F.least(F.col("u"), F.col("v")).alias("v"),
     ).where(F.col("u") != F.col("v"))
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    m = F.min("v").over(Window.partitionBy("u"))  # m <= v < u always
     return (
-        oriented.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        oriented.withColumn("m", m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -137,7 +155,12 @@ def connected_components(
             break
         # Materialize once per round (eager localCheckpoint): the probe and
         # the next round both read cached blocks — no lineage growth.
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # dedup=False: _small_star's min is duplicate-insensitive and its
+        # distinct canonicalizes the round — the intermediate distinct
+        # was a full exchange buying nothing (set value proven unchanged)
+        nxt = _small_star(_large_star(edges, dedup=False)).localCheckpoint(
+            eager=True
+        )
         n_nxt = nxt.count()
         if n_nxt == n_edges:
             # exact set comparison, short-circuiting at the first difference
@@ -219,6 +242,13 @@ def bfs_min_hops(
     return visited
 
 
+# node-bounded score/degree tables broadcast below this node count
+# (2M nodes x 16B rows ≈ 32 MB built relations — comfortably inside
+# executor memory at any deployment size); past it the per-iteration
+# joins stay shuffle joins, nothing corpus-scaled broadcasts
+_PAGERANK_BCAST_NODES = 2_000_000
+
+
 def pagerank_fixed(
     edges: DataFrame,
     iterations: int = 3,
@@ -243,13 +273,21 @@ def pagerank_fixed(
     dropped rather than redistributed — the classic simplified variant;
     both engines drop it identically.
 
-    Scale notes (100-TB posture): edges and out-degrees are computed once
-    and persisted; each iteration is one shuffle join (scores ⋈ edges on
-    src — a broadcast when the score table fits) plus one groupBy(dst),
-    with ``localCheckpoint`` per round to stop lineage growth, the same
-    discipline as :func:`connected_components`. Work per round is O(|E|);
-    ``iterations`` is a fixed hyper-parameter, not a convergence probe, so
-    the job graph is static and AQE can size every exchange.
+    Scale notes (100-TB posture): the out-degree join is loop-invariant,
+    so it is attached to the edge table ONCE before the loop (the old
+    form re-joined it every iteration); each iteration is then one
+    scores ⋈ edges join plus one groupBy(dst). The score/contrib tables
+    are node-bounded, and ``n_nodes`` is already a known driver scalar —
+    below ``_PAGERANK_BCAST_NODES`` they are explicitly broadcast
+    (a localCheckpointed frame has no size statistics, so without the
+    hint the planner shuffled the FULL edge list by src every iteration);
+    past the gate the shuffle joins stand, nothing corpus-scaled ever
+    broadcasts. ``iterations`` is a fixed hyper-parameter, not a
+    convergence probe, so the rounds chain LAZILY into one job
+    (``localCheckpoint`` every 4th round caps plan growth for large
+    iteration counts; one eager checkpoint at the end materializes the
+    result so the inputs can be unpersisted) — three per-round job
+    barriers removed for the default 3 iterations.
     """
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -261,19 +299,18 @@ def pagerank_fixed(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    outdeg = e.groupBy(F.col("src").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
     )
     n_nodes = nodes.count()  # scalar graph size, not a data collect
+    bcast = F.broadcast if n_nodes <= _PAGERANK_BCAST_NODES else (lambda df: df)
+    ew = e.join(bcast(outdeg), "src").persist(StorageLevel.MEMORY_AND_DISK)
     s0 = scale // max(n_nodes, 1)
     base = ((100 - damping_pct) * s0) // 100
     scores = nodes.withColumn("score", F.lit(s0).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
-            e.join(scores.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            ew.join(bcast(scores.withColumnRenamed("node", "src")), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("score div outdeg").cast("long").alias("part"),
@@ -281,24 +318,22 @@ def pagerank_fixed(
             .groupBy("node")
             .agg(F.sum("part").cast("long").alias("contrib"))
         )
-        scores = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(contrib, 0L)) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("score"),
+        scores = nodes.join(bcast(contrib), "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("score"),
         )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            scores = scores.localCheckpoint(eager=True)
+    # materialize before unpersisting the lineage the lazy chain reads
+    scores = scores.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
-    outdeg.unpersist()
+    ew.unpersist()
     return scores
 
 

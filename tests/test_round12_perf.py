@@ -171,3 +171,131 @@ def test_agg_stats_spread_and_projection(spark):
     assert "xxhash64" in plan and "hashpartitioning" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_ivf_assign_argmax_matches_window_form(spark):
+    """nprobe=1 assignment is a max(struct) aggregate; it must pick the
+    same (vector, centroid) rows the row_number window picked — including
+    the asc-centroid_id tie-break — and the plan must contain no Window."""
+    from pyspark.sql import Window
+
+    from go_pq_cdc_kafka_spark.operators import similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("long").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new = SIM.ivf_assign(e, cents, "vec_id", "embedding", "vid", exact=False)
+    assert "Window" not in _plan(new)
+    # reference: the old window formulation, inlined
+    _n = SIM.fast_norm
+    _c = SIM.fast_cosine_from_norms
+    cw = cents.select(
+        "centroid_id", "centroid_vec", _n(F.col("centroid_vec")).alias("_cn")
+    )
+    w = Window.partitionBy("_aid").orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id")
+    )
+    old = (
+        e.select(
+            F.col("vec_id").alias("_aid"),
+            F.col("embedding").alias("_av"),
+            _n(F.col("embedding")).alias("_an"),
+        )
+        .join(F.broadcast(cw))
+        .select(
+            "_aid",
+            "_an",
+            "centroid_id",
+            _c(
+                F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_cn")
+            ).alias("_ccos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            F.col("_aid").alias("vid"),
+            F.col("_an").alias("_vnorm"),
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+    new_sel = new.select("vid", "_vnorm", "cluster")
+    assert new_sel.exceptAll(old).count() == 0
+    assert old.exceptAll(new_sel).count() == 0
+
+
+def test_star_rounds_match_reference_sets(spark):
+    """The window-min star rewirings (and the fused dedup=False round) are
+    set-identical to the paper-literal groupBy+join formulation."""
+    from go_pq_cdc_kafka_spark.operators import cluster as CL
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (7, 7), (12, 11)],
+        "u long, v long",
+    )
+
+    def ref_large(edges):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def ref_small(edges):
+        oriented = edges.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        ).where(F.col("u") != F.col("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    got_l = {(r.u, r.v) for r in CL._large_star(edges).collect()}
+    exp_l = {(r.u, r.v) for r in ref_large(edges).collect()}
+    assert got_l == exp_l
+    got_s = {(r.u, r.v) for r in CL._small_star(edges).collect()}
+    exp_s = {(r.u, r.v) for r in ref_small(edges).collect()}
+    assert got_s == exp_s
+    # the fused round (dedup=False into small-star) equals the two-dedup round
+    fused = {
+        (r.u, r.v)
+        for r in CL._small_star(CL._large_star(edges, dedup=False)).collect()
+    }
+    staged = {(r.u, r.v) for r in ref_small(ref_large(edges)).collect()}
+    assert fused == staged
+
+
+def test_pagerank_broadcast_gate_is_score_identical(spark, monkeypatch):
+    """Scores must be bit-identical whether the node-bounded tables ride
+    the broadcast gate or the scale-path shuffle joins."""
+    from go_pq_cdc_kafka_spark.operators import cluster as CL
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (2, 1), (1, 2)],
+        "src long, dst long",
+    )
+    fast = {(r.node, r.score) for r in CL.pagerank_fixed(edges, 3).collect()}
+    monkeypatch.setattr(CL, "_PAGERANK_BCAST_NODES", 0)
+    slow = {(r.node, r.score) for r in CL.pagerank_fixed(edges, 3).collect()}
+    assert fast == slow
