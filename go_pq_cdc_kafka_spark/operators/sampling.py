@@ -228,6 +228,9 @@ def bucketed_running_sum(
     order_cols: list[Column],
     weight_col: Column,
     name: str,
+    rank_name: str | None = None,
+    total_name: str | None = None,
+    count_name: str | None = None,
 ) -> DataFrame:
     """Scalable inclusive running sum — ``SUM(weight) OVER (PARTITION BY
     partition_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` — by
@@ -244,9 +247,29 @@ def bucketed_running_sum(
     the output column keeps SUM(weight)'s natural type (long for
     integral weights, widened decimal for decimals, double for
     floats — no silent truncation).
+
+    Fused companion outputs (round 12 — every one rides artifacts this
+    pass already computes, so callers stop paying extra corpus passes):
+
+    - ``rank_name``: the global ordinal, exactly
+      :func:`bucketed_row_number` (row_number shares the local window's
+      partition+order spec, so Catalyst collapses both into ONE Window
+      node; the per-bucket row counts ride the same panel aggregate).
+      Callers that ran BOTH helpers paid two corpus shuffles and then a
+      corpus-scale join to line the columns up again.
+    - ``total_name``: the per-partition-group weight total — a
+      whole-frame window over the bounded (#groups × #buckets) panel,
+      attached by the broadcast join that already happens. Callers that
+      aggregated the corpus a second time for ``SUM(w) OVER (PARTITION
+      BY g)`` drop that pass.
+    - ``count_name``: the weight-1 twin of ``total_name`` (group row
+      count); requires ``rank_name`` to be set too (it rides the same
+      per-bucket row counts).
     """
     from pyspark.sql import Window
 
+    if count_name and not rank_name:
+        raise ValueError("count_name requires rank_name (shares its panel)")
     staged = df.withColumn("_bkt", bucket_col).withColumn("_wt", weight_col)
     w_local = (
         Window.partitionBy(*partition_cols, "_bkt")
@@ -254,9 +277,16 @@ def bucketed_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = staged.withColumn("_lcs", F.sum("_wt").over(w_local))
-    counts = local.groupBy(*partition_cols, "_bkt").agg(
-        F.sum("_wt").alias("_bs")
-    )
+    if rank_name:
+        # row_number's implicit frame is the same ROWS UNBOUNDED
+        # PRECEDING..CURRENT ROW — CollapseWindow fuses both expressions
+        # into the one WindowExec over the one exchange
+        w_rn = Window.partitionBy(*partition_cols, "_bkt").orderBy(*order_cols)
+        local = local.withColumn("_lrn", F.row_number().over(w_rn))
+    aggs = [F.sum("_wt").alias("_bs")]
+    if rank_name:
+        aggs.append(F.count(F.lit(1)).alias("_bc"))
+    counts = local.groupBy(*partition_cols, "_bkt").agg(*aggs)
     w_off = (
         Window.partitionBy(*partition_cols)  # bounded-window: over the
         # #groups×#buckets weight-sum aggregate, never corpus rows
@@ -265,12 +295,29 @@ def bucketed_running_sum(
     )
     offs = counts.withColumn(
         "_off", F.coalesce(F.sum("_bs").over(w_off), F.lit(0))
-    ).drop("_bs")
-    joined = local.join(F.broadcast(offs), [*partition_cols, "_bkt"], "inner")
-    return (
-        joined.withColumn(name, F.col("_off") + F.col("_lcs"))
-        .drop("_lcs", "_off", "_wt", "_bkt")
     )
+    if rank_name:
+        offs = offs.withColumn(
+            "_roff", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+        )
+    if total_name or count_name:
+        w_tot = Window.partitionBy(*partition_cols).orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        if total_name:
+            offs = offs.withColumn(total_name, F.sum("_bs").over(w_tot))
+        if count_name:
+            offs = offs.withColumn(
+                count_name, F.sum("_bc").over(w_tot).cast("long")
+            )
+    offs = offs.drop("_bs", "_bc")
+    joined = local.join(F.broadcast(offs), [*partition_cols, "_bkt"], "inner")
+    out = joined.withColumn(name, F.col("_off") + F.col("_lcs"))
+    if rank_name:
+        out = out.withColumn(
+            rank_name, (F.col("_roff") + F.col("_lrn")).cast("long")
+        )
+    return out.drop("_lcs", "_lrn", "_off", "_roff", "_wt", "_bkt")
 
 
 def bucketed_running_max(

@@ -8169,6 +8169,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.size(
         F.filter(F.col("_cuts"), lambda c: c < F.col("l_extendedprice"))
     )
+    # total_wt rides the running sum's own bounded bucket panel (sum of
+    # the per-bucket sums per flag) — the third corpus pass the separate
+    # groupBy totals paid is gone (round 12, guide §2.4)
     cum = SA.bucketed_running_sum(
         staged,
         ["l_returnflag"],
@@ -8180,12 +8183,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.col("wt"),
         "cum_wt",
-    )
-    totals = li.groupBy("l_returnflag").agg(
-        F.sum("wt").cast("long").alias("total_wt")
+        total_name="_twt",
     )
     return (
-        cum.join(F.broadcast(totals), "l_returnflag")
+        cum.withColumn("total_wt", F.col("_twt").cast("long"))
         .filter(2 * F.col("cum_wt") >= F.col("total_wt"))
         .groupBy("l_returnflag")
         .agg(
@@ -9453,23 +9454,18 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket id is monotone nondecreasing in (cents DESC, user_id)
     bucket = F.size(F.filter(F.col("_cuts"), lambda ct: ct > F.col("cents")))
     staged = staged.withColumn("_b", bucket).drop("_k", "_cuts")
-    ranked = SA2.bucketed_row_number(
-        staged, [], F.col("_b"),
-        [F.col("cents").desc(), F.col("user_id").asc()], "rk",
-    )
-    cum = SA2.bucketed_running_sum(
+    # ONE fused bucketed pass (round 12): rank, running sum, grand total
+    # and user count all ride the same local window + bounded bucket
+    # panel — previously two full passes over staged re-joined on
+    # user_id (a corpus-scale join) plus a third totals aggregate
+    combined = SA2.bucketed_running_sum(
         staged, [], F.col("_b"),
         [F.col("cents").desc(), F.col("user_id").asc()],
         F.col("cents"), "cum",
-    ).select("user_id", "cum")
-    tot = per_user.agg(
-        F.sum("cents").cast("long").alias("total"),
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-    ).withColumn("_k", F.lit(1))
+        rank_name="rk", total_name="total", count_name="n_users",
+    )
     return (
-        ranked.join(cum, "user_id")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(tot), "_k")
+        combined
         .filter(5 * F.col("cum") >= 4 * F.col("total"))
         .agg(
             F.min("rk").cast("long").alias("users_to_80pct"),

@@ -299,3 +299,42 @@ def test_pagerank_broadcast_gate_is_score_identical(spark, monkeypatch):
     monkeypatch.setattr(CL, "_PAGERANK_BCAST_NODES", 0)
     slow = {(r.node, r.score) for r in CL.pagerank_fixed(edges, 3).collect()}
     assert fast == slow
+
+
+def test_bucketed_running_sum_fused_outputs_match_separate_helpers(spark):
+    """rank_name/total_name/count_name must reproduce bucketed_row_number,
+    the per-group weight total, and the group row count exactly — and the
+    fused local window must stay ONE Window node over one exchange."""
+    from go_pq_cdc_kafka_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [("a", i, (i * 7) % 5 + 1) for i in range(40)]
+        + [("b", i, (i * 3) % 4 + 2) for i in range(25)],
+        "g string, k long, w long",
+    )
+    bucket = (F.col("k") / 10).cast("int")
+    fused = SA.bucketed_running_sum(
+        df, ["g"], bucket, [F.col("k").asc()], F.col("w"), "cum",
+        rank_name="rk", total_name="tot", count_name="cnt",
+    )
+    sep_sum = SA.bucketed_running_sum(
+        df, ["g"], bucket, [F.col("k").asc()], F.col("w"), "cum"
+    )
+    sep_rank = SA.bucketed_row_number(
+        df, ["g"], bucket, [F.col("k").asc()], "rk"
+    )
+    sep_tot = df.groupBy("g").agg(
+        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    exp = (
+        sep_sum.join(sep_rank.select("g", "k", "rk"), ["g", "k"])
+        .join(sep_tot, "g")
+        .select("g", "k", "w", "cum", "rk", "tot", "cnt")
+    )
+    got = fused.select("g", "k", "w", "cum", "rk", "tot", "cnt")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # the sum + row_number collapse into one corpus Window (the other two
+    # Window nodes run over the bounded bucket panel)
+    plan = _plan(fused)
+    assert plan.count("row_number()") <= 2  # initial+final sections only
