@@ -30,8 +30,6 @@ BANNED = re.compile(
 )
 
 ALLOWED = [
-    # K×dim centroid table — bounded by n_centroids, never corpus rows
-    ("operators/similarity.py", "rows = means.collect()"),
     # 1-row global-stats aggregate (footer-only maintenance pass)
     ("operators/maintenance.py", ".collect()[0]"),
     # broadcast-scalar attachment: the non-broadcast side is 1 row
