@@ -10148,8 +10148,21 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("_k", F.lit(1))
     c = cust.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
-    c = c.withColumn(
-        "recency_days", F.datediff(F.col("_gmax"), F.col("last_order")).cast("long")
+    # evaluate the broadcast-derived columns ONCE and project the wide
+    # stats payload away BEFORE the three rank passes: the 31-double
+    # cutpoint array (and _gmax/_k) otherwise rides all three corpus
+    # exchanges below (guide §2.3 — project before the exchange)
+    c = c.select(
+        "o_custkey",
+        "freq",
+        "mon_cents",
+        "_negm",
+        "_n",
+        F.datediff(F.col("_gmax"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        F.size(F.filter(F.col("_mcuts"), lambda x: x < F.col("_negm")))
+        .alias("_mb"),
     )
     c = SA.bucketed_row_number(
         c, [], F.col("recency_days"),
@@ -10159,9 +10172,8 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, [], (-F.col("freq")),
         [F.col("freq").desc(), F.col("o_custkey").asc()], "_frank",
     )
-    mbucket = F.size(F.filter(F.col("_mcuts"), lambda x: x < F.col("_negm")))
     c = SA.bucketed_row_number(
-        c, [], mbucket,
+        c, [], F.col("_mb"),
         [F.col("_negm").asc(), F.col("o_custkey").asc()], "_mrank",
     )
 
