@@ -211,6 +211,15 @@ def bfs_min_hops(
     ``localCheckpoint``-ed so the plan does not re-derive prior frontiers
     (same rationale as :func:`connected_components`; swap for
     ``.checkpoint()`` on a real cluster).
+
+    Round 12: the frontier/visited sides of the two per-level joins are
+    explicitly broadcast while their EXACT row counts (free — each level
+    is checkpointed and counted anyway; the break probe is that count)
+    stay under the node-broadcast gate, so no level shuffles the edge
+    list just to probe a node-bounded frontier (the checkpointed frames
+    carry no size statistics, same planner blind spot as
+    :func:`pagerank_fixed`). Past the gate both joins fall back to the
+    shuffle plans — nothing corpus-scaled broadcasts.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -225,19 +234,27 @@ def bfs_min_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_frontier = frontier.count()  # cached blocks — the scalar is free
+    n_visited = n_frontier
     visited = frontier.withColumn("min_hops", F.lit(0))
+
+    def _bc(df: DataFrame, n: int) -> DataFrame:
+        return F.broadcast(df) if n <= _NODE_BCAST_GATE else df
+
     for level in range(1, max_hops + 1):
         nxt = (
-            edges.join(frontier, edges["src"] == frontier["doc_id"])
+            edges.join(_bc(frontier, n_frontier), edges["src"] == frontier["doc_id"])
             .select(F.col("dst").alias("doc_id"))
             .distinct()
-            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .join(_bc(visited.select("doc_id"), n_visited), "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
         visited = visited.unionByName(nxt.withColumn("min_hops", F.lit(level)))
-        frontier = nxt
+        frontier, n_frontier = nxt, n_nxt
+        n_visited += n_nxt
     edges.unpersist()
     return visited
 
@@ -246,7 +263,7 @@ def bfs_min_hops(
 # (2M nodes x 16B rows ≈ 32 MB built relations — comfortably inside
 # executor memory at any deployment size); past it the per-iteration
 # joins stay shuffle joins, nothing corpus-scaled broadcasts
-_PAGERANK_BCAST_NODES = 2_000_000
+_NODE_BCAST_GATE = 2_000_000
 
 
 def pagerank_fixed(
@@ -278,7 +295,7 @@ def pagerank_fixed(
     form re-joined it every iteration); each iteration is then one
     scores ⋈ edges join plus one groupBy(dst). The score/contrib tables
     are node-bounded, and ``n_nodes`` is already a known driver scalar —
-    below ``_PAGERANK_BCAST_NODES`` they are explicitly broadcast
+    below ``_NODE_BCAST_GATE`` they are explicitly broadcast
     (a localCheckpointed frame has no size statistics, so without the
     hint the planner shuffled the FULL edge list by src every iteration);
     past the gate the shuffle joins stand, nothing corpus-scaled ever
@@ -303,7 +320,7 @@ def pagerank_fixed(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
     n_nodes = nodes.count()  # scalar graph size, not a data collect
-    bcast = F.broadcast if n_nodes <= _PAGERANK_BCAST_NODES else (lambda df: df)
+    bcast = F.broadcast if n_nodes <= _NODE_BCAST_GATE else (lambda df: df)
     ew = e.join(bcast(outdeg), "src").persist(StorageLevel.MEMORY_AND_DISK)
     s0 = scale // max(n_nodes, 1)
     base = ((100 - damping_pct) * s0) // 100

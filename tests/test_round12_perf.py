@@ -296,7 +296,7 @@ def test_pagerank_broadcast_gate_is_score_identical(spark, monkeypatch):
         "src long, dst long",
     )
     fast = {(r.node, r.score) for r in CL.pagerank_fixed(edges, 3).collect()}
-    monkeypatch.setattr(CL, "_PAGERANK_BCAST_NODES", 0)
+    monkeypatch.setattr(CL, "_NODE_BCAST_GATE", 0)
     slow = {(r.node, r.score) for r in CL.pagerank_fixed(edges, 3).collect()}
     assert fast == slow
 
