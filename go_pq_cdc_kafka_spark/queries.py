@@ -7728,13 +7728,20 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_cuts"),
     ).withColumn("_k", F.lit(1))
     qs = q.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
-    score_bucket = F.size(
-        F.filter(F.col("_cuts"), lambda c: c < F.col("_neg"))
+    # evaluate the bucket once and project the 31-double cutpoint array
+    # away BEFORE the rank exchange (guide §2.3, the rfm_segments cut)
+    qs = qs.select(
+        "doc_id",
+        "_neg",
+        "_n",
+        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_neg"))).alias(
+            "_sb"
+        ),
     )
     ranked = SA.bucketed_row_number(
         qs,
         [],
-        score_bucket,
+        F.col("_sb"),
         [F.col("_neg").asc(), F.col("doc_id").asc()],
         "_grank",
     )
@@ -8166,16 +8173,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_cuts")
     ).withColumn("_k", F.lit(1))
     staged = li.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
-    bucket = F.size(
-        F.filter(F.col("_cuts"), lambda c: c < F.col("l_extendedprice"))
-    )
+    # bucket evaluated once, cutpoint array projected off the running-sum
+    # exchange (guide §2.3, the rfm_segments cut)
+    staged = staged.withColumn(
+        "_b",
+        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("l_extendedprice"))),
+    ).drop("_cuts", "_k")
     # total_wt rides the running sum's own bounded bucket panel (sum of
     # the per-bucket sums per flag) — the third corpus pass the separate
     # groupBy totals paid is gone (round 12, guide §2.4)
     cum = SA.bucketed_running_sum(
         staged,
         ["l_returnflag"],
-        bucket,
+        F.col("_b"),
         [
             F.col("l_extendedprice").asc(),
             F.col("l_orderkey").asc(),
@@ -10072,9 +10082,13 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumn("_k", F.lit(1))
     gs = g.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
-    bucket = F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_neg")))
+    # bucket evaluated once, cutpoint array projected off the prefix-max
+    # exchange (guide §2.3, the rfm_segments cut)
+    gs = gs.withColumn(
+        "_b", F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_neg")))
+    ).drop("_cuts", "_k")
     pre = SA.bucketed_running_max(
-        gs, [], bucket, [F.col("_neg").asc()], F.col("grp_max"), "pre_max",
+        gs, [], F.col("_b"), [F.col("_neg").asc()], F.col("grp_max"), "pre_max",
         inclusive=False,
     ).select("rev_cents", "grp_max", "pre_max")
     return (
@@ -11156,9 +11170,14 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lag_secs").alias("_mx"),
     ).withColumn("_k", F.lit(1))
     cs = conv.withColumn("_k", F.lit(1)).join(F.broadcast(stats), "_k")
-    bucket = F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("lag_secs")))
+    # bucket evaluated once, cutpoint array projected off the rank
+    # exchange (guide §2.3, the rfm_segments cut); the scalar stats
+    # (_n/_mn/_mx) stay — the final aggregate consumes them
+    cs = cs.withColumn(
+        "_b", F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("lag_secs")))
+    ).drop("_cuts", "_k")
     ranked = SA.bucketed_row_number(
-        cs, [], bucket,
+        cs, [], F.col("_b"),
         [F.col("lag_secs").asc(), F.col("user_id").asc()], "rn",
     )
     hit = ranked.filter(
