@@ -492,43 +492,64 @@ ORDER BY vec_a, vec_b
 # IVF (inverted-file) ANN — coarse quantize, probe one cluster
 # ---------------------------------------------------------------------------
 
-def _argmax_assign(
-    scored: DataFrame,
-    group: str,
-    ord_col: str,
-    pick: str,
-    payload: list[str],
+def _argmax_local(
+    rows: DataFrame,
+    cents: DataFrame,
+    cos_fn,
+    key: str | None = None,
+    vec_col: str = "_av",
+    norm_col: str = "_an",
 ) -> DataFrame:
-    """Exact per-group argmax as one aggregation: returns, per ``group``,
-    the row maximizing (``ord_col``, then LOWEST ``pick``) — the same row
-    ``row_number() over (partition by group order by ord desc, pick asc)
-    = 1`` selects, provided ``pick`` is unique within each group.
+    """Nearest-centroid pick with ZERO exchange (round 13): collapse the
+    (node-bounded) centroid table ``cents`` — (centroid_id, centroid_vec,
+    _centn), plus ``key`` when per-key routing applies — to ONE
+    array-of-structs row per ``key`` (one global row when ``key`` is
+    None), broadcast it, and compute each input row's argmax with
+    ``array_max(transform(...))``.
 
-    Why not the window: a window needs ClusteredDistribution(group), i.e.
-    a full exchange of every scored row — for nearest-centroid assignment
-    that is N×k rows each carrying the vector payload. ``max(struct(...))``
-    partial-aggregates map-side, so the exchange carries N pre-reduced
-    rows (guide §2.3). Tie behavior is identical: struct comparison falls
-    to ``-pick`` only on exact ``ord_col`` ties (doubles compare the same
-    way the window sorts them — NaN greatest, -0.0 == 0.0, NULL smallest,
-    so a NULL score loses to any non-NULL exactly like the window's
-    default NULLS-LAST descending order), and ``pick`` uniqueness makes
-    the payload fields unreachable by the comparator."""
-    best = scored.groupBy(group).agg(
-        F.max(
+    Struct ordering (``_ccos`` desc via max, then LOWEST centroid id via
+    the negated field) is the same TypedOrdering that both the round-12
+    ``max(struct(...))`` aggregate and the original ``row_number`` window
+    used — NaN greatest, NULL smallest, -0.0 == 0.0 — so the selection is
+    row-identical (pinned by test_ivf_assign_argmax_matches_window_form).
+    Centroid ids are unique, so (_ccos, _neg) is a total order per array
+    and ``collect_list``'s nondeterministic order cannot change the pick.
+
+    Why this beats the aggregate form it replaces: the aggregate still
+    exchanged N pre-reduced rows — each carrying the vector payload —
+    to group by vector id. Here no scored relation ever exists row-wise:
+    the k candidate scores live inside one array expression evaluated
+    map-side, so assignment costs zero shuffles and Lloyd training's only
+    per-round exchange is the tiny (cluster, pos) means panel (guide
+    §2.3/§2.4). Input partitioning (the caller's corpus spread) flows
+    through untouched.
+
+    Output: ``rows`` + ``_best`` struct; callers project
+    ``_best._pick`` (the chosen centroid_id)."""
+    gb = cents.groupBy(key) if key else cents.groupBy()
+    arr = gb.agg(
+        F.collect_list(
             F.struct(
-                F.col(ord_col),
-                (-F.col(pick)).alias("_negpick"),
-                *[F.col(c) for c in payload],
-                F.col(pick).alias("_pick"),
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid_vec").alias("cv"),
+                F.col("_centn").alias("cn"),
             )
-        ).alias("_b")
+        ).alias("_carr")
     )
-    return best.select(
-        group,
-        *[F.col(f"_b.{c}").alias(c) for c in payload],
-        F.col("_b._pick").alias(pick),
+    joined = rows.join(F.broadcast(arr), key) if key else rows.join(F.broadcast(arr))
+    best = F.array_max(
+        F.transform(
+            F.col("_carr"),
+            lambda c: F.struct(
+                cos_fn(F.col(vec_col), c["cv"], F.col(norm_col), c["cn"]).alias(
+                    "_ccos"
+                ),
+                (-c["cid"]).alias("_neg"),
+                c["cid"].alias("_pick"),
+            ),
+        )
     )
+    return joined.withColumn("_best", best).drop("_carr")
 
 
 def ivf_assign(
@@ -552,13 +573,15 @@ def ivf_assign(
     engine-specific and invariant-checked anyway (~5x faster).
 
     ``nprobe=1`` (every corpus-scaled call site: index builds, Lloyd
-    rounds, SemDeDup assignment) computes the argmax as ONE aggregation
-    (:func:`_argmax_assign`) instead of a row_number window: the window
-    needs a full exchange of all N×k scored rows — each still carrying
-    the vector payload — where the aggregate partial-reduces every map
-    task's rows k-fold before the shuffle (guide §2.3, "aggregate before
-    you shuffle"). Verified row-identical against the window form for
-    both scorers at sf0.1 (round 12). ``nprobe>1`` (query-side probe
+    rounds, SemDeDup assignment) computes the argmax MAP-LOCALLY
+    (:func:`_argmax_local`): the centroid table collapses to one
+    broadcast array row and each vector picks its centroid inside one
+    ``array_max(transform(...))`` expression — no scored relation, no
+    exchange at all (round 13; the round-12 aggregate form still
+    exchanged N payload-carrying rows to group by vector id). Verified
+    row-identical against the window form for both scorers (round 12 for
+    the aggregate, round 13 for the map-local form — exceptAll 0/0, and
+    Lloyd centroids bit-identical). ``nprobe>1`` (query-side probe
     widening, bounded |Q|×k input) keeps the window."""
     _norm = norm if exact else fast_norm
     _cos = cosine_from_norms if exact else fast_cosine_from_norms
@@ -567,32 +590,27 @@ def ivf_assign(
         F.col("centroid_vec"),
         _norm(F.col("centroid_vec")).alias("_centn"),
     )
-    scored = (
-        df.select(
-            F.col(id_col).alias("_aid"),
-            F.col(vec).alias("_av"),
-            _norm(F.col(vec)).alias("_an"),
-        )
-        .join(F.broadcast(cents))
-        .select(
-            "_aid",
-            "_av",
-            "_an",
-            "centroid_id",
-            _cos(
-                F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_centn")
-            ).alias("_ccos"),
-        )
+    rows = df.select(
+        F.col(id_col).alias("_aid"),
+        F.col(vec).alias("_av"),
+        _norm(F.col(vec)).alias("_an"),
     )
     if nprobe == 1:
-        return _argmax_assign(
-            scored, "_aid", "_ccos", "centroid_id", ["_av", "_an"]
-        ).select(
+        return _argmax_local(rows, cents, _cos).select(
             F.col("_aid").alias(out_id),
             F.col("_av").alias(vec),
             F.col("_an").alias("_vnorm"),
-            F.col("centroid_id").alias("cluster"),
+            F.col("_best._pick").alias("cluster"),
         )
+    scored = rows.join(F.broadcast(cents)).select(
+        "_aid",
+        "_av",
+        "_an",
+        "centroid_id",
+        _cos(
+            F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_centn")
+        ).alias("_ccos"),
+    )
     w = Window.partitionBy("_aid").orderBy(
         F.col("_ccos").desc(), F.col("centroid_id")
     )
@@ -640,66 +658,51 @@ def hierarchical_assign(
             F.col("_cn").alias("_con"),
         )
     )
-    # all three argmax stages are aggregations, not windows (round 12,
+    # all three argmax stages are MAP-LOCAL array argmaxes (round 13,
     # same rationale as ivf_assign nprobe=1): the routed and final stages
-    # are corpus-scaled — the window form exchanged N×coarse_n and
-    # N×(k/coarse_n) payload-carrying rows where the aggregate
-    # partial-reduces them to N map-side
-    fine_map = _argmax_assign(
-        cents.join(F.broadcast(coarse)).select(
-            "centroid_id",
-            "centroid_vec",
-            "_cn",
-            "coarse_id",
-            fast_cosine_from_norms(
-                F.col("centroid_vec"), F.col("_cov"), F.col("_cn"), F.col("_con")
-            ).alias("_fc"),
-        ),
-        "centroid_id",
-        "_fc",
-        "coarse_id",
-        ["centroid_vec", "_cn"],
-    ).select("coarse_id", "centroid_id", "centroid_vec", "_cn")
-    routed = _argmax_assign(
+    # are corpus-scaled — the round-12 aggregate form still exchanged N
+    # payload-carrying rows per stage to group by vector id; the
+    # broadcast-array form exchanges nothing (the routing arrays are
+    # coarse_n- and k-bounded, exactly the tables the old form already
+    # broadcast row-wise)
+    coarse_cents = coarse.select(
+        F.col("coarse_id").alias("centroid_id"),
+        F.col("_cov").alias("centroid_vec"),
+        F.col("_con").alias("_centn"),
+    )
+    fine_map = _argmax_local(
+        cents,
+        coarse_cents,
+        fast_cosine_from_norms,
+        vec_col="centroid_vec",
+        norm_col="_cn",
+    ).select(
+        F.col("_best._pick").alias("coarse_id"), "centroid_id", "centroid_vec", "_cn"
+    )
+    routed = _argmax_local(
         df.select(
             F.col(id_col).alias("_aid"),
             F.col(vec).alias("_av"),
             fast_norm(F.col(vec)).alias("_an"),
-        )
-        .join(F.broadcast(coarse))
-        .select(
-            "_aid",
-            "_av",
-            "_an",
+        ),
+        coarse_cents,
+        fast_cosine_from_norms,
+    ).select("_aid", "_av", "_an", F.col("_best._pick").alias("coarse_id"))
+    return _argmax_local(
+        routed,
+        fine_map.select(
             "coarse_id",
-            fast_cosine_from_norms(
-                F.col("_av"), F.col("_cov"), F.col("_an"), F.col("_con")
-            ).alias("_vc"),
-        ),
-        "_aid",
-        "_vc",
-        "coarse_id",
-        ["_av", "_an"],
-    ).select("_aid", "_av", "_an", "coarse_id")
-    return _argmax_assign(
-        routed.join(F.broadcast(fine_map), "coarse_id").select(
-            "_aid",
-            "_av",
-            "_an",
             "centroid_id",
-            fast_cosine_from_norms(
-                F.col("_av"), F.col("centroid_vec"), F.col("_an"), F.col("_cn")
-            ).alias("_ccos"),
+            "centroid_vec",
+            F.col("_cn").alias("_centn"),
         ),
-        "_aid",
-        "_ccos",
-        "centroid_id",
-        ["_av", "_an"],
+        fast_cosine_from_norms,
+        key="coarse_id",
     ).select(
         F.col("_aid").alias(out_id),
         F.col("_av").alias(vec),
         F.col("_an").alias("_vnorm"),
-        F.col("centroid_id").alias("cluster"),
+        F.col("_best._pick").alias("cluster"),
     )
 
 
@@ -716,14 +719,20 @@ def train_centroids(
     RNG), then ``iters`` rounds of: broadcast the centroid table, assign
     every vector to its argmax-cosine centroid, recompute each centroid as
     the elementwise mean of its members. Per round the corpus is touched
-    once (broadcast join + one posexplode aggregation keyed by
-    (cluster, position) — ``K·dim`` groups); the centroid table never
+    once and the ONLY exchange is the tiny (cluster, position) means
+    panel — ``K·dim`` groups, partial-aggregated map-side: assignment is
+    the zero-exchange map-local array argmax (round 13,
+    :func:`_argmax_local`; the round-12 aggregate form still shuffled the
+    N-row assignment output, each row carrying the vector payload, before
+    the means could reduce it). The centroid table never
     leaves the executors. Rounds chain LAZILY — round k's broadcast
     subtree nests round k-1's means aggregate, so the whole training runs
     as ONE job ended by an eager K×dim localCheckpoint (round 12: the
     previous per-round collect + createDataFrame paid a driver round-trip
     and a py4j re-upload per round — warm 3.1 → 2.2 s at sf0.1,
-    centroid values identical). Trained centroids fix the
+    centroid values identical; round 13: centroids BIT-identical under
+    the map-local assignment, max |Δ| = 0.0 at sf0.1 k=44). Trained
+    centroids fix the
     hot-cluster skew of raw first-N seeding: cluster populations track the
     data distribution, so inverted lists stay balanced at scale."""
     cents = corpus.orderBy(id_col).limit(n_centroids).select(
