@@ -63,7 +63,22 @@ def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     lets :func:`connected_components` skip the output distinct when the
     consumer is :func:`_small_star`, whose min is duplicate-insensitive
     and whose own distinct canonicalizes the round's output — one full
-    exchange less per round; the set value is unchanged."""
+    exchange less per round; the set value is unchanged.
+
+    Skew trade-off (documented per the round-12 advisory): WindowExec
+    buffers each node's neighborhood in one task's group buffer
+    (``ExternalAppendOnlyUnsafeRowArray`` — heap up to the spill
+    threshold, disk past it), where the old groupBy(min)
+    partial-aggregated map-side. The per-task ROW placement, however, is
+    identical in both forms: the old form's re-JOIN of the mins onto the
+    edges was keyed by the same ``u``, so a hub's whole neighborhood
+    landed in one join task either way — the delta is a spillable buffer
+    vs a streamed probe, not where the rows go. The hot key is the
+    component minimum in late rounds (a star center's degree approaches
+    its component size as contraction converges); its group buffer is
+    16 B/edge and spills, it does not OOM. Accepted for the removed
+    per-round |E|-scale exchange; a mins-broadcast variant would need a
+    node-bounded broadcast per half-round and is not corpus-safe."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -220,6 +235,14 @@ def bfs_min_hops(
     carry no size statistics, same planner blind spot as
     :func:`pagerank_fixed`). Past the gate both joins fall back to the
     shuffle plans — nothing corpus-scaled broadcasts.
+
+    Round 13: under the gate the visited anti-join runs BEFORE the
+    distinct (they commute — the anti join is a per-row doc_id filter),
+    so the level's single shuffle (the distinct) carries only the
+    truly-new nodes instead of the full expansion mass, most of which is
+    re-reached visited nodes on any graph with cycles. Past the gate the
+    order stays distinct-first so the shuffled anti join sees deduped
+    input.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -242,13 +265,33 @@ def bfs_min_hops(
         return F.broadcast(df) if n <= _NODE_BCAST_GATE else df
 
     for level in range(1, max_hops + 1):
-        nxt = (
-            edges.join(_bc(frontier, n_frontier), edges["src"] == frontier["doc_id"])
-            .select(F.col("dst").alias("doc_id"))
-            .distinct()
-            .join(_bc(visited.select("doc_id"), n_visited), "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        expanded = edges.join(
+            _bc(frontier, n_frontier), edges["src"] == frontier["doc_id"]
+        ).select(F.col("dst").alias("doc_id"))
+        if n_visited <= _NODE_BCAST_GATE:
+            # anti-join FIRST (round 13): under the gate the anti join is
+            # a broadcast (map-side) filter, and most expansion output is
+            # already-visited nodes — filtering them before the distinct
+            # shrinks the level's one exchange to the (much smaller)
+            # truly-new mass. Set-identical either order: the anti join
+            # filters per row on doc_id, distinct dedups doc_id — they
+            # commute.
+            nxt = (
+                expanded.join(
+                    _bc(visited.select("doc_id"), n_visited), "doc_id", "left_anti"
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # past the gate the anti join shuffles: dedup first so the
+            # anti join's exchanges carry distinct nodes, and its output
+            # partitioning makes the distinct free anyway
+            nxt = (
+                expanded.distinct()
+                .join(visited.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
         n_nxt = nxt.count()
         if n_nxt == 0:
             break
@@ -259,11 +302,17 @@ def bfs_min_hops(
     return visited
 
 
-# node-bounded score/degree tables broadcast below this node count
-# (2M nodes x 16B rows ≈ 32 MB built relations — comfortably inside
-# executor memory at any deployment size); past it the per-iteration
-# joins stay shuffle joins, nothing corpus-scaled broadcasts
-_NODE_BCAST_GATE = 2_000_000
+# node-bounded score/degree tables broadcast below this node count.
+# Sized by BUILT-RELATION footprint, not raw bytes (round-13, advisor
+# item): a BroadcastHashedRelation costs ~4-8x the raw row size (hash
+# array + UnsafeRow framing + per-row object headers), so 500k 16-byte
+# rows is ~25-60 MB built — safe per executor even when bfs_min_hops
+# re-broadcasts the growing visited set every level (the worst consumer:
+# near the gate it holds one built relation per level in flight). The
+# previous 2M bound justified itself on raw bytes (32 MB) but built out
+# to hundreds of MB. Past the gate the per-iteration joins stay shuffle
+# joins, nothing corpus-scaled broadcasts.
+_NODE_BCAST_GATE = 500_000
 
 
 def pagerank_fixed(

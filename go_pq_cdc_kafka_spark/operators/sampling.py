@@ -261,7 +261,12 @@ def bucketed_running_sum(
       whole-frame window over the bounded (#groups × #buckets) panel,
       attached by the broadcast join that already happens. Callers that
       aggregated the corpus a second time for ``SUM(w) OVER (PARTITION
-      BY g)`` drop that pass.
+      BY g)`` drop that pass. TYPE NOTE (round-13 advisory): unlike
+      ``rank_name``/``count_name`` (always cast long), ``total_name``
+      keeps SUM's natural type — long for integral weights, widened
+      decimal for decimals, double for floats — matching the main
+      ``name`` output; callers whose oracle CASTs the total (e.g. to
+      BIGINT) own that cast, exactly as they do for ``name``.
     - ``count_name``: the weight-1 twin of ``total_name`` (group row
       count); requires ``rank_name`` to be set too (it rides the same
       per-bucket row counts).
