@@ -1235,6 +1235,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization barriers cost more than the recompute (round-12
         # A/B at 5k docs: 1.88 → 1.23 s, bit-identical)
         persist=n > 100_000,
+        # round 13: below the same boundary the whole verify subsystem is
+        # replaced by a map-side array_intersect on band rows carrying the
+        # shingle sets (2.1x at 50k docs, result-identical); above it the
+        # band-exchange payload loses to the join chain (500k-doc A/B:
+        # 40-50 s vs 60-109 s) so the verify joins stand
+        band_local=n <= 100_000,
     ).orderBy("doc_a", "doc_b")
 
 
