@@ -349,6 +349,57 @@ def minhash_signatures(
     return _signatures_from_index(shingle_index(df, text_col, id_col, n), num_perms)
 
 
+def _banded_with_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perms: int,
+    bands: int,
+    n: int,
+) -> DataFrame:
+    """Banded signature rows carrying the verify payload (band-local path):
+    per doc, the 16 minhashes, the size, the shingle SET (collect_list
+    over the distinct index — order nondeterministic and irrelevant,
+    array_intersect is set-valued on distinct inputs) and ALL band keys,
+    exploded to one row per band."""
+    r = num_perms // bands
+    sh = shingle_index(df, text_col, id_col, n)
+    hashed = sh.selectExpr(
+        "doc_id",
+        "shingle",
+        f"{_HASH64_SPARK_SQL.format(c='shingle')} % {_H30} AS h30",
+    )
+    aggs = []
+    for p in range(num_perms):
+        a, b = _mh_consts(p)
+        aggs.append(F.expr(f"min(({a} * h30 + {b}) % {_MH_MOD}) AS mh{p}"))
+    aggs.append(F.expr("CAST(count(1) AS BIGINT) AS n_sh"))
+    aggs.append(F.expr("collect_list(shingle) AS shs"))
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    band_key = lambda b: (  # noqa: E731
+        "concat_ws('|', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+    )
+    bks = "array(" + ", ".join(band_key(b) for b in range(bands)) + ")"
+    return sig.selectExpr(
+        "doc_id",
+        "n_sh",
+        "shs",
+        f"{bks} AS bks",
+        f"posexplode({bks}) AS (band_id, band_key)",
+    )
+
+
+#: first-matching-band guard (band-local path): TRUE iff no EARLIER band of
+#: the pair also matches, so each candidate pair is emitted exactly once —
+#: no distinct exchange. slice is 1-based and length band_id selects bands
+#: 0..band_id-1 (EMPTY for band 0 — sequence(0, band_id-1) would generate a
+#: descending [0,-1] there, not an empty list).
+_FIRST_BAND_SQL = (
+    "NOT exists(zip_with(slice(a.bks, 1, a.band_id), "
+    "slice(b.bks, 1, a.band_id), (x, y) -> x = y), v -> v)"
+)
+
+
 def _band_local_pairs(
     df: DataFrame,
     text_col: str,
@@ -364,48 +415,14 @@ def _band_local_pairs(
     at their first matching band and verified map-side. One corpus-keyed
     aggregation + one band self-join — no candidate distinct, no verify
     joins, no pins."""
-    r = num_perms // bands
-    sh = shingle_index(df, text_col, id_col, n)
-    hashed = sh.selectExpr(
-        "doc_id",
-        "shingle",
-        f"{_HASH64_SPARK_SQL.format(c='shingle')} % {_H30} AS h30",
-    )
-    aggs = []
-    for p in range(num_perms):
-        a, b = _mh_consts(p)
-        aggs.append(F.expr(f"min(({a} * h30 + {b}) % {_MH_MOD}) AS mh{p}"))
-    aggs.append(F.expr("CAST(count(1) AS BIGINT) AS n_sh"))
-    # the index is distinct (doc_id, shingle), so collect_list == the
-    # shingle SET; array order is nondeterministic and irrelevant —
-    # array_intersect is set-valued on distinct inputs
-    aggs.append(F.expr("collect_list(shingle) AS shs"))
-    sig = hashed.groupBy("doc_id").agg(*aggs)
-    band_key = lambda b: (  # noqa: E731
-        "concat_ws('|', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + ")"
-    )
-    bks = "array(" + ", ".join(band_key(b) for b in range(bands)) + ")"
-    banded = sig.selectExpr(
-        "doc_id",
-        "n_sh",
-        "shs",
-        f"{bks} AS bks",
-        f"posexplode({bks}) AS (band_id, band_key)",
-    )
+    banded = _banded_with_arrays(df, text_col, id_col, num_perms, bands, n)
     cand = (
         banded.alias("a")
         .join(
             banded.hint(pair_join).alias("b"),
             F.expr(
                 "a.band_id = b.band_id AND a.band_key = b.band_key "
-                "AND a.doc_id < b.doc_id "
-                # first-matching-band: each pair surfaces exactly once, so
-                # no distinct is needed. slice is 1-based and length
-                # band_id selects bands 0..band_id-1 (EMPTY for band 0 —
-                # sequence(0, band_id-1) would generate a descending
-                # [0,-1] there, not an empty list)
-                "AND NOT exists(zip_with(slice(a.bks, 1, a.band_id), "
-                "slice(b.bks, 1, a.band_id), (x, y) -> x = y), v -> v)"
+                f"AND a.doc_id < b.doc_id AND {_FIRST_BAND_SQL}"
             ),
         )
         .selectExpr(
@@ -675,11 +692,21 @@ def minhash_incremental_pairs(
     n: int = 3,
     threshold: float = 0.5,
     persist: bool = True,
+    band_local: bool = False,
 ) -> DataFrame:
     """Cross-set near-dup detection: which NEW documents duplicate the
     EXISTING corpus? Returns ``(new_doc, dup_of, jaccard)`` pairs at
     ``jaccard >= threshold``; the batch's survivors are its anti-join
     against ``new_doc``.
+
+    ``band_local=True`` (round 13, small-corpus path — same trade as
+    ``minhash_lsh_pairs(band_local=True)``): shingle sets and band keys
+    ride both sides' band rows, pairs surface at their first matching
+    band only, and exact Jaccard is computed map-side — the candidate
+    distinct and both verify joins disappear. Callers wire it to the same
+    ~100k-doc boundary; above it the band-exchange payload loses to the
+    join chain. ``persist`` is ignored on this path (single pass, no
+    shared subtrees).
 
     This is the shape a continuously-ingesting pipeline actually runs —
     full-corpus pair generation (:func:`minhash_lsh_pairs`) is the
@@ -699,6 +726,37 @@ def minhash_incremental_pairs(
     verification joins are the same index-probe shape as the full variant.
     """
     r = num_perms // bands
+    if band_local:
+        bb = _banded_with_arrays(batch, text_col, id_col, num_perms, bands, n)
+        cb = _banded_with_arrays(corpus, text_col, id_col, num_perms, bands, n)
+        cand = (
+            bb.alias("a")
+            .hint("shuffle_hash")
+            .join(
+                cb.alias("b"),
+                F.expr(
+                    "a.band_id = b.band_id AND a.band_key = b.band_key "
+                    f"AND {_FIRST_BAND_SQL}"
+                ),
+            )
+            .selectExpr(
+                "a.doc_id AS new_doc",
+                "b.doc_id AS dup_of",
+                "CAST(size(array_intersect(a.shs, b.shs)) AS BIGINT) AS shared",
+                "a.n_sh AS na",
+                "b.n_sh AS nb",
+            )
+        )
+        return (
+            cand.withColumn(
+                "jaccard",
+                F.expr(
+                    "CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE)"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_doc", "dup_of", "jaccard")
+        )
 
     def _banded(sig: DataFrame) -> DataFrame:
         band_cols = [

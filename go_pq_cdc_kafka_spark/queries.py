@@ -6715,13 +6715,21 @@ def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(batch) + bounded probes, independent of corpus size.",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    n = raw.count()  # footer-only metadata job (before the spread)
+    d = spread_small_scan(raw)
     return DD.minhash_incremental_pairs(
         d.filter(F.col("doc_id") % 4 != 0),
         d.filter(F.col("doc_id") % 4 == 0),
         num_perms=16,
         bands=4,
         threshold=0.5,
+        # same ~100k-doc boundary as dedup_minhash_lsh: below it the
+        # band-local verify (map-side array_intersect) replaces the
+        # candidate distinct and both verify joins; above it the
+        # band-exchange payload loses (round-13 500k-doc A/B)
+        persist=n > 100_000,
+        band_local=n <= 100_000,
     ).orderBy("new_doc", "dup_of")
 
 

@@ -241,3 +241,18 @@ def test_minhash_band_local_matches_join_chain(spark):
         re.M,
     )
     assert len(joins) == 1, joins
+
+
+def test_minhash_incremental_band_local_matches_join_chain(spark):
+    """Cross-set band_local verify == the join-chain verify."""
+    from go_pq_cdc_kafka_spark.operators import dedup as DD
+
+    d = load_table(spark, SF, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    old = DD.minhash_incremental_pairs(corpus, batch, persist=False)
+    new = DD.minhash_incremental_pairs(
+        corpus, batch, persist=False, band_local=True
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
